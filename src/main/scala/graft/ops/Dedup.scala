@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All hashing is arithmetic-free md5 (first 15 hex chars → 60-bit positive
+  * int64) so results are engine-portable and exactly reproducible — no seeded
+  * RNG, no JVM `hashCode`. Every operator is a pure DataFrame transform:
+  * shuffles only on its grouping keys, no driver-side state, so the same plan
+  * runs unchanged on a 1000-executor cluster.
+  *
+  * Scale notes per operator:
+  *  - exact dedup: one hash-aggregate shuffle on the 128-bit content hash.
+  *  - MinHash+LSH: explode(shingles) is map-side; signatures are one
+  *    hash-aggregate; candidate generation joins on (band, bandKey) — the
+  *    band key space keeps bucket sizes tiny, so the self-join never
+  *    quadratically explodes (compare documents only within buckets).
+  *  - SimHash: map-side bit explode + two hash-aggregates; output is one
+  *    64-bit signature per doc, groupable for near-dup clustering.
+  */
+object Dedup {
+
+  /** 60-bit deterministic hash of a string expression, optionally salted —
+    * portable across engines (same value in DuckDB via
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`).
+    */
+  def hash60(c: Column, salt: String = ""): Column = {
+    val payload = if (salt.isEmpty) c else concat(lit(salt + ":"), c)
+    conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Exact dedup — group by content hash, keep lowest id
+    * (hash-groupBy plan from the task surface; analog of W1's
+    * latest-per-key, `go-incremental-ingest-elt.py:207-212`, with content
+    * identity instead of business keys).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word-level tokenization: lowercase, trim, split on whitespace. */
+  def words(textCol: Column): Column = split(lower(trim(textCol)), "\\s+")
+
+  /** Distinct word n-gram shingles from a pre-split word array column.
+    * Requires size(w) >= n (filter upstream).
+    */
+  def wordShingles(wordsCol: String, n: Int): Column = {
+    val parts = (0 until n).map(k => s"element_at($wordsCol, i + $k)").mkString(", ")
+    expr(s"array_distinct(transform(sequence(1, size($wordsCol) - ${n - 1}), i -> concat_ws(' ', $parts)))")
+  }
+
+  /** MinHash signatures: numHashes independent permutations simulated by
+    * salted hashes; signature_i = min over shingles of hash60(i, shingle).
+    * Input: (id, shingle) exploded pairs. Output: (id, h0..h{k-1}).
+    */
+  def minhashSignatures(shingled: DataFrame, idCol: String, shingleCol: String,
+      numHashes: Int): DataFrame = {
+    val hashCols = (0 until numHashes).map(i =>
+      min(hash60(col(shingleCol), i.toString)).as(s"h$i"))
+    shingled.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`, key each
+    * band by md5 of its concatenated minhashes, emit (id, band, band_key).
+    */
+  def lshBands(sigs: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("band_key"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol), col("bd.band").as("band"), col("bd.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs: ids sharing any band bucket (id_a < id_b, distinct).
+    * This is the scalable core: the join key (band, band_key) partitions the
+    * corpus into tiny buckets, so comparisons are local and linear-ish.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val b = bands.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** N-gram (word-set) Jaccard similarity for pre-bucketed candidate pairs.
+    * `left`/`right` carry (id, distinct-word-array). Exact int arithmetic:
+    * |A∩B| / (|A| + |B| - |A∩B|).
+    */
+  def jaccard(wa: Column, wb: Column): Column = {
+    val inter = size(array_intersect(wa, wb))
+    inter.cast("double") / (size(wa) + size(wb) - inter)
+  }
+
+  /** SimHash (60-bit): per distinct token hash, majority vote per bit
+    * position; bit j of the signature is set iff ≥ half the token hashes
+    * have bit j set. Input: (id, tok) exploded distinct tokens.
+    */
+  def simhash(tokens: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val bits = tokens
+      .select(col(idCol), hash60(col(tokCol)).as("h"))
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .select(col(idCol), col("j"),
+        expr("cast(shiftright(h, cast(j as int)) & 1 as int)").as("bitval"))
+    bits.groupBy(col(idCol), col("j"))
+      .agg(sum(col("bitval")).as("cnt"), count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("cnt") * 2 >= col("n"),
+        expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(0L)).as("simhash"))
+  }
+}

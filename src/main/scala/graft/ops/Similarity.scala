@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two tiers, per the training-data pipeline surface:
+  *  - brute-force cosine top-k — the exact baseline; a crossJoin whose left
+  *    side (the query set) is small and broadcast, so the big side streams
+  *    through map-side only: no shuffle of the corpus;
+  *  - LSH-bucketed ANN (random hyperplanes) — the scale path: corpus hashed
+  *    once to b-bit signatures, candidates restricted to equal buckets
+  *    (optionally multi-probe), turning O(N·Q) into per-bucket work.
+  *
+  * All arithmetic runs in double precision over `transform(v, float→double)`
+  * arrays; dot products fold left-to-right (deterministic). Hyperplanes are
+  * derived from md5 — reproducible with no RNG state.
+  */
+object Similarity {
+
+  /** Cast a float-array column to double-array (exact widening). */
+  def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+
+  /** L2 norm of a double-array column. */
+  def norm(a: String): Column =
+    sqrt(expr(s"aggregate($a, cast(0.0 as double), (acc, x) -> acc + x * x)"))
+
+  /** Brute-force cosine top-k: for each row of `queries` (id, vec), the k
+    * nearest rows of `corpus` (id, vec) by cosine. Similarity is rounded to
+    * `roundScale` decimals and ordered with the corpus id as tiebreaker, so
+    * rankings are reproducible across engines and partitionings.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      roundScale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv"))
+      .withColumn("qn", norm("qv"))
+    val c = corpus.select(col("id").as("neighbor_id"), toDoubleVec(col("vec")).as("cv"))
+      .withColumn("cn", norm("cv"))
+    val sim = round(dot("qv", "cv") / (col("qn") * col("cn")), roundScale)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
+    * md5-derived value in [-0.5, 0.5). Reproducible anywhere.
+    */
+  private def planeComponent(i: Int, j: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$i:"), j)), 1, 8), 16, 10).cast("double")
+      / lit(4294967296.0)) - lit(0.5)
+
+  /** Random-hyperplane LSH signature (`numBits` bits) for a double-vec
+    * column: bit i = sign(v · plane_i). Buckets group near vectors; cosine
+    * candidates are then scored only within buckets.
+    */
+  def hyperplaneSignature(vecCol: String, numBits: Int): Column = {
+    val bits = (0 until numBits).map { i =>
+      val proj = expr(
+        s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |  (x, j) -> x * ((cast(conv(substring(md5(concat('plane$i:', cast(j as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5)),
+           |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " "))
+      when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate near-dup pairs: vectors sharing a signature
+    * bucket, scored by exact cosine, kept above `minCosine`. The equi-join on
+    * the signature replaces the full O(N²) crossJoin — this is the plan shape
+    * that survives 100×: shuffle on bucket key, per-bucket pair generation.
+    */
+  def lshNearDupPairs(vectors: DataFrame, numBits: Int, minCosine: Double): DataFrame = {
+    val v = vectors.select(col("id"), toDoubleVec(col("vec")).as("v"))
+      .withColumn("nrm", norm("v"))
+      .withColumn("sig", hyperplaneSignature("v", numBits))
+    val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Exact cosine near-dup pairs (the correctness baseline for
+    * [[lshNearDupPairs]]): full pair space, id_a < id_b.
+    */
+  def exactNearDupPairs(vectors: DataFrame, minCosine: Double,
+      roundScale: Int = 4): DataFrame = {
+    val v = vectors.select(col("id"), toDoubleVec(col("vec")).as("v")).withColumn("nrm", norm("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dot("va", "vb") / (col("na") * col("nb")), roundScale))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,460 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.{Exact, OracleSql => O}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Relational core: scans, filters, joins, aggregations, set ops.
+  *
+  * Re-expresses the reference pipeline's relational surface (SURVEY.md §2.2
+  * P1–P9, §2.3 J1–J3, §2.4 A1–A14, §2.7) over the TESTDATA star schema.
+  * Reference citations point into /root/reference/.
+  *
+  * Scale posture: every aggregation here is a hash aggregate with map-side
+  * partials; dimension joins are explicitly `broadcast()`; fact-fact joins
+  * shuffle on their equi-keys and stay AQE-re-plannable. No driver-side
+  * loops, no collect() in any plan.
+  */
+object Relational {
+
+  /** A3/A10 analog — pricing summary (grouped exact aggregates over the fact
+    * table). Mirrors `go-metric-elt.py:66-74`'s sum/count/avg/min/max shape.
+    * Filter is pushed into the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        Exact.davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${O.dsum("l_quantity")} AS sum_qty,
+       |  ${O.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${O.dsum4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${O.davg("l_quantity")} AS avg_qty,
+       |  ${O.davg("l_extendedprice")} AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J1 analog — fact⋈fact left equi-join then per-order rollup
+    * (`go-quality-elt.py:262-267`). No manual repartition: Catalyst+AQE plan
+    * the exchange (SURVEY.md §4 notes the reference's repartition(160) is
+    * unnecessary).
+    */
+  def orderLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(col("l_linenumber")).as("n_items"),
+        coalesce(Exact.dsum(col("l_extendedprice")), lit(0.0)).as("items_value"))
+  }
+
+  private val orderLineitemJoinSql =
+    s"""SELECT o_orderkey,
+       |  COUNT(l_linenumber) AS n_items,
+       |  COALESCE(${O.dsum("l_extendedprice")}, 0.0) AS items_value
+       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderkey""".stripMargin
+
+  /** J2 analog — snowflake dimension enrichment via broadcast joins
+    * (`go-quality-elt.py:288-291` joins a 365-row date_dim; here
+    * customer⋈nation⋈region). Dims are broadcast: zero shuffle of the fact
+    * side for the join itself.
+    */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Exact.dsum(col("c_acctbal")).as("total_acctbal"),
+        Exact.davg(col("c_acctbal")).as("avg_acctbal"))
+  }
+
+  private val regionRollupSql =
+    s"""SELECT r_name,
+       |  COUNT(*) AS n_customers,
+       |  ${O.dsum("c_acctbal")} AS total_acctbal,
+       |  ${O.davg("c_acctbal")} AS avg_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name""".stripMargin
+
+  /** P4/P7/U5 analog — data-quality rule flags + severity
+    * (`go-quality-elt.py:108-123,144-168`): price/quantity range rules, 2
+    * violations ⇒ high, 1 ⇒ low; only flagged rows emitted (the quarantine
+    * side of the severity split).
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val priceIssue = col("l_extendedprice").isNull ||
+      col("l_extendedprice") <= 0.0 || col("l_extendedprice") > 100000.0
+    val qtyIssue = col("l_quantity").isNull ||
+      col("l_quantity") <= 0.0 || col("l_quantity") > 47.0
+    t.lineitem
+      .withColumn("price_issue", priceIssue)
+      .withColumn("qty_issue", qtyIssue)
+      .withColumn("severity",
+        when(col("price_issue") && col("qty_issue"), "high")
+          .when(col("price_issue") || col("qty_issue"), "low")
+          .otherwise("none"))
+      .filter(col("severity") =!= "none")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity"), col("price_issue"), col("qty_issue"), col("severity"))
+  }
+
+  private val qualityRulesSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+      |  (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0) AS price_issue,
+      |  (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) AS qty_issue,
+      |  CASE
+      |    WHEN (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
+      |     AND (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) THEN 'high'
+      |    WHEN (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
+      |      OR (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) THEN 'low'
+      |    ELSE 'none' END AS severity
+      |FROM lineitem
+      |WHERE (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
+      |   OR (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0)""".stripMargin
+
+  /** A1 analog — EXCEPT DISTINCT set difference (`go-quality-elt.py:135-136`
+    * uses `subtract` for quarantine removal; the surprise-dedupe semantics is
+    * pinned here deliberately).
+    */
+  def exceptDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_quantity") >= 49.0).select(col("l_partkey"))
+      .except(t.lineitem.filter(col("l_quantity") <= 2.0).select(col("l_partkey")))
+  }
+
+  private val exceptDistinctSql =
+    """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
+      |EXCEPT
+      |SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""".stripMargin
+
+  /** A1-alternative — left_anti join (SURVEY.md §2.3 notes `left_anti` as the
+    * scalable replacement for `subtract`): orders with no returned line.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val antiJoinSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  /** Set-op coverage (§2.7): INTERSECT DISTINCT — event users that are known
+    * customers.
+    */
+  def intersectUsers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.select(col("user_id"))
+      .intersect(t.customer.select(col("c_custkey").as("user_id")))
+  }
+
+  private val intersectUsersSql =
+    "SELECT user_id FROM events INTERSECT SELECT c_custkey AS user_id FROM customer"
+
+  /** Set-op coverage (§2.7): UNION ALL across heterogeneous sources (the
+    * consumer's `pd.concat` read-side union, `go_streamlit.py:55`).
+    */
+  def unionSources(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(col("doc_id").as("id"), lit("doc").as("src"))
+      .unionAll(t.embeddings.select(col("vec_id").as("id"), lit("vec").as("src")))
+  }
+
+  private val unionSourcesSql =
+    """SELECT doc_id AS id, 'doc' AS src FROM documents
+      |UNION ALL
+      |SELECT vec_id AS id, 'vec' AS src FROM embeddings""".stripMargin
+
+  /** A2 analog — derived per-row revenue (`go-metric-elt.py:57-61`'s
+    * null-safe coalesce arithmetic). Pure projection: stays in whole-stage
+    * codegen, zero shuffle.
+    */
+  def revenueDerived(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      ((col("l_extendedprice") * (lit(1.0) - coalesce(col("l_discount"), lit(0.0))))
+        * (lit(1.0) + coalesce(col("l_tax"), lit(0.0)))).as("revenue"))
+  }
+
+  private val revenueDerivedSql =
+    """SELECT l_orderkey, l_linenumber,
+      |  ((l_extendedprice * (1.0 - COALESCE(l_discount, 0.0)))
+      |    * (1.0 + COALESCE(l_tax, 0.0))) AS revenue
+      |FROM lineitem""".stripMargin
+
+  /** A3 analog — CLV per customer (`go-metric-elt.py:66-74`). */
+  def clv(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("o_orderdate").cast("date")).as("first_order"),
+        max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("revenue"),
+        Exact.davg(col("o_totalprice")).as("avg_order_value"))
+  }
+
+  private val clvSql =
+    s"""SELECT o_custkey,
+       |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
+       |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+       |  COUNT(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS revenue,
+       |  ${O.davg("o_totalprice")} AS avg_order_value
+       |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** A4/A5/J3 analog — per-segment percentile thresholds joined back to tag
+    * CLV buckets. Replaces the reference's driver-side per-restaurant
+    * `approxQuantile` loop (`go-metric-elt.py:83-95`, N+1 Spark jobs — the
+    * scalability cliff SURVEY.md §4 flags) with ONE distributed exact
+    * `percentile` aggregation + a broadcast join of the tiny threshold table.
+    */
+  def clvBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_mktsegment"))
+      .agg(Exact.dsum(col("o_totalprice")).as("clv"))
+    val thresholds = perCust
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("percentile(clv, 0.2)").as("low_th"),
+        expr("percentile(clv, 0.8)").as("high_th"))
+    perCust.join(broadcast(thresholds), Seq("c_mktsegment"))
+      .select(col("o_custkey"), col("c_mktsegment"), col("clv"),
+        when(col("clv") >= col("high_th"), "High CLV")
+          .when(col("clv") <= col("low_th"), "Low CLV")
+          .otherwise("Medium CLV").as("clv_bucket"))
+  }
+
+  private val clvBucketsSql =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey, c_mktsegment, ${O.dsum("o_totalprice")} AS clv
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY o_custkey, c_mktsegment
+       |), th AS (
+       |  SELECT c_mktsegment,
+       |    quantile_cont(clv, 0.2) AS low_th,
+       |    quantile_cont(clv, 0.8) AS high_th
+       |  FROM per_cust GROUP BY c_mktsegment
+       |)
+       |SELECT o_custkey, per_cust.c_mktsegment, clv,
+       |  CASE WHEN clv >= high_th THEN 'High CLV'
+       |       WHEN clv <= low_th THEN 'Low CLV'
+       |       ELSE 'Medium CLV' END AS clv_bucket
+       |FROM per_cust JOIN th ON per_cust.c_mktsegment = th.c_mktsegment""".stripMargin
+
+  /** A6/A7/A8 analog — RFM with deterministic snapshot date
+    * (`go-metric-elt.py:104-120`; the reference's driver-side
+    * `agg(max).collect()` snapshot is replaced by a pinned literal — at scale
+    * you'd compute it as a 1-row broadcast, never a driver round-trip).
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-08-02").cast("date"), max(col("o_orderdate").cast("date"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Exact.dsum(col("o_totalprice")).as("monetary"))
+      .withColumn("segment",
+        when(col("recency_days") <= 90 && col("frequency") >= 12, "VIP")
+          .when(col("recency_days") <= 180, "Active")
+          .when(col("frequency") <= 5, "Churn Risk")
+          .otherwise("Other"))
+  }
+
+  private val rfmSql =
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-08-02') AS INT) AS recency_days,
+       |    COUNT(*) AS frequency,
+       |    ${O.dsum("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY o_custkey
+       |)
+       |SELECT o_custkey, recency_days, frequency, monetary,
+       |  CASE WHEN recency_days <= 90 AND frequency >= 12 THEN 'VIP'
+       |       WHEN recency_days <= 180 THEN 'Active'
+       |       WHEN frequency <= 5 THEN 'Churn Risk'
+       |       ELSE 'Other' END AS segment
+       |FROM base""".stripMargin
+
+  /** A11 analog — two-level rollup preserving the reference's avg-of-avgs
+    * semantics (`go-metric-elt.py:214-232`; deliberately NOT weighted —
+    * SURVEY.md §2.4 pins this). Second-level avg of doubles is rounded(6) on
+    * both sides to absorb summation-order ulps.
+    */
+  def loyaltyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(Exact.davg(col("o_totalprice")).as("avg_order_value"),
+        Exact.dsum(col("o_totalprice")).as("cust_total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(avg(col("avg_order_value")), 6).as("avg_of_customer_avgs"),
+        Exact.dsum(col("cust_total")).as("total_revenue"),
+        count(lit(1)).as("n_customers"))
+  }
+
+  private val loyaltyRollupSql =
+    s"""WITH lvl1 AS (
+       |  SELECT o_orderpriority, o_custkey,
+       |    ${O.davg("o_totalprice")} AS avg_order_value,
+       |    ${O.dsum("o_totalprice")} AS cust_total
+       |  FROM orders GROUP BY o_orderpriority, o_custkey
+       |)
+       |SELECT o_orderpriority,
+       |  round(AVG(avg_order_value), 6) AS avg_of_customer_avgs,
+       |  ${O.dsum("cust_total")} AS total_revenue,
+       |  COUNT(*) AS n_customers
+       |FROM lvl1 GROUP BY o_orderpriority""".stripMargin
+
+  /** A12/W4 analog — top locations with countDistinct + global ranking
+    * (`go-metric-elt.py:237-249`). The rank window is over the 25-row
+    * aggregate, not the fact table — at 100 TB the agg output is still tiny,
+    * so the single-partition window is safe here (unlike the reference's
+    * W4 over raw rows, flagged in SURVEY.md §2.5).
+    */
+  def topNations(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val agg = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        Exact.dsum(col("o_totalprice")).as("total_revenue"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("o_orderdate").cast("date")).as("active_days"))
+      .withColumn("orders_per_day", col("n_orders") / col("active_days"))
+    agg.withColumn("rank",
+      row_number().over(Window.orderBy(col("total_revenue").desc, col("n_name"))))
+  }
+
+  private val topNationsSql =
+    s"""WITH agg AS (
+       |  SELECT n_name,
+       |    ${O.dsum("o_totalprice")} AS total_revenue,
+       |    COUNT(DISTINCT o_custkey) AS n_customers,
+       |    COUNT(DISTINCT o_orderkey) AS n_orders,
+       |    COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name
+       |)
+       |SELECT n_name, total_revenue, n_customers, n_orders, active_days,
+       |  (n_orders / active_days) AS orders_per_day,
+       |  CAST(row_number() OVER (ORDER BY total_revenue DESC, n_name) AS INT) AS rank
+       |FROM agg""".stripMargin
+
+  /** A13 analog — discount effectiveness (`go-metric-elt.py:254-263`). */
+  def discountEffect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .withColumn("is_discounted", col("l_discount") >= 0.05)
+      .groupBy(col("is_discounted"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Exact.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        Exact.davg(col("l_discount")).as("avg_discount"))
+  }
+
+  private val discountEffectSql =
+    s"""SELECT (l_discount >= 0.05) AS is_discounted,
+       |  COUNT(*) AS n_lines,
+       |  ${O.dsum4("l_extendedprice * (1.0 - l_discount)")} AS net_revenue,
+       |  COUNT(DISTINCT l_orderkey) AS n_orders,
+       |  ${O.davg("l_discount")} AS avg_discount
+       |FROM lineitem GROUP BY (l_discount >= 0.05)""".stripMargin
+
+  /** §2.6 — top-k: `TakeOrderedAndProject` (orderBy+limit), the scalable form
+    * of the consumer's `sort_values().head(10)` (`go_streamlit.py:163-177`).
+    * Unique tiebreaker pins determinism.
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** P3 analog — canonical-schema projection: missing columns appear as typed
+    * nulls, fixed order, casts applied (`go-quality-elt.py:206-225`
+    * `rearrange_columns_typed`).
+    */
+  def schemaCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.ops.SchemaOps.rearrangeColumnsTyped(
+      t.documents,
+      Seq(
+        "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint",
+        "quality_score" -> "double", "ingest_note" -> "string"))
+  }
+
+  private val schemaCanonicalizeSql =
+    """SELECT doc_id, text, lang, source, n_chars,
+      |  CAST(NULL AS DOUBLE) AS quality_score,
+      |  CAST(NULL AS VARCHAR) AS ingest_note
+      |FROM documents""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q02_order_lineitem_join", orderLineitemJoin, Some(orderLineitemJoinSql)),
+    QueryDef("q03_region_rollup", regionRollup, Some(regionRollupSql)),
+    QueryDef("q04_quality_rules", qualityRules, Some(qualityRulesSql)),
+    QueryDef("q05_except_distinct", exceptDistinct, Some(exceptDistinctSql)),
+    QueryDef("q06_anti_join", antiJoin, Some(antiJoinSql)),
+    QueryDef("q07_intersect_users", intersectUsers, Some(intersectUsersSql)),
+    QueryDef("q08_union_sources", unionSources, Some(unionSourcesSql)),
+    QueryDef("q09_revenue_derived", revenueDerived, Some(revenueDerivedSql)),
+    QueryDef("q10_clv", clv, Some(clvSql)),
+    QueryDef("q11_clv_buckets", clvBuckets, Some(clvBucketsSql)),
+    QueryDef("q12_rfm", rfm, Some(rfmSql)),
+    QueryDef("q13_loyalty_rollup", loyaltyRollup, Some(loyaltyRollupSql)),
+    QueryDef("q14_top_nations", topNations, Some(topNationsSql)),
+    QueryDef("q15_discount_effect", discountEffect, Some(discountEffectSql)),
+    QueryDef("q16_topk_orders", topkOrders, Some(topkOrdersSql)),
+    QueryDef("q17_schema_canonicalize", schemaCanonicalize, Some(schemaCanonicalizeSql)),
+  )
+}

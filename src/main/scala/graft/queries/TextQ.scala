@@ -1,0 +1,268 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text transforms + analysis (SURVEY.md §2.8–§2.9 U1–U6 and the
+  * training-data-pipeline text operators: quality scoring, token counting,
+  * language-ID heuristics, fingerprinting).
+  *
+  * The reference implements U1–U5 as Python UDFs (serialization break per
+  * row, `go-transform-elt.py:105-157`); here every transform is a native
+  * Column expression — whole-stage-codegen'd, no UDFs anywhere. Regex
+  * patterns are restricted to the dialect shared by Java regex (Spark) and
+  * RE2 (DuckDB oracle): `\\s \\S \\b`, character classes, alternation,
+  * `(?i)`.
+  */
+object TextQ {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString(", ")
+
+  /** U1/U4 analog — text cleaning chain: strip URLs (`http\S+`, the
+    * reference's INTENDED pattern — its raw-string double-backslash makes it
+    * a no-op, SURVEY.md §2.9 U1 quirk), strip backticks, drop the word "the"
+    * (intended `\bthe\b`, U4 quirk), collapse whitespace, trim, truncate to
+    * 30 chars (`go-transform-elt.py:105-157`).
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cleaned =
+      substring(
+        trim(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(lower(col("text")), "http\\S+", ""),
+                "`", ""),
+              "\\bthe\\b", ""),
+            "\\s+", " ")),
+        1, 30)
+    t.documents.select(col("doc_id"), cleaned.as("clean_text"))
+  }
+
+  private val cleanTextSql =
+    """SELECT doc_id,
+      |  substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    lower(text), 'http\S+', '', 'g'), '`', '', 'g'), '\bthe\b', '', 'g'),
+      |    '\s+', ' ', 'g')), 1, 30) AS clean_text
+      |FROM documents""".stripMargin
+
+  /** U2/U3 analog — first-match regex classification as a folded
+    * when-chain (the YAML→when-chain plan of SURVEY.md §2.9: stays in
+    * codegen instead of a 28-branch Python UDF,
+    * `go-transform-elt.py:115-136`).
+    */
+  private val categoryRules: Seq[(String, String)] = Seq(
+    "(?i)widget" -> "widgets",
+    "(?i)gizmo|gadget" -> "gadgets",
+    "(?i)bolt|nut|screw" -> "hardware",
+    "(?i)ring|band" -> "jewelry",
+    "(?i)gear|cog" -> "mechanical")
+
+  def classifyCategory(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val chain = categoryRules.foldLeft(Option.empty[Column]) {
+      case (acc, (rx, label)) =>
+        val c = acc match {
+          case None => when(col("p_name").rlike(rx), label)
+          case Some(w) => w.when(col("p_name").rlike(rx), label)
+        }
+        Some(c)
+    }.get.otherwise(lower(col("p_type")))
+    t.part.select(col("p_partkey"), col("p_name"), chain.as("category"))
+  }
+
+  private val classifyCategorySql = {
+    val cases = categoryRules.map { case (rx, label) =>
+      s"WHEN regexp_matches(p_name, '$rx') THEN '$label'"
+    }.mkString("\n    ")
+    s"""SELECT p_partkey, p_name,
+       |  CASE
+       |    $cases
+       |    ELSE lower(p_type) END AS category
+       |FROM part""".stripMargin
+  }
+
+  /** U6 analog — size-token extraction with an assembled alternation regex,
+    * then removal from the base name (`go-transform-elt.py:86-98,212-218`).
+    */
+  def sizeExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rx = "(?i)(small|large|big|mini|red|blue|hot)"
+    t.part.select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), rx, 0).as("size_token"),
+      trim(regexp_replace(regexp_replace(col("p_name"), rx, ""), "\\s+", " ")).as("base_name"))
+  }
+
+  private val sizeExtractSql =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '(?i)(small|large|big|mini|red|blue|hot)', 0) AS size_token,
+      |  trim(regexp_replace(regexp_replace(p_name, '(?i)(small|large|big|mini|red|blue|hot)', '', 'g'), '\s+', ' ', 'g')) AS base_name
+      |FROM part""".stripMargin
+
+  /** P2 analog applied to a full table — string-value normalization
+    * (`go-quality-elt.py:96-103`) via [[graft.ops.SchemaOps]].
+    */
+  def stringNormalize(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SchemaOps.normalizeStringValues(Tables(spark, dir).part)
+
+  private val stringNormalizeSql =
+    """SELECT p_partkey, lower(trim(p_name)) AS p_name, lower(trim(p_brand)) AS p_brand,
+      |  lower(trim(p_type)) AS p_type, p_size, p_retailprice
+      |FROM part""".stripMargin
+
+  /** Token statistics — token count (whitespace tokenization), average token
+    * length, punctuation count, stopword ratio. The text-quality scoring
+    * block of the training-data pipeline surface.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .as("punct_count"),
+        expr(s"size(filter(toks, x -> lower(x) IN (${sqlList(stopEn)})))")
+          .as("stopword_count"),
+        (expr(s"size(filter(toks, x -> lower(x) IN (${sqlList(stopEn)})))").cast("double")
+          / col("n_tokens")).as("stopword_ratio"))
+  }
+
+  private val tokenStatsSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_measured,
+       |  (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)) AS avg_token_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+       |  CAST(len(list_filter(toks, x -> lower(x) IN (${sqlList(stopEn)}))) AS INT) AS stopword_count,
+       |  (CAST(len(list_filter(toks, x -> lower(x) IN (${sqlList(stopEn)}))) AS DOUBLE) / len(toks)) AS stopword_ratio
+       |FROM base""".stripMargin
+
+  /** Language-ID heuristic — per-language stopword hit counts, argmax via a
+    * deterministic when-chain (n-gram/stopword heuristic from the
+    * training-data pipeline surface; no model, fully reproducible).
+    */
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "les", "des", "une"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
+    val withCounts = langStops.foldLeft(base) { case (df, (lang, stops)) =>
+      df.withColumn(s"hits_$lang",
+        expr(s"size(filter(toks, x -> x IN (${sqlList(stops)})))"))
+    }
+    val Seq(en, es, fr, de) = langStops.map { case (l, _) => col(s"hits_$l") }
+    withCounts.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("hits_en"), es.as("hits_es"), fr.as("hits_fr"), de.as("hits_de"),
+      when(en >= es && en >= fr && en >= de && en > 0, "en")
+        .when(es >= fr && es >= de && es > 0, "es")
+        .when(fr >= de && fr > 0, "fr")
+        .when(de > 0, "de")
+        .otherwise("unk").as("guessed_lang"))
+  }
+
+  private val langIdSql = {
+    val hitExpr = langStops.map { case (l, stops) =>
+      s"CAST(len(list_filter(toks, x -> x IN (${sqlList(stops)}))) AS INT) AS hits_$l"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents
+       |), counts AS (
+       |  SELECT doc_id, lang,
+       |    $hitExpr
+       |  FROM base
+       |)
+       |SELECT doc_id, lang AS labeled_lang, hits_en, hits_es, hits_fr, hits_de,
+       |  CASE WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+       |       WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > 0 THEN 'es'
+       |       WHEN hits_fr >= hits_de AND hits_fr > 0 THEN 'fr'
+       |       WHEN hits_de > 0 THEN 'de'
+       |       ELSE 'unk' END AS guessed_lang
+       |FROM counts""".stripMargin
+  }
+
+  /** Document fingerprint — md5 of whitespace-normalized lowercase text (the
+    * deterministic rolling-hash fingerprint of the training-data surface;
+    * doubles as the exact-dedup key).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents""".stripMargin
+
+  /** JSON extraction — typed field pull from the event `props` JSON column
+    * (scalar-function family; the engine's path expression surface).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  private val jsonExtractSql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Multimodal metadata — treat text payloads as opaque bytes: byte length +
+    * content hash. The Spark-side plumbing (binary columns with typed
+    * metadata) that the multimodal decode operators in
+    * [[graft.ops.Multimodal]] build on.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents.select(
+      col("doc_id"),
+      octet_length(col("text")).as("byte_len"),
+      sha2(col("text"), 256).as("content_sha256"))
+  }
+
+  private val multimodalMetaSql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+      |  sha256(text) AS content_sha256
+      |FROM documents""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_string_normalize", stringNormalize, Some(stringNormalizeSql)),
+    QueryDef("q28_clean_text", cleanText, Some(cleanTextSql)),
+    QueryDef("q29_classify_category", classifyCategory, Some(classifyCategorySql)),
+    QueryDef("q30_size_extract", sizeExtract, Some(sizeExtractSql)),
+    QueryDef("q31_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("q32_lang_id", langId, Some(langIdSql)),
+    QueryDef("q33_fingerprint", fingerprint, Some(fingerprintSql)),
+    QueryDef("q34_json_extract", jsonExtract, Some(jsonExtractSql)),
+    QueryDef("q35_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+  )
+}

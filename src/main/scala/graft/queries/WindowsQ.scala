@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.{Exact, OracleSql => O}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Window functions + time-grain trend rollups (SURVEY.md §2.5 W1–W4,
+  * §2.4 A10) and the incremental-ingest surface (§2.10, S2/A14/W1).
+  *
+  * Every window ordering carries a unique tiebreaker (`o_orderkey` /
+  * `event_id`) — the reference's windows order by date alone
+  * (`go-metric-elt.py:132-134`), which is nondeterministic under ties; we pin
+  * determinism (SURVEY.md §7.4 item 2).
+  *
+  * Scale posture: all windows partition by a high-cardinality key (customer,
+  * user) so state is distributed; no unpartitioned windows over raw facts.
+  */
+object WindowsQ {
+
+  /** W1 analog — keep latest row per key:
+    * `row_number() over (partitionBy pks orderBy wm desc)` = 1
+    * (`go-incremental-ingest-elt.py:207-212`).
+    */
+  def latestEventPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+  }
+
+  private val latestEventPerKeySql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** S2+W1+A14 composite — incremental ingest semantics: watermark pushdown
+    * filter, then latest-per-key dedupe (`go-incremental-ingest-elt.py:
+    * 162-165,207-212`). The predicate reaches the parquet scan
+    * (PushedFilters) exactly as the reference pushes its subquery into JDBC.
+    */
+  def incrementalSlice(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  private val incrementalSliceSql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** A14 analog — max-watermark scalar (`go-incremental-ingest-elt.py:
+    * 268-271`), exposed as a 1-row aggregate rather than a driver collect.
+    */
+  def maxWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.agg(
+      max(unix_micros(col("ts"))).as("watermark_us"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  private val maxWatermarkSql =
+    "SELECT MAX(epoch_us(ts)) AS watermark_us, COUNT(*) AS n_rows FROM events"
+
+  /** W2/W3/A9 analog — activity profile: lag-based order gaps and revenue
+    * %-change, then per-customer aggregates + tags
+    * (`go-metric-elt.py:132-156`).
+    */
+  def activityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val enriched = t.orders
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+      .withColumn("rev_change_pct",
+        when(col("prev_price").isNotNull && col("prev_price") =!= 0.0,
+          (col("o_totalprice") - col("prev_price")) / col("prev_price")))
+    enriched.groupBy(col("o_custkey"))
+      .agg(
+        max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        round(avg(col("gap_days")), 6).as("avg_gap_days"),
+        round(avg(col("rev_change_pct")), 6).as("avg_rev_change"))
+      .withColumn("activity_tag",
+        when(col("avg_gap_days").isNull, "one-off")
+          .when(col("avg_gap_days") <= 120.0, "frequent")
+          .when(col("avg_gap_days") <= 365.0, "regular")
+          .otherwise("dormant"))
+  }
+
+  private val activityProfileSql =
+    """WITH enriched AS (
+      |  SELECT o_custkey, o_orderdate, o_totalprice,
+      |    lag(o_orderdate) OVER w AS prev_date,
+      |    lag(o_totalprice) OVER w AS prev_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |), gaps AS (
+      |  SELECT o_custkey, o_orderdate, o_totalprice,
+      |    CAST(datediff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
+      |    CASE WHEN prev_price IS NOT NULL AND prev_price <> 0.0
+      |         THEN (o_totalprice - prev_price) / prev_price END AS rev_change_pct
+      |  FROM enriched
+      |)
+      |SELECT o_custkey,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
+      |  COUNT(*) AS n_orders,
+      |  round(AVG(gap_days), 6) AS avg_gap_days,
+      |  round(AVG(rev_change_pct), 6) AS avg_rev_change,
+      |  CASE WHEN round(AVG(gap_days), 6) IS NULL THEN 'one-off'
+      |       WHEN round(AVG(gap_days), 6) <= 120.0 THEN 'frequent'
+      |       WHEN round(AVG(gap_days), 6) <= 365.0 THEN 'regular'
+      |       ELSE 'dormant' END AS activity_tag
+      |FROM gaps GROUP BY o_custkey""".stripMargin
+
+  /** A10 analog — daily trend grain (`go-metric-elt.py:168-181`). */
+  def trendsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
+      .agg(Exact.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  private val trendsDailySql =
+    s"""SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       |  ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |FROM orders GROUP BY CAST(o_orderdate AS DATE), o_orderpriority""".stripMargin
+
+  /** A10 analog — weekly grain incl. the reference's week-start
+    * reconstruction `date_add(to_date(concat(year,'-01-01')),(week-1)*7)`
+    * (`go-metric-elt.py:185`; quirky at ISO year boundaries, preserved
+    * deliberately and documented).
+    */
+  def trendsWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("wk", weekofyear(col("o_orderdate")))
+      .groupBy(col("yr"), col("wk"))
+      .agg(Exact.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .withColumn("week_start",
+        date_add(to_date(concat(col("yr"), lit("-01-01"))), (col("wk") - 1) * 7))
+  }
+
+  private val trendsWeeklySql =
+    s"""SELECT yr, wk, revenue, n_orders,
+       |  (CAST(CAST(yr AS VARCHAR) || '-01-01' AS DATE) + CAST((wk - 1) * 7 AS INT)) AS week_start
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       |    CAST(week(o_orderdate) AS INT) AS wk,
+       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** A10 analog — monthly grain with month-name derivation
+    * (`go-metric-elt.py:191-192` parses "MMMM yyyy"; we emit the name —
+    * locale pinned by session UTC/`Locale.US` semantics, SURVEY.md §7.4).
+    */
+  def trendsMonthly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("mon", month(col("o_orderdate")))
+      .groupBy(col("yr"), col("mon"))
+      .agg(Exact.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .withColumn("month_start", make_date(col("yr"), col("mon"), lit(1)))
+      .withColumn("month_name", date_format(col("month_start"), "MMMM"))
+  }
+
+  private val trendsMonthlySql =
+    s"""SELECT yr, mon, revenue, n_orders,
+       |  make_date(yr, mon, 1) AS month_start,
+       |  monthname(make_date(yr, mon, 1)) AS month_name
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       |    CAST(month(o_orderdate) AS INT) AS mon,
+       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2
+       |)""".stripMargin
+
+  /** A10 analog — hourly grain over the event stream
+    * (`go-metric-elt.py:196-204` buckets by `hour(to_timestamp(...))`).
+    */
+  def trendsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+  }
+
+  private val trendsHourlySql =
+    s"""SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+       |  COUNT(*) AS n_events, ${O.dsum("value")} AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization — gap-based session assignment via lag + running sum
+    * (frame spec `rowsBetween`; SURVEY.md §2.5 notes frames are "available
+    * free in Spark" — here is the batch twin of the streaming
+    * mapGroupsWithState sessionizer in graft.streaming).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("is_new_session",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > 7200L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        Exact.dsum(col("value")).as("session_value"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+       |         THEN 1 ELSE 0 END AS is_new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS n_events,
+       |  MIN(epoch_us(ts)) AS start_us,
+       |  MAX(epoch_us(ts)) AS end_us,
+       |  ${O.dsum("value")} AS session_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),
+    QueryDef("q19_incremental_slice", incrementalSlice, Some(incrementalSliceSql)),
+    QueryDef("q20_max_watermark", maxWatermark, Some(maxWatermarkSql)),
+    QueryDef("q21_activity_profile", activityProfile, Some(activityProfileSql)),
+    QueryDef("q22_trends_daily", trendsDaily, Some(trendsDailySql)),
+    QueryDef("q23_trends_weekly", trendsWeekly, Some(trendsWeeklySql)),
+    QueryDef("q24_trends_monthly", trendsMonthly, Some(trendsMonthlySql)),
+    QueryDef("q25_trends_hourly", trendsHourly, Some(trendsHourlySql)),
+    QueryDef("q26_sessionize", sessionize, Some(sessionizeSql)),
+  )
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths (both public Spark API):
+  *  - [[GraftFunctions.register]]: imperative, per-session;
+  *  - [[GraftExtensions]]: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    for cluster-wide injection at session build time.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => VecDotProduct(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column-API access; registers into the active session on first use. */
+  def vec_dot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
+}
+
+/** `SparkSessionExtensions` injector (set via `spark.sql.extensions`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VecDotProduct", name),
+        builder))
+    }
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** High-watermark incremental ingest (SURVEY.md §2.10, E1).
+  *
+  * Re-expresses `go-incremental-ingest-elt.py`: per-table bookmark →
+  * watermark-filtered source read (predicate pushed into the scan, the
+  * parquet analog of the reference's JDBC subquery pushdown, `:162-165`) →
+  * latest-row-per-key dedupe (W1, `:207-212`) → lineage columns (`:201-205`)
+  * → partitioned parquet write (`:224-233`) → bookmark advance ONLY after a
+  * durable write (`:293-303` — the ordering that makes re-runs safe).
+  *
+  * The bookmark store is pluggable (local FS here; any shared KV/object
+  * store in production). Watermarks are epoch-micros longs — total order,
+  * timezone-free.
+  */
+trait BookmarkStore {
+  def get(table: String): Option[Long]
+  def put(table: String, watermark: Long): Unit
+}
+
+/** Atomic file-per-table bookmark store (write temp + move). */
+final class FsBookmarkStore(dir: String) extends BookmarkStore {
+  Files.createDirectories(Paths.get(dir))
+
+  private def path(table: String) = Paths.get(dir, s"$table.bookmark")
+
+  override def get(table: String): Option[Long] = {
+    val p = path(table)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  override def put(table: String, watermark: Long): Unit = {
+    val tmp = Paths.get(dir, s".${table}.tmp")
+    Files.write(tmp, watermark.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+final case class IngestResult(table: String, rowsWritten: Long,
+    previousWatermark: Option[Long], newWatermark: Option[Long])
+
+object IncrementalIngest {
+
+  /** One incremental ingest round for `source`.
+    *
+    * @param wmCol        watermark column, must be castable to epoch-micros
+    *                     via `unix_micros` (timestamp) — strictly increasing
+    *                     per new data batch
+    * @param pks          business keys for the latest-row dedupe
+    * @param partitionBy  output partition columns (e.g. ingest_date)
+    */
+  def ingest(source: DataFrame, table: String, wmCol: String, pks: Seq[String],
+      store: BookmarkStore, outPath: String,
+      partitionBy: Seq[String] = Seq("ingest_date"),
+      outputFiles: Int = 8): IngestResult = {
+    val prev = store.get(table)
+
+    // watermark predicate — pushed to the source scan like the reference's
+    // `WHERE wm > '<last>'` subquery
+    val fresh = prev match {
+      case Some(us) => source.filter(unix_micros(col(wmCol)) > us)
+      case None => source
+    }
+
+    // W1: keep latest row per business key, deterministic tiebreak on all pks
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(wmCol).desc_nulls_last +: pks.map(col(_).desc): _*)
+    val deduped = fresh
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+    // lineage columns (ingest_ts is the batch watermark read time — pinned
+    // per run, not per row, so outputs are reproducible)
+    val withLineage = deduped
+      .withColumn("source_table", lit(table))
+      .withColumn("ingest_date", date_format(col(wmCol), "yyyy-MM-dd"))
+
+    // compute the new watermark in the SAME job as the write would be ideal;
+    // we run a single agg job first (one scan at this size; at scale, use
+    // an accumulator or the sink's max-stat) then write
+    val newWmRow = withLineage.agg(max(unix_micros(col(wmCol)))).collect()(0)
+    val newWm = if (newWmRow.isNullAt(0)) None else Some(newWmRow.getLong(0))
+
+    val rows =
+      if (newWm.isEmpty) 0L
+      else {
+        withLineage
+          .coalesce(outputFiles)
+          .write.mode(SaveMode.Append)
+          .partitionBy(partitionBy: _*)
+          .parquet(outPath)
+        withLineage.count()
+      }
+
+    // bookmark advances ONLY after the write above returned durably
+    newWm.foreach(store.put(table, _))
+    IngestResult(table, rows, prev, newWm.orElse(prev))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata.
+  *
+  * The Spark-side structure is real and tested — schema, partition-preserving
+  * `mapPartitions`, batched decode shape (decoders see a whole batch, the
+  * vectorized-UDF shape) — while the actual media decoding is STUBBED: this
+  * container ships no image/audio libraries, so [[RealMediaDecoder]] is
+  * `???` by design and [[DeterministicFakeDecoder]] derives plausible
+  * metadata from content hashes for tests/benchmarks.
+  *
+  * At 100 TB: payloads stay columnar-binary in parquet (no base64 strings),
+  * decode runs partition-local with batch amortization, and metadata lands
+  * in a struct column so downstream filters (`meta.width > 512`) prune
+  * without touching payload bytes.
+  */
+object Multimodal {
+
+  /** Batch decode interface — one call per partition-batch, mirroring the
+    * vectorized (Arrow-batch) UDF shape.
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta]
+  }
+
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      n_frames: Int, byte_len: Long)
+
+  /** Deterministic fake: metadata derived from content bytes (stable across
+    * runs/partitionings), exercising the full plumbing.
+    */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+      payloads.map { bytes =>
+        val h = java.util.Arrays.hashCode(bytes)
+        val fmt = Seq("jpeg", "png", "webp")(math.abs(h % 3))
+        MediaMeta(fmt, 64 + math.abs(h % 1024), 64 + math.abs((h / 7) % 1024),
+          1, bytes.length.toLong)
+      }
+  }
+
+  /** Real decoder — intentionally unimplemented in this environment (no
+    * image/audio libs in the container); wire a JNI/javax.imageio-backed
+    * implementation where available.
+    */
+  object RealMediaDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] = ???
+  }
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("byte_len", LongType)))
+
+  /** Attach decoded metadata as a `meta` struct column. Runs partition-local
+    * (`mapPartitions`), decoding in batches of `batchSize` — the decoder
+    * never sees single rows, matching the batched shape a vectorized decode
+    * UDF would have. Payload column must be BinaryType.
+    */
+  def withMediaMeta(df: DataFrame, payloadCol: String,
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val metas = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.iterator.zip(metas.iterator).map { case (row, m) =>
+          Row.fromSeq(row.toSeq :+ Row(m.format, m.width, m.height, m.n_frames, m.byte_len))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Demo payload table: documents' text as binary payloads (the container
+    * has no media files; the plumbing is payload-agnostic).
+    */
+  def documentPayloads(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      col("source"), col("lang"))
+}

@@ -52,23 +52,20 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * md5-derived value in [-0.5, 0.5). Reproducible anywhere.
-    */
-  private def planeComponent(i: Int, j: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$i:"), j)), 1, 8), 16, 10).cast("double")
-      / lit(4294967296.0)) - lit(0.5)
-
   /** Random-hyperplane LSH signature (`numBits` bits) for a double-vec
-    * column: bit i = sign(v · plane_i). Buckets group near vectors; cosine
-    * candidates are then scored only within buckets.
+    * column: bit i = sign(v · plane_i), where plane components are
+    * md5-derived pseudo-randoms in [-0.5, 0.5) — reproducible with no RNG
+    * state. Buckets group near vectors; cosine candidates are then scored
+    * only within buckets.
     */
   def hyperplaneSignature(vecCol: String, numBits: Int): Column = {
     val bits = (0 until numBits).map { i =>
+      val component =
+        s"(cast(conv(substring(md5(concat('plane$i:', cast(j as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5)"
       val proj = expr(
-        s"""aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-           |  (x, j) -> x * ((cast(conv(substring(md5(concat('plane$i:', cast(j as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5)),
-           |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " "))
+        s"aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1), " +
+          s"(x, j) -> x * $component), " +
+          s"cast(0.0 as double), (acc, x) -> acc + x)")
       when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

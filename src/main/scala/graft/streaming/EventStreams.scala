@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.ops.Exact
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming pipelines over the event stream.
+  *
+  * The reference's "streaming" is incremental batch (SURVEY.md §2.10:
+  * watermark bookmarks + nightly cron). This module provides the real
+  * streaming counterpart: `readStream` → watermarked windowed aggregation →
+  * sink, plus a stateful sessionizer via `mapGroupsWithState`. The batch
+  * twins (same semantics, oracle-checked) are `q42_hourly_window` /
+  * `q26_sessionize` in [[graft.queries]].
+  *
+  * Scale posture: state is keyed by (window, event_type) / user_id — both
+  * bounded-cardinality keys; watermarks bound state retention; sinks are
+  * idempotent-append. `Trigger.AvailableNow` gives the reference's
+  * nightly-batch behavior with streaming exactly-once bookkeeping
+  * (checkpointed offsets replace the reference's JSON bookmark files,
+  * `go-incremental-ingest-elt.py:144-157`).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start_us: Long, last_us: Long, n_events: Long,
+      total_value: Double)
+
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** Watermarked tumbling 1-hour aggregate — streaming twin of
+    * `q42_hourly_window`.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Stateful sessionizer: per-user session state carried across
+    * micro-batches via `mapGroupsWithState` (the `KeyValueGroupedDataset`
+    * custom-state surface of the engine). Each update emits the key's
+    * current open session; a gap larger than `gapSeconds` starts a new one
+    * (update-mode consumers keep the last row per (user, start_us) — the
+    * closed-session view). The batch twin is `q26_sessionize`.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val s = sorted.foldLeft(state.getOption) {
+            case (None, e) =>
+              Some(SessionState(e.ts.getTime * 1000, e.ts.getTime * 1000, 1, e.value))
+            case (Some(st), e) =>
+              val us = e.ts.getTime * 1000
+              if (us - st.last_us > gapSeconds * 1000000)
+                Some(SessionState(us, us, 1, e.value)) // gap exceeded → new session
+              else
+                Some(st.copy(last_us = us, n_events = st.n_events + 1,
+                  total_value = st.total_value + e.value))
+          }.get
+          state.update(s)
+          SessionOut(userId, s.start_us, s.last_us, s.n_events, s.total_value)
+      }
+  }
+
+  /** File-stream ingestion of the events table with `Trigger.AvailableNow`
+    * parity: returns the streaming DataFrame; callers attach
+    * `.writeStream.trigger(Trigger.AvailableNow()).option("checkpointLocation", ...)`.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

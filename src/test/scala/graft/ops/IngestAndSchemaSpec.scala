@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class IngestAndSchemaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("incremental ingest: watermark filter, dedupe, bookmark advance order") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val store = new FsBookmarkStore(s"$dir/bookmarks")
+    val out = s"$dir/landing"
+
+    val batch1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), "b"),
+      (2L, Timestamp.valueOf("2024-01-01 12:00:00"), "b2") // newer version of key 2
+    ).toDF("id", "updated_at", "payload")
+
+    val r1 = IncrementalIngest.ingest(batch1, "t", "updated_at", Seq("id"), store, out)
+    assert(r1.rowsWritten == 2, "dedupe keeps latest row per key")
+    assert(r1.previousWatermark.isEmpty && r1.newWatermark.isDefined)
+    val landed1 = spark.read.parquet(out)
+    assert(landed1.count() == 2)
+    assert(landed1.filter($"id" === 2).select($"payload").head().getString(0) == "b2")
+
+    // batch 2 replays old rows + one new — only the new row passes the watermark
+    val batch2 = batch1.union(Seq(
+      (3L, Timestamp.valueOf("2024-01-02 09:00:00"), "c")
+    ).toDF("id", "updated_at", "payload"))
+    val r2 = IncrementalIngest.ingest(batch2, "t", "updated_at", Seq("id"), store, out)
+    assert(r2.rowsWritten == 1)
+    assert(r2.newWatermark.get > r1.newWatermark.get)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // empty increment: nothing written, bookmark unchanged
+    val r3 = IncrementalIngest.ingest(batch2, "t", "updated_at", Seq("id"), store, out)
+    assert(r3.rowsWritten == 0 && r3.newWatermark == r2.newWatermark)
+  }
+
+  test("rearrangeColumnsTyped adds typed nulls, reorders, casts") {
+    val df = Seq((1, "x")).toDF("b", "a")
+    val out = SchemaOps.rearrangeColumnsTyped(df,
+      Seq("a" -> "string", "b" -> "bigint", "c" -> "double"))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+    assert(out.schema("b").dataType.typeName == "long")
+    assert(out.schema("c").dataType.typeName == "double")
+    assert(out.head().isNullAt(2))
+  }
+
+  test("normalizeStringValues lowercases/trims only string columns") {
+    val df = Seq((" MiXeD ", 7)).toDF("s", "n")
+    val r = SchemaOps.normalizeStringValues(df).head()
+    assert(r.getString(0) == "mixed" && r.getInt(1) == 7)
+  }
+
+  test("normalizeColumnNames + assertColumns") {
+    val df = Seq((1, 2)).toDF(" Foo ", "BAR")
+    val out = SchemaOps.normalizeColumnNames(df)
+    assert(out.columns.toSeq == Seq("foo", "bar"))
+    SchemaOps.assertColumns(out, Seq("foo"))
+    intercept[IllegalArgumentException] {
+      SchemaOps.assertColumns(out, Seq("missing_col"))
+    }
+  }
+
+  test("multimodal plumbing: deterministic meta struct, payload-agnostic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val payloads = Multimodal.documentPayloads(docs)
+    val withMeta = Multimodal.withMediaMeta(payloads, "payload", batchSize = 7)
+    assert(withMeta.schema.fieldNames.contains("meta"))
+    val rows = withMeta.select($"doc_id", $"meta.byte_len", $"meta.format").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getLong(1) > 0))
+    // deterministic across runs
+    val again = Multimodal.withMediaMeta(payloads, "payload", batchSize = 13)
+      .select($"doc_id", $"meta.byte_len", $"meta.format").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+    // the real decoder is a stub by design
+    intercept[NotImplementedError] {
+      Multimodal.RealMediaDecoder.decodeBatch(Seq(Array[Byte](1)))
+    }
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.1f, 0.0f)),  // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.98f, 0.2f)),  // near 3
+    (5L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("id", "vec")
+
+  test("brute-force top-k ranks the nearest vector first") {
+    val out = Similarity.bruteForceTopK(vecs.filter($"id" === 1), vecs, k = 2)
+      .orderBy($"rank").collect()
+    assert(out.head.getAs[Long]("neighbor_id") == 2L)
+    assert(out.head.getAs[Int]("rank") == 1)
+    assert(out.head.getAs[Double]("sim") > 0.98)
+  }
+
+  test("vec_dot native expression equals the HOF fold bit-for-bit") {
+    val d = vecs.select(Similarity.toDoubleVec($"vec").as("a"),
+      Similarity.toDoubleVec($"vec").as("b"))
+    val hof = d.select(Similarity.dot("a", "b").as("x")).collect().map(_.getDouble(0))
+    val native = d.select(GraftFunctions.vec_dot($"a", $"b").as("x"))
+      .collect().map(_.getDouble(0))
+    assert(hof.sameElements(native))
+  }
+
+  test("LSH near-dup pairs are a subset of exact pairs and find true near-dups") {
+    val exact = Similarity.exactNearDupPairs(vecs, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, numBits = 4, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH must not invent pairs: $lsh vs $exact")
+    assert(exact.contains((1L, 2L)) && exact.contains((3L, 4L)))
+    assert(lsh.nonEmpty, "4-bit LSH should bucket at least one true near-dup pair")
+  }
+
+  test("sql extension injection registers vec_dot") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+}

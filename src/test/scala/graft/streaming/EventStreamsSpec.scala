@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streaming hourly counts with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.hourlyCounts(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:05:00"), 7, "click", 1.5),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:45:00"), 7, "click", 2.5),
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 11:05:00"), 8, "view", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 4.0)))
+      assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // second micro-batch: state must continue the same session
+      input.addData(
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      val s = spark.table("session_test").as[EventStreams.SessionOut].collect()
+        .maxBy(_.n_events)
+      assert(s.n_events == 2 && s.total_value == 3.0)
+      assert(s.end_us - s.start_us == 600L * 1000000)
+      // third micro-batch beyond the gap: a NEW session starts
+      input.addData(
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "click", 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("session_test").as[EventStreams.SessionOut].collect()
+        .maxBy(_.start_us)
+      assert(latest.n_events == 1 && latest.total_value == 5.0)
+    } finally q.stop()
+  }
+
+  test("file-stream parity read: AvailableNow over the events table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = EventStreams.readEventStream(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; the final window stays
+    // open, so compare against all-but-the-last-hour of the batch twin
+    val streamed = spark.table("file_stream_test").count()
+    val batch = graft.queries.EventsQ.hourlyWindow(spark, sf).count()
+    assert(streamed > 0, "streaming read produced no closed windows")
+    assert(streamed <= batch)
+  }
+}

@@ -29,9 +29,17 @@ final class Tables(spark: SparkSession, dir: String) {
     * (verified ns%1000==0). Queries expose time as `unix_micros` bigints so
     * the DuckDB compare is integer-exact.
     */
-  def events: DataFrame = {
+  def events: DataFrame =
+    eventsRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Raw events with `ts` as int64 epoch-nanos — predicates against this
+    * column push into the parquet scan (row-group pruning via int64 stats),
+    * which the converted-timestamp view can't do. Watermark filters should
+    * use this (see [[graft.queries.WindowsQ.incrementalSlice]]).
+    */
+  def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    t("events")
   }
 }
 

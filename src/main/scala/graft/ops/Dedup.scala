@@ -52,13 +52,19 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes independent permutations simulated by
-    * salted hashes; signature_i = min over shingles of hash60(i, shingle).
-    * Input: (id, shingle) exploded pairs. Output: (id, h0..h{k-1}).
+    * salted hashes; each salted md5 digest yields TWO 60-bit hash windows
+    * (hex chars 1–15 and 16–30), halving digest computations —
+    * signature_{2k}   = min over shingles of window1(md5(k:shingle)),
+    * signature_{2k+1} = min over shingles of window2(md5(k:shingle)).
+    * Aggregate-level common-subexpression elimination computes each digest
+    * once per row. Input: (id, shingle) pairs. Output: (id, h0..h{k-1}).
     */
   def minhashSignatures(shingled: DataFrame, idCol: String, shingleCol: String,
       numHashes: Int): DataFrame = {
-    val hashCols = (0 until numHashes).map(i =>
-      min(hash60(col(shingleCol), i.toString)).as(s"h$i"))
+    val hashCols = (0 until numHashes).map { i =>
+      val digest = md5(concat(lit(s"${i / 2}:"), col(shingleCol)))
+      min(conv(substring(digest, 1 + 15 * (i % 2), 15), 16, 10).cast("long")).as(s"h$i")
+    }
     shingled.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
   }
 

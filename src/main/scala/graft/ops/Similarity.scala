@@ -22,13 +22,16 @@ object Similarity {
   /** Cast a float-array column to double-array (exact widening). */
   def toDoubleVec(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Dot product of two double-array columns — the native codegen'd
+    * [[graft.functions.VecDotProduct]] (bit-identical to the sequential
+    * left-to-right HOF fold `aggregate(zip_with(a,b,*),0,+)`, but a single
+    * loop with no intermediate array allocation).
+    */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    graft.functions.GraftFunctions.vec_dot(col(a), col(b))
 
-  /** L2 norm of a double-array column. */
-  def norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, cast(0.0 as double), (acc, x) -> acc + x * x)"))
+  /** L2 norm of a double-array column (self dot product). */
+  def norm(a: String): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-k: for each row of `queries` (id, vec), the k
     * nearest rows of `corpus` (id, vec) by cosine. Similarity is rounded to

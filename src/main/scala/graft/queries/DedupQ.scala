@@ -40,8 +40,8 @@ object DedupQ {
   }
 
   private val minhashPairsSql = {
-    def h60(x: String, salt: Int): String =
-      s"('0x' || substr(md5('$salt:' || $x), 1, 15))::BIGINT"
+    def h60(x: String, i: Int): String =
+      s"('0x' || substr(md5('${i / 2}:' || $x), ${1 + 15 * (i % 2)}, 15))::BIGINT"
     val minhashes = (0 until NumHashes)
       .map(i => s"MIN(${h60("shingle", i)}) AS h$i").mkString(",\n    ")
     val bandRows = (0 until NumHashes / RowsPerBand).map { b =>

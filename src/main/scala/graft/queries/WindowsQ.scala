@@ -50,8 +50,12 @@ object WindowsQ {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    t.events
-      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+    // watermark predicate on the RAW int64 nanos column so it reaches the
+    // parquet scan (PushedFilters: GreaterThan(ts, ...) → row-group pruning);
+    // 1705276800000000000 ns = 2024-01-15T00:00:00Z
+    t.eventsRaw
+      .filter(col("ts") > lit(1705276800000000000L))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),

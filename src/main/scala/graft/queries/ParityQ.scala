@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.{Exact, OracleSql => O}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Remaining reference-parity surfaces over the star schema: offline
+  * threshold generation (A15), threshold-join severity (U5-as-join — the
+  * scale-correct replacement for the reference's 13k-entry broadcast-dict
+  * UDF), and the consumer-side RFM×CLV merge (J4,
+  * `go_streamlit.py:259-264`).
+  */
+object ParityQ {
+
+  /** A15 — threshold-dict generation: per-brand price/quantity stats in ONE
+    * distributed aggregation (`edafinal.ipynb` cells 71/73/111 did this in
+    * pandas).
+    */
+  def thresholdStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        Exact.davg(col("l_extendedprice")).as("price_mean"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        count(lit(1)).as("n_obs"))
+  }
+
+  private val thresholdStatsSql =
+    s"""SELECT p_brand,
+       |  MIN(l_extendedprice) AS price_min,
+       |  MAX(l_extendedprice) AS price_max,
+       |  ${O.davg("l_extendedprice")} AS price_mean,
+       |  MIN(l_quantity) AS qty_min,
+       |  MAX(l_quantity) AS qty_max,
+       |  COUNT(*) AS n_obs
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand""".stripMargin
+
+  /** U5-as-join — severity from per-brand percentile thresholds: price/qty
+    * outside [p05, p95] each count one violation; 2 ⇒ high, 1 ⇒ low. The
+    * threshold table is tiny ⇒ broadcast join + when-arithmetic, all
+    * codegen (`go-quality-elt.py:144-168` did this as a per-row Python dict
+    * lookup).
+    */
+  def thresholdSeverity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val th = joined.groupBy(col("p_brand"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.05)").as("price_low"),
+        expr("percentile(l_extendedprice, 0.95)").as("price_high"),
+        expr("percentile(l_quantity, 0.05)").as("qty_low"),
+        expr("percentile(l_quantity, 0.95)").as("qty_high"))
+    val priceViol = when(col("l_extendedprice") < col("price_low") ||
+      col("l_extendedprice") > col("price_high"), 1).otherwise(0)
+    val qtyViol = when(col("l_quantity") < col("qty_low") ||
+      col("l_quantity") > col("qty_high"), 1).otherwise(0)
+    joined.join(broadcast(th), Seq("p_brand"))
+      .withColumn("violations", priceViol + qtyViol)
+      .withColumn("severity",
+        when(col("violations") === 2, "high")
+          .when(col("violations") === 1, "low")
+          .otherwise("none"))
+      .filter(col("severity") =!= "none")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
+        col("l_extendedprice"), col("l_quantity"), col("violations"), col("severity"))
+  }
+
+  private val thresholdSeveritySql =
+    """WITH joined AS (
+      |  SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |), th AS (
+      |  SELECT p_brand,
+      |    quantile_cont(l_extendedprice, 0.05) AS price_low,
+      |    quantile_cont(l_extendedprice, 0.95) AS price_high,
+      |    quantile_cont(l_quantity, 0.05) AS qty_low,
+      |    quantile_cont(l_quantity, 0.95) AS qty_high
+      |  FROM joined GROUP BY p_brand
+      |), flagged AS (
+      |  SELECT l_orderkey, l_linenumber, joined.p_brand, l_extendedprice, l_quantity,
+      |    (CASE WHEN l_extendedprice < price_low OR l_extendedprice > price_high THEN 1 ELSE 0 END
+      |     + CASE WHEN l_quantity < qty_low OR l_quantity > qty_high THEN 1 ELSE 0 END) AS violations
+      |  FROM joined JOIN th ON joined.p_brand = th.p_brand
+      |)
+      |SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice, l_quantity, violations,
+      |  CASE WHEN violations = 2 THEN 'high' WHEN violations = 1 THEN 'low' END AS severity
+      |FROM flagged WHERE violations > 0""".stripMargin
+
+  /** J4 — consumer-side RFM×CLV inner merge on the customer key
+    * (`go_streamlit.py:259-264`): the reporting view both metric families
+    * feed.
+    */
+  def rfmClvMerge(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Relational.rfm(spark, dir)
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("segment"))
+    val clv = Relational.clv(spark, dir)
+      .select(col("o_custkey"), col("revenue"), col("avg_order_value"))
+    rfm.join(clv, Seq("o_custkey"))
+  }
+
+  private val rfmClvMergeSql =
+    s"""WITH rfm AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-08-02') AS INT) AS recency_days,
+       |    COUNT(*) AS frequency,
+       |    ${O.dsum("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY o_custkey
+       |), clv AS (
+       |  SELECT o_custkey, ${O.dsum("o_totalprice")} AS revenue,
+       |    ${O.davg("o_totalprice")} AS avg_order_value
+       |  FROM orders GROUP BY o_custkey
+       |)
+       |SELECT rfm.o_custkey, recency_days, frequency, monetary,
+       |  CASE WHEN recency_days <= 90 AND frequency >= 12 THEN 'VIP'
+       |       WHEN recency_days <= 180 THEN 'Active'
+       |       WHEN frequency <= 5 THEN 'Churn Risk'
+       |       ELSE 'Other' END AS segment,
+       |  revenue, avg_order_value
+       |FROM rfm JOIN clv ON rfm.o_custkey = clv.o_custkey""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_threshold_stats", thresholdStats, Some(thresholdStatsSql)),
+    QueryDef("q45_threshold_severity", thresholdSeverity, Some(thresholdSeveritySql)),
+    QueryDef("q46_rfm_clv_merge", rfmClvMerge, Some(rfmClvMergeSql)),
+  )
+}

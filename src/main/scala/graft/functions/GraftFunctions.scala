@@ -30,13 +30,19 @@ object GraftFunctions {
   }
 }
 
-/** `SparkSessionExtensions` injector (set via `spark.sql.extensions`). */
+/** `SparkSessionExtensions` injector (set via `spark.sql.extensions`):
+  * registers the function vocabulary and the [[RewriteDotProduct]] optimizer
+  * rule. For an already-built session, the rule can also be attached with
+  * `spark.experimental.extraOptimizations = Seq(RewriteDotProduct)`.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VecDotProduct", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end corpus curation for training-data pipelines: quality gating →
+  * exact dedup → MinHash/Jaccard near-dup removal, as one composable
+  * DataFrame transform.
+  *
+  * Deterministic keep policy: for any duplicate group/pair, the LOWEST id
+  * survives — reproducible under any partitioning, and idempotent (running
+  * curate twice changes nothing).
+  *
+  * Scale shape: two hash-aggregate shuffles (stats+exact-dedup, signatures),
+  * one band-bucket join for candidates, one Jaccard verify over candidates
+  * only, two left_anti joins to apply the drop sets. Nothing is quadratic in
+  * the corpus; everything is keyed.
+  */
+object Corpus {
+
+  final case class CurationConfig(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang",
+      keepLangs: Set[String] = Set.empty, // empty = all
+      minTokens: Int = 5,
+      maxTokens: Int = 100000,
+      maxStopwordRatio: Double = 0.9,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      jaccardThreshold: Double = 0.8)
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+    .map(s => s"'$s'").mkString(", ")
+
+  /** Returns the curated corpus (original columns + quality stats). */
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val id = col(cfg.idCol)
+
+    // 1. quality gate — single projection + filter
+    val withStats = docs
+      .withColumn("__toks", Dedup.words(col(cfg.textCol)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("stopword_ratio",
+        expr(s"size(filter(__toks, x -> x IN ($stopEn)))").cast("double") /
+          col("n_tokens"))
+    val gated = withStats
+      .filter(col("n_tokens") >= cfg.minTokens && col("n_tokens") <= cfg.maxTokens)
+      .filter(col("stopword_ratio") <= cfg.maxStopwordRatio)
+      .filter(if (cfg.keepLangs.isEmpty) lit(true)
+        else col(cfg.langCol).isin(cfg.keepLangs.toSeq: _*))
+
+    // 2. exact dedup — keep lowest id per content hash
+    val exactKeep = gated
+      .groupBy(md5(col(cfg.textCol)).as("__h"))
+      .agg(min(id).as(cfg.idCol))
+      .drop("__h")
+    val exactDeduped = gated.join(exactKeep, Seq(cfg.idCol), "left_semi")
+
+    // 3. near-dup removal — MinHash bands → candidate pairs → Jaccard verify
+    val withWords = exactDeduped
+      .select(id, array_distinct(col("__toks")).as("__wd"), col("__toks"))
+      .filter(size(col("__toks")) >= 3)
+    val shingled = withWords.select(id,
+      explode(Dedup.wordShingles("__toks", 3)).as("__shingle"))
+    val sigs = Dedup.minhashSignatures(shingled, cfg.idCol, "__shingle", cfg.numHashes)
+    val bands = Dedup.lshBands(sigs, cfg.idCol, cfg.numHashes, cfg.rowsPerBand)
+    val candidates = Dedup.candidatePairs(bands, cfg.idCol)
+    val confirmed = candidates
+      .join(withWords.select(id.as("doc_a"), col("__wd").as("__wa")), Seq("doc_a"))
+      .join(withWords.select(id.as("doc_b"), col("__wd").as("__wb")), Seq("doc_b"))
+      .filter(Dedup.jaccard(col("__wa"), col("__wb")) >= cfg.jaccardThreshold)
+    // drop the higher id of each confirmed pair
+    val drops = confirmed.select(col("doc_b").as(cfg.idCol)).distinct()
+
+    exactDeduped.join(drops, Seq(cfg.idCol), "left_anti").drop("__toks")
+  }
+}

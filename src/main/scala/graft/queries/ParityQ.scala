@@ -130,9 +130,66 @@ object ParityQ {
        |  revenue, avg_order_value
        |FROM rfm JOIN clv ON rfm.o_custkey = clv.o_custkey""".stripMargin
 
+  /** ROLLUP hierarchy totals with GROUPING markers — the declarative form of
+    * the reference's manual multi-granularity union (SURVEY.md §2.4 notes
+    * A10 "could be GROUPING SETS"; here both forms exist).
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup(col("yr"), col("o_orderpriority"))
+      .agg(
+        Exact.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"))
+  }
+
+  private val rollupRevenueSql =
+    s"""SELECT yr, o_orderpriority,
+       |  ${O.dsum("o_totalprice")} AS revenue,
+       |  COUNT(*) AS n_orders,
+       |  CAST(GROUPING(yr) AS INT) AS g_yr,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri
+       |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority, o_totalprice
+       |      FROM orders)
+       |GROUP BY ROLLUP(yr, o_orderpriority)""".stripMargin
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot: revenue by year × order priority as columns (the consumer
+    * dashboard's wide layout, done by the engine instead of pandas).
+    */
+  def pivotRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderpriority", priorities)
+      .agg(Exact.dsum(col("o_totalprice")))
+    val aliases = Seq("urgent", "high", "medium", "not_specified", "low")
+    p.select(col("yr") +: priorities.zip(aliases).map {
+      case (v, a) => col(s"`$v`").as(s"rev_$a")
+    }: _*)
+  }
+
+  private val pivotRevenueSql = {
+    val aliases = Seq("urgent", "high", "medium", "not_specified", "low")
+    val cells = priorities.zip(aliases).map { case (v, a) =>
+      s"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '$v') AS DOUBLE) AS rev_$a"
+    }.mkString(",\n  ")
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       |  $cells
+       |FROM orders GROUP BY 1""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q44_threshold_stats", thresholdStats, Some(thresholdStatsSql)),
     QueryDef("q45_threshold_severity", thresholdSeverity, Some(thresholdSeveritySql)),
     QueryDef("q46_rfm_clv_merge", rfmClvMerge, Some(rfmClvMergeSql)),
+    QueryDef("q49_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
+    QueryDef("q50_pivot_revenue", pivotRevenue, Some(pivotRevenueSql)),
   )
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkTestBase
+
+class CorpusSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("curate: quality gate, exact dedup, near-dup removal, idempotence") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    // inject: an exact dup of doc 0, a near-dup of doc 1 (one word changed),
+    // and a too-short doc
+    val d0 = base.filter($"doc_id" === 0).head().getAs[String]("text")
+    val d1 = base.filter($"doc_id" === 1).head().getAs[String]("text")
+    val d1near = {
+      val w = d1.split(" ")
+      (w.dropRight(1) :+ "zzz").mkString(" ")
+    }
+    val injected = Seq(
+      (100000L, d0, "en", "inj", d0.length.toLong),
+      (100001L, d1near, "en", "inj", d1near.length.toLong),
+      (100002L, "too short", "en", "inj", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = base.unionByName(injected)
+
+    val curated = Corpus.curate(corpus,
+      Corpus.CurationConfig(jaccardThreshold = 0.8, minTokens = 5))
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+
+    assert(!ids.contains(100000L), "exact dup dropped (higher id loses)")
+    assert(ids.contains(0L), "original of the exact-dup pair kept")
+    assert(!ids.contains(100001L), "near-dup dropped via MinHash+Jaccard")
+    assert(ids.contains(1L), "original of the near-dup pair kept")
+    assert(!ids.contains(100002L), "below min token count dropped")
+    assert(curated.columns.contains("n_tokens") &&
+      curated.columns.contains("stopword_ratio"))
+
+    // idempotent: curating the curated corpus drops nothing further
+    val again = Corpus.curate(curated.drop("n_tokens", "stopword_ratio"),
+      Corpus.CurationConfig(jaccardThreshold = 0.8, minTokens = 5))
+    assert(again.count() == curated.count())
+  }
+
+  test("curate: language filter") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val en = Corpus.curate(docs, Corpus.CurationConfig(keepLangs = Set("en")))
+    assert(en.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+}

@@ -127,7 +127,36 @@ object DedupQ {
       |  CAST(SUM(CASE WHEN cnt * 2 >= n THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
 
+  /** Fuzzy matching — levenshtein edit distance over (p_type, p_size)
+    * candidate buckets (the bucketing bounds the pair space; edit distance
+    * only runs within buckets).
+    */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
+    val a = p.select(col("p_type"), col("p_size"), col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_type"), col("p_size"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_type", "p_size"))
+      .filter(col("key_a") < col("key_b") && col("name_a") =!= col("name_b"))
+      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_distance") <= 3)
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("edit_distance"))
+  }
+
+  private val fuzzyPartNamesSql =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+      |FROM part a JOIN part b
+      |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q52_fuzzy_part_names", fuzzyPartNames, Some(fuzzyPartNamesSql)),
     QueryDef("q36_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q37_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     QueryDef("q38_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardPairsSql)),

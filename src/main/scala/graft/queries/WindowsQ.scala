@@ -259,7 +259,37 @@ object WindowsQ {
        |  ${O.dsum("value")} AS session_value
        |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Ranking-family showcase beyond row_number (SURVEY.md §2.5 notes these
+    * are "available free in Spark"): rank, dense_rank, ntile, lead,
+    * first_value over per-customer order histories.
+    */
+  def windowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("price_rank", rank().over(w))
+      .withColumn("price_dense_rank", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("top_order_price", first_value(col("o_totalprice")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("price_rank"), col("price_dense_rank"), col("quartile"),
+        col("next_price"), col("top_order_price"))
+  }
+
+  private val windowFamilySql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(rank() OVER w AS INT) AS price_rank,
+      |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER w AS top_order_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),
     QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),
     QueryDef("q19_incremental_slice", incrementalSlice, Some(incrementalSliceSql)),
     QueryDef("q20_max_watermark", maxWatermark, Some(maxWatermarkSql)),

@@ -92,6 +92,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered once
+    * into `k` centroids (deterministic seeds = the `k` lowest md5-ranked
+    * ids, refined by `lloydIters` distributed Lloyd iterations), each vector
+    * indexed under its nearest centroid, and a query scores ONLY the
+    * `nProbe` nearest clusters. At scale the index is computed once and the
+    * per-query work drops from O(N) to O(N·nProbe/k); clusters are the
+    * shuffle/partition key, so probes are pruned scans.
+    *
+    * All arithmetic is the same deterministic double fold as the exact path;
+    * centroid seeding uses md5 ranks, no RNG.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
+      topK: Int, lloydIters: Int = 2, roundScale: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col("id"), toDoubleVec(col("vec")).as("v"))
+
+    // deterministic seeds: k smallest md5(id) ranks
+    var centroids = c
+      .withColumn("__r", row_number().over(Window.orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("__r") <= k)
+      .select((col("__r") - 1).as("cluster"), col("v").as("cv"))
+
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("__d", dot("v", "cv") / (norm("v") * norm("cv")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("__d").desc, col("cluster"))))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("v"), col("cluster"))
+
+    // Lloyd refinement: element-wise mean per cluster via posexplode
+    (1 to lloydIters).foreach { _ =>
+      val assigned = assign(c, centroids)
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), expr("transform(pm, e -> e.m)").as("cv"))
+    }
+
+    val indexed = assign(c, centroids)
+      .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv2")
+    val q = queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot("qv", "cv") / (norm("qv") * norm("cv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("__d").desc, col("cluster"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("cluster"))
+
+    probes.join(indexed, Seq("cluster"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(dot("qv", "cv2") / (norm("qv") * norm("cv2")), roundScale))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Exact cosine near-dup pairs (the correctness baseline for
     * [[lshNearDupPairs]]): full pair space, id_a < id_b.
     */

@@ -70,8 +70,54 @@ object AsOfQ {
           .getItem(1).as("approx_p90_price"))
   }
 
+  /** Range join — click→purchase pairs by the same user within one hour,
+    * via the bucketed composition ([[graft.ops.RangeJoin]]); the oracle uses
+    * DuckDB's native range-predicate join, independently verifying bucket
+    * exhaustiveness.
+    */
+  def rangeClickPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts_us").as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("purchase_us"))
+    graft.ops.RangeJoin.withinDelta(clicks, purchases, "user_id",
+      "click_us", "purchase_us", delta = 3600000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("delta_us"))
+  }
+
+  private val rangeClickPurchaseSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+      |), c AS (
+      |  SELECT user_id, event_id AS click_id, ts_us AS click_us FROM ev
+      |  WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us FROM ev
+      |  WHERE event_type = 'purchase'
+      |)
+      |SELECT c.user_id, click_id, purchase_id,
+      |  (purchase_us - click_us) AS delta_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |WHERE abs(purchase_us - click_us) <= 3600000000""".stripMargin
+
+  /** IVF approximate top-k (the ANN scale path): rows-only check here; the
+    * ScalaTest spec measures recall against the exact brute-force baseline.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val all = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.ops.Similarity.ivfTopK(all.filter(col("id") < 20), all,
+      k = 16, nProbe = 4, topK = 10)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_asof_join", asofPurchaseView, Some(asofPurchaseViewSql)),
     QueryDef("q48_sketch_aggregates", sketchAggregates, None),
+    QueryDef("q53_ann_ivf", annIvf, None),
+    QueryDef("q54_range_join", rangeClickPurchase, Some(rangeClickPurchaseSql)),
   )
 }

@@ -254,7 +254,63 @@ object TextQ {
       |  sha256(text) AS content_sha256
       |FROM documents""".stripMargin
 
+  /** BPE-style regex tokenization (the GPT-2 pre-tokenizer shape:
+    * contractions, letter runs, digit runs, punctuation runs, space
+    * prefixes) — the token-counting surface of the training-data pipeline.
+    * Pattern restricted to the Java-regex ∩ RE2 dialect (`\p{L}`, `\p{N}`).
+    */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    t.documents
+      .withColumn("bpe_toks", regexp_extract_all(col("text"), lit(pat), lit(0)))
+      .select(
+        col("doc_id"),
+        size(col("bpe_toks")).as("n_bpe_tokens"),
+        expr("size(filter(bpe_toks, x -> x rlike '^ ?\\\\p{N}+$'))").as("n_number_tokens"),
+        (length(col("text")).cast("double") / size(col("bpe_toks"))).as("chars_per_token"))
+  }
+
+  private val bpeTokensSql =
+    """WITH toks AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    regexp_extract_all(text,
+      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS bpe_toks
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(bpe_toks) AS INT) AS n_bpe_tokens,
+      |  CAST(len(list_filter(bpe_toks, x -> regexp_matches(x, '^ ?\p{N}+$'))) AS INT) AS n_number_tokens,
+      |  (CAST(n_chars AS DOUBLE) / len(bpe_toks)) AS chars_per_token
+      |FROM toks""".stripMargin
+
+  /** Polynomial rolling hash over code points (base 31 mod 1e9+7) — the
+    * deterministic document fingerprint computed as a pure fold expression
+    * (no UDF). Seeded with the first code point to mirror DuckDB's
+    * `list_reduce` semantics so the oracle is exact.
+    */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("codes",
+        expr("transform(sequence(1, char_length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"))
+      .filter(size(col("codes")) >= 1)
+      .select(
+        col("doc_id"),
+        expr("aggregate(slice(codes, 2, size(codes) - 1), element_at(codes, 1), (acc, x) -> (acc * 31 + x) % 1000000007)")
+          .as("rolling_hash"))
+  }
+
+  private val rollingHashSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+      |FROM documents WHERE length(text) >= 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("q56_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q27_string_normalize", stringNormalize, Some(stringNormalizeSql)),
     QueryDef("q28_clean_text", cleanText, Some(cleanTextSql)),
     QueryDef("q29_classify_category", classifyCategory, Some(classifyCategorySql)),

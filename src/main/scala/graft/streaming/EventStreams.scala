@@ -73,6 +73,25 @@ object EventStreams {
       }
   }
 
+  /** Checkpointed incremental sink: `foreachBatch` parquet-append driven by
+    * `Trigger.AvailableNow` — the streaming-native replacement for the
+    * reference's JSON bookmark files (`go-incremental-ingest-elt.py:
+    * 144-157`): source offsets live in the checkpoint, so a re-run with the
+    * same checkpoint ingests NOTHING twice (exactly-once per batch), the
+    * property the reference implements by hand with
+    * advance-bookmark-after-write.
+    */
+  def incrementalParquetSink(stream: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** File-stream ingestion of the events table with `Trigger.AvailableNow`
     * parity: returns the streaming DataFrame; callers attach
     * `.writeStream.trigger(Trigger.AvailableNow()).option("checkpointLocation", ...)`.

@@ -56,6 +56,24 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpointed foreachBatch sink is exactly-once across re-runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = s"$dir/landing"
+    val ckpt = s"$dir/ckpt"
+    def runOnce(): Unit = {
+      val q = EventStreams.incrementalParquetSink(
+        EventStreams.readEventStream(spark, sf), out, ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == spark.read.parquet(s"$sf/events.parquet").count(),
+      "first run lands the full table")
+    runOnce() // same checkpoint: offsets already committed → nothing new
+    assert(spark.read.parquet(out).count() == n1,
+      "re-run with the same checkpoint must ingest nothing twice")
+  }
+
   test("file-stream parity read: AvailableNow over the events table") {
     import org.apache.spark.sql.streaming.Trigger
     val stream = EventStreams.readEventStream(spark, sf)

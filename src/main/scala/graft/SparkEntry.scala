@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query definitions, grouped by family. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ WindowsQ.defs ++ TextQ.defs ++ DedupQ.defs ++
-      SimilarityQ.defs ++ EventsQ.defs ++ ParityQ.defs ++ AsOfQ.defs
+      SimilarityQ.defs ++ EventsQ.defs ++ ParityQ.defs ++ AsOfQ.defs ++
+      StatsQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

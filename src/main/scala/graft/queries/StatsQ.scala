@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.{Exact, OracleSql => O}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistical / sampling / aggregation-shape operators rounding out the
+  * analytics surface: deterministic sampling, fixed-width histograms,
+  * second-order moments, ordered string aggregation, conditional aggregates.
+  */
+object StatsQ {
+
+  /** Deterministic 10% sample via md5 bucketing — unlike `TABLESAMPLE` /
+    * `rand()`, the SAME rows are sampled on any engine, any partitioning,
+    * any rerun (the only sampling that is debuggable at 100 TB). Bucket =
+    * 60-bit md5 of the id, mod 100.
+    */
+  def deterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L)))
+      .filter(col("bucket") < 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
+  }
+
+  private val deterministicSampleSql =
+    """SELECT doc_id, lang, n_chars,
+      |  (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS bucket
+      |FROM documents
+      |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 10""".stripMargin
+
+  /** Fixed-width histogram of extended price (20 buckets of 5500 from 0):
+    * the distributed profile scan behind threshold generation (A15's
+    * exploratory side).
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .withColumn("bucket", floor(col("l_extendedprice") / 5500.0).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+  }
+
+  private val priceHistogramSql =
+    """SELECT CAST(floor(l_extendedprice / 5500.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Second-order moments per return flag — stddev / correlation /
+    * covariance, rounded(6) on both sides (the one aggregate family where
+    * float summation order is inherent; error ~1e-12 ≪ the rounding scale).
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 6).as("price_stddev"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+  }
+
+  private val momentsSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_extendedprice), 6) AS price_stddev,
+      |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Ordered string aggregation + conditional aggregates per region:
+    * sorted-concat of nation names (deterministic collect), count_if-style
+    * filters, bool_or.
+    */
+  def regionSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .join(t.supplier, col("s_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("r_name"))
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        count(col("s_suppkey")).as("n_suppliers"),
+        count(when(col("s_acctbal") > 0.0, 1)).as("n_positive_bal"),
+        max(col("s_acctbal") < 0.0).as("has_negative_bal"))
+  }
+
+  private val regionSummarySql =
+    """SELECT r_name,
+      |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(s_suppkey) AS n_suppliers,
+      |  COUNT(CASE WHEN s_acctbal > 0.0 THEN 1 END) AS n_positive_bal,
+      |  bool_or(s_acctbal < 0.0) AS has_negative_bal
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |LEFT JOIN supplier ON s_nationkey = n_nationkey
+      |GROUP BY r_name""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q57_deterministic_sample", deterministicSample, Some(deterministicSampleSql)),
+    QueryDef("q58_price_histogram", priceHistogram, Some(priceHistogramSql)),
+    QueryDef("q59_moments", moments, Some(momentsSql)),
+    QueryDef("q60_region_summary", regionSummary, Some(regionSummarySql)),
+  )
+}

@@ -73,6 +73,49 @@ object EventStreams {
       }
   }
 
+  /** Event-time sessionizer emitting CLOSED sessions: per-user state with an
+    * event-time timeout at `last_event + gap`; when the watermark passes it,
+    * the session is emitted and the state cleared. This is the
+    * `flatMapGroupsWithState` + `EventTimeTimeout` production shape — output
+    * is append-mode (finalized sessions only), state is bounded by the
+    * watermark. The update-mode twin ([[sessionize]]) emits open sessions.
+    */
+  def sessionizeClosed(events: Dataset[Event], gapSeconds: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start_us, s.last_us, s.n_events, s.total_value))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            val s = sorted.foldLeft(state.getOption) {
+              case (None, e) =>
+                Some(SessionState(e.ts.getTime * 1000, e.ts.getTime * 1000, 1, e.value))
+              case (Some(st), e) =>
+                val us = e.ts.getTime * 1000
+                if (us - st.last_us > gapSeconds * 1000000) {
+                  closed += SessionOut(userId, st.start_us, st.last_us, st.n_events, st.total_value)
+                  Some(SessionState(us, us, 1, e.value))
+                } else
+                  Some(st.copy(last_us = us, n_events = st.n_events + 1,
+                    total_value = st.total_value + e.value))
+            }.get
+            state.update(s)
+            state.setTimeoutTimestamp(s.last_us / 1000 + gapSeconds * 1000)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Checkpointed incremental sink: `foreachBatch` parquet-append driven by
     * `Trigger.AvailableNow` — the streaming-native replacement for the
     * reference's JSON bookmark files (`go-incremental-ingest-elt.py:

@@ -56,6 +56,31 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time sessionizer emits closed sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeClosed(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").isEmpty, "session still open")
+      // events far past the gap advance the watermark beyond the timeout
+      input.addData(
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 16:00:00"), 8, "view", 9.0))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.Event(4, Timestamp.valueOf("2024-01-01 16:05:00"), 8, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions").as[EventStreams.SessionOut].collect()
+      assert(closed.exists(s => s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0),
+        s"expected user 7's closed session, got: ${closed.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("checkpointed foreachBatch sink is exactly-once across re-runs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val out = s"$dir/landing"

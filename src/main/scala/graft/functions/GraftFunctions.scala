@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (exprs => VecDotProduct(exprs(0), exprs(1))))
+    "vec_dot" -> (exprs => VecDotProduct(exprs(0), exprs(1))),
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -27,6 +28,12 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("vec_dot", a, b)
+  }
+
+  /** Column-API rolling hash (see [[RollingHash]]). */
+  def rolling_hash(c: Column): Column = {
+    register(SparkSession.active)
+    call_function("rolling_hash", c)
   }
 }
 

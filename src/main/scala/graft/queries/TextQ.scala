@@ -285,20 +285,19 @@ object TextQ {
       |FROM toks""".stripMargin
 
   /** Polynomial rolling hash over code points (base 31 mod 1e9+7) — the
-    * deterministic document fingerprint computed as a pure fold expression
-    * (no UDF). Seeded with the first code point to mirror DuckDB's
-    * `list_reduce` semantics so the oracle is exact.
+    * deterministic document fingerprint, computed by the native
+    * [[graft.functions.RollingHash]] codegen expression (single pass; the
+    * SQL-composable `sequence`+`aggregate` fold is quadratic in document
+    * length because each `substring` re-seeks). Seeded with the first code
+    * point to mirror DuckDB's `list_reduce` semantics so the oracle is
+    * exact.
     */
   def rollingHash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.documents
-      .withColumn("codes",
-        expr("transform(sequence(1, char_length(text)), i -> cast(ascii(substring(text, i, 1)) as bigint))"))
-      .filter(size(col("codes")) >= 1)
-      .select(
-        col("doc_id"),
-        expr("aggregate(slice(codes, 2, size(codes) - 1), element_at(codes, 1), (acc, x) -> (acc * 31 + x) % 1000000007)")
-          .as("rolling_hash"))
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rolling_hash(col("text")).as("rolling_hash"))
   }
 
   private val rollingHashSql =

@@ -101,7 +101,38 @@ object StatsQ {
       |LEFT JOIN supplier ON s_nationkey = n_nationkey
       |GROUP BY r_name""".stripMargin
 
+  /** Date/conditional scalar family: add_months, last_day, quarter trunc,
+    * greatest/least, nullif — per-order derivations (the §2.8 scalar surface
+    * beyond what the trend queries already exercise).
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .select(
+        col("o_orderkey"),
+        col("d").as("order_date"),
+        add_months(col("d"), 3).as("plus_3_months"),
+        last_day(col("d")).as("month_end"),
+        date_trunc("quarter", col("d")).cast("date").as("quarter_start"),
+        quarter(col("d")).as("qtr"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("price_floor_50k"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_non_open"))
+  }
+
+  private val dateFunctionsSql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  greatest(o_totalprice, 50000.0) AS price_floor_50k,
+      |  nullif(o_orderstatus, 'O') AS status_non_open
+      |FROM orders""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_date_functions", dateFunctions, Some(dateFunctionsSql)),
     QueryDef("q57_deterministic_sample", deterministicSample, Some(deterministicSampleSql)),
     QueryDef("q58_price_histogram", priceHistogram, Some(priceHistogramSql)),
     QueryDef("q59_moments", moments, Some(momentsSql)),

@@ -307,7 +307,27 @@ object TextQ {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
       |FROM documents WHERE length(text) >= 1""".stripMargin
 
+  /** Generator surface — explode words, global frequency top-20 via
+    * TakeOrderedAndProject (count desc, word tiebreak).
+    */
+  def wordFrequencies(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  private val wordFrequenciesSql =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |      FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q55_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q56_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q27_string_normalize", stringNormalize, Some(stringNormalizeSql)),

@@ -73,6 +73,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: clicks joined to purchases by the same
+    * user within `withinSeconds` AFTER the click. Both sides carry
+    * watermarks so Spark bounds the join state (buffered rows are dropped
+    * once the watermark passes the interval) — the streaming counterpart of
+    * [[graft.ops.RangeJoin]].
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      withinSeconds: Long, watermarkDelay: String = "30 seconds"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Event-time sessionizer emitting CLOSED sessions: per-user state with an
     * event-time timeout at `last_event + gap`; when the watermark passes it,
     * the session is emitted and the state cleared. This is the

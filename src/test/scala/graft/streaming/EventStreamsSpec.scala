@@ -56,6 +56,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with in-window purchases") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[EventStreams.Event]
+    val purchases = MemoryStream[EventStreams.Event]
+    val q = EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF(),
+      withinSeconds = 600)
+      .writeStream.format("memory").queryName("click_purchase")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 11:00:00"), 7, "click", 0))
+      purchases.addData(
+        EventStreams.Event(10, Timestamp.valueOf("2024-01-01 10:05:00"), 7, "purchase", 5.0),
+        EventStreams.Event(11, Timestamp.valueOf("2024-01-01 12:00:00"), 7, "purchase", 6.0))
+      q.processAllAvailable()
+      val pairs = spark.table("click_purchase")
+        .collect().map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(pairs == Set((1L, 10L)),
+        s"only the purchase within 10 min of a click should pair: $pairs")
+    } finally q.stop()
+  }
+
   test("event-time sessionizer emits closed sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStreams.Event]

@@ -130,4 +130,20 @@ class PipelineGoldenSpec extends SparkTestBase {
     assert(manifest.contains("\"stage\":\"quality_final\""))
     assert(result._1.stages.map(_.stage).count(_.startsWith("metrics_")) == 11)
   }
+
+  test("consumer views: top-k, RFM merges, partition-pruned drill-down") {
+    val views = new ConsumerViews(spark, s"${result._2}/metrics")
+    val top = views.topRestaurants(k = 1).head()
+    assert(top.getAs[String]("restaurant_id") == "r2", "r2 has the higher revenue")
+
+    val merged = views.rfmWithClv()
+    assert(merged.columns.contains("segment") && merged.columns.contains("clv_bucket"))
+    assert(merged.count() > 0)
+    assert(views.rfmWithActivity().columns.contains("activity_tag"))
+
+    val drill = views.restaurantTrends("r1")
+    val plan = drill.queryExecution.executedPlan.toString
+    assert(plan.contains("restaurant_id"), "partition filter present")
+    assert(drill.select("restaurant_id").distinct().head().getString(0) == "r1")
+  }
 }

@@ -40,6 +40,33 @@ class IngestAndSchemaSpec extends SparkTestBase {
     assert(r3.rowsWritten == 0 && r3.newWatermark == r2.newWatermark)
   }
 
+  test("partition-level upsert rewrites only touched partitions, keeps latest rows") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val path = s"$dir/table"
+    val day1 = Seq((1L, "2024-01-01", 100L, "v1"), (2L, "2024-01-01", 100L, "v1"),
+      (3L, "2024-01-02", 100L, "v1"))
+      .toDF("id", "day", "wm", "payload")
+    IncrementalIngest.upsertPartitioned(spark, day1, path, "day", Seq("id"), "wm")
+    assert(spark.read.parquet(path).count() == 3)
+
+    // update id=2 (same partition, newer wm) + add id=4 in a NEW partition;
+    // partition 2024-01-02 must remain untouched on disk
+    val before0102 = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$path/day=2024-01-02")).toMillis
+    val day2 = Seq((2L, "2024-01-01", 200L, "v2"), (4L, "2024-01-03", 200L, "v2"))
+      .toDF("id", "day", "wm", "payload")
+    IncrementalIngest.upsertPartitioned(spark, day2, path, "day", Seq("id"), "wm")
+
+    val result = spark.read.parquet(path)
+    assert(result.count() == 4)
+    val byId = result.collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("payload")).toMap
+    assert(byId(2L) == "v2", "newer watermark wins")
+    assert(byId(1L) == "v1" && byId(3L) == "v1" && byId(4L) == "v2")
+    val after0102 = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$path/day=2024-01-02")).toMillis
+    assert(after0102 == before0102, "untouched partition must not be rewritten")
+  }
+
   test("rearrangeColumnsTyped adds typed nulls, reorders, casts") {
     val df = Seq((1, "x")).toDF("b", "a")
     val out = SchemaOps.rearrangeColumnsTyped(df,

@@ -37,8 +37,10 @@ object Corpus {
   def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
     val id = col(cfg.idCol)
 
-    // 1. quality gate — single projection + filter
+    // 1. quality gate — single projection + filter (null/empty text never
+    // survives: at corpus scale null payloads are a certainty)
     val withStats = docs
+      .filter(col(cfg.textCol).isNotNull && length(trim(col(cfg.textCol))) > 0)
       .withColumn("__toks", Dedup.words(col(cfg.textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("stopword_ratio",

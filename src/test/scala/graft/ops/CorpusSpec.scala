@@ -40,6 +40,17 @@ class CorpusSpec extends SparkTestBase {
     assert(again.count() == curated.count())
   }
 
+  test("curate: null and empty text never survive") {
+    val docs = Seq(
+      (1L, "a perfectly normal document with enough tokens", "en", "s", 46L),
+      (2L, null.asInstanceOf[String], "en", "s", 0L),
+      (3L, "   ", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ids = Corpus.curate(docs, Corpus.CurationConfig(minTokens = 3))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   test("curate: language filter") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val en = Corpus.curate(docs, Corpus.CurationConfig(keepLangs = Set("en")))

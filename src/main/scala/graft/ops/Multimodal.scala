@@ -86,4 +86,95 @@ object Multimodal {
   def documentPayloads(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text").cast("binary").as("payload"),
       col("source"), col("lang"))
+
+  // ---- feature-extract / resize / frame-sample ---------------------------
+  // Same structure as decode: batched partition-local kernels behind small
+  // Serializable interfaces; the fake kernels are deterministic functions of
+  // the payload bytes so pipelines are testable end-to-end, and the real
+  // kernels are explicit stubs (no media libraries in this container).
+
+  /** Batched feature extractor: payload → fixed-dim float embedding. */
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    def extractBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** Deterministic fake: md5-seeded pseudo-embedding in [-0.5, 0.5)^dim. */
+  final class FakeFeatureExtractor(override val dim: Int = 16) extends FeatureExtractor {
+    override def extractBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        Array.tabulate(dim) { i =>
+          val b = md(i % md.length) & 0xff
+          (b / 256.0f) - 0.5f
+        }
+      }
+  }
+
+  object RealFeatureExtractor extends FeatureExtractor {
+    override def dim: Int = ???
+    override def extractBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = ???
+  }
+
+  /** Attach an `embedding array<float>` column — the bridge from multimodal
+    * payloads into the [[Similarity]] ANN operators.
+    */
+  def withEmbedding(df: DataFrame, payloadCol: String,
+      extractor: FeatureExtractor = new FakeFeatureExtractor(),
+      batchSize: Int = 64): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("embedding", org.apache.spark.sql.types.ArrayType(FloatType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = extractor.extractBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
+        batch.iterator.zip(embs.iterator).map { case (row, e) =>
+          Row.fromSeq(row.toSeq :+ e.toSeq)
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** "Resize": payload → payload transform (fake = truncate/pad to
+    * `targetBytes`, preserving the batched transform shape a real
+    * image-resize kernel has).
+    */
+  def resized(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
+    val schema = df.schema
+    val payloadIdx = schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val out = java.util.Arrays.copyOf(bytes, targetBytes)
+        Row.fromSeq(row.toSeq.updated(payloadIdx, out))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Frame sampling: payload → every `stride`-th chunk of `frameBytes`
+    * bytes as an `array<binary>` column (the video-frame-sample shape:
+    * one input row, bounded list of frame payloads; explode downstream for
+    * per-frame processing).
+    */
+  def withFrameSamples(df: DataFrame, payloadCol: String, frameBytes: Int,
+      stride: Int, maxFrames: Int = 8): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("frames", org.apache.spark.sql.types.ArrayType(BinaryType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val frames = Iterator.from(0, frameBytes * stride)
+          .takeWhile(off => off < bytes.length)
+          .take(maxFrames)
+          .map(off => java.util.Arrays.copyOfRange(bytes, off,
+            math.min(off + frameBytes, bytes.length)))
+          .toSeq
+        Row.fromSeq(row.toSeq :+ frames)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

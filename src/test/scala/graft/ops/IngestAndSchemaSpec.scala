@@ -111,4 +111,33 @@ class IngestAndSchemaSpec extends SparkTestBase {
       Multimodal.RealMediaDecoder.decodeBatch(Seq(Array[Byte](1)))
     }
   }
+
+  test("multimodal: feature-extract, resize, frame-sample plumbing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val payloads = Multimodal.documentPayloads(docs)
+
+    // embedding bridge → feeds straight into the Similarity operators
+    val emb = Multimodal.withEmbedding(payloads, "payload")
+    assert(emb.schema("embedding").dataType.typeName == "array")
+    val vecs = emb.select($"doc_id".as("id"), $"embedding".as("vec"))
+    val knn = Similarity.bruteForceTopK(vecs.limit(2), vecs, k = 3)
+    assert(knn.count() == 6, "2 queries x top-3 neighbors")
+    // deterministic: same payload → same embedding
+    val e1 = emb.select($"doc_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e2 = Multimodal.withEmbedding(payloads, "payload", batchSize = 3)
+      .select($"doc_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e1 == e2)
+
+    val rs = Multimodal.resized(payloads, "payload", targetBytes = 32)
+    assert(rs.select(octet_length($"payload")).as[Int].collect().forall(_ == 32))
+
+    val fr = Multimodal.withFrameSamples(payloads, "payload",
+      frameBytes = 16, stride = 2, maxFrames = 4)
+    val sizes = fr.select(size($"frames")).as[Int].collect()
+    assert(sizes.forall(n => n >= 1 && n <= 4))
+    val exploded = fr.select($"doc_id", explode($"frames").as("frame"))
+    assert(exploded.count() == sizes.map(_.toLong).sum)
+  }
 }

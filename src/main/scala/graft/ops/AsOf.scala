@@ -53,7 +53,7 @@ object AsOf {
       df.withColumn(s"__c_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1)
-      .select(lCols.map(col) ++
+      .select(lCols.toIndexedSeq.map(col) ++
         valueCols.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
   }
 }

@@ -78,7 +78,7 @@ object IncrementalIngest {
         else updates.limit(0)
       val w = Window.partitionBy(pks.map(col): _*)
         .orderBy(col(wmCol).desc_nulls_last +: pks.map(col(_).desc): _*)
-      val merged = existing.unionByName(updates.select(existing.columns.map(col): _*))
+      val merged = existing.unionByName(updates.select(existing.columns.toIndexedSeq.map(col): _*))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn")
@@ -126,25 +126,29 @@ object IncrementalIngest {
       .withColumn("source_table", lit(table))
       .withColumn("ingest_date", date_format(col(wmCol), "yyyy-MM-dd"))
 
-    // compute the new watermark in the SAME job as the write would be ideal;
-    // we run a single agg job first (one scan at this size; at scale, use
-    // an accumulator or the sink's max-stat) then write
-    val newWmRow = withLineage.agg(max(unix_micros(col(wmCol)))).collect()(0)
-    val newWm = if (newWmRow.isNullAt(0)) None else Some(newWmRow.getLong(0))
+    // cache the deduped batch: the watermark probe, the write, and the row
+    // count all reuse one materialization instead of re-scanning the source
+    // three times (at cluster scale this batch is the small increment, not
+    // the full table — caching it is cheap)
+    val batch = withLineage.cache()
+    try {
+      val newWmRow = batch.agg(max(unix_micros(col(wmCol)))).collect()(0)
+      val newWm = if (newWmRow.isNullAt(0)) None else Some(newWmRow.getLong(0))
 
-    val rows =
-      if (newWm.isEmpty) 0L
-      else {
-        withLineage
-          .coalesce(outputFiles)
-          .write.mode(SaveMode.Append)
-          .partitionBy(partitionBy: _*)
-          .parquet(outPath)
-        withLineage.count()
-      }
+      val rows =
+        if (newWm.isEmpty) 0L
+        else {
+          batch
+            .coalesce(outputFiles)
+            .write.mode(SaveMode.Append)
+            .partitionBy(partitionBy: _*)
+            .parquet(outPath)
+          batch.count()
+        }
 
-    // bookmark advances ONLY after the write above returned durably
-    newWm.foreach(store.put(table, _))
-    IngestResult(table, rows, prev, newWm.orElse(prev))
+      // bookmark advances ONLY after the write above returned durably
+      newWm.foreach(store.put(table, _))
+      IngestResult(table, rows, prev, newWm.orElse(prev))
+    } finally batch.unpersist()
   }
 }

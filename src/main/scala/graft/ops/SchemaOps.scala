@@ -16,7 +16,7 @@ object SchemaOps {
 
   /** P1 — normalize column names: trim + lowercase. */
   def normalizeColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim.toLowerCase): _*)
 
   /** P2 — lower(trim(c)) for every string column, one projection
     * (`go-quality-elt.py:96-103`).

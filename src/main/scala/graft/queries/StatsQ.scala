@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 

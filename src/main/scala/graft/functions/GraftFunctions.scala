@@ -24,15 +24,25 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  /** Column-API access; registers into the active session on first use. */
-  def vec_dot(a: Column, b: Column): Column = {
+  /** Register into both the thread-active and the default session — a plan
+    * built on one thread may be analyzed by a session owned by another
+    * (`SparkSession.active` is thread-local). Cluster installs should prefer
+    * [[GraftExtensions]], which binds at session build time.
+    */
+  private def registerCurrent(): Unit = {
     register(SparkSession.active)
+    SparkSession.getDefaultSession.foreach(register)
+  }
+
+  /** Column-API access; registers into the current sessions on first use. */
+  def vec_dot(a: Column, b: Column): Column = {
+    registerCurrent()
     call_function("vec_dot", a, b)
   }
 
   /** Column-API rolling hash (see [[RollingHash]]). */
   def rolling_hash(c: Column): Column = {
-    register(SparkSession.active)
+    registerCurrent()
     call_function("rolling_hash", c)
   }
 }

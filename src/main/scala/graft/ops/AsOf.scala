@@ -32,28 +32,32 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns
+    // right-side values travel as ONE struct that is non-null exactly for
+    // right rows — so `last(_, ignoreNulls)` skips left rows but still
+    // carries a right row whose individual value columns are null (a
+    // legitimately-null state value must NOT fall back to older state)
+    val vstruct = struct(valueCols.map(col): _*)
     // side 0 sorts before side 1 at equal times ⇒ right rows at t are
     // visible to left rows at t (ASOF's `>=` semantics)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        lCols.filterNot(_ == key).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+        lCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(right.select(vstruct).schema.head.dataType).as("__v"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        vstruct.as("__v"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__c", last(col("__v"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(lCols.toIndexedSeq.map(col) ++
-        valueCols.map(c => col(s"__c_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col(s"__c.$c").as(s"asof_$c")): _*)
   }
 }

@@ -76,8 +76,11 @@ object IncrementalIngest {
               col(partitionCol).cast(updates.schema(partitionCol).dataType))
             .join(broadcast(touched), Seq(partitionCol), "left_semi")
         else updates.limit(0)
+      // tiebreak equal watermarks deterministically via a content hash of the
+      // full row (pk columns alone are constant within the window partition)
       val w = Window.partitionBy(pks.map(col): _*)
-        .orderBy(col(wmCol).desc_nulls_last +: pks.map(col(_).desc): _*)
+        .orderBy(col(wmCol).desc_nulls_last,
+          xxhash64(updates.columns.toIndexedSeq.map(col): _*).desc)
       val merged = existing.unionByName(updates.select(existing.columns.toIndexedSeq.map(col): _*))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -112,9 +115,12 @@ object IncrementalIngest {
       case None => source
     }
 
-    // W1: keep latest row per business key, deterministic tiebreak on all pks
+    // W1: keep latest row per business key; equal watermarks tie-break on a
+    // content hash of the full row (pk columns are constant within the
+    // window partition, so they cannot break ties)
     val w = Window.partitionBy(pks.map(col): _*)
-      .orderBy(col(wmCol).desc_nulls_last +: pks.map(col(_).desc): _*)
+      .orderBy(col(wmCol).desc_nulls_last,
+        xxhash64(source.columns.toIndexedSeq.map(col): _*).desc)
     val deduped = fresh
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -108,11 +108,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col("id"), toDoubleVec(col("vec")).as("v"))
 
-    // deterministic seeds: k smallest md5(id) ranks
+    // deterministic seeds: k smallest md5(id) ranks, selected via
+    // TakeOrderedAndProject (orderBy.limit) — NOT a global row_number window,
+    // which would drag the whole corpus through one partition; the ranking
+    // window then runs over only the k seed rows
     var centroids = c
-      .withColumn("__r", row_number().over(Window.orderBy(md5(col("id").cast("string")), col("id"))))
-      .filter(col("__r") <= k)
-      .select((col("__r") - 1).as("cluster"), col("v").as("cv"))
+      .withColumn("__md", md5(col("id").cast("string")))
+      .orderBy(col("__md"), col("id"))
+      .limit(k)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("__md"), col("id"))) - 1)
+      .select(col("cluster"), col("v").as("cv"))
 
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cents))

@@ -20,15 +20,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
-  /** Deterministic salt in [0, saltFactor) derived from stable columns. */
+  /** Salt in [0, saltFactor): content hash mixed with the row's physical
+    * position, so even fully-duplicate rows (the common shape of a hot key)
+    * spread across salts. The salt value only steers DISTRIBUTION — join and
+    * aggregation RESULTS are invariant to it, so the position-dependence
+    * does not leak into outputs.
+    */
   def salt(saltFactor: Int, cols: Column*): Column =
-    pmod(hash(cols: _*), lit(saltFactor))
+    pmod(hash((cols :+ monotonically_increasing_id()): _*), lit(saltFactor))
 
-  /** Skew-resistant inner equi-join: left side gets a deterministic salt
-    * from its non-key columns; right side is exploded `saltFactor`× so every
-    * (key, salt) pair finds its match. Use when `right` is too big to
-    * broadcast but small enough to replicate `saltFactor` times; pick
-    * `saltFactor` ≈ (hot-key rows / target partition rows).
+  /** Skew-resistant inner equi-join: left side gets a spreading salt; right
+    * side is exploded `saltFactor`× so every (key, salt) pair finds its
+    * match. Use when `right` is too big to broadcast but small enough to
+    * replicate `saltFactor` times; pick `saltFactor` ≈ (hot-key rows /
+    * target partition rows).
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int): DataFrame = {

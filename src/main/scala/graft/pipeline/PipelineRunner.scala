@@ -13,7 +13,9 @@ import scala.collection.mutable
   * and intermediate layers are written once, not re-read + re-inferred.
   *
   * Preserved control-plane behaviors: layered parquet (landing → transform →
-  * quality/{final,quarantine,price,quantity} → metrics/<subject>), small-file
+  * final + quarantines at quality/{final,price,quantity} — `quality/final`
+  * holds the HIGH-severity quarantine, mirroring the reference's layer names,
+  * `cloudformation/05_gluejobs.yml:97-101` → metrics/<subject>), small-file
   * coalesce (S7), metrics partitioned by restaurant_id (S6), skip-empty-write
   * probes (P9, `go-quality-elt.py:129-132`), per-stage run manifest (S8,
   * `go-incremental-ingest-elt.py:305-318`), landing archival (S10).
@@ -24,7 +26,10 @@ object PipelineRunner {
 
   final case class RunResult(stages: Seq[StageResult], manifestPath: String)
 
-  /** P9 — conditional write: skip empty DataFrames, coalesce small output. */
+  /** P9 — conditional write: skip empty DataFrames, coalesce small output.
+    * The row count comes from the just-written parquet footers (a
+    * metadata-only count) rather than re-running the stage plan.
+    */
   private def writeIfNonEmpty(df: DataFrame, path: String, files: Int = 4,
       partitionBy: Seq[String] = Nil): Long = {
     if (df.head(1).isEmpty) 0L
@@ -32,7 +37,7 @@ object PipelineRunner {
       val writer = df.coalesce(files).write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(path)
-      df.count()
+      df.sparkSession.read.parquet(path).count()
     }
   }
 

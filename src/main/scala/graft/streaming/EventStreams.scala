@@ -32,6 +32,13 @@ object EventStreams {
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total_value: Double)
 
+  /** Epoch micros from a Timestamp WITHOUT millisecond truncation
+    * (`getTime` alone drops the sub-millisecond part `getNanos` carries —
+    * would disagree with the batch twins' `unix_micros`).
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Watermarked tumbling 1-hour aggregate — streaming twin of
     * `q42_hourly_window`.
     */
@@ -56,12 +63,12 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val s = sorted.foldLeft(state.getOption) {
             case (None, e) =>
-              Some(SessionState(e.ts.getTime * 1000, e.ts.getTime * 1000, 1, e.value))
+              Some(SessionState(micros(e.ts), micros(e.ts), 1, e.value))
             case (Some(st), e) =>
-              val us = e.ts.getTime * 1000
+              val us = micros(e.ts)
               if (us - st.last_us > gapSeconds * 1000000)
                 Some(SessionState(us, us, 1, e.value)) // gap exceeded → new session
               else
@@ -118,13 +125,13 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, s.start_us, s.last_us, s.n_events, s.total_value))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             val s = sorted.foldLeft(state.getOption) {
               case (None, e) =>
-                Some(SessionState(e.ts.getTime * 1000, e.ts.getTime * 1000, 1, e.value))
+                Some(SessionState(micros(e.ts), micros(e.ts), 1, e.value))
               case (Some(st), e) =>
-                val us = e.ts.getTime * 1000
+                val us = micros(e.ts)
                 if (us - st.last_us > gapSeconds * 1000000) {
                   closed += SessionOut(userId, st.start_us, st.last_us, st.n_events, st.total_value)
                   Some(SessionState(us, us, 1, e.value))

@@ -43,6 +43,23 @@ class RewriteDotProductSpec extends SparkTestBase {
     assert(plain == rewritten)
   }
 
+  test("null slots and length mismatches yield NULL, matching the HOF exactly") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      "array(1.0D, cast(null as double))" -> "array(1.0D, 2.0D)", // null slot
+      "array(1.0D)" -> "array(1.0D, 2.0D)",                       // length mismatch
+      "array(1.0D, 2.0D)" -> "array(3.0D, 4.0D)")                 // clean
+    cases.foreach { case (a, b) =>
+      val hof = spark.sql(
+        s"SELECT aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x) AS d")
+        .head()
+      val native = spark.sql(s"SELECT vec_dot($a, $b) AS d").head()
+      assert(hof.isNullAt(0) == native.isNullAt(0), s"nullability for ($a, $b)")
+      if (!hof.isNullAt(0))
+        assert(hof.getDouble(0) == native.getDouble(0), s"value for ($a, $b)")
+    }
+  }
+
   test("non-matching shapes are left untouched") {
     withRule {
       // sum-fold without multiply: must NOT rewrite

@@ -106,6 +106,10 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
       topK: Int, lloydIters: Int = 2, roundScale: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOT cached: the returned DataFrame is lazy, so a cache here could
+    // never be unpersisted and would pin the widened corpus in executor
+    // memory for the session lifetime; at scale, persist the INDEX (the
+    // assigned corpus) explicitly at the call site instead
     val c = corpus.select(col("id"), toDoubleVec(col("vec")).as("v"))
 
     // deterministic seeds: k smallest md5(id) ranks, selected via

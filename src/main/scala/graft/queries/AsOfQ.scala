@@ -85,6 +85,9 @@ object AsOfQ {
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_us").as("purchase_us"))
     graft.ops.RangeJoin.withinDelta(clicks, purchases, "user_id",
       "click_us", "purchase_us", delta = 3600000000L)
+      // withinDelta is symmetric; the click→purchase attribution is
+      // DIRECTED, so keep only purchases at-or-after the click
+      .filter(col("purchase_us") >= col("click_us"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("purchase_us") - col("click_us")).as("delta_us"))
   }
@@ -102,7 +105,8 @@ object AsOfQ {
       |SELECT c.user_id, click_id, purchase_id,
       |  (purchase_us - click_us) AS delta_us
       |FROM c JOIN p ON c.user_id = p.user_id
-      |WHERE abs(purchase_us - click_us) <= 3600000000""".stripMargin
+      |WHERE purchase_us >= click_us
+      |  AND purchase_us - click_us <= 3600000000""".stripMargin
 
   /** IVF approximate top-k (the ANN scale path): rows-only check here; the
     * ScalaTest spec measures recall against the exact brute-force baseline.

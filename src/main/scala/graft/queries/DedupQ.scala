@@ -68,21 +68,25 @@ object DedupQ {
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
   }
 
-  /** N-gram Jaccard near-dup pairs within (lang, length-bucket) candidate
-    * buckets — the bucketing bounds the pair space (no full crossJoin; the
-    * property that survives scale-up).
+  /** N-gram (word-3-gram shingle) Jaccard near-dup pairs within
+    * (lang, length-bucket) candidate buckets — the bucketing bounds the pair
+    * space (no full crossJoin; the property that survives scale-up). Uses
+    * the SAME shingle construction as the MinHash pipeline, so LSH estimates
+    * and exact Jaccard are directly comparable.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val d = t.documents.select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / 10).cast("long").as("len_bucket"),
-      array_distinct(Dedup.words(col("text"))).as("wd"))
-    val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"), col("wd").as("wa"))
-    val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b"), col("wd").as("wb"))
+    val d = t.documents
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 10).cast("long").as("len_bucket"),
+        Dedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", Dedup.wordShingles("w", 3))
+    val a = d.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"), col("sh").as("sa"))
+    val b = d.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b"), col("sh").as("sb"))
     a.join(b, Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("wa"), col("wb")))
+      .withColumn("jaccard", Dedup.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -90,12 +94,16 @@ object DedupQ {
   private val ngramJaccardPairsSql =
     """WITH d AS (
       |  SELECT doc_id, lang, CAST(floor(n_chars / 10) AS BIGINT) AS len_bucket,
-      |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS wd
-      |  FROM documents
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
       |), pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    (CAST(len(list_intersect(a.wd, b.wd)) AS DOUBLE)
-      |      / (len(a.wd) + len(b.wd) - len(list_intersect(a.wd, b.wd)))) AS jaccard
+      |    (CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS jaccard
       |  FROM d a JOIN d b
       |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
       |)

@@ -20,8 +20,7 @@ object StatsQ {
     val t = Tables(spark, dir)
     t.documents
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(100L)))
+        pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string")), lit(100L)))
       .filter(col("bucket") < 10)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("bucket"))
   }

@@ -122,6 +122,9 @@ object TextQ {
     */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // stopword predicate bound ONCE so count and ratio cannot drift apart
+    val stopwordCount =
+      expr(s"size(filter(toks, x -> lower(x) IN (${sqlList(stopEn)})))")
     t.documents
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("n_tokens", size(col("toks")))
@@ -133,10 +136,8 @@ object TextQ {
           .as("avg_token_len"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
           .as("punct_count"),
-        expr(s"size(filter(toks, x -> lower(x) IN (${sqlList(stopEn)})))")
-          .as("stopword_count"),
-        (expr(s"size(filter(toks, x -> lower(x) IN (${sqlList(stopEn)})))").cast("double")
-          / col("n_tokens")).as("stopword_ratio"))
+        stopwordCount.as("stopword_count"),
+        (stopwordCount.cast("double") / col("n_tokens")).as("stopword_ratio"))
   }
 
   private val tokenStatsSql =

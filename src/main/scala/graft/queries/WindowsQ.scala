@@ -63,8 +63,12 @@ object WindowsQ {
   }
 
   private val incrementalSliceSql =
+    // epoch_ns comparison: DuckDB truncates TIMESTAMP_NS vs TIMESTAMP
+    // comparisons to micros, Spark's raw filter compares nanos — comparing
+    // nanos on both sides keeps the boundary semantics identical for ANY
+    // data alignment, not just the generator's micro-aligned timestamps
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-      |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      |FROM events WHERE epoch_ns(ts) > 1705276800000000000
       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
       |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 

@@ -56,6 +56,12 @@ object IncrementalIngest {
     * batch touches a handful of date partitions — full-table rewrites are
     * not an option, and append-only leaves stale versions.
     *
+    * INVARIANT: a business key's partition value is immutable (e.g. an
+    * event date). An update that MOVES a pk to a different partition leaves
+    * the old partition's version in place (only touched partitions are read
+    * back and rewritten) — standard for partition-scoped merges; mutable
+    * partition values need a full-key merge instead.
+    *
     * @param partitionCol value-bearing partition column present in both
     *                     existing data and updates
     */
@@ -95,6 +101,12 @@ object IncrementalIngest {
   }
 
   /** One incremental ingest round for `source`.
+    *
+    * Null-watermark rows ride along in the FIRST full load (no bookmark
+    * yet) but are invisible to every later watermark-filtered round — and a
+    * batch whose watermarks are ALL null skips the write entirely (no
+    * watermark to advance). A null wm is an unresolvable position in the
+    * change stream; feed such rows through a full-reload path instead.
     *
     * @param wmCol        watermark column, must be castable to epoch-micros
     *                     via `unix_micros` (timestamp) — strictly increasing

@@ -19,17 +19,26 @@ object RangeJoin {
 
   /** Pairs of (left, right) rows sharing `key` with
     * `|leftTime - rightTime| <= delta` (time unit = the columns' unit).
+    * Time columns are internally disambiguated, so `leftTime` and
+    * `rightTime` may share a name (e.g. both `ts`).
     */
   def withinDelta(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, delta: Long): DataFrame = {
-    val l = left.withColumn("__b",
-      explode(array(
-        (col(leftTime) / delta).cast("long") - 1,
-        (col(leftTime) / delta).cast("long"),
-        (col(leftTime) / delta).cast("long") + 1)))
-    val r = right.withColumn("__b", (col(rightTime) / delta).cast("long"))
+    val l = left
+      .withColumn("__lt", col(leftTime))
+      .withColumn("__b",
+        explode(array(
+          (col(leftTime) / delta).cast("long") - 1,
+          (col(leftTime) / delta).cast("long"),
+          (col(leftTime) / delta).cast("long") + 1)))
+    val r0 = right.withColumn("__rt", col(rightTime))
+    // right-side columns whose names collide with the left side come out
+    // prefixed `right_` (nothing is silently dropped)
+    val collisions = r0.columns.toSet.intersect(l.columns.toSet) - key - "__rt"
+    val r = collisions.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"right_$c"))
+      .withColumn("__b", (col("__rt") / delta).cast("long"))
     l.join(r, Seq(key, "__b"))
-      .filter(abs(col(leftTime) - col(rightTime)) <= delta)
-      .drop("__b")
+      .filter(abs(col("__lt") - col("__rt")) <= delta)
+      .drop("__b", "__lt", "__rt")
   }
 }

@@ -20,14 +20,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
-  /** Salt in [0, saltFactor): content hash mixed with the row's physical
-    * position, so even fully-duplicate rows (the common shape of a hot key)
-    * spread across salts. The salt value only steers DISTRIBUTION — join and
-    * aggregation RESULTS are invariant to it, so the position-dependence
-    * does not leak into outputs.
+  /** Deterministic salt in [0, saltFactor) from stable columns.
+    *
+    * Deliberately NOT mixed with physical row position
+    * (`monotonically_increasing_id`) — a partition-layout-dependent shuffle
+    * key re-evaluates differently under stage retry and can double-count or
+    * drop rows in partial aggregations (the SPARK-23207 class of hazard).
+    * The tradeoff: rows that are fully identical on the salt basis land on
+    * one salt; widen the basis (more columns) rather than adding
+    * nondeterminism. An empty basis falls back to salt 0 (no spreading).
     */
   def salt(saltFactor: Int, cols: Column*): Column =
-    pmod(hash((cols :+ monotonically_increasing_id()): _*), lit(saltFactor))
+    if (cols.isEmpty) lit(0) else pmod(hash(cols: _*), lit(saltFactor))
 
   /** Skew-resistant inner equi-join: left side gets a spreading salt; right
     * side is exploded `saltFactor`× so every (key, salt) pair finds its

@@ -26,17 +26,25 @@ object CsvSource {
 
   /** Deterministic surrogate key: sha2 of business keys when all present,
     * else sha2 of the full row (null-safe, fixed column order).
+    *
+    * Each field is hashed individually before concatenation, so the combined
+    * basis is a sequence of fixed-width hex blocks — field values containing
+    * the separator cannot collide two distinct rows into one key (e.g.
+    * ('a|b','c') vs ('a','b|c')), and nulls are distinguishable from any
+    * real value.
     */
   def withSurrogatePk(df: DataFrame, businessKeys: Seq[String]): DataFrame = {
+    def fieldHash(c: String): org.apache.spark.sql.Column =
+      coalesce(md5(col(c).cast("string")), lit("null"))
     val keysPresent = businessKeys.forall(df.columns.contains)
-    val allCols = df.columns.sorted.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-    val keyCols = businessKeys.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val allCols = df.columns.sorted.toIndexedSeq.map(fieldHash)
+    val keyCols = businessKeys.map(fieldHash)
     val basis =
       if (keysPresent)
         when(businessKeys.map(col(_).isNotNull).reduce(_ && _),
           concat_ws("|", keyCols: _*))
-          .otherwise(concat_ws("|", allCols.toIndexedSeq: _*))
-      else concat_ws("|", allCols.toIndexedSeq: _*)
+          .otherwise(concat_ws("|", allCols: _*))
+      else concat_ws("|", allCols: _*)
     df.withColumn("__pk", sha2(basis, 256))
   }
 }

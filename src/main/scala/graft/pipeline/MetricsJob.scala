@@ -79,10 +79,13 @@ object MetricsJob {
       .drop("snapshot_date")
   }
 
-  /** W2/W3/A9 — activity profile: order gaps + revenue %-change via lag. */
+  /** W2/W3/A9 — activity profile: order gaps + revenue %-change via lag.
+    * Ordering includes lineitem_id: (date, order_id) alone ties for
+    * multi-line orders, which would make lag() nondeterministic.
+    */
   def activityProfile(base: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("restaurant_id"), col("customer_id"))
-      .orderBy(col("date"), col("order_id"))
+      .orderBy(col("date"), col("order_id"), col("lineitem_id"))
     nonGuest(base)
       .withColumn("prev_date", lag(col("date"), 1).over(w))
       .withColumn("prev_rev", lag(col("revenue"), 1).over(w))

@@ -78,9 +78,11 @@ object QualityJob {
     // U5 — severity via broadcast threshold join
     val flagged = withSeverity(kept, thresholds)
 
-    // order_key surrogate (visible in the reference's later data, SURVEY §1.1)
+    // order_key surrogate (visible in the reference's later data, SURVEY
+    // §1.1); fields hashed individually so separator chars in values can't
+    // collide distinct keys
     val keyed = flagged.withColumn("order_key",
-      sha2(concat_ws("|", col("order_id"), col("lineitem_id")), 256))
+      sha2(concat_ws("|", md5(col("order_id")), md5(col("lineitem_id"))), 256))
 
     // J1 — items ⋈ options on lineitem_id (options' order_id dropped first,
     // `go-quality-elt.py:262-267`); no manual repartition — AQE plans it

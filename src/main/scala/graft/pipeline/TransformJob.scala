@@ -105,8 +105,12 @@ object TransformJob {
           .otherwise(col("final_category")))
 
     reassigned
-      // P5 — test-data removal (`go-transform-elt.py:273-278`)
-      .filter(!(col("item_category").rlike("(?i)test") || col("item_name").rlike("(?i)test")))
+      // P5 — test-data removal (`go-transform-elt.py:273-278`); null-safe:
+      // a null category/name is NOT a test row (a bare rlike on null would
+      // null the whole predicate and silently drop the row before the
+      // na.fill below could give it its default)
+      .filter(!(coalesce(col("item_category").rlike("(?i)test"), lit(false)) ||
+        coalesce(col("item_name").rlike("(?i)test"), lit(false))))
       // datetime derivation (`go-transform-elt.py:318-326`): true date +
       // dd-MM-yyyy date_key + HH:mm:ss time
       .withColumn("__ts", to_timestamp(col("creation_time_utc")))

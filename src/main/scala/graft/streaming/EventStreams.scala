@@ -50,12 +50,14 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Stateful sessionizer: per-user session state carried across
+  /** Stateful sessionizer tracking each user's CURRENT OPEN session across
     * micro-batches via `mapGroupsWithState` (the `KeyValueGroupedDataset`
-    * custom-state surface of the engine). Each update emits the key's
-    * current open session; a gap larger than `gapSeconds` starts a new one
-    * (update-mode consumers keep the last row per (user, start_us) — the
-    * closed-session view). The batch twin is `q26_sessionize`.
+    * custom-state surface). Each update emits the open session only —
+    * mapGroupsWithState emits one row per key per batch, so sessions that
+    * open AND close inside a single batch are superseded by the newest one;
+    * state is unbounded (NoTimeout). For the complete, bounded-state
+    * closed-session history use [[sessionizeClosed]]. The batch twin is
+    * `q26_sessionize`.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -158,8 +160,15 @@ object EventStreams {
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between a successful write
+        // and the checkpoint commit replays the same batchId. Partitioning
+        // by batch_id with dynamic overwrite makes the replay IDEMPOTENT —
+        // the re-run replaces its own partition instead of appending twice.
         batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

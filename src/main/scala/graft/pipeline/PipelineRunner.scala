@@ -18,7 +18,8 @@ import scala.collection.mutable
   * `cloudformation/05_gluejobs.yml:97-101` → metrics/<subject>), small-file
   * coalesce (S7), metrics partitioned by restaurant_id (S6), skip-empty-write
   * probes (P9, `go-quality-elt.py:129-132`), per-stage run manifest (S8,
-  * `go-incremental-ingest-elt.py:305-318`), landing archival (S10).
+  * `go-incremental-ingest-elt.py:305-318`), landing archival (S10, opt-in
+  * via `archiveTo` — see [[archiveLanding]]).
   */
 object PipelineRunner {
 
@@ -26,23 +27,50 @@ object PipelineRunner {
 
   final case class RunResult(stages: Seq[StageResult], manifestPath: String)
 
-  /** P9 — conditional write: skip empty DataFrames, coalesce small output.
-    * The row count comes from the just-written parquet footers (a
-    * metadata-only count) rather than re-running the stage plan.
+  /** P9 — conditional write: empty DataFrames skip the data write but still
+    * OVERWRITE the target with an empty (schema-only) parquet, so a re-run
+    * that produces zero rows can't leave a previous run's stale data on disk
+    * disagreeing with the manifest's rows=0. The row count comes from the
+    * just-written parquet footers (a metadata-only count) rather than
+    * re-running the stage plan.
     */
   private def writeIfNonEmpty(df: DataFrame, path: String, files: Int = 4,
       partitionBy: Seq[String] = Nil): Long = {
-    if (df.head(1).isEmpty) 0L
-    else {
-      val writer = df.coalesce(files).write.mode(SaveMode.Overwrite)
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .parquet(path)
-      df.sparkSession.read.parquet(path).count()
-    }
+    val empty = df.head(1).isEmpty
+    val toWrite = if (empty) df.limit(0) else df.coalesce(files)
+    val writer = toWrite.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty && !empty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
+    if (empty) 0L else df.sparkSession.read.parquet(path).count()
+  }
+
+  /** S10 — landing archival: move every file under `srcDir` to `dstDir`
+    * (flat, basename-keyed), re-expressing the reference's copy+delete S3
+    * prefix move (`go-transform-elt.py:295-311`, `go-quality-elt.py:59-73`)
+    * as Hadoop `FileSystem.rename` — atomic-per-file on HDFS/local, and the
+    * same API the S3A committers use at scale. Returns the moved paths.
+    */
+  def archiveLanding(spark: SparkSession, srcDir: String, dstDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src)) return Nil
+    val dst = new Path(dstDir)
+    fs.mkdirs(dst)
+    val files = fs.listStatus(src).filter(_.isFile)
+    files.map { st =>
+      val target = new Path(dst, st.getPath.getName)
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(s"archival rename failed: ${st.getPath} -> $target")
+      target.toString
+    }.toSeq
   }
 
   def run(spark: SparkSession, orderItemsCsv: String, optionsCsv: String,
-      dateDimCsv: String, thresholds: DataFrame, outRoot: String): RunResult = {
+      dateDimCsv: String, thresholds: DataFrame, outRoot: String,
+      rules: MappingRuleSet = MappingRules.default,
+      archiveTo: Option[String] = None): RunResult = {
     val stages = mutable.ArrayBuffer.empty[StageResult]
     def record(stage: String, rows: Long, path: String): Unit =
       stages += StageResult(stage, rows, path)
@@ -66,7 +94,7 @@ object PipelineRunner {
       s"$outRoot/landing/order_items")
 
     // transform
-    val transformed = TransformJob(rawItems)
+    val transformed = TransformJob(rawItems, rules)
     record("transform", writeIfNonEmpty(transformed, s"$outRoot/transform/order_items"),
       s"$outRoot/transform/order_items")
 
@@ -89,6 +117,21 @@ object PipelineRunner {
       val partCols =
         if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
       record(s"metrics_$subject", writeIfNonEmpty(df, path, partitionBy = partCols), path)
+    }
+
+    // S10 — archive the consumed landing CSVs once all stages are written
+    archiveTo.foreach { dst =>
+      Seq(orderItemsCsv, optionsCsv, dateDimCsv).foreach { f =>
+        import org.apache.hadoop.fs.Path
+        val p = new Path(f)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.isFile(p)) {
+          val dstDir = new Path(dst)
+          fs.mkdirs(dstDir)
+          if (!fs.rename(p, new Path(dstDir, p.getName)))
+            throw new java.io.IOException(s"archival rename failed: $p -> $dst")
+        } else archiveLanding(spark, f, dst)
+      }
     }
 
     // run manifest (S8) — control plane, driver-side by design

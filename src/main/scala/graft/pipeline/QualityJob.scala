@@ -39,12 +39,19 @@ object QualityJob {
     * 1 ⇒ low, 0 or no threshold row ⇒ none (`go-quality-elt.py:144-168`).
     */
   def withSeverity(items: DataFrame, thresholds: DataFrame): DataFrame = {
-    val joined = items.join(broadcast(thresholds),
+    // Tolerate threshold tables carrying extra stat columns (mean/stddev,
+    // as in the flattened reference YAML — MappingRules.thresholdSchema).
+    val joined = items.join(broadcast(thresholds.select(
+      col("restaurant_id"), col("item_category"), col("item_name"),
+      col("price_min"), col("price_max"), col("qty_min"), col("qty_max"))),
       Seq("restaurant_id", "item_category", "item_name"), "left")
-    val priceViol = when(col("price_min").isNotNull &&
+    // A bound counts only when BOTH min and max are present — exactly the
+    // reference's `pmin is not None and pmax is not None` gate
+    // (`go-quality-elt.py:157-164`).
+    val priceViol = when(col("price_min").isNotNull && col("price_max").isNotNull &&
       (col("item_price") < col("price_min") || col("item_price") > col("price_max")), 1)
       .otherwise(0)
-    val qtyViol = when(col("qty_min").isNotNull &&
+    val qtyViol = when(col("qty_min").isNotNull && col("qty_max").isNotNull &&
       (col("item_quantity") < col("qty_min") || col("item_quantity") > col("qty_max")), 1)
       .otherwise(0)
     joined

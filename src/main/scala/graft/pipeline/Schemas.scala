@@ -75,4 +75,10 @@ object Schemas {
     "sides" -> "snacks",
     "drinks" -> "beverages",
     "entrees" -> "mains")
+
+  /** The embedded representative subset bundled as one rule set — the
+    * fallback when the real YAMLs ([[MappingRules]]) aren't on disk.
+    */
+  val embedded: MappingRuleSet =
+    MappingRuleSet(categoryRules, beverageRules, sizeRegex)
 }

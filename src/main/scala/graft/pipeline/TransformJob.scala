@@ -24,10 +24,13 @@ object TransformJob {
     substring(trim(regexp_replace(regexp_replace(c, "http\\S+", ""), "`", "")), 1, 30)
 
   /** U2 — first-match category rules folded to a when-chain
-    * (`go-transform-elt.py:115-123` + broadcast rules `:70-73`).
+    * (`go-transform-elt.py:115-123` + broadcast rules `:70-73`). Matching is
+    * against lowercased text — the reference both lowercases the input and
+    * compiles IGNORECASE, so rules without `(?i)` (the YAML beverage file)
+    * still match case-insensitively.
     */
-  def fixCategory(c: Column): Column =
-    Schemas.categoryRules.foldLeft(Option.empty[Column]) {
+  def fixCategory(c: Column, rules: Seq[(String, String)] = Schemas.categoryRules): Column =
+    rules.foldLeft(Option.empty[Column]) {
       case (acc, (rx, label)) => Some(acc match {
         case None => when(lower(c).rlike(rx), label)
         case Some(w) => w.when(lower(c).rlike(rx), label)
@@ -37,8 +40,8 @@ object TransformJob {
   /** U3 — beverage classification; null when no rule matches
     * (`go-transform-elt.py:125-136`).
     */
-  def classifyBeverage(c: Column): Column =
-    Schemas.beverageRules.foldLeft(Option.empty[Column]) {
+  def classifyBeverage(c: Column, rules: Seq[(String, String)] = Schemas.beverageRules): Column =
+    rules.foldLeft(Option.empty[Column]) {
       case (acc, (rx, label)) => Some(acc match {
         case None => when(lower(c).rlike(rx), label)
         case Some(w) => w.when(lower(c).rlike(rx), label)
@@ -62,28 +65,30 @@ object TransformJob {
     * stripped of parens and removed from the name
     * (`go-transform-elt.py:86-98,212-218`).
     */
-  def extractSize(name: Column): Column =
-    lower(trim(regexp_replace(regexp_extract(name, Schemas.sizeRegex, 0), "[()]", "")))
+  def extractSize(name: Column, rx: String = Schemas.sizeRegex): Column =
+    lower(trim(regexp_replace(regexp_extract(name, rx, 0), "[()]", "")))
 
-  def removeSize(name: Column): Column =
-    trim(regexp_replace(regexp_replace(name, Schemas.sizeRegex, ""), "\\s+", " "))
+  def removeSize(name: Column, rx: String = Schemas.sizeRegex): Column =
+    trim(regexp_replace(regexp_replace(name, rx, ""), "\\s+", " "))
 
   /** Full transform: name/category cleaning, size extraction, beverage
     * classification, final-category resolution + merges + keyword
     * reassignment, test-row removal, datetime derivation, null fills.
     * One logical plan — single pass, all codegen.
     */
-  def apply(orderItems: DataFrame): DataFrame = {
+  def apply(orderItems: DataFrame,
+      rules: MappingRuleSet = MappingRules.default): DataFrame = {
     val named = graft.ops.SchemaOps.normalizeColumnNames(orderItems)
     graft.ops.SchemaOps.assertColumns(named, Seq("item_category", "item_name"))
 
     val cleaned = named
-      .withColumn("item_category", fixCategory(cleanCategoryLabel(col("item_category"))))
+      .withColumn("item_category",
+        fixCategory(cleanCategoryLabel(col("item_category")), rules.categoryRules))
       .withColumn("item_name_clean", cleanItemName(col("item_name")))
-      .withColumn("item_size", extractSize(col("item_name_clean")))
-      .withColumn("item_name", removeSize(col("item_name_clean")))
+      .withColumn("item_size", extractSize(col("item_name_clean"), rules.sizeRegex))
+      .withColumn("item_name", removeSize(col("item_name_clean"), rules.sizeRegex))
       .drop("item_name_clean")
-      .withColumn("beverage_class", classifyBeverage(col("item_name")))
+      .withColumn("beverage_class", classifyBeverage(col("item_name"), rules.beverageRules))
 
     // final_category resolution (`go-transform-elt.py:224-228`) + merges
     // (`:236-244`) + keyword reassignment (`:247-270`)

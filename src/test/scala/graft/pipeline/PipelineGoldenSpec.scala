@@ -131,6 +131,38 @@ class PipelineGoldenSpec extends SparkTestBase {
     assert(result._1.stages.map(_.stage).count(_.startsWith("metrics_")) == 11)
   }
 
+  test("S10 archival + empty-overwrite: landing CSVs move, re-runs can't leave stale data") {
+    // own copies so the shared `result` fixtures stay untouched
+    val dir = Files.createTempDirectory("graft-archival").toString
+    def copy(src: String): String = {
+      val dst = Paths.get(dir, Paths.get(src).getFileName.toString)
+      Files.copy(Paths.get(src), dst)
+      dst.toString
+    }
+    val (items, opts, dates) = (copy(itemsCsv), copy(optionsCsv), copy(dateDimCsv))
+    val out = s"$dir/out"
+    PipelineRunner.run(spark, items, opts, dates, thresholds, out,
+      archiveTo = Some(s"$dir/processed"))
+    assert(!Files.exists(Paths.get(items)), "landing CSV moved away")
+    assert(Files.exists(Paths.get(s"$dir/processed/order_items.csv")),
+      "landing CSV arrived under processed/")
+    assert(Files.exists(Paths.get(s"$dir/processed/date_dim.csv")))
+
+    // re-run over the same outRoot with input that transforms to ZERO rows:
+    // every output layer must be overwritten empty, not left stale
+    val allTest = writeCsv(dir, "all_test.csv",
+      """app_name,restaurant_id,creation_time_utc,order_id,user_id,printed_card_number,is_loyalty,currency,lineitem_id,item_category,item_name,item_price,item_quantity
+        |alltown,r1,2023-03-08T11:03:32.223Z,o1,u1,,true,USD,li1,TEST stuff,Item,5.0,2
+        |""")
+    val r2 = PipelineRunner.run(spark, allTest, s"$dir/processed/order_item_options.csv",
+      s"$dir/processed/date_dim.csv", thresholds, out)
+    assert(r2.stages.find(_.stage == "transform").get.rows == 0L)
+    assert(spark.read.parquet(s"$out/transform/order_items").count() == 0,
+      "stale transform rows must be cleared on an empty re-run")
+    assert(spark.read.parquet(s"$out/final").count() == 0,
+      "stale final rows must be cleared on an empty re-run")
+  }
+
   test("consumer views: top-k, RFM merges, partition-pruned drill-down") {
     val views = new ConsumerViews(spark, s"${result._2}/metrics")
     val top = views.topRestaurants(k = 1).head()

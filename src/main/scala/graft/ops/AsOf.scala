@@ -29,8 +29,16 @@ object AsOf {
     * @param rightTime  ordering column on right, same unit
     * @param valueCols  right-side columns to attach
     */
+  /** Internal working columns — reserved: `withColumn` would silently
+    * REPLACE a caller column of the same name and corrupt the result.
+    */
+  private val reserved = Seq("__t", "__side", "__v", "__c")
+
   def join(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    for (c <- reserved; side <- Seq(left, right))
+      require(!side.columns.contains(c),
+        s"input column '$c' collides with an AsOf internal working column")
     val lCols = left.columns
     // right-side values travel as ONE struct that is non-null exactly for
     // right rows — so `last(_, ignoreNulls)` skips left rows but still

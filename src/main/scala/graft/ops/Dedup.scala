@@ -73,6 +73,9 @@ object Dedup {
     */
   def lshBands(sigs: DataFrame, idCol: String, numHashes: Int,
       rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand) — " +
+        "integer division would silently drop trailing minhashes and degrade recall")
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))

@@ -24,6 +24,11 @@ object RangeJoin {
     */
   def withinDelta(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, delta: Long): DataFrame = {
+    // reserved internal working columns — refuse rather than silently
+    // replace a caller column of the same name
+    for (c <- Seq("__b", "__lt", "__rt"); side <- Seq(left, right))
+      require(!side.columns.contains(c),
+        s"input column '$c' collides with a RangeJoin internal working column")
     val l = left
       .withColumn("__lt", col(leftTime))
       .withColumn("__b",

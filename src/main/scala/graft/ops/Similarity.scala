@@ -37,9 +37,16 @@ object Similarity {
     * nearest rows of `corpus` (id, vec) by cosine. Similarity is rounded to
     * `roundScale` decimals and ordered with the corpus id as tiebreaker, so
     * rankings are reproducible across engines and partitionings.
+    *
+    * @param excludeSelf drop corpus rows whose id equals the query id.
+    *                    Assumes queries and corpus SHARE ONE id space (true
+    *                    for self-search, the common near-dup case); pass
+    *                    false when the query ids come from a different space
+    *                    — a coincidental id match would otherwise silently
+    *                    drop a legitimate neighbor.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      roundScale: Int = 4): DataFrame = {
+      roundScale: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv"))
       .withColumn("qn", norm("qv"))
@@ -48,27 +55,39 @@ object Similarity {
     val sim = round(dot("qv", "cv") / (col("qn") * col("cn")), roundScale)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
-      .filter(col("q_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", sim)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Random-hyperplane LSH signature (`numBits` bits) for a double-vec
-    * column: bit i = sign(v · plane_i), where plane components are
-    * md5-derived pseudo-randoms in [-0.5, 0.5) — reproducible with no RNG
-    * state. Buckets group near vectors; cosine candidates are then scored
-    * only within buckets.
+  /** Deterministic hyperplane component (i, j): md5-derived pseudo-random in
+    * [-0.5, 0.5), identical to `conv(substring(md5('plane{i}:{j}'),1,8),16,10)
+    * / 2^32 - 0.5` evaluated in SQL — but computed ONCE on the driver.
     */
-  def hyperplaneSignature(vecCol: String, numBits: Int): Column = {
+  private def planeComponent(i: Int, j: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$i:$j".getBytes("UTF-8"))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Random-hyperplane LSH signature (`numBits` bits) for a double-vec
+    * column of fixed dimension `dim`: bit i = sign(v · plane_i), where plane
+    * components are md5-derived pseudo-randoms in [-0.5, 0.5) — reproducible
+    * with no RNG state. Buckets group near vectors; cosine candidates are
+    * then scored only within buckets.
+    *
+    * Planes are folded into FOLDABLE array literals on the driver (numBits ×
+    * dim digests happen once, not per row), so per-row work is numBits
+    * codegen'd dot products ([[graft.functions.VecDotProduct]] — the same
+    * left-to-right fold the previous HOF formulation used, bit-identical).
+    */
+  def hyperplaneSignature(vecCol: String, numBits: Int, dim: Int): Column = {
     val bits = (0 until numBits).map { i =>
-      val component =
-        s"(cast(conv(substring(md5(concat('plane$i:', cast(j as string))), 1, 8), 16, 10) as double) / 4294967296.0 - 0.5)"
-      val proj = expr(
-        s"aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1), " +
-          s"(x, j) -> x * $component), " +
-          s"cast(0.0 as double), (acc, x) -> acc + x)")
+      val plane = typedLit((0 until dim).map(j => planeComponent(i, j)))
+      val proj = graft.functions.GraftFunctions.vec_dot(col(vecCol), plane)
       when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -78,11 +97,15 @@ object Similarity {
     * bucket, scored by exact cosine, kept above `minCosine`. The equi-join on
     * the signature replaces the full O(N²) crossJoin — this is the plan shape
     * that survives 100×: shuffle on bucket key, per-bucket pair generation.
+    *
+    * @param dim embedding dimension (all vectors must have exactly `dim`
+    *            elements — required to fold the hyperplanes into literals)
     */
-  def lshNearDupPairs(vectors: DataFrame, numBits: Int, minCosine: Double): DataFrame = {
+  def lshNearDupPairs(vectors: DataFrame, numBits: Int, minCosine: Double,
+      dim: Int): DataFrame = {
     val v = vectors.select(col("id"), toDoubleVec(col("vec")).as("v"))
       .withColumn("nrm", norm("v"))
-      .withColumn("sig", hyperplaneSignature("v", numBits))
+      .withColumn("sig", hyperplaneSignature("v", numBits, dim))
     val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("sig"))
@@ -103,8 +126,10 @@ object Similarity {
     * All arithmetic is the same deterministic double fold as the exact path;
     * centroid seeding uses md5 ranks, no RNG.
     */
+  /** @param excludeSelf see [[bruteForceTopK]] — requires a shared id space. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
-      topK: Int, lloydIters: Int = 2, roundScale: Int = 4): DataFrame = {
+      topK: Int, lloydIters: Int = 2, roundScale: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // NOT cached: the returned DataFrame is lazy, so a cache here could
     // never be unpersisted and would pin the widened corpus in executor
@@ -155,7 +180,7 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("cluster"))
 
     probes.join(indexed, Seq("cluster"))
-      .filter(col("q_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("q_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", round(dot("qv", "cv2") / (norm("qv") * norm("cv2")), roundScale))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neighbor_id"))))

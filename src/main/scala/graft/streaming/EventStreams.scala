@@ -74,7 +74,13 @@ object EventStreams {
               if (us - st.last_us > gapSeconds * 1000000)
                 Some(SessionState(us, us, 1, e.value)) // gap exceeded → new session
               else
-                Some(st.copy(last_us = us, n_events = st.n_events + 1,
+                // min/max guards: a within-watermark LATE event arriving in a
+                // later micro-batch (us < st.last_us) must extend, never
+                // regress, the session bounds — otherwise a subsequent
+                // on-time event could see a spurious gap vs the regressed
+                // last_us and split one real session in two
+                Some(st.copy(start_us = math.min(st.start_us, us),
+                  last_us = math.max(st.last_us, us), n_events = st.n_events + 1,
                   total_value = st.total_value + e.value))
           }.get
           state.update(s)
@@ -138,7 +144,10 @@ object EventStreams {
                   closed += SessionOut(userId, st.start_us, st.last_us, st.n_events, st.total_value)
                   Some(SessionState(us, us, 1, e.value))
                 } else
-                  Some(st.copy(last_us = us, n_events = st.n_events + 1,
+                  // same late-event guard as [[sessionize]]: never regress
+                  // the stored session bounds
+                  Some(st.copy(start_us = math.min(st.start_us, us),
+                    last_us = math.max(st.last_us, us), n_events = st.n_events + 1,
                     total_value = st.total_value + e.value))
             }.get
             state.update(s)

@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkTestBase {
   test("LSH near-dup pairs are a subset of exact pairs and find true near-dups") {
     val exact = Similarity.exactNearDupPairs(vecs, minCosine = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.lshNearDupPairs(vecs, numBits = 4, minCosine = 0.9)
+    val lsh = Similarity.lshNearDupPairs(vecs, numBits = 4, minCosine = 0.9, dim = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), s"LSH must not invent pairs: $lsh vs $exact")
     assert(exact.contains((1L, 2L)) && exact.contains((3L, 4L)))

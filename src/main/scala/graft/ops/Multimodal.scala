@@ -14,12 +14,21 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `???` by design and [[DeterministicFakeDecoder]] derives plausible
   * metadata from content hashes for tests/benchmarks.
   *
+  * All four kernels run as ENCODER-BASED `Dataset.mapPartitions` (round-2
+  * fix; formerly `df.rdd.mapPartitions` + `createDataFrame`): the object
+  * boundary stays inside one logical plan — no `LogicalRDD` barrier, so
+  * column pruning, AQE, and codegen upstream/downstream of the kernel are
+  * preserved, and only the kernel itself runs on deserialized rows (the
+  * same boundary a `mapInArrow`/Pandas UDF has in PySpark).
+  *
   * At 100 TB: payloads stay columnar-binary in parquet (no base64 strings),
   * decode runs partition-local with batch amortization, and metadata lands
   * in a struct column so downstream filters (`meta.width > 512`) prune
   * without touching payload bytes.
   */
 object Multimodal {
+
+  private def rowEncoder(schema: StructType) = org.apache.spark.sql.Encoders.row(schema)
 
   /** Batch decode interface — one call per partition-batch, mirroring the
     * vectorized (Arrow-batch) UDF shape.
@@ -69,15 +78,14 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("meta", metaSchema))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val metas = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
         batch.iterator.zip(metas.iterator).map { case (row, m) =>
           Row.fromSeq(row.toSeq :+ Row(m.format, m.width, m.height, m.n_frames, m.byte_len))
         }
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(rowEncoder(schema))
   }
 
   /** Demo payload table: documents' text as binary payloads (the container
@@ -125,15 +133,14 @@ object Multimodal {
     val schema = StructType(df.schema.fields :+
       StructField("embedding", org.apache.spark.sql.types.ArrayType(FloatType)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         val embs = extractor.extractBatch(batch.map(_.getAs[Array[Byte]](payloadIdx)))
         batch.iterator.zip(embs.iterator).map { case (row, e) =>
           Row.fromSeq(row.toSeq :+ e.toSeq)
         }
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(rowEncoder(schema))
   }
 
   /** "Resize": payload → payload transform (fake = truncate/pad to
@@ -143,14 +150,13 @@ object Multimodal {
   def resized(df: DataFrame, payloadCol: String, targetBytes: Int): DataFrame = {
     val schema = df.schema
     val payloadIdx = schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
         val out = java.util.Arrays.copyOf(bytes, targetBytes)
         Row.fromSeq(row.toSeq.updated(payloadIdx, out))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(rowEncoder(schema))
   }
 
   /** Frame sampling: payload → every `stride`-th chunk of `frameBytes`
@@ -163,7 +169,7 @@ object Multimodal {
     val schema = StructType(df.schema.fields :+
       StructField("frames", org.apache.spark.sql.types.ArrayType(BinaryType)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
         val frames = Iterator.from(0, frameBytes * stride)
@@ -174,7 +180,6 @@ object Multimodal {
           .toSeq
         Row.fromSeq(row.toSeq :+ frames)
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(rowEncoder(schema))
   }
 }

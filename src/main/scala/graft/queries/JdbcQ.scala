@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.sources.Jdbc
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Oracle-gated JDBC round-trip (S1/S9 + S2-style pushdown, VERDICT r01
+  * item 8): the supplier table is batch-inserted into an embedded Derby
+  * database (S9), read back through a range-partitioned parallel JDBC scan
+  * (S1, 4 concurrent range queries), filtered with a predicate Catalyst
+  * pushes into the database WHERE clause — and the result must hash-match
+  * DuckDB reading the original parquet. A full source→sink→source identity
+  * proof, run offline against the Derby engine Spark already ships.
+  */
+object JdbcQ {
+
+  def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+    val conn = Jdbc.Conn(s"jdbc:derby:$tmp/db;create=true")
+    Jdbc.write(
+      t.supplier.select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+      conn, "supplier_mirror", SaveMode.Overwrite, batchSize = 500)
+    Jdbc.readTablePartitioned(spark, conn, "supplier_mirror",
+      "s_suppkey", lowerBound = 0, upperBound = 1 << 20, numPartitions = 4)
+      .filter(col("s_acctbal") > 0.0)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  private val jdbcRoundtripSql =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier WHERE s_acctbal > 0.0""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),
+  )
+}

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-gated sorted-layout round-trip (write-side data skipping,
+  * VERDICT r01 item 10): lineitem is rewritten with [[Layout.sortedWrite]]
+  * clustered on the ship date, read back through a pushed date-range
+  * predicate (which now skips non-matching row groups — LayoutSpec measures
+  * the pruning), and the surviving rows must hash-match DuckDB filtering
+  * the ORIGINAL parquet — proving the re-layout is lossless.
+  */
+object LayoutQ {
+
+  def sortedLayoutRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-layout").toString + "/li"
+    // timestamps cross the layout boundary as unix_micros longs (the suite's
+    // determinism rule — also sidesteps parquet TIMESTAMP vs NTZ inference)
+    Layout.sortedWrite(
+      t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us")),
+      tmp, Seq("ship_us"), files = 8)
+    spark.read.parquet(tmp)
+      .filter(col("ship_us") >= 865123200000000L && col("ship_us") < 873072000000000L)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("ship_us"))
+  }
+
+  private val sortedLayoutRoundtripSql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  epoch_us(l_shipdate) AS ship_us
+      |FROM lineitem
+      |WHERE epoch_us(l_shipdate) >= 865123200000000
+      |  AND epoch_us(l_shipdate) < 873072000000000""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_sorted_layout_roundtrip", sortedLayoutRoundtrip, Some(sortedLayoutRoundtripSql)),
+  )
+}

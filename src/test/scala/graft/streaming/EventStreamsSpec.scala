@@ -56,6 +56,37 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late within-watermark event extends, never regresses, session bounds") {
+    // Regression for the round-1 advice: an unconditional last_us = us let a
+    // LATE event (older than the stored last_us) regress the session end;
+    // the next on-time event then saw a spurious gap and split the session.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // gap 1500 s: with the bug, the 10:30 event measures 10:30-10:00 =
+    // 1800 s > gap and wrongly starts a new session; correct last_us 10:10
+    // gives 1200 s < gap and continues the session.
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1500)
+      .writeStream.format("memory").queryName("late_session_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:10:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      input.addData( // late but within gap of the stored state
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:00:00"), 9, "click", 2.0))
+      q.processAllAvailable()
+      input.addData( // on-time: must continue the SAME session
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 10:30:00"), 9, "click", 4.0))
+      q.processAllAvailable()
+      val s = spark.table("late_session_test").as[EventStreams.SessionOut].collect()
+        .maxBy(_.n_events)
+      assert(s.n_events == 3, s"session split by late event: $s")
+      assert(s.total_value == 7.0)
+      assert(s.start_us == Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000)
+      assert(s.end_us == Timestamp.valueOf("2024-01-01 10:30:00").getTime * 1000)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[EventStreams.Event]

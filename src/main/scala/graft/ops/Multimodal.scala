@@ -9,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * The Spark-side structure is real and tested — schema, partition-preserving
   * `mapPartitions`, batched decode shape (decoders see a whole batch, the
-  * vectorized-UDF shape) — while the actual media decoding is STUBBED: this
-  * container ships no image/audio libraries, so [[RealMediaDecoder]] is
-  * `???` by design and [[DeterministicFakeDecoder]] derives plausible
-  * metadata from content hashes for tests/benchmarks.
+  * vectorized-UDF shape) — and for IMAGES the decode itself is real too:
+  * [[ImageIoDecoder]] and [[ImagePoolingExtractor]] are backed by the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF), no external libraries.
+  * [[DeterministicFakeDecoder]] remains for payload-agnostic tests and
+  * benchmarks; video/audio codecs implement the same interfaces where
+  * their libraries exist.
   *
   * All four kernels run as ENCODER-BASED `Dataset.mapPartitions` (round-2
   * fix; formerly `df.rdd.mapPartitions` + `createDataFrame`): the object
@@ -53,12 +55,39 @@ object Multimodal {
       }
   }
 
-  /** Real decoder — intentionally unimplemented in this environment (no
-    * image/audio libs in the container); wire a JNI/javax.imageio-backed
-    * implementation where available.
+  /** REAL image decoder backed by `javax.imageio` (ships in the JDK —
+    * PNG/JPEG/BMP/GIF/WBMP, no external libraries). Reads format and
+    * dimensions from the header WITHOUT decoding pixel data (reader
+    * metadata only), so it stays cheap on large payloads; frame count is
+    * probed for multi-frame containers (GIF). Non-image payloads decode to
+    * `("unknown", -1, -1, 0, len)` rather than throwing — at 100 TB a
+    * poison payload must not kill the stage.
+    *
+    * Video/audio containers need external codecs: implement the same
+    * [[MediaDecoder]] interface with them where available — the interface,
+    * not a stub object, is the extension point.
     */
-  object RealMediaDecoder extends MediaDecoder {
-    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] = ???
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+      payloads.map { bytes =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) MediaMeta("unknown", -1, -1, 0, bytes.length.toLong)
+          else {
+            val r = readers.next()
+            r.setInput(in)
+            try {
+              val frames =
+                try math.max(1, r.getNumImages(true))
+                catch { case _: Exception => 1 }
+              MediaMeta(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+                frames, bytes.length.toLong)
+            } finally r.dispose()
+          }
+        } finally if (in != null) in.close()
+      }
   }
 
   val metaSchema: StructType = StructType(Seq(
@@ -119,9 +148,43 @@ object Multimodal {
       }
   }
 
-  object RealFeatureExtractor extends FeatureExtractor {
-    override def dim: Int = ???
-    override def extractBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = ???
+  /** REAL image embedding (JDK-only): decode via ImageIO, convert to
+    * luminance, mean-pool onto a `grid`×`grid` patch grid → a dim=grid²
+    * embedding in [0, 1]. Deterministic, codec-backed, and shaped exactly
+    * like a learned-vision embedding for the ANN operators downstream;
+    * undecodable payloads embed as the zero vector (poison-safe).
+    */
+  final class ImagePoolingExtractor(grid: Int = 4) extends FeatureExtractor {
+    override val dim: Int = grid * grid
+    override def extractBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) Array.fill(dim)(0.0f)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = Array.fill(dim)(0.0)
+          val counts = Array.fill(dim)(0L)
+          var y = 0
+          while (y < h) {
+            val gy = math.min(grid - 1, y * grid / h)
+            var x = 0
+            while (x < w) {
+              val cell = gy * grid + math.min(grid - 1, x * grid / w)
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 0.299 +
+                ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+              sums(cell) += lum
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Array.tabulate(dim)(i =>
+            if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+        }
+      }
   }
 
   /** Attach an `embedding array<float>` column — the bridge from multimodal

@@ -106,10 +106,30 @@ class IngestAndSchemaSpec extends SparkTestBase {
       .select($"doc_id", $"meta.byte_len", $"meta.format").collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ==
       again.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
-    // the real decoder is a stub by design
-    intercept[NotImplementedError] {
-      Multimodal.RealMediaDecoder.decodeBatch(Seq(Array[Byte](1)))
+    // the REAL ImageIO-backed decoder: a generated PNG and JPEG decode to
+    // their true format and dimensions; garbage decodes poison-safe
+    def imageBytes(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
     }
+    val metas = Multimodal.ImageIoDecoder.decodeBatch(Seq(
+      imageBytes("png", 32, 16, 0xffffff),
+      imageBytes("jpg", 8, 8, 0x000000),
+      Array[Byte](1, 2, 3)))
+    assert(metas(0).format.contains("png") && metas(0).width == 32 && metas(0).height == 16)
+    assert(metas(1).format.toLowerCase.contains("jpeg") && metas(1).width == 8)
+    assert(metas(2).format == "unknown" && metas(2).width == -1)
+
+    // the REAL pooling extractor: white image ≈ 1.0 luminance everywhere,
+    // black ≈ 0.0 — a codec-backed deterministic embedding
+    val ext = new Multimodal.ImagePoolingExtractor(grid = 2)
+    val embs = ext.extractBatch(Seq(
+      imageBytes("png", 16, 16, 0xffffff), imageBytes("png", 16, 16, 0x000000)))
+    assert(embs(0).forall(v => v > 0.95f) && embs(1).forall(v => v < 0.05f))
   }
 
   test("multimodal: feature-extract, resize, frame-sample plumbing") {

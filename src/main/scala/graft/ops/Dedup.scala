@@ -94,15 +94,22 @@ object Dedup {
     * a self-join of the derived `bands` plan would recompute the whole
     * doc→shingle→signature→band pipeline for each side (the ×2 input scan
     * the round-1 judge flagged on q37). Sorting the collected set makes
-    * doc_a < doc_b structural. Bucket fan-out is quadratic ONLY within a
-    * bucket — run exact dedup first ([[Dedup.exact]], as
-    * [[graft.ops.Corpus]] does) so identical documents can't pile into one
-    * giant bucket.
+    * doc_a < doc_b structural.
+    *
+    * Bucket fan-out is quadratic ONLY within a bucket, and each bucket's
+    * pair array materializes in ONE task — `maxBucketSize` caps it. Buckets
+    * beyond the cap (k² pairs ≥ ~16M at the default) are an
+    * identical-signature MASS — an exact-dup family or degenerate banding —
+    * whose pairwise expansion is useless for near-dup detection and would
+    * OOM whichever formulation generated it; they are excluded and should
+    * be collapsed by exact dedup upstream ([[Dedup.exact]], as
+    * [[graft.ops.Corpus]] does).
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+  def candidatePairs(bands: DataFrame, idCol: String,
+      maxBucketSize: Int = 4096): DataFrame =
     bands.groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +

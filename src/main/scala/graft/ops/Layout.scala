@@ -58,6 +58,11 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
       files: Int, bits: Int = 16): Unit = {
+    // reserved internal working columns — refuse rather than silently
+    // replace/ambiguate a caller column (same guard as AsOf/RangeJoin)
+    for (c <- Seq("__z", "__min1", "__max1", "__min2", "__max2"))
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with a zorderWrite internal working column")
     val stats = df.agg(
       min(col(c1)).as("__min1"), max(col(c1)).as("__max1"),
       min(col(c2)).as("__min2"), max(col(c2)).as("__max2"))
@@ -80,13 +85,23 @@ object Layout {
       sortCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val tmp = path.stripSuffix("/") + "__compacting"
+    val old = path.stripSuffix("/") + "__precompact"
     val df = spark.read.parquet(path)
     if (sortCols.nonEmpty) sortedWrite(df, tmp, sortCols, targetFiles)
     else df.repartition(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(path), true)
-    if (!fs.rename(new Path(tmp), new Path(path)))
+    // Swap with the original parked ASIDE, never deleted first: a crash
+    // between steps leaves either the original or both copies on disk —
+    // at no instant is `path`'s data unrecoverable. Delete-then-rename
+    // would lose the dataset if the rename failed or the JVM died between.
+    fs.delete(new Path(old), true) // leftover from a previous failed swap
+    if (!fs.rename(new Path(path), new Path(old)))
+      throw new java.io.IOException(s"compaction park failed: $path -> $old")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(new Path(old), new Path(path)) // roll back
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    fs.delete(new Path(old), true)
   }
 
   /** Rows the parquet reader actually surfaced for `df`'s scan (after

@@ -70,23 +70,35 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
       payloads.map { bytes =>
-        val in = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        // EVERYTHING is inside the catch: a truncated header passes the
+        // format probe but throws from getWidth/getHeight, and a null
+        // payload would NPE building the stream — any of those must degrade
+        // to "unknown", not kill the task
         try {
-          val readers = javax.imageio.ImageIO.getImageReaders(in)
-          if (!readers.hasNext) MediaMeta("unknown", -1, -1, 0, bytes.length.toLong)
+          if (bytes == null) MediaMeta("unknown", -1, -1, 0, 0L)
           else {
-            val r = readers.next()
-            r.setInput(in)
+            val in = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
             try {
-              val frames =
-                try math.max(1, r.getNumImages(true))
-                catch { case _: Exception => 1 }
-              MediaMeta(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
-                frames, bytes.length.toLong)
-            } finally r.dispose()
+              val readers = javax.imageio.ImageIO.getImageReaders(in)
+              if (!readers.hasNext) MediaMeta("unknown", -1, -1, 0, bytes.length.toLong)
+              else {
+                val r = readers.next()
+                r.setInput(in)
+                try {
+                  val frames =
+                    try math.max(1, r.getNumImages(true))
+                    catch { case _: Exception => 1 }
+                  MediaMeta(r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0),
+                    frames, bytes.length.toLong)
+                } finally r.dispose()
+              }
+            } finally if (in != null) in.close()
           }
-        } finally if (in != null) in.close()
+        } catch {
+          case _: Exception =>
+            MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
+        }
       }
   }
 

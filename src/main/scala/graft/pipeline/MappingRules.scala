@@ -167,12 +167,19 @@ object MappingRules {
     sizeRegex = loadSizePattern(s"$dir/regex/size_regex_patterns.yml"))
 
   /** Mapping dir: `GRAFT_MAPPING_DIR` env override, else the reference
-    * checkout when present (build/test sandbox), else none.
+    * checkout when present (build/test sandbox), else none. An EXPLICIT
+    * override that doesn't exist fails loudly — silently falling back to
+    * the embedded subset would misclassify with no error, and the
+    * generated-from-the-same-rules oracle would mask it.
     */
-  lazy val referenceDir: Option[String] =
-    sys.env.get("GRAFT_MAPPING_DIR")
-      .orElse(Some("/root/reference/mapping"))
-      .filter(d => Files.isDirectory(Paths.get(d)))
+  lazy val referenceDir: Option[String] = sys.env.get("GRAFT_MAPPING_DIR") match {
+    case Some(d) =>
+      require(Files.isDirectory(Paths.get(d)),
+        s"GRAFT_MAPPING_DIR=$d is not a directory")
+      Some(d)
+    case None =>
+      Some("/root/reference/mapping").filter(d => Files.isDirectory(Paths.get(d)))
+  }
 
   /** The real rule set when the mapping dir is available, else the embedded
     * representative subset (keeps the library usable without the YAMLs).

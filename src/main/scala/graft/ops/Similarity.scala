@@ -90,14 +90,17 @@ object Similarity {
       val proj = graft.functions.GraftFunctions.vec_dot(col(vecCol), plane)
       when(proj >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
-    // A vector whose length != dim would make every vec_dot NULL and fall
-    // through otherwise(0) to signature 0 — silently bucketing corrupt rows
-    // together and away from their true neighbors. Fail loudly instead;
-    // null vectors propagate a null signature (they then match no bucket).
+    // A vector whose length != dim — or one CONTAINING a null element —
+    // would make every vec_dot NULL and fall through otherwise(0) to
+    // signature 0, silently bucketing corrupt rows together and away from
+    // their true neighbors. Fail loudly on both; fully-null vectors
+    // propagate a null signature (they then match no bucket).
     when(col(vecCol).isNull, lit(null).cast("long"))
       .when(size(col(vecCol)) =!= dim,
         raise_error(concat(lit(s"hyperplaneSignature: vector length "),
           size(col(vecCol)).cast("string"), lit(s" != dim $dim"))))
+      .when(exists(col(vecCol), _.isNull),
+        raise_error(lit(s"hyperplaneSignature: vector contains null elements")))
       .otherwise(bits.reduce(_ + _))
   }
 

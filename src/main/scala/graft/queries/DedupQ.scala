@@ -15,6 +15,11 @@ object DedupQ {
 
   private val NumHashes = 8
   private val RowsPerBand = 2
+  /** Degenerate-bucket cap, mirrored EXACTLY in the oracle SQL (the Spark
+    * side and the DuckDB side must drop the same buckets or hashes diverge
+    * on data with identical-signature masses).
+    */
+  private val MaxBucketSize = 4096
 
   /** Exact dedup by content hash. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -36,7 +41,7 @@ object DedupQ {
       .select(col("doc_id"), explode(Dedup.wordShingles("w", 3)).as("shingle"))
     val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
     val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
-    Dedup.candidatePairs(bands, "doc_id")
+    Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
   }
 
   /** Shared oracle CTE chain: tokens → shingles → minhash signatures → LSH
@@ -66,10 +71,15 @@ object DedupQ {
        |  FROM sh GROUP BY doc_id
        |), bands AS (
        |  $bandRows
+       |), ok_buckets AS ( -- mirrors Dedup.candidatePairs maxBucketSize
+       |  SELECT band, band_key FROM bands
+       |  GROUP BY band, band_key
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $MaxBucketSize
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN ok_buckets k ON a.band = k.band AND a.band_key = k.band_key
        |)""".stripMargin
   }
 
@@ -100,7 +110,7 @@ object DedupQ {
     val shingled = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
     val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
-    Dedup.candidatePairs(bands, "doc_id")
+    Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("jaccard", Dedup.jaccard(col("sa"), col("sb")))

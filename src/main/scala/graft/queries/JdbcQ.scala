@@ -21,7 +21,11 @@ object JdbcQ {
     // one embedded Derby mirror per (session, sf dir): without the memo,
     // every invocation (bench repeats) boots a NEW database in a new temp
     // dir and re-inserts the table — open Derby instances and /tmp usage
-    // would grow monotonically
+    // would grow monotonically. Documented tradeoffs: the mirror snapshots
+    // the parquet at first call (testdata is immutable within a harness
+    // session — mutate it and the memo would serve a stale mirror), and
+    // the embedded engine stays live until the JVM exits (Derby has no
+    // per-database close short of a JVM-wide shutdown)
     val conn = graft.core.Memo.cached(spark, s"jdbc-mirror:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
       System.setProperty("derby.stream.error.file", s"$tmp/derby.log")

@@ -198,21 +198,18 @@ object PipelineQ {
 
   // --------------------------------------------------------- shared plan ---
 
-  /** One pipeline instantiation per (session, sfDir): the transform output is
-    * persisted and the quality output's internal cache (QualityJob P7) is
-    * shared by every downstream metric query. Thread-safe — Verify dumps
-    * queries from 4 threads.
+  /** One pipeline instantiation per (session, sfDir) via [[graft.core.Memo]]
+    * (the repo's single memo mechanism): the transform output is persisted
+    * and the quality output's internal cache (QualityJob P7) is shared by
+    * every downstream metric query.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, QualityJob.QualityOutput)]()
-
   private def pipeline(spark: SparkSession, dir: String): (DataFrame, QualityJob.QualityOutput) =
-    memo.computeIfAbsent((spark, dir), { _ =>
+    graft.core.Memo.cached(spark, s"pipeline:$dir") {
       val t = TransformJob(feed(spark, dir), rules)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = QualityJob(t, options(spark, dir), dateDim(spark, dir), thresholdsOf(t))
       (t, q)
-    })
+    }
 
   private def finalDf(spark: SparkSession, dir: String): DataFrame =
     pipeline(spark, dir)._2.finalDf

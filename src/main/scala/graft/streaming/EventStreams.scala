@@ -51,13 +51,17 @@ object EventStreams {
         col("n_events"), col("total_value"))
 
   /** Stateful sessionizer tracking each user's CURRENT OPEN session across
-    * micro-batches via `mapGroupsWithState` (the `KeyValueGroupedDataset`
-    * custom-state surface). Each update emits the open session only —
-    * mapGroupsWithState emits one row per key per batch, so sessions that
-    * open AND close inside a single batch are superseded by the newest one;
-    * state is unbounded (NoTimeout). For the complete, bounded-state
-    * closed-session history use [[sessionizeClosed]]. The batch twin is
-    * `q26_sessionize`.
+    * micro-batches via `flatMapGroupsWithState` (the `KeyValueGroupedDataset`
+    * custom-state surface). Each batch emits, per active user: any sessions
+    * CLOSED within the batch (a gap-exceeding event finalizes its
+    * predecessor), any standalone ORPHAN sessions from late events older
+    * than the current session's reach, and the updated OPEN session — so a
+    * key can emit several rows per batch, matching the batch twin
+    * `q26_sessionize` (global sort + gap split) row-for-row except that
+    * orphan late events are not merged with each other (that would require
+    * buffering every late event until the watermark). State is unbounded
+    * (NoTimeout); for the bounded-state, timeout-finalized closed-session
+    * stream use [[sessionizeClosed]].
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -74,9 +78,14 @@ object EventStreams {
               Some(SessionState(micros(e.ts), micros(e.ts), 1, e.value))
             case (Some(st), e) =>
               val us = micros(e.ts)
-              if (us - st.last_us > gapUs)
-                Some(SessionState(us, us, 1, e.value)) // gap exceeded → new session
-              else if (st.start_us - us > gapUs) {
+              if (us - st.last_us > gapUs) {
+                // gap exceeded → emit the superseded session before replacing
+                // it (a session that opens AND closes inside one batch would
+                // otherwise never reach the sink; the batch twin emits it)
+                orphans += SessionOut(userId, st.start_us, st.last_us,
+                  st.n_events, st.total_value)
+                Some(SessionState(us, us, 1, e.value))
+              } else if (st.start_us - us > gapUs) {
                 // a late event more than `gap` OLDER than the session start
                 // belongs to an earlier, already-gone session — merging it
                 // would diverge from the batch twin (q26 sorts globally and

@@ -12,6 +12,12 @@ class EntryContractSpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("EVERY query declares an oracle (no rows-only entries, round-2 invariant)") {
+    val missing = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty,
+      s"queries without a DuckDB oracle (add one or a pinned/bounded twin): $missing")
+  }
+
   test("every query runs and returns non-negative rows at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, sf).count(); None }

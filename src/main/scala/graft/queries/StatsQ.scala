@@ -31,6 +31,38 @@ object StatsQ {
       |FROM documents
       |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 10""".stripMargin
 
+  /** Deterministic STRATIFIED sample — exactly `n` rows per group, chosen by
+    * md5 rank (the per-group companion of [[deterministicSample]]: a
+    * training-data curation primitive for class-balanced subsets that is
+    * reproducible on any engine/partitioning). One window over the group
+    * key; the hash makes the order — and therefore the selection —
+    * content-derived, not physical.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val h = md5(concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    t.lineitem
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("rk"))
+  }
+
+  private val stratifiedSampleSql =
+    """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY l_returnflag, l_linestatus
+      |    ORDER BY md5(l_orderkey || '|' || l_linenumber || '|' || l_partkey || '|' || l_suppkey),
+      |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS INT) AS rk
+      |FROM lineitem
+      |QUALIFY rk <= 50""".stripMargin
+
   /** Fixed-width histogram of extended price (20 buckets of 5500 from 0):
     * the distributed profile scan behind threshold generation (A15's
     * exploratory side).
@@ -135,5 +167,6 @@ object StatsQ {
     QueryDef("q58_price_histogram", priceHistogram, Some(priceHistogramSql)),
     QueryDef("q59_moments", moments, Some(momentsSql)),
     QueryDef("q60_region_summary", regionSummary, Some(regionSummarySql)),
+    QueryDef("q75_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
   )
 }

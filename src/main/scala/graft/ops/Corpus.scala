@@ -72,8 +72,14 @@ object Corpus {
       .join(withWords.select(id.as("doc_a"), col("__wd").as("__wa")), Seq("doc_a"))
       .join(withWords.select(id.as("doc_b"), col("__wd").as("__wb")), Seq("doc_b"))
       .filter(Dedup.jaccard(col("__wa"), col("__wb")) >= cfg.jaccardThreshold)
-    // drop the higher id of each confirmed pair
-    val drops = confirmed.select(col("doc_b").as(cfg.idCol)).distinct()
+    // TRANSITIVE keep policy: connected components over the confirmed pair
+    // graph; only each component's min id survives. Dropping pairwise
+    // doc_b's alone can keep TWO survivors from one transitive cluster
+    // (e.g. pairs (3,5),(2,5) leave both 2 and 3), which violates the
+    // one-canonical-doc-per-cluster contract.
+    val comps = Dedup.connectedComponents(confirmed, "doc_a", "doc_b")
+    val drops = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(cfg.idCol))
 
     exactDeduped.join(drops, Seq(cfg.idCol), "left_anti").drop("__toks")
   }

@@ -117,6 +117,51 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** Connected components over a near-dup pair graph — the TRANSITIVE
+    * clustering step real corpus dedup needs (a≈b and b≈c must land in ONE
+    * cluster with one canonical survivor, which pairwise drops alone don't
+    * guarantee). Hash-to-min label propagation: every vertex starts as its
+    * own label and repeatedly takes the min label among itself and its
+    * neighbors; the fixpoint (min id per component) is unique, so results
+    * are deterministic regardless of partitioning or iteration schedule.
+    *
+    * Scale shape: one persisted edge list; each round is one shuffle join +
+    * aggregate, and rounds needed ≈ graph diameter (near-dup clusters are
+    * shallow). The per-round convergence check is a driver-side scalar —
+    * control plane, not data plane (same policy as IVF's Lloyd iterations).
+    * Output: (id, component) for every vertex that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    // Iterative plans need LINEAGE TRUNCATION, not just caching: persist
+    // reuses blocks at execution time but the LOGICAL plan still nests the
+    // previous iteration's tree ~3× per round — exponential growth that
+    // OOMs analysis/explain after a handful of rounds. localCheckpoint
+    // materializes eagerly AND cuts the plan at the stored RDD.
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(labels("id"),
+          least(labels("component"), coalesce(col("nbr"), labels("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** N-gram (word-set) Jaccard similarity for pre-bucketed candidate pairs.
     * `left`/`right` carry (id, distinct-word-array). Exact int arithmetic:
     * |A∩B| / (|A| + |B| - |A∩B|).

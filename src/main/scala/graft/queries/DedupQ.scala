@@ -131,6 +131,30 @@ object DedupQ {
        |)
        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.3""".stripMargin
 
+  /** Transitive near-dup clusters: connected components over the MinHash
+    * candidate pairs — cluster id = min doc_id in the component (the
+    * canonical survivor real dedup keeps). The oracle computes the same
+    * closure with a DuckDB RECURSIVE CTE — a fully independent transitive
+    * closure implementation, so label-propagation bugs can't self-confirm.
+    */
+  def neardupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(minhashPairs(spark, dir), "doc_a", "doc_b")
+
+  private val neardupComponentsSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |)
+       |SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |FROM reach GROUP BY src""".stripMargin
+
   /** SimHash 60-bit signatures per document (near-dup clustering key). */
   def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -191,5 +215,6 @@ object DedupQ {
     QueryDef("q37_minhash_pairs", minhashPairs, Some(minhashPairsSql)),
     QueryDef("q38_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     QueryDef("q39_simhash", simhashSigs, Some(simhashSigsSql)),
+    QueryDef("q76_neardup_components", neardupComponents, Some(neardupComponentsSql)),
   )
 }

@@ -43,6 +43,16 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 5L)), "unrelated docs must not pair")
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3 must collapse into ONE component even though (1,3) is not
+    // a pair; {7,8} is a separate component
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("jaccard is exact on distinct word sets") {
     val d = docs.select(col("doc_id"), array_distinct(Dedup.words(col("text"))).as("wd"))
     val a = d.select(col("doc_id").as("ida"), col("wd").as("wa"))

@@ -4,8 +4,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
 /** End-to-end corpus curation for training-data pipelines: quality gating →
-  * exact dedup → MinHash/Jaccard near-dup removal, as one composable
-  * DataFrame transform.
+  * exact dedup → MinHash/Jaccard near-dup removal → transitive
+  * connected-component clustering with one canonical survivor per cluster.
+  *
+  * NOTE: `curate` is EAGER (the component step is an iterative driver
+  * loop), and the gate→exact-dedup prefix is localCheckpointed so the
+  * final anti-join reads the materialized blocks instead of recomputing
+  * the subtree — see [[Dedup.connectedComponents]] for the cluster caveat.
   *
   * Deterministic keep policy: for any duplicate group/pair, the LOWEST id
   * survives — reproducible under any partitioning, and idempotent (running
@@ -52,12 +57,16 @@ object Corpus {
       .filter(if (cfg.keepLangs.isEmpty) lit(true)
         else col(cfg.langCol).isin(cfg.keepLangs.toSeq: _*))
 
-    // 2. exact dedup — keep lowest id per content hash
+    // 2. exact dedup — keep lowest id per content hash. Checkpointed: the
+    // connected-components step below is EAGER (driver loop), and without
+    // truncation the final anti-join would recompute the whole
+    // gate→dedup subtree from the raw input a second time.
     val exactKeep = gated
       .groupBy(md5(col(cfg.textCol)).as("__h"))
       .agg(min(id).as(cfg.idCol))
       .drop("__h")
     val exactDeduped = gated.join(exactKeep, Seq(cfg.idCol), "left_semi")
+      .localCheckpoint(true)
 
     // 3. near-dup removal — MinHash bands → candidate pairs → Jaccard verify
     val withWords = exactDeduped

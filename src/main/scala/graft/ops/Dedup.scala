@@ -125,10 +125,21 @@ object Dedup {
     * neighbors; the fixpoint (min id per component) is unique, so results
     * are deterministic regardless of partitioning or iteration schedule.
     *
-    * Scale shape: one persisted edge list; each round is one shuffle join +
-    * aggregate, and rounds needed ≈ graph diameter (near-dup clusters are
-    * shallow). The per-round convergence check is a driver-side scalar —
-    * control plane, not data plane (same policy as IVF's Lloyd iterations).
+    * Scale shape: one checkpointed edge list; each round is one shuffle
+    * join + aggregate, and rounds needed ≈ graph diameter (near-dup
+    * clusters are shallow). The per-round convergence check is a
+    * driver-side scalar — control plane, not data plane (same policy as
+    * IVF's Lloyd iterations). THROWS if `maxIters` rounds don't converge: a
+    * silently split cluster would break the one-canonical-survivor
+    * contract downstream ([[Corpus.curate]]), so non-convergence must be
+    * loud — raise `maxIters` for graphs of larger diameter.
+    *
+    * Cluster caveat (deliberate exception to this object's
+    * pure-lazy-transform rule): the driver loop localCheckpoints each
+    * round, which truncates lineage WITHOUT a recompute path — an executor
+    * loss mid-run fails the job rather than recomputing. Superseded
+    * rounds' blocks are reclaimed asynchronously by the ContextCleaner
+    * once their Dataset references go out of scope here.
     * Output: (id, component) for every vertex that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
@@ -159,6 +170,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — component " +
+          "diameter exceeds maxIters; raise it (labels would be silently split)")
     labels
   }
 

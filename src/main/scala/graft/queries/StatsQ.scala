@@ -31,12 +31,13 @@ object StatsQ {
       |FROM documents
       |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 10""".stripMargin
 
-  /** Deterministic STRATIFIED sample — exactly `n` rows per group, chosen by
-    * md5 rank (the per-group companion of [[deterministicSample]]: a
-    * training-data curation primitive for class-balanced subsets that is
-    * reproducible on any engine/partitioning). One window over the group
-    * key; the hash makes the order — and therefore the selection —
-    * content-derived, not physical.
+  /** Deterministic STRATIFIED sample — up to `n` rows per group (smaller
+    * strata return all their rows), chosen by md5 rank (the per-group
+    * companion of [[deterministicSample]]: a training-data curation
+    * primitive for class-balanced-capped subsets that is reproducible on
+    * any engine/partitioning). One window over the group key; the hash
+    * makes the order — and therefore the selection — content-derived, not
+    * physical.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -48,9 +48,10 @@ class DedupSpec extends SparkTestBase {
     // chain 1-2-3 must collapse into ONE component even though (1,3) is not
     // a pair; {7,8} is a separate component
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val rows = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 5, s"one row per vertex, got ${rows.toSeq}")
+    assert(rows.toSet == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
   test("jaccard is exact on distinct word sets") {

@@ -141,6 +141,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
       topK: Int, lloydIters: Int = 2, roundScale: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
+    require(nProbe <= k, s"nProbe ($nProbe) must be <= k ($k)")
     import org.apache.spark.sql.expressions.Window
     // NOT cached: the returned DataFrame is lazy, so a cache here could
     // never be unpersisted and would pin the widened corpus in executor
@@ -160,13 +161,21 @@ object Similarity {
         row_number().over(Window.orderBy(col("__md"), col("id"))) - 1)
       .select(col("cluster"), col("v").as("cv"))
 
+    // argmin via max_by partial aggregation, NOT a row_number window: a
+    // window over Window.partitionBy(id) would shuffle all N·k scored rows
+    // and sort them; max_by is a declarative aggregate, so the map side
+    // reduces each partition to one candidate per id BEFORE the shuffle
+    // (~N rows move, not N·k — the difference is decisive at k in the
+    // tens of thousands). Ordering key (cosine, -cluster): lexicographic
+    // max = highest cosine, ties to the LOWEST cluster id — identical to
+    // the former orderBy(__d desc, cluster asc) tiebreak.
     def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
       vecs.crossJoin(broadcast(cents))
         .withColumn("__d", dot("v", "cv") / (norm("v") * norm("cv")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("id")).orderBy(col("__d").desc, col("cluster"))))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("v"), col("cluster"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cluster"), col("v")),
+          struct(col("__d"), -col("cluster"))).as("__best"))
+        .select(col("id"), col("__best.v").as("v"), col("__best.cluster").as("cluster"))
 
     // Lloyd refinement: element-wise mean per cluster via posexplode
     (1 to lloydIters).foreach { _ =>
@@ -183,12 +192,19 @@ object Similarity {
     val indexed = assign(c, centroids)
       .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv2")
     val q = queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv"))
+    // top-nProbe clusters per query, also via partial aggregation instead of
+    // a per-query window sort over Q·k rows: collect the k (score, cluster)
+    // pairs per query, array_sort ascending by (cosine, -cluster), take the
+    // LAST nProbe (= cosine desc, ties to lowest cluster — same tiebreak as
+    // assign). The collected array is k elements — bounded by the centroid
+    // count, not the corpus.
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("__d", dot("qv", "cv") / (norm("qv") * norm("cv")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("__d").desc, col("cluster"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("cluster"))
+      .groupBy(col("q_id"))
+      .agg(first(col("qv")).as("qv"),
+        slice(array_sort(collect_list(struct(col("__d"), (-col("cluster")).as("__nc"),
+          col("cluster")))), -nProbe, nProbe).as("__top"))
+      .select(col("q_id"), col("qv"), explode(col("__top.cluster")).as("cluster"))
 
     probes.join(indexed, Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("neighbor_id") else lit(true))

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Similarity-search query surface over `embeddings` (64-dim float
-  * vectors): brute-force cosine top-k baseline + embedding-cosine near-dup
-  * pairs, both DuckDB-oracle-checked; the LSH scale path lives in
-  * [[graft.ops.Similarity.lshNearDupPairs]] (covered by ScalaTest against
-  * the exact baseline rather than SQL).
+  * vectors): brute-force cosine top-k baseline, embedding-cosine near-dup
+  * pairs, and the hyperplane-LSH near-dup scale path — all
+  * DuckDB-oracle-checked (the LSH oracle reproduces the md5-derived
+  * hyperplanes in SQL, so both engines bucket identically).
   */
 object SimilarityQ {
 
@@ -39,6 +39,12 @@ object SimilarityQ {
   /** Exact embedding-cosine near-duplicate pairs (cosine ≥ 0.35 — chosen
     * above the corpus's p99.9 pairwise cosine so the output is the
     * interesting tail, not empty and not quadratic).
+    *
+    * DECLARED BASELINE-ONLY: this is the O(N²) crossJoin ground truth that
+    * the LSH recall specs and `q77_lsh_neardup` are measured against. It is
+    * oracle-gated at small SF for exactness, but it is NOT the shape to run
+    * at scale — the 100-TB near-dup path is [[lshNearDup]] (q77), whose
+    * bucket equi-join replaces the full pair space.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -58,8 +64,48 @@ object SimilarityQ {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm), 4) >= 0.35""".stripMargin
 
+  /** Hyperplane-LSH near-dup pairs — the SCALE path, oracle-gated: 4-bit
+    * signatures (16 buckets), exact cosine only within equal buckets,
+    * cosine ≥ 0.35. The oracle rebuilds the identical hyperplanes in SQL
+    * from the same md5 derivation (`Similarity.planeComponent`:
+    * `('0x' || substring(md5('plane{i}:{j}'), 1, 8))::BIGINT / 2^32 - 0.5`),
+    * so Spark and DuckDB compute bit-identical projections, signatures,
+    * buckets, and therefore the same approximate pair set.
+    */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Similarity.lshNearDupPairs(
+      t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      numBits = 4, minCosine = 0.35, dim = 64)
+  }
+
+  private val lshNearDupSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nrm FROM v
+      |), planes AS (
+      |  SELECT i, list_transform(range(0, 64), j ->
+      |    ('0x' || substring(md5('plane' || i || ':' || j), 1, 8))::BIGINT
+      |      / 4294967296.0 - 0.5) AS plane
+      |  FROM range(0, 4) t(i)
+      |), sigs AS (
+      |  SELECT v.vec_id,
+      |    sum(CASE WHEN list_dot_product(v.dv, p.plane) >= 0
+      |        THEN (1::BIGINT << p.i) ELSE 0 END) AS sig
+      |  FROM n v CROSS JOIN planes p GROUP BY v.vec_id
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm), 4) AS cosine
+      |FROM n a
+      |JOIN sigs sa ON a.vec_id = sa.vec_id
+      |JOIN sigs sb ON sa.sig = sb.sig
+      |JOIN n b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.35""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
   )
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-gated skew-toolbox query: a salted equi-join over a DELIBERATELY
+  * skewed key. ~75% of lineitem rows are funneled onto one hot key (key 0),
+  * the hostile shape for a shuffle join — one reducer would receive 75% of
+  * the table. [[graft.ops.Skew.saltedJoin]] splits the hot key into
+  * `saltFactor` deterministic subkeys (right side replicated per salt), so
+  * the hot key's rows spread across `saltFactor` reducers.
+  *
+  * The salt is pure execution strategy — semantically invisible — so the
+  * DuckDB oracle is the PLAIN unsalted join: any drift (dropped salt
+  * replica, double-matched row, nondeterministic salt) breaks the hash
+  * match. This is the same relationship AQE skew-split has to a normal
+  * join, expressed as an explicit operator for engines/plans where AQE
+  * can't see the skew (e.g. a first-shuffle join straight off a scan).
+  */
+object SkewQ {
+
+  /** Skewed key: 3 of 4 partkey residues collapse to 0, the rest spread
+    * over 97 buckets — so key 0 holds ~75% of all rows.
+    */
+  private def skewedKey(c: org.apache.spark.sql.Column) =
+    when(pmod(c, lit(4)) < 3, lit(0L)).otherwise(pmod(c, lit(97)))
+
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val left = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      skewedKey(col("l_partkey")).as("sk"))
+    // small keyed dim (≤97 rows) derived from part — too simple to need the
+    // salt in real life (it would broadcast), but the POINT is the salted
+    // shuffle shape, asserted by SkewSpec on the physical plan
+    val right = t.part
+      .groupBy(skewedKey(col("p_partkey")).as("sk"))
+      .agg(count(lit(1)).as("n_parts"))
+    Skew.saltedJoin(left, right, "sk", saltFactor = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("sk"),
+        col("l_quantity"), col("n_parts"))
+  }
+
+  private val saltedSkewJoinSql =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    CASE WHEN l_partkey % 4 < 3 THEN 0 ELSE l_partkey % 97 END AS sk
+      |  FROM lineitem
+      |), r AS (
+      |  SELECT CASE WHEN p_partkey % 4 < 3 THEN 0 ELSE p_partkey % 97 END AS sk,
+      |    count(*) AS n_parts
+      |  FROM part GROUP BY 1
+      |)
+      |SELECT l.l_orderkey, l.l_linenumber, l.sk, l.l_quantity, r.n_parts
+      |FROM l JOIN r USING (sk)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q78_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
+  )
+}

@@ -9,12 +9,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * The Spark-side structure is real and tested — schema, partition-preserving
   * `mapPartitions`, batched decode shape (decoders see a whole batch, the
-  * vectorized-UDF shape) — and for IMAGES the decode itself is real too:
-  * [[ImageIoDecoder]] and [[ImagePoolingExtractor]] are backed by the JDK's
-  * `javax.imageio` (PNG/JPEG/BMP/GIF), no external libraries.
+  * vectorized-UDF shape) — and for IMAGES and AUDIO the decode itself is
+  * real too: [[ImageIoDecoder]] / [[ImagePoolingExtractor]] are backed by
+  * the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF) and [[AudioSystemDecoder]]
+  * by `javax.sound.sampled` (WAV/AIFF/AU), no external libraries.
   * [[DeterministicFakeDecoder]] remains for payload-agnostic tests and
-  * benchmarks; video/audio codecs implement the same interfaces where
-  * their libraries exist.
+  * benchmarks; only VIDEO stays interface-only (no JDK video codec — plug
+  * a codec-backed [[MediaDecoder]] in where one exists).
   *
   * All four kernels run as ENCODER-BASED `Dataset.mapPartitions` (round-2
   * fix; formerly `df.rdd.mapPartitions` + `createDataFrame`): the object
@@ -96,6 +97,44 @@ object Multimodal {
             } finally if (in != null) in.close()
           }
         } catch {
+          case _: Exception =>
+            MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }
+  }
+
+  /** REAL audio decoder backed by `javax.sound.sampled.AudioSystem` (ships
+    * in the JDK — WAV/AIFF/AU/SND containers, no external libraries).
+    * `getAudioFileFormat` parses the HEADER only — no sample data is
+    * decoded, so cost is O(1) in payload size, like [[ImageIoDecoder]].
+    *
+    * [[MediaMeta]] mapping for audio: `format` = container type ("wave",
+    * "aiff", "au"), `width` = sample rate in Hz, `height` = channel count,
+    * `n_frames` = sample-frame count (-1 when the header doesn't carry it).
+    * Non-audio / truncated payloads degrade to `("unknown", -1, -1, 0,
+    * len)` — poison-safe, same contract as the image decoder. Compressed
+    * formats (MP3/OGG/AAC) need external SPI codecs: plug them in through
+    * the same [[MediaDecoder]] interface; only VIDEO remains interface-only
+    * in this container (no JDK video codec exists).
+    */
+  object AudioSystemDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+      payloads.map { bytes =>
+        try {
+          if (bytes == null) MediaMeta("unknown", -1, -1, 0, 0L)
+          else {
+            // ByteArrayInputStream supports mark/reset, which the SPI
+            // probe requires of its input
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = aff.getFormat
+            MediaMeta(aff.getType.getExtension.toLowerCase,
+              math.round(fmt.getSampleRate), fmt.getChannels,
+              aff.getFrameLength, bytes.length.toLong)
+          }
+        } catch {
+          // UnsupportedAudioFileException for non-audio; IOException and
+          // friends for truncated headers — all degrade, never kill a task
           case _: Exception =>
             MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
         }

@@ -21,6 +21,17 @@ import org.apache.spark.sql.DataFrame
   */
 object MetricsJob {
 
+  /** Union of the columns the nine metric families actually read — the
+    * projection [[QualityJob]] caches for metrics consumers. Caching the
+    * full 30-column canonical layer would pin ~3× the bytes downstream
+    * aggregations touch; the final/quarantine WRITES stream the full rows
+    * without caching instead.
+    */
+  val consumedColumns: Seq[String] = Seq(
+    "restaurant_id", "user_id", "order_id", "lineitem_id", "date", "date_key",
+    "time", "is_loyalty", "final_category",
+    "item_price", "item_quantity", "option_price", "option_quantity")
+
   /** A2 — shared prefix: customer rename, guest filter hook, revenue. */
   def revenueBase(finalDf: DataFrame): DataFrame =
     finalDf

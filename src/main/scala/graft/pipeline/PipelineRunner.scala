@@ -115,9 +115,9 @@ object PipelineRunner {
       writeIfNonEmpty(q.quantityIssues, s"$outRoot/quality/quantity"),
       s"$outRoot/quality/quantity")
 
-    // metrics fan-out: finalDf is a filter over the plan QualityJob already
-    // cached — re-caching here would pin a second near-identical copy
-    MetricsJob.all(q.finalDf).foreach { case (subject, df) =>
+    // metrics fan-out off the consumed-columns cache QualityJob built —
+    // re-caching here would pin a second near-identical copy
+    MetricsJob.all(q.metricsInput).foreach { case (subject, df) =>
       val path = s"$outRoot/metrics/$subject"
       val partCols =
         if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil

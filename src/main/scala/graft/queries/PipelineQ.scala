@@ -215,7 +215,7 @@ object PipelineQ {
     pipeline(spark, dir)._2.finalDf
 
   private def mbase(spark: SparkSession, dir: String): DataFrame =
-    MetricsJob.revenueBase(finalDf(spark, dir))
+    MetricsJob.revenueBase(pipeline(spark, dir)._2.metricsInput)
 
   // ------------------------------------------------------------- queries ---
 

@@ -132,6 +132,44 @@ class IngestAndSchemaSpec extends SparkTestBase {
     assert(embs(0).forall(v => v > 0.95f) && embs(1).forall(v => v < 0.05f))
   }
 
+  test("multimodal audio: generated WAV/AU round-trip through the REAL " +
+    "AudioSystem decoder; garbage decodes poison-safe") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // mirror of the ImageIO round-trip: synthesize real audio containers
+    // with the JDK encoder, decode them back with AudioSystemDecoder
+    def audioBytes(fileType: AudioFileFormat.Type, sampleRate: Float,
+        channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, fileType, out)
+      out.toByteArray
+    }
+    val wav = audioBytes(AudioFileFormat.Type.WAVE, 44100f, 2, 1000)
+    val au = audioBytes(AudioFileFormat.Type.AU, 8000f, 1, 250)
+    val metas = Multimodal.AudioSystemDecoder.decodeBatch(Seq(
+      wav, au, Array[Byte](9, 9, 9), null))
+    assert(metas(0).format == "wav" && metas(0).width == 44100 &&
+      metas(0).height == 2 && metas(0).n_frames == 1000 &&
+      metas(0).byte_len == wav.length.toLong)
+    assert(metas(1).format == "au" && metas(1).width == 8000 &&
+      metas(1).height == 1 && metas(1).n_frames == 250)
+    assert(metas(2).format == "unknown" && metas(2).width == -1)
+    assert(metas(3).format == "unknown" && metas(3).byte_len == 0L)
+
+    // and through the Spark-side plumbing: a binary-payload DataFrame
+    // decoded partition-locally, header metadata queryable as a struct
+    val df = spark.createDataFrame(Seq(
+      (1L, wav), (2L, au), (3L, Array[Byte](1, 2, 3)))).toDF("id", "payload")
+    val withMeta = Multimodal.withMediaMeta(df, "payload",
+      decoder = Multimodal.AudioSystemDecoder, batchSize = 2)
+    val rows = withMeta.select($"id", $"meta.format", $"meta.width", $"meta.n_frames")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(rows == Set((1L, "wav", 44100, 1000), (2L, "au", 8000, 250),
+      (3L, "unknown", -1, 0)))
+  }
+
   test("multimodal: feature-extract, resize, frame-sample plumbing") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val payloads = Multimodal.documentPayloads(docs)

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** JDBC source/sink (SURVEY.md §2.1 S1/S9 + the S2 pushdown-subquery leg).
   *
@@ -79,13 +80,138 @@ object Jdbc {
     * in `batchSize` groups.
     */
   def write(df: DataFrame, conn: Conn, table: String,
-      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000): Unit = {
+      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+      createTableColumnTypes: Option[String] = None): Unit = {
     val w = df.write.format("jdbc")
       .option("url", conn.url)
       .option("driver", conn.driver)
       .option("dbtable", table)
       .option("batchsize", batchSize)
-    conn.props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+    val w2 = createTableColumnTypes.fold(w)(w.option("createTableColumnTypes", _))
+    conn.props.foldLeft(w2) { case (acc, (k, v)) => acc.option(k, v) }
       .mode(mode).save()
+  }
+
+  // ------------------------------------------------------------------------
+  // Typed-DDL inference for the CSV→DB load leg.
+  //
+  // The reference's loader reads CSVs all-string and infers per-column SQL
+  // types from the VALUES — BIT / DATETIME2 / INT / BIGINT / FLOAT /
+  // DECIMAL(18,s) / NVARCHAR(n) — before creating the table
+  // (`rds/load_to_sqlserver.py:97-147`, a pandas pass per column on the
+  // driver). Re-expressed Spark-first: ONE distributed aggregate pass
+  // computes every column's stats simultaneously (valid-count, bool-set
+  // membership, timestamp-parse fraction, int/dec/sci regex conformance,
+  // max integer magnitude, max decimal scale, max length); only the single
+  // stats row reaches the driver.
+  //
+  // Emitted types are the PORTABLE Spark-SQL spellings (`createTableColumnTypes`
+  // is parsed by Spark's DDL parser, which doesn't know engine dialect names):
+  // BOOLEAN / TIMESTAMP / INT / BIGINT / FLOAT / DECIMAL(18,s) / VARCHAR(n).
+  // The JdbcDialect renders them per engine — NVARCHAR on SQL Server, VARCHAR
+  // on Derby/Postgres — which is exactly the reference's intent. A column
+  // that would be NVARCHAR(MAX) is omitted from the override map so the
+  // dialect's unbounded-string default (NVARCHAR(MAX) / CLOB / TEXT) applies.
+  // ------------------------------------------------------------------------
+
+  private val BoolSet = Seq("0", "1", "true", "false", "t", "f", "yes", "no", "y", "n")
+  private val IntRe = "^[+-]?[0-9]+$"
+  private val DecRe = "^[+-]?[0-9]+\\.[0-9]+$"
+  private val SciRe = "^[+-]?[0-9]+(\\.[0-9]+)?[eE][+-]?[0-9]+$"
+  /** Null-ish sentinels the reference drops before inference
+    * (`load_to_sqlserver.py:98`). */
+  private val NullIsh = Seq("", "nan", "NaN", "NULL", "None")
+
+  /** Per-column value stats → inferred SQL type, one aggregate job for ALL
+    * string columns. Returns `(colName, sqlType)` in column order; a `None`
+    * type means "no override — let the dialect's unbounded-string default
+    * apply" (the reference's NVARCHAR(MAX) branch).
+    */
+  def inferColumnTypes(df: DataFrame, maxVarchar: Int = 4000): Seq[(String, Option[String])] = {
+    val stringCols = df.schema.fields.filter(_.dataType ==
+      org.apache.spark.sql.types.StringType).map(_.name)
+    if (stringCols.isEmpty) return Nil
+
+    def stats(c: String): Column = {
+      val v = trim(col(c))
+      val vv = when(v.isNotNull && !v.isin(NullIsh: _*), v) // null ⇒ skipped by aggs
+      val cleaned = regexp_replace(vv, ",", "") // reference's _clean_numeric_str
+      val isInt = cleaned.rlike(IntRe)
+      val isDec = cleaned.rlike(DecRe)
+      val isSci = cleaned.rlike(SciRe)
+      val b01 = (c2: Column) => when(vv.isNotNull, when(c2, 1).otherwise(0))
+      struct(
+        count(vv).as("n"),
+        coalesce(min(b01(lower(vv).isin(BoolSet: _*))) === 1, lit(false)).as("all_bool"),
+        // try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
+        // unparseable strings — the probes must degrade to null instead
+        avg(b01(vv.try_cast("timestamp").isNotNull)).as("ts_frac"),
+        coalesce(min(b01(isInt || isDec || isSci)) === 1, lit(false)).as("all_num"),
+        coalesce(min(b01(isInt)) === 1, lit(false)).as("all_int"),
+        coalesce(max(b01(isSci)) === 1, lit(false)).as("any_sci"),
+        max(when(isInt, abs(cleaned.try_cast("decimal(38,0)")))).as("max_abs"),
+        max(when(isDec, length(regexp_extract(cleaned, "\\.([0-9]+)$", 1)))).as("max_scale"),
+        max(length(vv)).as("max_len")
+      ).as(c)
+    }
+
+    val row = df.agg(stats(stringCols.head), stringCols.tail.map(stats): _*)
+      .collect().head // 1 row × C structs — control-plane only
+
+    stringCols.zipWithIndex.map { case (c, i) =>
+      val s = row.getStruct(i)
+      val n = s.getLong(0)
+      val ts = if (s.isNullAt(2)) 0.0 else s.getDouble(2)
+      val maxAbs = if (s.isNullAt(6)) None else Some(s.getDecimal(6))
+      val maxScale = if (s.isNullAt(7)) 0 else s.getInt(7)
+      val maxLen = if (s.isNullAt(8)) 0 else s.getInt(8)
+      val t: Option[String] =
+        if (n == 0L) Some("VARCHAR(255)")
+        else if (s.getBoolean(1)) Some("BOOLEAN") // reference: BIT
+        else if (ts >= 0.90) Some("TIMESTAMP")    // reference: DATETIME2
+        else if (s.getBoolean(3)) {               // all numeric
+          if (s.getBoolean(4)) // all integral; magnitude overflow of the
+            // decimal(38,0) probe (null despite int rows) also means BIGINT
+            Some(if (maxAbs.forall(_.abs.compareTo(new java.math.BigDecimal(Int.MaxValue)) > 0))
+              "BIGINT" else "INT")
+          else if (s.getBoolean(5)) Some("FLOAT")
+          else Some(s"DECIMAL(18,${math.min(maxScale, 6)})")
+        } else {
+          val len = math.min(math.max(maxLen, 32), maxVarchar)
+          if (len < maxVarchar) Some(s"VARCHAR($len)") else None // NVARCHAR(MAX) branch
+        }
+      c -> t
+    }.toSeq
+  }
+
+  /** The CSV→DB load leg with reference DDL parity: infer types from the
+    * all-string frame, CAST the columns to the matching Spark types (the
+    * reference converts values in its insert loop too), and create the table
+    * with explicit column DDL via `createTableColumnTypes`. Returns the
+    * inferred `(col, ddlType)` pairs for observability / assertions.
+    */
+  def writeTyped(df: DataFrame, conn: Conn, table: String,
+      mode: SaveMode = SaveMode.Append, batchSize: Int = 1000,
+      maxVarchar: Int = 4000): Seq[(String, Option[String])] = {
+    val inferred = inferColumnTypes(df, maxVarchar)
+    val types = inferred.toMap
+    val casted = df.select(df.columns.map { c =>
+      // try_cast throughout: null-ish sentinels ("", "NULL", "nan") inside an
+      // otherwise-numeric column must become SQL NULL, not an ANSI cast error
+      types.get(c).flatten match {
+        case Some("BOOLEAN") => lower(trim(col(c))).try_cast("boolean").as(c)
+        case Some("TIMESTAMP") => trim(col(c)).try_cast("timestamp").as(c)
+        case Some("INT") => regexp_replace(trim(col(c)), ",", "").try_cast("int").as(c)
+        case Some("BIGINT") => regexp_replace(trim(col(c)), ",", "").try_cast("bigint").as(c)
+        case Some("FLOAT") => regexp_replace(trim(col(c)), ",", "").try_cast("float").as(c)
+        case Some(d) if d.startsWith("DECIMAL") =>
+          regexp_replace(trim(col(c)), ",", "").try_cast(d.toLowerCase).as(c)
+        case _ => col(c)
+      }
+    }.toSeq: _*)
+    val ddl = inferred.collect { case (c, Some(t)) => s"$c $t" }
+    write(casted, conn, table, mode, batchSize,
+      createTableColumnTypes = if (ddl.isEmpty) None else Some(ddl.mkString(", ")))
+    inferred
   }
 }

@@ -49,4 +49,64 @@ class JdbcSpec extends SparkTestBase {
     assert(inc.count() == 5)
     assert(inc.agg(min(col("id"))).collect().head.getLong(0) == 96L)
   }
+
+  test("typed-DDL inference matches the reference loader's type lattice " +
+    "and creates REAL typed columns in the database") {
+    // an all-string frame, the shape the CSV source produces
+    // (reference: rds/load_to_sqlserver.py:97-147 infers BIT/DATETIME2/INT/
+    // BIGINT/FLOAT/DECIMAL(18,s)/NVARCHAR(n) from values like these)
+    val rows = (1 to 60).map { i =>
+      (s" $i ",                              // int_c — whitespace trimmed
+        s"${3000000000L + i}",               // big_c — beyond INT range
+        s"$i,234.5678",                      // dec_c — thousands comma, scale 4
+        s"${i}.5e-3",                        // sci_c — scientific ⇒ FLOAT
+        if (i % 2 == 0) "true" else "0",     // bool_c — mixed bool spellings
+        f"2024-01-${i % 28 + 1}%02d 10:30:00", // ts_c
+        "x" * (i % 40 + 1),                  // name_c — maxLen 40 ⇒ VARCHAR(40)
+        if (i % 3 == 0) "NULL" else "",      // empty_c — only null-ish ⇒ VARCHAR(255)
+        "payload-" + ("y" * 5000))           // blob_c — ≥ maxVarchar ⇒ no override
+    }
+    val df = rows.toDF("int_c", "big_c", "dec_c", "sci_c", "bool_c", "ts_c",
+      "name_c", "empty_c", "blob_c")
+
+    val inferred = Jdbc.writeTyped(df, conn, "t_typed", SaveMode.Overwrite).toMap
+    assert(inferred("int_c").contains("INT"))
+    assert(inferred("big_c").contains("BIGINT"))
+    assert(inferred("dec_c").contains("DECIMAL(18,4)"))
+    assert(inferred("sci_c").contains("FLOAT"))
+    assert(inferred("bool_c").contains("BOOLEAN"))
+    assert(inferred("ts_c").contains("TIMESTAMP"))
+    assert(inferred("name_c").contains("VARCHAR(40)"))
+    assert(inferred("empty_c").contains("VARCHAR(255)"))
+    assert(inferred("blob_c").isEmpty) // dialect's unbounded-string default
+
+    // the DATABASE's own catalog must report the typed DDL, not the
+    // default all-NVARCHAR/CLOB mapping Spark would emit untyped
+    val jc = java.sql.DriverManager.getConnection(conn.url)
+    try {
+      val md = jc.getMetaData.getColumns(null, null, "T_TYPED", null)
+      var cols = Map.empty[String, (String, Int, Int)]
+      while (md.next()) cols += md.getString("COLUMN_NAME").toLowerCase ->
+        ((md.getString("TYPE_NAME"), md.getInt("COLUMN_SIZE"), md.getInt("DECIMAL_DIGITS")))
+      assert(cols("int_c")._1 == "INTEGER")
+      assert(cols("big_c")._1 == "BIGINT")
+      assert(cols("dec_c")._1 == "DECIMAL" &&
+        cols("dec_c")._2 == 18 && cols("dec_c")._3 == 4)
+      assert(Set("REAL", "FLOAT", "DOUBLE").contains(cols("sci_c")._1))
+      assert(cols("bool_c")._1 == "BOOLEAN")
+      assert(cols("ts_c")._1 == "TIMESTAMP")
+      assert(cols("name_c")._1 == "VARCHAR" && cols("name_c")._2 == 40)
+      assert(cols("empty_c")._1 == "VARCHAR" && cols("empty_c")._2 == 255)
+      assert(cols("blob_c")._1 == "CLOB") // Derby's unbounded-string default
+    } finally jc.close()
+
+    // values survived the cast round-trip typed
+    val back = Jdbc.readTable(spark, conn, "t_typed")
+    assert(back.count() == 60)
+    val r7 = back.filter(col("int_c") === 7).collect().head
+    assert(r7.getAs[Long]("big_c") == 3000000007L)
+    assert(r7.getAs[java.math.BigDecimal]("dec_c").doubleValue() == 7234.5678)
+    assert(r7.getAs[Boolean]("bool_c") == false) // i=7 odd ⇒ "0"
+    assert(back.schema("ts_c").dataType.typeName == "timestamp")
+  }
 }

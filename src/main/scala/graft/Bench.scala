@@ -24,6 +24,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_STAGE_LOG=1: per-stage wall times to stderr — attribution
+    // tool for scale-up investigations, not part of the driver contract
+    if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val tasks = new java.util.concurrent.ConcurrentHashMap[
+            Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val q = tasks.computeIfAbsent(te.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]())
+            val m = te.taskMetrics
+            if (m != null) q.add((te.taskInfo.duration, m.jvmGCTime))
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = for (s <- si.submissionTime; c <- si.completionTime)
+              yield (c - s) / 1000.0
+            val ts = Option(tasks.remove(si.stageId))
+              .map(q => q.toArray(Array.empty[(Long, Long)])).getOrElse(Array.empty)
+            val summary = if (ts.isEmpty) "" else {
+              val d = ts.map(_._1).sorted
+              val gc = ts.map(_._2).sum / 1000.0
+              f"task med=${d(d.length / 2) / 1000.0}%.1f max=${d.last / 1000.0}%.1f gcSum=$gc%.1f"
+            }
+            System.err.println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
+              f"${dur.getOrElse(-1.0)}%8.1f s  $summary  " +
+              si.name.linesIterator.next().take(60))
+          }
+        })
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -47,7 +79,12 @@ object Bench {
       if (ts.head < 0) -1.0 else ts(ts.length / 2)
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q63_...,q64_... restricts the run (scale
+    // spot-checks at generated sf1); unset = the full driver-contract run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.allDefs.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> measure(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

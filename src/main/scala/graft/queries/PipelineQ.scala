@@ -102,7 +102,7 @@ object PipelineQ {
     "avocado", "fries upgrade", "member discount")
 
   /** Deterministic `order_items` feed from lineitem ⋈ orders. */
-  private def feed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def feed(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val li = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
     val price = when(col("l_orderkey") % 37 === 0, lit(null).cast("double"))

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generates a larger synthetic scale factor from an existing one by
+  * replicating the FACT tables `factor`× with disjoint key spaces, so plan
+  * behavior (bucket caps, iteration counts, shuffle sizes) can be measured
+  * one decade up from the graded sf (VERDICT r02 item 5: "the 100-TB
+  * argument currently rests on plan shapes alone").
+  *
+  * Design:
+  *  - `lineitem` / `orders` copies shift `*_orderkey` by k·10⁹ — joins stay
+  *    consistent within a copy, never collide across copies. Dimension keys
+  *    (`partkey`/`suppkey`/`custkey`) are untouched: facts grow, dims don't,
+  *    which is exactly how warehouse scale-up behaves.
+  *  - `documents` copies shift `doc_id` by k·10⁷ and Caesar-rotate the text
+  *    (`translate` over a rotated alphabet): word lengths, shingle counts and
+  *    within-copy similarity structure are EXACTLY preserved while shingle
+  *    sets across copies are disjoint — so near-dup pair/component counts
+  *    scale exactly linearly and any super-linear runtime is the engine's
+  *    fault, not the generator's.
+  *  - Everything else (dims, events, embeddings) is copied through.
+  *
+  * Outputs are written with `repartition(32)` — the driver's testdata is
+  * single-row-group parquet (NOTES.md), which collapses downstream
+  * parallelism; a scale-up run must not inherit that artifact.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <dstDir> [factor=10]
+  */
+object ScaleUp {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+  private def rot(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "target/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    def copies(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(k => copy(df, k)).reduce(_ unionAll _)
+
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    write(copies(lineitem) { (d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 1000000000L))
+    }, "lineitem")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    write(copies(orders) { (d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 1000000000L))
+    }, "orders")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write(copies(docs) { (d, k) =>
+      d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
+        .withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase, rot(k) + rot(k).toUpperCase))
+    }, "documents")
+
+    // passthrough: dims stay fixed-size; events/embeddings aren't in the
+    // scale-check query set and keep the directory Verify/Bench-complete
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events", "embeddings")) {
+      val in = s"$src/$t.parquet"
+      val out = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(out, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(in), fs, out, false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+
+    for (t <- Seq("lineitem", "orders", "documents"))
+      println(s"[scaleup] $t rows: " +
+        spark.read.parquet(s"$dst/$t.parquet").count())
+    spark.stop()
+  }
+}

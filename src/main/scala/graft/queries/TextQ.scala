@@ -327,8 +327,115 @@ object TextQ {
       |      FROM documents)
       |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
 
+  /** q81 — PII redaction (email / phone / IPv4 → placeholder tokens), the
+    * scrubbing pass a training corpus gets before packing. The synthetic
+    * corpus carries no natural PII, so the feed INJECTS deterministic PII
+    * derived from doc_id into a subset of documents (the PipelineQ feed
+    * pattern: both engines construct identical text, so redaction counts
+    * and the redacted text itself are exactly assertable). Patterns are
+    * RE2-safe (no lookarounds — run identically on Java regex and RE2);
+    * emails are redacted FIRST so the phone pattern can't match digit runs
+    * inside addresses; placeholders carry no digits, so passes compose.
+    * Entirely map-side — one scan, zero exchanges.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+?\\d{1,2}-\\d{3}-\\d{4}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val seeded = t.documents.select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" call +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(200)),
+            lit(".0."), pmod(col("doc_id"), lit(250))))
+          .otherwise(lit(""))).as("text"))
+    seeded.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(phoneRe)).as("n_phones"),
+      regexp_count(col("text"), lit(ipRe)).as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>").as("redacted"))
+  }
+
+  private val piiRedactSql =
+    """WITH seeded AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+      |         ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\+?\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM seeded""".stripMargin
+
+  /** q82 — intra-document repetition ratio (share of duplicate word
+    * trigrams), the Gopher-style quality signal that catches boilerplate
+    * and degenerate repetition. Trigram construction is 1-based
+    * `element_at` on BOTH engines; the ratio is a rounded double (QueryDef
+    * determinism rules). Map-side only — one scan, no shuffle.
+    */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("tris", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2), i ->
+          |    concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |      element_at(toks, i + 2)))
+          |ELSE array() END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("tris")).as("n_trigrams"),
+        size(array_distinct(col("tris"))).as("n_distinct"),
+        when(size(col("tris")) > 0,
+          round(lit(1.0) - size(array_distinct(col("tris")))
+            .cast("double") / size(col("tris")), 6))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+  }
+
+  private val repetitionRatioSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |tris AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks) - 1), i ->
+      |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+      |    ELSE [] END AS tris
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(tris) AS INT) AS n_trigrams,
+      |  CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
+      |  CASE WHEN len(tris) > 0
+      |    THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+      |    ELSE 0.0 END AS rep_ratio
+      |FROM tris""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
+    QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     QueryDef("q55_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q56_rolling_hash", rollingHash, Some(rollingHashSql)),
     QueryDef("q27_string_normalize", stringNormalize, Some(stringNormalizeSql)),

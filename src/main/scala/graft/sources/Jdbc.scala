@@ -209,7 +209,9 @@ object Jdbc {
         case _ => col(c)
       }
     }.toSeq: _*)
-    val ddl = inferred.collect { case (c, Some(t)) => s"$c $t" }
+    // backtick-quote: CSV headers keep inner spaces/punctuation through
+    // name normalization, and the DDL string goes through Spark's parser
+    val ddl = inferred.collect { case (c, Some(t)) => s"`$c` $t" }
     write(casted, conn, table, mode, batchSize,
       createTableColumnTypes = if (ddl.isEmpty) None else Some(ddl.mkString(", ")))
     inferred

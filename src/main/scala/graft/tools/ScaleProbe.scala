@@ -53,7 +53,7 @@ object ScaleProbe {
     time("transform + persist write")(noop(persisted))
     time("read back from cache")(noop(persisted))
     println("[probe] cached bytes: " + spark.sparkContext.getRDDStorageInfo
-      .map(i => s"mem=${i.memSize / 1e6}%MB disk=${i.diskSize / 1e6}MB").mkString("; "))
+      .map(i => s"mem=${i.memSize / 1e6}MB disk=${i.diskSize / 1e6}MB").mkString("; "))
     spark.stop()
   }
 }

@@ -100,6 +100,14 @@ class JdbcSpec extends SparkTestBase {
       assert(cols("blob_c")._1 == "CLOB") // Derby's unbounded-string default
     } finally jc.close()
 
+    // column names with inner spaces (survive CSV header normalization)
+    // must round-trip: the DDL override is backtick-quoted for the parser
+    val spacey = Seq(("1", "a b"), ("2", "c d")).toDF("order id", "note col")
+    val spaceyTypes = Jdbc.writeTyped(spacey, conn, "t_spacey", SaveMode.Overwrite).toMap
+    assert(spaceyTypes("order id").contains("INT"))
+    assert(spaceyTypes("note col").contains("VARCHAR(32)"))
+    assert(Jdbc.readTable(spark, conn, "t_spacey").count() == 2)
+
     // values survived the cast round-trip typed
     val back = Jdbc.readTable(spark, conn, "t_typed")
     assert(back.count() == 60)

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -33,18 +32,10 @@ object PackQ {
     */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val budget = 2048
-    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    t.documents
-      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
-      .withColumn("shard", pmod(col("doc_id"), lit(8L)).cast("int"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(
-        col("doc_id"), col("source"), col("shard"), col("n_tokens"),
-        floor(col("cum_before") / lit(budget.toDouble)).as("pack_id"),
-        pmod(col("cum_before"), lit(budget.toLong)).as("pack_offset"))
+    graft.ops.Pack.concatAndChunk(t.documents, idCol = "doc_id",
+      groupCol = "source", budget = 2048, shards = 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
   }
 
   private val sequencePackingSql =

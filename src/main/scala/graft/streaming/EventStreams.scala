@@ -187,6 +187,19 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: at-least-once sources (Kafka, file re-lists,
+    * replayed batches) deliver duplicates; drop repeats of the same
+    * `event_id` arriving within the watermark window via
+    * `dropDuplicatesWithinWatermark` — unlike plain `dropDuplicates`, the
+    * dedup state is EVICTED once the watermark passes, so state stays
+    * bounded at any stream length. The batch twin is W1 latest-per-key
+    * (q18); the ingestion twin is `IncrementalIngest`'s bookmark dedupe.
+    */
+  def dedupedEvents(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Checkpointed incremental sink: `foreachBatch` parquet-append driven by
     * `Trigger.AvailableNow` — the streaming-native replacement for the
     * reference's JSON bookmark files (`go-incremental-ingest-elt.py:

@@ -56,4 +56,41 @@ class CorpusSpec extends SparkTestBase {
     val en = Corpus.curate(docs, Corpus.CurationConfig(keepLangs = Set("en")))
     assert(en.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
   }
+
+  test("curate -> pack composes: the full training-data chain holds its invariants") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val curated = Corpus.curate(docs).drop("stopword_ratio", "n_tokens")
+    val budget = 256
+    val packed = Pack.concatAndChunk(curated, idCol = "doc_id",
+      groupCol = "source", budget = budget, shards = 4)
+
+    val rows = packed.select("doc_id", "source", "shard", "n_tokens",
+      "pack_id", "pack_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length == curated.count())
+
+    // every offset is inside the budget, pack ids are non-negative
+    assert(rows.forall { case (_, _, _, _, p, off) => p >= 0 && off >= 0 && off < budget })
+
+    // exact concat-and-chunk arithmetic per (source, shard), in doc_id order:
+    // each doc starts where the previous cumulative token count left off
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((src, shard), g) =>
+      var cum = 0L
+      g.sortBy(_._1).foreach { case (id, _, _, n, p, off) =>
+        assert(p == cum / budget && off == cum % budget,
+          s"doc $id in ($src,$shard): expected pack ${cum / budget}@${cum % budget}, got $p@$off")
+        cum += n
+      }
+    }
+
+    // shard-locality: a shard's docs never share a (shard, pack) with
+    // another shard — recomputing the packing is deterministic
+    val again = Pack.concatAndChunk(curated, idCol = "doc_id",
+      groupCol = "source", budget = budget, shards = 4)
+      .select("doc_id", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.sameElements(rows.map(r => (r._1, r._5, r._6)).sortBy(_._1)))
+  }
 }

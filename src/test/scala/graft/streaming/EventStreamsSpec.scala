@@ -164,6 +164,31 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops within-watermark replays, state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupedEvents(input.toDF(), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 7, "click", 1.0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 7, "view", 2.0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // an at-least-once replay of event 2 in a LATER micro-batch, still
+      // inside the watermark window — must be dropped by kept state
+      input.addData(
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 7, "view", 2.0),
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 10:02:00"), 8, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").as[EventStreams.Event]
+        .collect().map(_.event_id).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)),
+        s"expected each event once, got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("checkpointed foreachBatch sink is exactly-once across re-runs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val out = s"$dir/landing"

@@ -52,7 +52,7 @@ object Bench {
             }
             System.err.println(f"[stage] id=${si.stageId}%-4d tasks=${si.numTasks}%-4d " +
               f"${dur.getOrElse(-1.0)}%8.1f s  $summary  " +
-              si.name.linesIterator.next().take(60))
+              si.name.linesIterator.nextOption().getOrElse("").take(60))
           }
         })
 
@@ -93,8 +93,17 @@ object Bench {
     println(line)
     // Also persist to a file: the driver's stdout tail capture truncated
     // q01–q18 out of BENCH_r02.json (round-2 judge item 7) — a file survives
-    // however much of stdout the harness keeps.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    // however much of stdout the harness keeps. FULL runs only (a BENCH_ONLY
+    // spot-check must not clobber the durable full-run record), and never
+    // fatally: the printed contract line above is the primary channel.
+    if (only.isEmpty) try {
+      val p = java.nio.file.Paths.get("target/bench.json").toAbsolutePath
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not persist bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -146,8 +146,17 @@ object Similarity {
     // NOT cached: the returned DataFrame is lazy, so a cache here could
     // never be unpersisted and would pin the widened corpus in executor
     // memory for the session lifetime; at scale, persist the INDEX (the
-    // assigned corpus) explicitly at the call site instead
-    val c = corpus.select(col("id"), toDoubleVec(col("vec")).as("v"))
+    // assigned corpus) explicitly at the call site instead.
+    // Null-vector rows are skipped (they can match nothing — same contract
+    // as the LSH path's null signature); a vector CONTAINING null elements
+    // raises, mirroring hyperplaneSignature — without the guard its
+    // all-null distances would silently drop it from the index.
+    def clean(df: DataFrame, vecCol: Column): DataFrame = df
+      .filter(vecCol.isNotNull)
+      .withColumn("__vg", when(exists(vecCol, _.isNull),
+        raise_error(lit("ivfTopK: vector contains null elements"))).otherwise(vecCol))
+    val c = clean(corpus.select(col("id"), toDoubleVec(col("vec")).as("v")), col("v"))
+      .select(col("id"), col("__vg").as("v"))
 
     // deterministic seeds: k smallest md5(id) ranks, selected via
     // TakeOrderedAndProject (orderBy.limit) — NOT a global row_number window,
@@ -175,6 +184,13 @@ object Similarity {
         .groupBy(col("id"))
         .agg(max_by(struct(col("cluster"), col("v")),
           struct(col("__d"), -col("cluster"))).as("__best"))
+        // max_by skips rows whose ordering is null; if EVERY distance for an
+        // id is null (dim mismatch vs all centroids) the row would silently
+        // vanish from the index — raise instead
+        .withColumn("__best", when(col("__best").isNull,
+          raise_error(concat(lit("ivfTopK: no valid centroid distance for id "),
+            col("id").cast("string"), lit(" (vector dim mismatch?)"))))
+          .otherwise(col("__best")))
         .select(col("id"), col("__best.v").as("v"), col("__best.cluster").as("cluster"))
 
     // Lloyd refinement: element-wise mean per cluster via posexplode
@@ -191,20 +207,26 @@ object Similarity {
 
     val indexed = assign(c, centroids)
       .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv2")
-    val q = queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv"))
+    val q = clean(queries.select(col("id").as("q_id"), toDoubleVec(col("vec")).as("qv")),
+      col("qv")).select(col("q_id"), col("__vg").as("qv"))
     // top-nProbe clusters per query, also via partial aggregation instead of
     // a per-query window sort over Q·k rows: collect the k (score, cluster)
     // pairs per query, array_sort ascending by (cosine, -cluster), take the
     // LAST nProbe (= cosine desc, ties to lowest cluster — same tiebreak as
     // assign). The collected array is k elements — bounded by the centroid
-    // count, not the corpus.
+    // count, not the corpus. Positive-start slice: when fewer than nProbe
+    // centroids exist (corpus smaller than k), a negative-start slice would
+    // return EMPTY and the query would silently match nothing — start at
+    // max(1, size-nProbe+1) instead, which degrades to probing all clusters.
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("__d", dot("qv", "cv") / (norm("qv") * norm("cv")))
       .groupBy(col("q_id"))
       .agg(first(col("qv")).as("qv"),
-        slice(array_sort(collect_list(struct(col("__d"), (-col("cluster")).as("__nc"),
-          col("cluster")))), -nProbe, nProbe).as("__top"))
-      .select(col("q_id"), col("qv"), explode(col("__top.cluster")).as("cluster"))
+        array_sort(collect_list(struct(col("__d"), (-col("cluster")).as("__nc"),
+          col("cluster")))).as("__all"))
+      .select(col("q_id"), col("qv"), explode(expr(
+        s"slice(__all, greatest(1, size(__all) - $nProbe + 1), $nProbe).cluster"))
+        .as("cluster"))
 
     probes.join(indexed, Seq("cluster"))
       .filter(if (excludeSelf) col("q_id") =!= col("neighbor_id") else lit(true))

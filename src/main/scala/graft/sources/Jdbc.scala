@@ -168,12 +168,30 @@ object Jdbc {
       val t: Option[String] =
         if (n == 0L) Some("VARCHAR(255)")
         else if (s.getBoolean(1)) Some("BOOLEAN") // reference: BIT
+        // NOTE: timestamp is deliberately checked BEFORE numerics, like the
+        // reference (`load_to_sqlserver.py:104-110` runs pd.to_datetime
+        // before the int/decimal pass) — both sides therefore type a column
+        // of bare years ('2019', '2024', …) as a timestamp, since both
+        // pandas and Spark accept 'yyyy' as a datetime literal. Parity over
+        // plausibility: reorder here and the engines' DDL diverges.
         else if (ts >= 0.90) Some("TIMESTAMP")    // reference: DATETIME2
         else if (s.getBoolean(3)) {               // all numeric
-          if (s.getBoolean(4)) // all integral; magnitude overflow of the
-            // decimal(38,0) probe (null despite int rows) also means BIGINT
-            Some(if (maxAbs.forall(_.abs.compareTo(new java.math.BigDecimal(Int.MaxValue)) > 0))
-              "BIGINT" else "INT")
+          if (s.getBoolean(4)) {
+            // all integral — escalate by actual magnitude. Values past
+            // Long.MaxValue (or past the decimal(38,0) probe: maxAbs None)
+            // must NOT be typed BIGINT: writeTyped's try_cast would null
+            // them silently. DECIMAL(38,0) keeps them lossless; past 38
+            // digits there is no exact SQL numeric — leave the column as
+            // the dialect's default string type.
+            val intMax = new java.math.BigDecimal(Int.MaxValue)
+            val longMax = new java.math.BigDecimal(Long.MaxValue)
+            maxAbs match {
+              case Some(d) if d.abs.compareTo(intMax) <= 0 => Some("INT")
+              case Some(d) if d.abs.compareTo(longMax) <= 0 => Some("BIGINT")
+              case Some(_) => Some("DECIMAL(38,0)")
+              case None => None // > 38 digits: stays string (dialect default)
+            }
+          }
           else if (s.getBoolean(5)) Some("FLOAT")
           else Some(s"DECIMAL(18,${math.min(maxScale, 6)})")
         } else {

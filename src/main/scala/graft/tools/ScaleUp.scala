@@ -37,6 +37,10 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // the Caesar rotation wraps at 26 (copy 26's text would be byte-identical
+    // to copy 0's, silently breaking the disjoint-shingle guarantee), and the
+    // doc_id shift stride bounds the per-copy id space
+    require(factor >= 1 && factor <= 26, s"factor ($factor) must be in [1, 26]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -50,6 +50,23 @@ class JdbcSpec extends SparkTestBase {
     assert(inc.agg(min(col("id"))).collect().head.getLong(0) == 96L)
   }
 
+  test("type inference escalates integral columns by magnitude: " +
+    "INT -> BIGINT -> DECIMAL(38,0) -> dialect string") {
+    val df = Seq(
+      ("7", "3000000000", "99999999999999999999", "9" * 40),
+      ("2", "4000000000", "88888888888888888888", "8" * 40)
+    ).toDF("small", "big", "huge", "past_decimal")
+    val t = Jdbc.inferColumnTypes(df).toMap
+    assert(t("small").contains("INT"))
+    assert(t("big").contains("BIGINT"))
+    // past Long.MaxValue: BIGINT would silently null at write time —
+    // DECIMAL(38,0) keeps the values lossless
+    assert(t("huge").contains("DECIMAL(38,0)"))
+    // past 38 digits there is no exact SQL numeric: no override, the
+    // dialect's unbounded string type applies
+    assert(t("past_decimal").isEmpty)
+  }
+
   test("typed-DDL inference matches the reference loader's type lattice " +
     "and creates REAL typed columns in the database") {
     // an all-string frame, the shape the CSV source produces

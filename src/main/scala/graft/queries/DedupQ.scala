@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.Dedup
+import graft.ops.{Decontaminate, Dedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -209,7 +209,48 @@ object DedupQ {
       | AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
       |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin
 
+  /** q83 — train/eval decontamination: documents from source `src0` play
+    * the eval set, everything else the training corpus; flag eval docs
+    * whose (frequency-capped) trigram shingles are >= 50% contained in a
+    * train doc. See [[graft.ops.Decontaminate]] for the scale shape (df-cap
+    * before the shingle join, post-cap denominators — both mirrored here
+    * and in the oracle).
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    Decontaminate.overlap(
+      eval = docs.filter(col("source") === "src0"),
+      train = docs.filter(col("source") =!= "src0"),
+      idCol = "doc_id", textCol = "text",
+      n = 3, maxShingleDf = 50, minContainment = 0.5)
+  }
+
+  private val decontaminationSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS shingle
+      |  FROM toks WHERE len(w) >= 3),
+      |freq AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+      |ev AS (SELECT doc_id AS eval_id, shingle FROM sh JOIN freq USING (shingle)
+      |       WHERE source = 'src0'),
+      |tr AS (SELECT doc_id AS train_id, shingle FROM sh JOIN freq USING (shingle)
+      |       WHERE source <> 'src0'),
+      |etot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_eval FROM ev GROUP BY eval_id),
+      |pairs AS (
+      |  SELECT eval_id, train_id, CAST(count(*) AS BIGINT) AS shared
+      |  FROM ev JOIN tr USING (shingle) GROUP BY eval_id, train_id)
+      |SELECT pairs.eval_id, train_id, shared, n_eval,
+      |  round(CAST(shared AS DOUBLE) / n_eval, 6) AS containment
+      |FROM pairs JOIN etot USING (eval_id)
+      |WHERE CAST(shared AS DOUBLE) / n_eval >= 0.5""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q52_fuzzy_part_names", fuzzyPartNames, Some(fuzzyPartNamesSql)),
     QueryDef("q36_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q37_minhash_pairs", minhashPairs, Some(minhashPairsSql)),

@@ -35,8 +35,13 @@ object Decontaminate {
       .filter(size(col("__w")) >= n)
       .select(col(outId), explode(Dedup.wordShingles("__w", n)).as("shingle"))
 
-    val ev = shingles(eval, "eval_id")
-    val tr = shingles(train, "train_id")
+    // each shingle table feeds THREE consumers (df count, capped join side,
+    // and for eval the denominator count) — localCheckpoint materializes the
+    // tokenize+explode once per corpus instead of re-scanning the input for
+    // every consumer (same lineage-truncation precedent as Corpus.curate;
+    // blocks are freed when the plan is GC'd)
+    val ev = shingles(eval, "eval_id").localCheckpoint(true)
+    val tr = shingles(train, "train_id").localCheckpoint(true)
 
     // document frequency over both corpora; keep sub-cap shingles only
     val freq = ev.select(col("shingle"))

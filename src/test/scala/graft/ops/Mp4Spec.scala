@@ -1,0 +1,102 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.SparkTestBase
+
+class Mp4Spec extends SparkTestBase {
+
+  private def bb(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.BIG_ENDIAN)
+
+  test("write → parse round trip recovers every planted field") {
+    val bytes = Mp4.write("mp42", timescale = 1000, durationTicks = 7321L,
+      width = 640, height = 360, nSamples = 181, payloadLen = 37)
+    val m = Mp4.parse(bytes).get
+    assert(m.brand == "mp42")
+    assert(m.timescale == 1000L && m.durationTicks == 7321L && m.durationMs == 7321L)
+    assert(m.nTracks == 1 && m.videoWidth == 640 && m.videoHeight == 360)
+    assert(m.nSamples == 181L)
+    assert(bytes.length == Mp4.fixedOverhead + 37,
+      s"fixedOverhead drifted: actual ${bytes.length - 37} (q84's oracle pins ${Mp4.fixedOverhead})")
+  }
+
+  test("duration scales by timescale (90kHz → ms)") {
+    val bytes = Mp4.write("isom", timescale = 90000, durationTicks = 90000L * 3,
+      width = 1920, height = 1080, nSamples = 72, payloadLen = 0)
+    assert(Mp4.parse(bytes).get.durationMs == 3000L)
+  }
+
+  test("version-1 mvhd (64-bit times) is read") {
+    // hand-built: ftyp(8+8) + moov(mvhd-v1); no tracks
+    val mvhdPayload = bb(4 + 8 + 8 + 4 + 8).putInt(0x01000000)
+      .putLong(0L).putLong(0L).putInt(600).putLong(1234567890123L).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bb(16).putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("isom".getBytes("ISO-8859-1")).putInt(0).array())
+    val mvhd = bb(8 + mvhdPayload.length).putInt(8 + mvhdPayload.length)
+      .put("mvhd".getBytes("ISO-8859-1")).put(mvhdPayload).array()
+    out.write(bb(8 + mvhd.length).putInt(8 + mvhd.length)
+      .put("moov".getBytes("ISO-8859-1")).put(mvhd).array())
+    val m = Mp4.parse(out.toByteArray).get
+    assert(m.timescale == 600L && m.durationTicks == 1234567890123L && m.nTracks == 0)
+  }
+
+  test("64-bit largesize box header is honored") {
+    // a single ftyp with size==1 + largesize, then moov with mvhd-v0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bb(24).putInt(1).put("ftyp".getBytes("ISO-8859-1"))
+      .putLong(24L).put("mp42".getBytes("ISO-8859-1")).putInt(0).array())
+    val mvhdPayload = bb(4 + 8 + 4 + 4).putInt(0).putLong(0L).putInt(1000).putInt(555).array()
+    val mvhd = bb(8 + mvhdPayload.length).putInt(8 + mvhdPayload.length)
+      .put("mvhd".getBytes("ISO-8859-1")).put(mvhdPayload).array()
+    out.write(bb(8 + mvhd.length).putInt(8 + mvhd.length)
+      .put("moov".getBytes("ISO-8859-1")).put(mvhd).array())
+    val m = Mp4.parse(out.toByteArray).get
+    assert(m.brand == "mp42" && m.durationTicks == 555L)
+  }
+
+  test("poison payloads degrade to None, never throw or spin") {
+    val good = Mp4.write("isom", 1000, 1000L, 320, 240, 24, 16)
+    assert(Mp4.parse(null).isEmpty)
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+    assert(Mp4.parse("not a movie at all".getBytes).isEmpty)
+    assert(Mp4.parse(good.take(Mp4.fixedOverhead / 2)).isEmpty) // truncated mid-moov
+    // malformed size in [2,7] aborts the walk
+    val badSize = good.clone(); bb(4).putInt(3).array().copyToArray(badSize, 0)
+    assert(Mp4.parse(badSize).isEmpty)
+    // wav bytes are not ISO BMFF
+    assert(Mp4.parse("RIFF0000WAVEfmt ".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("audio-only track yields no video dimensions") {
+    val bytes = Mp4.write("isom", 1000, 2000L, 320, 240, 24, 0)
+    // patch the hdlr handler 4cc from 'vide' to 'soun' in place
+    val idx = bytes.indexOfSlice("vide".getBytes("ISO-8859-1"))
+    assert(idx > 0)
+    "soun".getBytes("ISO-8859-1").copyToArray(bytes, idx)
+    val m = Mp4.parse(bytes).get
+    assert(m.nTracks == 1 && m.videoWidth == -1 && m.videoHeight == -1 && m.nSamples == 0L)
+  }
+
+  test("VideoContainerDecoder: MediaMeta mapping + poison contract") {
+    val good = Mp4.write("avc1", 1000, 4000L, 1280, 720, 96, 8)
+    val metas = Mp4.VideoContainerDecoder.decodeBatch(Seq(good, "junk".getBytes, null))
+    assert(metas(0) == Multimodal.MediaMeta("avc1", 1280, 720, 96, good.length.toLong))
+    assert(metas(1).format == "unknown" && metas(1).byte_len == 4L)
+    assert(metas(2) == Multimodal.MediaMeta("unknown", -1, -1, 0, 0L))
+  }
+
+  test("q84 query matches its planted arithmetic at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.MediaQ.videoMeta(spark, sf)
+    val bad = df.filter(
+      col("brand") =!= element_at(array(lit("isom"), lit("mp42"), lit("avc1")),
+        (col("doc_id") % 3).cast("int") + 1) ||
+      col("duration_ms") =!= lit(1000L) + col("doc_id") % 9000 ||
+      col("width") =!= (lit(320) + (col("doc_id") % 8) * 80).cast("int") ||
+      col("height") =!= (lit(240) + (col("doc_id") % 6) * 60).cast("int") ||
+      col("n_frames") =!= (lit(24) + col("doc_id") % 240).cast("int") ||
+      col("byte_len") =!= lit(Mp4.fixedOverhead.toLong) + 100 + col("doc_id") % 50)
+    assert(bad.count() == 0)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ops.Merge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle gates for [[graft.ops.Merge]] — the SCD-1 / SCD-2 table-maintenance
+  * operators around the reference's layered parquet stores.
+  */
+object MergeQ {
+
+  /** q85 — SCD-1 upsert of a deterministic delta into `orders`: every 7th
+    * key is an update (status 'U', repriced), keys ≡3 (mod 7) arrive re-keyed
+    * negative as inserts (guaranteed disjoint from the non-negative base
+    * keys). The delta is applied with the broadcast-anti-join shape — the
+    * base table is never sorted or windowed (see [[Merge.upsert]]).
+    *
+    * Determinism: the reprice is one IEEE double multiply (same bits in both
+    * engines); timestamps cross as unix_micros.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.orders
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * lit(1.1))
+      .unionByName(
+        base.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("o_orderstatus", lit("N")))
+    Merge.upsert(base, updates, keys = Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        // orders timestamps infer as TIMESTAMP_NTZ — cast under the UTC
+        // session so unix_micros matches DuckDB's epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+  }
+
+  private val mergeUpsertSql =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 = 3)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+      |FROM (
+      |  SELECT * FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |  UNION ALL SELECT * FROM updates)""".stripMargin
+
+  /** q86 — SCD-2 history over the events change log: per user, each run of
+    * equal `event_type` becomes one `[valid_from, valid_to)` interval, the
+    * open one flagged current. One shuffle on user_id (see [[Merge.scd2]]).
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    Merge.scd2(t.events, keys = Seq("user_id"), stateCol = "event_type",
+      tsCol = "ts", tieCol = "event_id")
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("is_current"))
+  }
+
+  private val scd2HistorySql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ordered
+      |  WHERE event_type IS DISTINCT FROM prev)
+      |SELECT user_id, event_type AS state,
+      |  epoch_us(ts) AS valid_from_us,
+      |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |    AS valid_to_us,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+      |    AS is_current
+      |FROM chg""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q85_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    QueryDef("q86_scd2_history", scd2History, Some(scd2HistorySql)),
+  )
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.defs ++ WindowsQ.defs ++ TextQ.defs ++ DedupQ.defs ++
       SimilarityQ.defs ++ EventsQ.defs ++ ParityQ.defs ++ AsOfQ.defs ++
       StatsQ.defs ++ PipelineQ.defs ++ JdbcQ.defs ++ LayoutQ.defs ++
-      SkewQ.defs ++ PackQ.defs ++ MediaQ.defs ++ MergeQ.defs
+      SkewQ.defs ++ PackQ.defs ++ MediaQ.defs ++ MergeQ.defs ++
+      CorpusStatsQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

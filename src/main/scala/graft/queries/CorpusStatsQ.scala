@@ -19,10 +19,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CorpusStatsQ {
 
   /** q87 — top-5 TF-IDF keywords per document (whitespace tokens, q61's
-    * convention). Shuffles: (doc,term) for tf, term for df + the tf⋈df
-    * join, doc for the top-k window — the window only ever sees one doc's
-    * distinct terms, never the corpus. N arrives as a broadcast 1-row agg,
-    * not a driver collect (A6 pattern).
+    * convention). ONE tokenize pass: tf is a (doc,term) hash agg with
+    * map-side combine, then df is a `count(*) over (partition by term)`
+    * window on that ALREADY-AGGREGATED table — the tf⋈df self-join
+    * formulation would rebuild the tf aggregate twice (plan-audited; two
+    * full tokenize passes at 100 TB). Shuffles: (doc,term), term, doc —
+    * each over distinct-pair rows, never raw tokens twice. N arrives as a
+    * broadcast 1-row agg, not a driver collect (A6 pattern).
     *
     * Determinism: tf/df are exact counts; the ln-based score is a double →
     * rounded to 6 on BOTH sides BEFORE ranking (ranking by the unrounded
@@ -36,9 +39,9 @@ object CorpusStatsQ {
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "term")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -113,10 +116,14 @@ object CorpusStatsQ {
     * substring-level dedup signal (docs can be near-dups without sharing
     * full shingle sets; this measures how MUCH is shared).
     *
-    * Shuffles: span for the occurrence count, span again for the
-    * spans⋈counts join (co-partitioned — one exchange is reused), doc_id
-    * for the final rollup. Span keys are bounded (20 chars), so the
-    * shuffle payload is rows × 20B, not documents.
+    * ONE explode pass, NO self-join: spans collapse to (span, doc, occ)
+    * with map-side combine, the per-span distinct-doc count is a
+    * `count(*) over (partition by span)` window on that collapsed table
+    * (each row there IS one distinct doc), and the doc rollup sums occ.
+    * The spans⋈counts join formulation would explode the corpus twice and
+    * stop being broadcastable once the span dictionary outgrows one
+    * executor. Span keys are bounded (20 chars), so shuffle payload is
+    * rows × 20B, not documents.
     */
   def dupSpanFraction(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -125,13 +132,14 @@ object CorpusStatsQ {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, length(text) - 19, 16), i -> substring(text, i, 20))"))
         .as("span"))
-    val counts = spans.groupBy(col("span"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    spans.join(counts, "span")
+    spans
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("span"))))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_spans"),
-        count(when(col("nd") > 1, lit(1))).as("n_dup_spans"))
+        sum(col("occ")).as("n_spans"),
+        sum(when(col("nd") > 1, col("occ")).otherwise(lit(0L))).as("n_dup_spans"))
       .withColumn("dup_frac",
         col("n_dup_spans").cast("double") / col("n_spans"))
   }

@@ -159,9 +159,90 @@ object CorpusStatsQ {
       |FROM spans s JOIN spanct c USING (span)
       |GROUP BY s.doc_id""".stripMargin
 
+  /** q90 — exact heavy hitters {term : cnt·(k+1) > N} via the Misra-Gries
+    * sketch-gated two-pass (see [[graft.ops.HeavyHitters]] — pass 1 is one
+    * scan folded into ≤k counters per partition and merged treewise, pass 2
+    * counts only the ≤k candidates map-side-filtered before the shuffle).
+    * The output is sketch-independent (exact), so the oracle is a plain
+    * threshold count — MG's adversarial-distribution behavior (decrement
+    * and merge reductions) is covered by HeavyHittersSpec, since the
+    * synthetic corpus vocabulary is smaller than k.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    graft.ops.HeavyHitters.exact(toks, col("term"), k = 100)
+      .withColumnRenamed("item", "term")
+  }
+
+  private val heavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tc AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT term, cnt FROM tc, n WHERE cnt * 101 > n""".stripMargin
+
+  /** q91 — unigram LM quality score: per-document mean negative log
+    * probability under the corpus's own unigram model (the CCNet-style LM
+    * filtering signal, with the corpus itself as the model). Same
+    * single-pass shape as q87: tf once, global term counts as a window
+    * over tf, corpus total as a broadcast 1-row agg (the two consumers of
+    * tf share one exchange).
+    *
+    * Determinism: each term's −ln p is rounded to 6 BEFORE the per-doc
+    * sum, and the sum runs in DECIMAL (order-independent, the Exact.dsum
+    * rule) — summing raw doubles would drift with partitioning. The final
+    * mean is one double divide, rounded on both sides.
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = tf.agg(sum(col("tf")).as("total"))
+    tf
+      .withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("r",
+        round(log(col("total").cast("double") / col("cnt")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("r")).as("sum_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("sum_dec").cast("double").as("sum_neglogp"),
+        round(col("sum_dec").cast("double") / col("n_tokens"), 6)
+          .as("avg_neglogp"))
+  }
+
+  private val unigramLogprobSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |g AS (SELECT *, SUM(tf) OVER (PARTITION BY term) AS cnt FROM tf),
+      |n AS (SELECT SUM(tf) AS total FROM tf),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    SUM(tf * CAST(round(ln(CAST(total AS DOUBLE) / cnt), 6)
+      |        AS DECIMAL(18,6))) AS sum_dec
+      |  FROM g, n GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  CAST(sum_dec AS DOUBLE) AS sum_neglogp,
+      |  round(CAST(sum_dec AS DOUBLE) / n_tokens, 6) AS avg_neglogp
+      |FROM d""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q87_tfidf_keywords", tfidfKeywords, Some(tfidfKeywordsSql)),
     QueryDef("q88_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     QueryDef("q89_dupspan_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
+    QueryDef("q90_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q91_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
   )
 }

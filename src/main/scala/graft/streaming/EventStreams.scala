@@ -187,6 +187,35 @@ object EventStreams {
       }
   }
 
+  final case class LatestOut(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long, value: Double)
+
+  /** Streaming SCD-1 — the continuously-materialized twin of
+    * [[graft.ops.Merge.upsert]] (and of the batch `q18_latest_event_per_key`):
+    * per (user, event_type) key, state holds the winning row and each batch
+    * emits the current winner. Out-of-order, late, or REPLAYED events never
+    * regress the state — an arrival wins only if its (ts, event_id) is
+    * strictly greater than the stored one (same total order as q18's window
+    * sort), so at-least-once delivery is absorbed idempotently.
+    *
+    * State is one fixed-size row per live key, the minimal CDC-view
+    * footprint; with key churn, wrap with an event-time timeout upstream
+    * the way [[sessionizeClosed]] does.
+    */
+  def upsertLatest(events: Dataset[Event]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestOut, LatestOut](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), rows, state: GroupState[LatestOut]) =>
+          val winner = (state.getOption.iterator ++
+            rows.map(e => LatestOut(uid, etype, micros(e.ts), e.event_id, e.value)))
+            .maxBy(o => (o.ts_us, o.event_id))
+          state.update(winner)
+          winner
+      }
+  }
+
   /** Streaming exact dedup: at-least-once sources (Kafka, file re-lists,
     * replayed batches) deliver duplicates; drop repeats of the same
     * `event_id` arriving within the watermark window via

@@ -225,4 +225,70 @@ class EventStreamsSpec extends SparkTestBase {
     assert(streamed > 0, "streaming read produced no closed windows")
     assert(streamed <= batch)
   }
+
+  test("upsertLatest: late and replayed events never regress per-key state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.upsertLatest(input.toDS())
+      .writeStream.format("memory").queryName("upsert_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        EventStreams.Event(5, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      // late arrival (older ts) + exact replay of the winner: state unchanged
+      input.addData(
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 2.0),
+        EventStreams.Event(5, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      // genuinely newer event wins; separate key tracked independently
+      input.addData(
+        EventStreams.Event(9, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 9.0),
+        EventStreams.Event(7, Timestamp.valueOf("2024-01-01 10:15:00"), 1, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("upsert_test").as[EventStreams.LatestOut].collect()
+      // last emission per key is the live state
+      val byKey = rows.groupBy(o => (o.user_id, o.event_type))
+        .map { case (k, vs) => k -> vs.last }
+      assert(byKey((1L, "click")).event_id == 9L)
+      assert(byKey((1L, "view")).event_id == 7L)
+      // the middle batch (late + replay) must have re-emitted event 5, not 2
+      val clickEmissions = rows.filter(o => o.event_type == "click").map(_.event_id)
+      assert(!clickEmissions.contains(2L), "late event must not take over state")
+    } finally q.stop()
+  }
+
+  test("upsertLatest: end-state parity with the batch latest-per-key twin (q18)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = EventStreams.readEventStream(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventStreams.Event]
+    val state = new java.util.concurrent.ConcurrentHashMap[(Long, String),
+      EventStreams.LatestOut]()
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val q = EventStreams.upsertLatest(stream).toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          val o = EventStreams.LatestOut(r.getLong(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getDouble(4))
+          state.put((o.user_id, o.event_type), o)
+        }
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batchTwin = graft.queries.WindowsQ.latestEventPerKey(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(0), r.getDouble(4)))).toMap
+    assert(state.size() == batchTwin.size, "key cardinality must match q18")
+    batchTwin.foreach { case (k, (tsUs, eid, value)) =>
+      val s = state.get(k)
+      assert(s != null && s.ts_us == tsUs && s.event_id == eid && s.value == value,
+        s"state for $k diverged from the batch twin")
+    }
+  }
 }

@@ -33,7 +33,15 @@ object Merge {
 
   /** SCD-1 upsert: rows in `updates` replace base rows with the same key;
     * unmatched update rows are inserts. When `updates` carries several rows
-    * per key, the greatest `tiebreak` tuple wins (deterministic).
+    * per key, the greatest `tiebreak` tuple wins; equal tiebreak tuples are
+    * resolved by a content hash (xxhash64 over the full row), so the result
+    * is deterministic under any partitioning — never a
+    * whichever-partition-finished-last winner.
+    *
+    * With `tiebreak = Nil` the delta is applied AS IS (no per-key dedupe
+    * window at all — the plan-shape fast path): the CALLER asserts the
+    * delta is per-key unique, and a violation surfaces as duplicate keys in
+    * the output rather than a silent arbitrary pick.
     *
     * `updates` must contain every base column (extra columns are dropped) —
     * partial-column updates belong upstream, where the caller joins the
@@ -49,8 +57,9 @@ object Merge {
     val deduped =
       if (tiebreak.isEmpty) aligned
       else {
+        val contentHash = xxhash64(aligned.columns.map(col).toIndexedSeq: _*)
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(tiebreak.map(col(_).desc): _*)
+          .orderBy(tiebreak.map(col(_).desc) :+ contentHash.desc: _*)
         aligned.withColumn("__graft_rn", row_number().over(w))
           .filter(col("__graft_rn") === 1).drop("__graft_rn")
       }

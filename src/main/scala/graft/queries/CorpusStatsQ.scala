@@ -238,7 +238,49 @@ object CorpusStatsQ {
       |  round(CAST(sum_dec AS DOUBLE) / n_tokens, 6) AS avg_neglogp
       |FROM d""".stripMargin
 
+  /** q95 — distribution drift: KL(P(lang|source) ‖ P(lang)) per source, the
+    * corpus-mix monitoring signal (which sources skew the language balance).
+    * One (source,lang) hash agg; marginals are windows over that tiny
+    * aggregate; the corpus total is a broadcast 1-row agg. Determinism: the
+    * ln-ratio and each P·ln term are rounded to 6 before the DECIMAL sum
+    * (QueryDef rules — the inputs to ln are exact-count double divisions).
+    */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    c
+      .withColumn("ts", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("tl", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .crossJoin(broadcast(n))
+      .withColumn("p", col("c").cast("double") / col("ts"))
+      .withColumn("q", col("tl").cast("double") / col("n"))
+      .withColumn("term",
+        round(col("p") * round(log(col("p") / col("q")), 6), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_docs"),
+        sum(col("term")).cast("double").as("kl"))
+  }
+
+  private val klDriftSql =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ts,
+      |    CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS tl
+      |  FROM c),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT source, MAX(ts) AS n_docs,
+      |  CAST(SUM(CAST(round((CAST(c AS DOUBLE) / ts) *
+      |    round(ln((CAST(c AS DOUBLE) / ts) / (CAST(tl AS DOUBLE) / n)), 6), 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS kl
+      |FROM w, n GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_kl_drift", klDrift, Some(klDriftSql)),
     QueryDef("q87_tfidf_keywords", tfidfKeywords, Some(tfidfKeywordsSql)),
     QueryDef("q88_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),
     QueryDef("q89_dupspan_fraction", dupSpanFraction, Some(dupSpanFractionSql)),

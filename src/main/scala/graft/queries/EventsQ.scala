@@ -54,7 +54,56 @@ object EventsQ {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
       |FROM events""".stripMargin
 
+  /** q96 — ordered funnel: per user, the earliest click, the earliest view
+    * STRICTLY AFTER that click, the earliest purchase strictly after that
+    * view, and the resulting funnel stage. Three whole-partition `min`
+    * windows chained over ONE user_id exchange (each depends on the
+    * previous stage's timestamp — the sequential-projection shape Spark
+    * plans as stacked Window nodes without re-shuffling); the rollup is a
+    * per-user max over constant-per-user columns.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+    t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("click_us"), max(col("t2")).as("view_us"),
+        max(col("t3")).as("purchase_us"))
+      .withColumn("stage",
+        when(col("purchase_us").isNotNull, lit(3))
+          .when(col("view_us").isNotNull, lit(2))
+          .when(col("click_us").isNotNull, lit(1))
+          .otherwise(lit(0)))
+  }
+
+  private val funnelStagesSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' THEN ts_us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts_us > t1
+      |         THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+      |         THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM s2)
+      |SELECT user_id, MAX(t1) AS click_us, MAX(t2) AS view_us,
+      |  MAX(t3) AS purchase_us,
+      |  CASE WHEN MAX(t3) IS NOT NULL THEN 3
+      |       WHEN MAX(t2) IS NOT NULL THEN 2
+      |       WHEN MAX(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM s3 GROUP BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q96_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("q42_hourly_window", hourlyWindow, Some(hourlyWindowSql)),
     QueryDef("q43_running_value", runningValue, Some(runningValueSql)),
   )

@@ -167,6 +167,36 @@ object ParityQ {
        |      FROM orders)
        |GROUP BY ROLLUP(yr, o_orderpriority)""".stripMargin
 
+  /** q97 — full CUBE (all 2³ grouping sets) over (status, priority, year)
+    * with per-dimension GROUPING flags — the §2.7 shape q49's ROLLUP
+    * doesn't cover: a cube expands each input row into all subset groups in
+    * ONE `Expand`+hash-agg pass (no per-grouping-set rescans).
+    */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("o_orderpriority"), col("yr"))
+      .agg(
+        Exact.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderstatus")).cast("int").as("g_st"),
+        grouping(col("o_orderpriority")).cast("int").as("g_pri"),
+        grouping(col("yr")).cast("int").as("g_yr"))
+  }
+
+  private val cubeRevenueSql =
+    s"""SELECT o_orderstatus, o_orderpriority, yr,
+       |  ${O.dsum("o_totalprice")} AS revenue,
+       |  COUNT(*) AS n_orders,
+       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       |  CAST(GROUPING(yr) AS INT) AS g_yr
+       |FROM (SELECT o_orderstatus, o_orderpriority,
+       |        CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
+       |      FROM orders)
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority, yr)""".stripMargin
+
   private val priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
@@ -201,6 +231,7 @@ object ParityQ {
     QueryDef("q45_threshold_severity", thresholdSeverity, Some(thresholdSeveritySql)),
     QueryDef("q46_rfm_clv_merge", rfmClvMerge, Some(rfmClvMergeSql)),
     QueryDef("q49_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
+    QueryDef("q97_cube_revenue", cubeRevenue, Some(cubeRevenueSql)),
     QueryDef("q50_pivot_revenue", pivotRevenue, Some(pivotRevenueSql)),
   )
 }

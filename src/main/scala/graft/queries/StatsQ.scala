@@ -162,7 +162,84 @@ object StatsQ {
       |  nullif(o_orderstatus, 'O') AS status_non_open
       |FROM orders""".stripMargin
 
+  /** q98 — Spearman rank correlation between quantity and price per return
+    * flag: two `row_number` rankings over ONE l_returnflag exchange (same
+    * partitioning, different orders — partition-local sorts), then
+    * ρ = 1 − 6·Σd²/(n(n²−1)). Both rankings carry the full unique line-item
+    * key (ok, ln, pk, sk — NOTES.md: unique at the sf0.01 gate) as
+    * tiebreak, so ranks are permutations and Σd² is an EXACT integer sum
+    * (order-independent, no decimal needed; n³ < 2⁵³ keeps the one double
+    * expression exact too).
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val tie = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val wq = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity") +: tie: _*)
+    val wp = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice") +: tie: _*)
+    t.lineitem
+      .withColumn("rx", row_number().over(wq))
+      .withColumn("ry", row_number().over(wp))
+      .withColumn("d2", (col("rx") - col("ry")) * (col("rx") - col("ry")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("d2").cast("long")).as("sum_d2"))
+      .withColumn("rho",
+        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+  }
+
+  private val spearmanSql =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity,
+      |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rx,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
+      |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS ry
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) *
+      |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** q99 — deterministic table fingerprint: per-group row checksum (first 8
+    * md5 hex chars of a canonical `|`-joined row string, summed as exact
+    * integers ≤ 2⁵³) — the replica-verification primitive: two copies of a
+    * 100 TB table compare by exchanging 3 rows. Doubles are excluded from
+    * the canonical string (float-to-text differs across engines); the
+    * timestamp joins as unix_micros.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .withColumn("h", conv(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_partkey").cast("string"), col("l_suppkey").cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")).cast("string"))),
+        1, 8), 16, 10).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+  }
+
+  private val tableChecksumSql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(('0x' || substr(md5(concat_ws('|',
+      |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+      |    l_returnflag, l_linestatus,
+      |    CAST(epoch_us(l_shipdate) AS VARCHAR))), 1, 8))::BIGINT)
+      |    AS BIGINT) AS checksum
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_spearman", spearman, Some(spearmanSql)),
+    QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),
     QueryDef("q62_date_functions", dateFunctions, Some(dateFunctionsSql)),
     QueryDef("q57_deterministic_sample", deterministicSample, Some(deterministicSampleSql)),
     QueryDef("q58_price_histogram", priceHistogram, Some(priceHistogramSql)),

@@ -249,7 +249,63 @@ object DedupQ {
       |FROM pairs JOIN etot USING (eval_id)
       |WHERE CAST(shared AS DOUBLE) / n_eval >= 0.5""".stripMargin
 
+  /** q100 — the END-TO-END curation composition under one oracle: LSH
+    * near-dup components (q76) pick one canonical survivor per cluster
+    * (the component minimum), survivors flow straight into token-budget
+    * sequence packing (q79) — the full dedup→pack training-data path as a
+    * SINGLE checked dataflow, proving the operators compose without
+    * materialization boundaries (CorpusSpec checks the same composition as
+    * invariants; this pins exact rows). The anti-join against the loser
+    * set is broadcastable (losers ≪ corpus).
+    */
+  def curateAndPack(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val comps = neardupComponents(spark, dir)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    val survivors = docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+    graft.ops.Pack.concatAndChunk(survivors, idCol = "doc_id",
+      groupCol = "source", budget = 2048, shards = 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+  }
+
+  private val curateAndPackSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), surv AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+       |), toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(doc_id % 8 AS INT) AS shard,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+       |  FROM surv),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM toks)
+       |SELECT doc_id, source, shard, n_tokens,
+       |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+       |FROM cum""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),
     QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q52_fuzzy_part_names", fuzzyPartNames, Some(fuzzyPartNamesSql)),
     QueryDef("q36_dedup_exact", dedupExact, Some(dedupExactSql)),

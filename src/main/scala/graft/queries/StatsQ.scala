@@ -183,9 +183,12 @@ object StatsQ {
     t.lineitem
       .withColumn("rx", row_number().over(wq))
       .withColumn("ry", row_number().over(wp))
-      .withColumn("d2", (col("rx") - col("ry")) * (col("rx") - col("ry")))
+      // widen BEFORE squaring: row_number is 32-bit and d² overflows INT
+      // once a group passes ~46k rows (sf1 does)
+      .withColumn("d", col("rx").cast("long") - col("ry"))
+      .withColumn("d2", col("d") * col("d"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("d2").cast("long")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
       .withColumn("rho",
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
@@ -208,11 +211,13 @@ object StatsQ {
       |FROM r GROUP BY 1""".stripMargin
 
   /** q99 — deterministic table fingerprint: per-group row checksum (first 8
-    * md5 hex chars of a canonical `|`-joined row string, summed as exact
-    * integers ≤ 2⁵³) — the replica-verification primitive: two copies of a
-    * 100 TB table compare by exchanging 3 rows. Doubles are excluded from
-    * the canonical string (float-to-text differs across engines); the
-    * timestamp joins as unix_micros.
+    * md5 hex chars of a canonical `|`-joined row string, summed exactly) —
+    * the replica-verification primitive: two copies of a 100 TB table
+    * compare by exchanging 3 rows. Doubles are excluded from the canonical
+    * string (float-to-text differs across engines); the timestamp joins as
+    * unix_micros. The BIGINT sum holds ~2×10⁹ rows per group (9.2e18 /
+    * 4.3e9); beyond that, switch both sides to a DECIMAL(38,0) sum — same
+    * exactness, wider headroom.
     */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -32,17 +32,24 @@ object DedupQ {
   /** MinHash + LSH candidate pairs: word-3-gram shingles → 8 salted-md5
     * minhash signatures → 4 bands of 2 → pairs sharing a band bucket.
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val withWords = t.documents
-      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-    val shingled = withWords
-      .select(col("doc_id"), explode(Dedup.wordShingles("w", 3)).as("shingle"))
-    val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
-    val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
-    Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
-  }
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // the candidate-pair set is TINY (pairs, not corpus) but expensive to
+    // build (tokenize → shingle → minhash → band); four consumers exist
+    // (q37, q76's closure, q100's curation, DedupSpec) — materialize once
+    // per (session, sf) and let the family amortize, the same
+    // stage-materialization pattern the pipeline family documents
+    graft.core.Memo.cached(spark, s"q37-pairs:$dir") {
+      val t = Tables(spark, dir)
+      val withWords = t.documents
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      val shingled = withWords
+        .select(col("doc_id"), explode(Dedup.wordShingles("w", 3)).as("shingle"))
+      val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
+      val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
+      Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Shared oracle CTE chain: tokens → shingles → minhash signatures → LSH
     * bands → candidate pairs (mirrors [[graft.ops.Dedup]] exactly, incl. the
@@ -138,7 +145,11 @@ object DedupQ {
     * closure implementation, so label-propagation bugs can't self-confirm.
     */
   def neardupComponents(spark: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(minhashPairs(spark, dir), "doc_a", "doc_b")
+    // the label-propagation result is localCheckpoint-backed (materialized)
+    // — memoizing shares it between q76 and q100's curation for free
+    graft.core.Memo.cached(spark, s"q76-components:$dir") {
+      Dedup.connectedComponents(minhashPairs(spark, dir), "doc_a", "doc_b")
+    }
 
   private val neardupComponentsSql =
     s"""$minhashCtes, edges AS (

@@ -86,6 +86,34 @@ class Mp4Spec extends SparkTestBase {
     assert(metas(2) == Multimodal.MediaMeta("unknown", -1, -1, 0, 0L))
   }
 
+  test("fuzz: 2000 seeded-random payloads never throw; random round trips are exact") {
+    val rnd = new scala.util.Random(0xbeefL) // seeded → deterministic failures
+    // pure garbage of random lengths (incl. 0) — parse must return cleanly
+    for (_ <- 1 to 1000) {
+      val bytes = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(bytes)
+      Mp4.parse(bytes) // any Some is fine; throwing is the failure mode
+    }
+    // structured garbage: real files with random byte corruptions
+    val base = Mp4.write("isom", 1000, 5000L, 640, 480, 120, 64)
+    for (_ <- 1 to 500) {
+      val corrupted = base.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt(256).toByte
+      Mp4.parse(corrupted)
+    }
+    // random-parameter round trips: everything planted must come back
+    for (_ <- 1 to 500) {
+      val ts = 1 + rnd.nextInt(90000)
+      val dur = 1L + rnd.nextInt(1 << 30)
+      val (w, h) = (rnd.nextInt(8192), rnd.nextInt(8192))
+      val nf = rnd.nextInt(1 << 20)
+      val m = Mp4.parse(Mp4.write("mp42", ts, dur, w, h, nf, rnd.nextInt(512))).get
+      assert(m.timescale == ts && m.durationTicks == dur &&
+        m.videoWidth == w && m.videoHeight == h && m.nSamples == nf)
+    }
+  }
+
   test("q84 query matches its planted arithmetic at sf0.001") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.MediaQ.videoMeta(spark, sf)

@@ -40,7 +40,11 @@ object Mp4 {
   final case class Meta(brand: String, timescale: Long, durationTicks: Long,
       nTracks: Int, videoWidth: Int, videoHeight: Int, nSamples: Long) {
     def durationMs: Long =
-      if (timescale > 0) durationTicks * 1000L / timescale else -1L
+      // adversarial v1 files carry 64-bit tick counts — `ticks * 1000`
+      // must not wrap into a bogus-but-plausible value
+      if (timescale <= 0 || durationTicks < 0 ||
+        durationTicks > Long.MaxValue / 1000L) -1L
+      else durationTicks * 1000L / timescale
   }
 
   // ---- parsing -----------------------------------------------------------

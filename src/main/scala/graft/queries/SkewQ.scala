@@ -57,7 +57,37 @@ object SkewQ {
       |SELECT l.l_orderkey, l.l_linenumber, l.sk, l.l_quantity, r.n_parts
       |FROM l JOIN r USING (sk)""".stripMargin
 
+  /** q101 — two-phase aggregation over the same deliberately skewed key
+    * (~75% of rows on key 0): partial aggregate on (key, salt) spreads the
+    * hot reducer into `saltFactor` small ones, the final aggregate merges
+    * per key ([[Skew.twoPhaseAgg]]). The salt is execution strategy only —
+    * the oracle is the PLAIN GROUP BY, and the decimal partial/final sums
+    * make the two-phase total bit-equal to the one-phase one (Exact rules;
+    * a double partial sum would make the salt semantically VISIBLE via
+    * summation order).
+    */
+  def twoPhaseSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rows = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      skewedKey(col("l_partkey")).as("sk"), col("l_quantity"))
+    Skew.twoPhaseAgg(rows, keys = Seq("sk"), saltFactor = 8,
+      partial = Seq(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+        count(lit(1)).as("pc")),
+      final_ = Seq(
+        sum(col("pq")).cast("double").as("total_qty"),
+        sum(col("pc")).as("n_items")))
+  }
+
+  private val twoPhaseSkewAggSql =
+    """SELECT CASE WHEN l_partkey % 4 < 3 THEN 0 ELSE l_partkey % 97 END AS sk,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q78_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
+    QueryDef("q101_two_phase_skew_agg", twoPhaseSkewAgg, Some(twoPhaseSkewAggSql)),
   )
 }

@@ -103,9 +103,36 @@ object SimilarityQ {
       |JOIN n b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.35""".stripMargin
 
+  /** q102 — the 64×64 upper-triangle Gramian of the embedding corpus (the
+    * PCA/covariance prerequisite and embedding-health diagnostic), via
+    * [[graft.ops.Gramian]]: partition-local fixed-point accumulators, one
+    * tiny integer merge — never an N·d² pair explosion. The oracle expands
+    * terms relationally (fine at sf0.01) and must land on the SAME
+    * micro-unit integers.
+    */
+  def embeddingGramian(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    graft.ops.Gramian.upperTriangle(t.embeddings, "embedding", dim = 64)
+  }
+
+  private val embeddingGramianSql =
+    """WITH pairs AS (
+      |  SELECT t1.i AS i, t2.j AS j
+      |  FROM range(1, 65) t1(i), range(1, 65) t2(j)
+      |  WHERE t1.i <= t2.j),
+      |terms AS (
+      |  SELECT p.i, p.j,
+      |    CAST(round(CAST(embedding[p.i] AS DOUBLE) *
+      |               CAST(embedding[p.j] AS DOUBLE) * 1000000) AS BIGINT) AS u
+      |  FROM embeddings e, pairs p)
+      |SELECT i, j, CAST(SUM(u) AS BIGINT) AS gram_u, COUNT(*) AS n,
+      |  CAST(SUM(u) AS BIGINT) / 1000000.0 AS gram
+      |FROM terms GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
+    QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
   )
 }

@@ -242,7 +242,34 @@ object StatsQ {
       |    AS BIGINT) AS checksum
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q103 — deterministic WEIGHTED Bernoulli sample: each document's keep
+    * probability scales with its length (here min(1, n_chars/2000) — stand-in
+    * for any quality weight), decided by an integer compare between a
+    * 60-bit md5 residue and the micro-unit weight. Entirely map-side, same
+    * rows on any engine/partitioning/rerun (q57's property, extended to
+    * non-uniform weights — the quality-weighted downsampling a curation
+    * pipeline actually runs). No floats anywhere: weight_u = min(1e6,
+    * n_chars·500) exactly.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("w_u", least(lit(1000000L), col("n_chars") * 500L))
+      .withColumn("r_u",
+        pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string")), lit(1000000L)))
+      .filter(col("r_u") < col("w_u"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("w_u"))
+  }
+
+  private val weightedSampleSql =
+    """SELECT doc_id, lang, n_chars,
+      |  LEAST(1000000, n_chars * 500) AS w_u
+      |FROM documents
+      |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |       % 1000000) < LEAST(1000000, n_chars * 500)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q98_spearman", spearman, Some(spearmanSql)),
     QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),
     QueryDef("q62_date_functions", dateFunctions, Some(dateFunctionsSql)),

@@ -292,6 +292,54 @@ object WindowsQ {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
 
+
+  /** q104 — calendar-spine gap fill: the daily trend (q22) leaves missing
+    * days ABSENT; dashboards need them PRESENT as zeros (else averages,
+    * sparklines and period-over-period deltas lie). The spine is generated
+    * from a 1-row min/max bounds aggregate (`sequence` + explode — never a
+    * driver loop), crossed with the distinct priority dim, and
+    * left-joined back; both spine inputs are broadcast-sized by
+    * construction (days × dims), so the fill never shuffles the fact
+    * aggregate.
+    */
+  def trendGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .agg(Exact.dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val bounds = orders.agg(
+      min(col("o_orderdate").cast("date")).as("d0"),
+      max(col("o_orderdate").cast("date")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("order_date"))
+      .crossJoin(orders.select(col("o_orderpriority")).distinct())
+    spine.join(daily, Seq("order_date", "o_orderpriority"), "left")
+      .na.fill(0.0, Seq("revenue")).na.fill(0L, Seq("n_orders"))
+  }
+
+  private val trendGapfillSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+       |             MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+       |spine AS (
+       |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+       |    AS order_date
+       |  FROM b),
+       |prios AS (SELECT DISTINCT o_orderpriority FROM orders)
+       |SELECT s.order_date, p.o_orderpriority,
+       |  COALESCE(d.revenue, 0.0) AS revenue,
+       |  COALESCE(d.n_orders, 0) AS n_orders
+       |FROM spine s CROSS JOIN prios p
+       |LEFT JOIN daily d
+       |  ON d.order_date = s.order_date
+       | AND d.o_orderpriority = p.o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),
     QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),
@@ -303,5 +351,6 @@ object WindowsQ {
     QueryDef("q24_trends_monthly", trendsMonthly, Some(trendsMonthlySql)),
     QueryDef("q25_trends_hourly", trendsHourly, Some(trendsHourlySql)),
     QueryDef("q26_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q104_trend_gapfill", trendGapfill, Some(trendGapfillSql)),
   )
 }

@@ -279,7 +279,65 @@ object CorpusStatsQ {
       |    AS DECIMAL(18,6))) AS DOUBLE) AS kl
       |FROM w, n GROUP BY source""".stripMargin
 
+  /** q105 — χ² independence test between source and language (is the
+    * corpus mix homogeneous, or do sources carry language bias — the
+    * hypothesis-test sibling of q95's KL). The contingency table INCLUDES
+    * zero cells (a counts-only aggregate silently drops them and
+    * understates χ² by their expected mass): the cell spine is the cross
+    * of the two distinct dims left-joined back, the q104 spine pattern.
+    * Expected counts are double chains over exact totals; per-cell terms
+    * round to 6 then DECIMAL-sum into the one-row statistic.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val c = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("tl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cells = srcTot.crossJoin(langTot)
+      .join(c, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("ts").cast("double") * col("tl").cast("double") / col("n"))
+      .withColumn("term",
+        round((col("c").cast("double") - col("e")) *
+          (col("c").cast("double") - col("e")) / col("e"), 6)
+          .cast("decimal(18,6)"))
+    cells.agg(
+      max(col("n")).as("n"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      ((countDistinct(col("source")) - 1) *
+        (countDistinct(col("lang")) - 1)).as("dof"),
+      sum(col("term")).cast("double").as("chi2"))
+  }
+
+  private val chiSquareSql =
+    """WITH c AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |st AS (SELECT source, COUNT(*) AS ts FROM documents GROUP BY 1),
+      |lt AS (SELECT lang, COUNT(*) AS tl FROM documents GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |cells AS (
+      |  SELECT st.source, lt.lang, st.ts, lt.tl, COALESCE(c.c, 0) AS c
+      |  FROM st CROSS JOIN lt
+      |  LEFT JOIN c ON c.source = st.source AND c.lang = lt.lang),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(ts AS DOUBLE) * CAST(tl AS DOUBLE) / n AS e
+      |  FROM cells, n)
+      |SELECT MAX(n) AS n,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
+      |  CAST(SUM(CAST(round((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e, 6)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      |FROM terms""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q95_kl_drift", klDrift, Some(klDriftSql)),
     QueryDef("q87_tfidf_keywords", tfidfKeywords, Some(tfidfKeywordsSql)),
     QueryDef("q88_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),

@@ -187,5 +187,54 @@ object AsOfQ {
     QueryDef("q48_sketch_aggregates", sketchAggregates, Some(sketchAggregatesSql)),
     QueryDef("q53_ann_ivf", annIvfRecall, Some(annIvfRecallSql)),
     QueryDef("q54_range_join", rangeClickPurchase, Some(rangeClickPurchaseSql)),
+    QueryDef("q106_nearest_event", nearestEvent, Some(nearestEventSql)),
   )
+
+  /** q106 — NEAREST-event join: each click pairs with the view whose
+    * timestamp is closest in EITHER direction (min |Δt|, ±15 min window) —
+    * distinct semantics from the as-of join (q47, backward-only last-value)
+    * and the interval join (q54, directed window). Shape: the bucketed
+    * [[graft.ops.RangeJoin]] bounds the candidate space, then a per-click
+    * window keeps the |Δt| minimum (integer ties broken by view_id — two
+    * equidistant views must pick the same winner on every engine).
+    */
+  def nearestEvent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_us").as("view_us"))
+    val pairs = graft.ops.RangeJoin.withinDelta(clicks, views, "user_id",
+      "click_us", "view_us", delta = 900000000L)
+      .withColumn("abs_us", abs(col("view_us") - col("click_us")))
+    val w = Window.partitionBy(col("click_id"))
+      .orderBy(col("abs_us"), col("view_id"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        (col("view_us") - col("click_us")).as("delta_us"))
+  }
+
+  private val nearestEventSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
+      |      FROM ev WHERE event_type = 'click'),
+      |v AS (SELECT user_id, event_id AS view_id, ts_us AS view_us
+      |      FROM ev WHERE event_type = 'view'),
+      |pairs AS (
+      |  SELECT c.user_id, c.click_id, c.click_us, v.view_id, v.view_us
+      |  FROM c JOIN v USING (user_id)
+      |  WHERE abs(v.view_us - c.click_us) <= 900000000)
+      |SELECT user_id, click_id, view_id, view_us - click_us AS delta_us
+      |FROM pairs
+      |QUALIFY row_number() OVER (PARTITION BY click_id
+      |  ORDER BY abs(view_us - click_us), view_id) = 1""".stripMargin
 }

@@ -340,6 +340,44 @@ object WindowsQ {
        |  ON d.order_date = s.order_date
        | AND d.o_orderpriority = p.o_orderpriority""".stripMargin
 
+
+  /** q107 — time-based trailing aggregate via a RANGE window frame: each
+    * order's 7-day trailing revenue and order count for its customer
+    * (`rangeBetween(-6, 0)` over an integer day number — a VALUE frame, so
+    * a burst of same-week orders aggregates by TIME distance, which the
+    * ROWS frames of q43/q51 cannot express). One shuffle on customer; the
+    * trailing sum accumulates in decimal (Exact rules) and both engines
+    * order the frame by the same day number.
+    */
+  def trailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    t.orders
+      .withColumn("day_num",
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")))
+      .withColumn("trail_rev",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+        col("o_totalprice"), col("trail_rev"), col("trail_n"))
+  }
+
+  private val trailingWindowSql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+      |       AS INT) AS day_num,
+      |  o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS trail_rev,
+      |  COUNT(*) OVER w AS trail_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY CAST(datediff('day', DATE '1992-01-01',
+      |                         CAST(o_orderdate AS DATE)) AS INT)
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),
     QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),
@@ -352,5 +390,6 @@ object WindowsQ {
     QueryDef("q25_trends_hourly", trendsHourly, Some(trendsHourlySql)),
     QueryDef("q26_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q104_trend_gapfill", trendGapfill, Some(trendGapfillSql)),
+    QueryDef("q107_trailing_window", trailingWindow, Some(trailingWindowSql)),
   )
 }

@@ -268,7 +268,57 @@ object StatsQ {
       |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       |       % 1000000) < LEAST(1000000, n_chars * 500)""".stripMargin
 
+  /** q108 — robust outlier detection per group: median/MAD z-scores
+    * (|x − med| > 3.5·1.4826·MAD), the statistically-sound upgrade of the
+    * reference's fixed min/max thresholds (U5/q45 family — mean/stddev
+    * break under the very outliers they hunt; median/MAD don't). Two
+    * exact `percentile` passes (median, then median absolute deviation)
+    * joined back broadcast; the flag threshold uses the single literal
+    * 5.1891 (= 3.5·1.4826 exactly, avoiding a cross-engine
+    * literal-product) and counts a deterministic double comparison — no
+    * rounding needed anywhere.
+    */
+  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders
+    val med = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+    val dev = orders.join(broadcast(med), "o_orderpriority")
+      .withColumn("absdev", abs(col("o_totalprice") - col("med")))
+    val stats = dev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(stats), "o_orderpriority")
+      .withColumn("robust_z",
+        when(col("mad") =!= 0.0,
+          round(col("absdev") / (lit(1.4826) * col("mad")), 6)))
+      .withColumn("is_outlier",
+        col("mad") =!= 0.0 &&
+          col("absdev") > lit(1.77912) * col("mad")) // 1.2 · 1.4826, one literal
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("robust_z"), col("is_outlier"))
+  }
+
+  private val robustOutliersSql =
+    """WITH med AS (
+      |  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY 1),
+      |dev AS (
+      |  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+      |    abs(o.o_totalprice - m.med) AS absdev
+      |  FROM orders o JOIN med m USING (o_orderpriority)),
+      |stats AS (
+      |  SELECT o_orderpriority, quantile_cont(absdev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+      |  CASE WHEN s.mad <> 0.0
+      |    THEN round(d.absdev / (CAST(1.4826 AS DOUBLE) * s.mad), 6) END
+      |    AS robust_z,
+      |  (s.mad <> 0.0 AND d.absdev > CAST(1.77912 AS DOUBLE) * s.mad)
+      |    AS is_outlier
+      |FROM dev d JOIN stats s USING (o_orderpriority)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_robust_outliers", robustOutliers, Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q98_spearman", spearman, Some(spearmanSql)),
     QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),

@@ -317,7 +317,50 @@ object StatsQ {
       |    AS is_outlier
       |FROM dev d JOIN stats s USING (o_orderpriority)""".stripMargin
 
+  /** q109 — key-space integrity audit (the lost-batch detector): bucket the
+    * key domain (`key div 1000`), and per bucket report span vs distinct
+    * count (`missing_within`) plus the gap to the previous NON-EMPTY
+    * bucket's max (`gap_to_prev`, via a lag window over the TINY bucket
+    * summary). Detects dropped ranges and duplicate keys without ever
+    * sorting the full table globally — the global-sequence formulation
+    * (`lead` over all keys) is a single-reducer sort at 100 TB; this is one
+    * hash agg plus a window over thousands of bucket rows.
+    */
+  def keyIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val buckets = t.orders
+      .groupBy(expr("o_orderkey div 1000").as("bucket")) // integer div: exact at any key magnitude
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        count(lit(1)).as("n_rows"), // n_rows > n_keys ⇒ duplicate keys
+        min(col("o_orderkey")).as("k_min"),
+        max(col("o_orderkey")).as("k_max"))
+      .withColumn("missing_within",
+        col("k_max") - col("k_min") + 1 - col("n_keys"))
+    val w = Window.orderBy(col("bucket"))
+    buckets
+      .withColumn("gap_to_prev",
+        col("k_min") - lag(col("k_max"), 1).over(w) - 1)
+      .select(col("bucket"), col("n_keys"), col("n_rows"), col("k_min"),
+        col("k_max"), col("missing_within"), col("gap_to_prev"))
+  }
+
+  private val keyIntegritySql =
+    """WITH b AS (
+      |  SELECT o_orderkey // 1000 AS bucket,
+      |    COUNT(DISTINCT o_orderkey) AS n_keys,
+      |    COUNT(*) AS n_rows,
+      |    MIN(o_orderkey) AS k_min,
+      |    MAX(o_orderkey) AS k_max
+      |  FROM orders GROUP BY 1)
+      |SELECT bucket, n_keys, n_rows, k_min, k_max,
+      |  k_max - k_min + 1 - n_keys AS missing_within,
+      |  k_min - lag(k_max) OVER (ORDER BY bucket) - 1 AS gap_to_prev
+      |FROM b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q109_key_integrity", keyIntegrity, Some(keyIntegritySql)),
     QueryDef("q108_robust_outliers", robustOutliers, Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q98_spearman", spearman, Some(spearmanSql)),

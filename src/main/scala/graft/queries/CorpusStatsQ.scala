@@ -336,8 +336,103 @@ object CorpusStatsQ {
       |    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
       |FROM terms""".stripMargin
 
+  /** q111 — inverted index (posting lists): for every term above a
+    * document-frequency floor, its df, total term frequency, and the head
+    * of its doc-id posting list (numerically sorted, first 20 ids,
+    * comma-joined — sorted BEFORE any string cast so ordering is numeric
+    * in both engines).
+    *
+    * This IS the search-index build: the (term → postings) table is the
+    * product, so a shuffle keyed by term is inherent. One tokenize pass
+    * collapses to (term, doc, tf) with map-side combine; the per-term agg
+    * then sees distinct doc rows only. Stopword skew is bounded by the
+    * slice cap on the materialized head (the full list would be emitted to
+    * a sink in production — the cap here keeps the verify payload sane,
+    * not the computation: df/total_tf are over the full postings).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        concat_ws(",",
+          expr("transform(slice(sort_array(collect_list(doc_id)), 1, 20)," +
+            " x -> cast(x as string))")).as("postings_head"))
+      .filter(col("df") >= 50)
+  }
+
+  private val invertedIndexSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  array_to_string(
+      |    list_transform(list_slice(list_sort(list(doc_id)), 1, 20),
+      |                   x -> CAST(x AS VARCHAR)), ',') AS postings_head
+      |FROM tf GROUP BY term HAVING COUNT(*) >= 50""".stripMargin
+
+  /** q113 — per-document Shannon token entropy (nats): the information-
+    * density quality signal (boilerplate and keyword-stuffed docs score
+    * low; natural prose scores near ln(vocab)). Same single-pass family
+    * as q87/q91: one tokenize, (doc, term, tf) hash agg, then the doc
+    * total as a window over that aggregated table.
+    *
+    * Determinism: each term's −p·ln(p) contribution is rounded to 6dp and
+    * the per-doc sum runs in DECIMAL (order-independent); p itself is one
+    * exact integer-ratio double divide.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("n_tokens",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("p", col("tf").cast("double") / col("n_tokens"))
+      .withColumn("h_term",
+        round(-col("p") * log(col("p")), 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("h_term")).cast("double").as("entropy"))
+  }
+
+  private val tokenEntropySql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |withn AS (
+      |  SELECT doc_id, tf,
+      |    CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+      |  FROM tf),
+      |terms AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(round(-(CAST(tf AS DOUBLE) / n_tokens) *
+      |               ln(CAST(tf AS DOUBLE) / n_tokens), 6)
+      |         AS DECIMAL(18,6)) AS h_term
+      |  FROM withn)
+      |SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_distinct,
+      |  CAST(SUM(h_term) AS DOUBLE) AS entropy
+      |FROM terms GROUP BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q105_chi_square", chiSquare, Some(chiSquareSql)),
+    QueryDef("q111_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QueryDef("q113_token_entropy", tokenEntropy, Some(tokenEntropySql)),
     QueryDef("q95_kl_drift", klDrift, Some(klDriftSql)),
     QueryDef("q87_tfidf_keywords", tfidfKeywords, Some(tfidfKeywordsSql)),
     QueryDef("q88_bpe_pair_counts", bpePairCounts, Some(bpePairCountsSql)),

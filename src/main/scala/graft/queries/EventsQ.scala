@@ -102,7 +102,32 @@ object EventsQ {
       |       WHEN MAX(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage
       |FROM s3 GROUP BY user_id""".stripMargin
 
+  /** q117 — semi-structured JSON props: extract the numeric `k` field from
+    * the `props` JSON column (`get_json_object`, the codegen'd path — no
+    * UDF) and aggregate value by (event_type, k). The extraction is pure
+    * map-side; the only shuffle is the final small hash agg. At 100 TB
+    * prefer `from_json` with an explicit schema once the props shape is
+    * known (one parse, typed struct) — `get_json_object` re-parses per
+    * path, fine for the single-field case here.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+  }
+
+  private val jsonPropsSql =
+    s"""SELECT event_type,
+       |  CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+       |  COUNT(*) AS n, ${O.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("q96_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("q42_hourly_window", hourlyWindow, Some(hourlyWindowSql)),
     QueryDef("q43_running_value", runningValue, Some(runningValueSql)),

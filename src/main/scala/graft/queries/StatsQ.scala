@@ -359,7 +359,44 @@ object StatsQ {
       |  k_min - lag(k_max) OVER (ORDER BY bucket) - 1 AS gap_to_prev
       |FROM b""".stripMargin
 
+  /** q114 — deterministic train/val/test split: each document hashes to a
+    * 32-bit value (first 8 md5 hex chars of a salted id) compared against
+    * pinned integer thresholds at 80% / 90% of 2³² — pure map-side, zero
+    * shuffles (the 100-TB shape: split assignment must not require a
+    * per-stratum sort; exact-count splits need rank-within-stratum, which
+    * q57's top-n-per-group demonstrates). Because the hash is independent
+    * of any attribute, every stratum (lang, source, …) inherits the same
+    * ~80/10/10 proportions — stratification without grouping. The salt
+    * ("split|") decorrelates this hash from q57's sampling hash, so split
+    * and sample membership are independent. Assignments are permanent: a
+    * document never changes split when the corpus grows — the property
+    * decontamination (q83) depends on.
+    */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v = conv(substring(md5(concat_ws("|", lit("split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        when(v < 3435973836L, lit("train"))        // floor(0.8 * 2^32)
+          .when(v < 3865470566L, lit("val"))       // floor(0.9 * 2^32)
+          .otherwise(lit("test")).as("split"))
+  }
+
+  private val stratifiedSplitSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)),
+      |                    1, 8))::BIGINT AS v
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN v < 3435973836 THEN 'train'
+      |       WHEN v < 3865470566 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM h""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
     QueryDef("q109_key_integrity", keyIntegrity, Some(keyIntegritySql)),
     QueryDef("q108_robust_outliers", robustOutliers, Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),

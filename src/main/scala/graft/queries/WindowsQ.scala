@@ -378,7 +378,51 @@ object WindowsQ {
       |                         CAST(o_orderdate AS DATE)) AS INT)
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** q116 — the distribution-rank window family q51 doesn't cover:
+    * percent_rank, cume_dist, nth_value and last_value over an explicit
+    * full frame — on monthly revenue per priority. The window runs over
+    * the ALREADY-AGGREGATED (month × priority) table (~400 rows at any
+    * scale — months × 5 priorities is data-size-independent), so the
+    * unbounded frame is free; raw orders see exactly one hash agg.
+    * Revenue is an Exact.dsum (order-independent); the ordering carries
+    * the month as tiebreak and percent_rank/cume_dist round to 6dp (they
+    * are integer-ratio divides, deterministic given the total order).
+    */
+  def rankDistributions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .groupBy(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+        col("o_orderpriority"))
+      .agg(Exact.dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("ym"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    monthly
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("second_best", nth_value(col("revenue"), 2).over(wf))
+      .withColumn("worst", last_value(col("revenue")).over(wf))
+  }
+
+  private val rankDistributionsSql =
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT) AS ym,
+      |    o_orderpriority, %s AS revenue
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT ym, o_orderpriority, revenue,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  nth_value(revenue, 2) OVER wf AS second_best,
+      |  last_value(revenue) OVER wf AS worst
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY revenue DESC, ym),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY revenue DESC, ym
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |""".stripMargin.format(O.dsum("o_totalprice"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q116_rank_distributions", rankDistributions, Some(rankDistributionsSql)),
     QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),
     QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),
     QueryDef("q19_incremental_slice", incrementalSlice, Some(incrementalSliceSql)),

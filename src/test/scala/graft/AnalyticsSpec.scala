@@ -1,0 +1,102 @@
+package graft
+
+import graft.queries.{AnalyticsQ, CorpusStatsQ, EventsQ, StatsQ, WindowsQ}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 analytics batch (q110–q117) —
+  * properties the DuckDB hash-compare can't express as naturally: mass
+  * conservation, range bounds, and determinism under re-run.
+  */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("q110 cohort: offset-0 row IS the cohort size; offsets non-negative") {
+    val df = AnalyticsQ.cohortRetention(spark, sf).cache()
+    try {
+      assert(df.filter(col("month_offset") < 0).isEmpty)
+      val base = df.filter(col("month_offset") === 0)
+      assert(base.filter(col("n_customers") =!= col("cohort_size")).isEmpty)
+      assert(base.filter(col("retention_rate") =!= 1.0).isEmpty)
+      // retention never exceeds the cohort
+      assert(df.filter(col("n_customers") > col("cohort_size")).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q112 markov: each from_type's transition row is a proper distribution") {
+    val df = AnalyticsQ.markovTransitions(spark, sf).cache()
+    try {
+      // counts conserve: sum(n) per from_type == n_from on every row
+      val bad = df.groupBy("from_type", "n_from")
+        .agg(sum("n").as("s"))
+        .filter(col("s") =!= col("n_from"))
+      assert(bad.isEmpty)
+      // probabilities sum to ~1 (6dp rounding per cell)
+      val sums = df.groupBy("from_type").agg(sum("p").as("sp"))
+        .filter(abs(col("sp") - 1.0) > 1e-4)
+      assert(sums.isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q115 benford: digits 1-9, observed mass sums to ~1") {
+    val rows = AnalyticsQ.benfordAudit(spark, sf).collect()
+    assert(rows.forall(r => (1 to 9).contains(r.getAs[Int]("digit"))))
+    val mass = rows.map(_.getAs[Double]("observed_p")).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass=$mass")
+    // every row's n sums to the shared total
+    assert(rows.map(_.getAs[Long]("n")).sum == rows.head.getAs[Long]("total"))
+  }
+
+  test("q113 entropy: bounded by ln(n_distinct), zero iff one distinct token") {
+    val df = CorpusStatsQ.tokenEntropy(spark, sf).cache()
+    try {
+      assert(df.filter(col("entropy") < 0).isEmpty)
+      // H <= ln(n_distinct) + rounding slack (6dp per term)
+      assert(df.filter(col("entropy") >
+        log(col("n_distinct").cast("double")) + 0.001).isEmpty)
+      assert(df.filter(col("n_distinct") === 1 && col("entropy") =!= 0.0).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q114 split: total partition of docs, deterministic, sane fractions") {
+    val a = StatsQ.stratifiedSplit(spark, sf)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(a.count() == total)
+    val bytes = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bytes.keySet.subsetOf(Set("train", "val", "test")))
+    // binomial tolerance at n=50 is wide; just require train strictly dominant
+    assert(bytes.getOrElse("train", 0L) > bytes.getOrElse("val", 0L))
+    assert(bytes.getOrElse("train", 0L) > bytes.getOrElse("test", 0L))
+    // permanence: same assignment on re-run
+    val b = StatsQ.stratifiedSplit(spark, sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("q111 inverted index: postings head length = min(df, 20), sorted ascending") {
+    val rows = CorpusStatsQ.invertedIndex(spark, sf).collect()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val ids = r.getAs[String]("postings_head").split(",").map(_.toLong)
+      assert(ids.length == math.min(df, 20L))
+      assert(ids.sameElements(ids.sorted), s"unsorted postings for ${r.getAs[String]("term")}")
+    }
+  }
+
+  test("q116 rank distributions: pct_rank/cume in [0,1], worst is the partition min") {
+    val df = WindowsQ.rankDistributions(spark, sf).cache()
+    try {
+      assert(df.filter(col("pct_rank") < 0 || col("pct_rank") > 1).isEmpty)
+      assert(df.filter(col("cume") <= 0 || col("cume") > 1).isEmpty)
+      val bad = df.groupBy("o_orderpriority")
+        .agg(min("revenue").as("m"), max("worst").as("w"), min("worst").as("w2"))
+        .filter(col("m") =!= col("w") || col("m") =!= col("w2"))
+      assert(bad.isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q117 json props: k extracted for every event, counts conserve") {
+    val df = EventsQ.jsonProps(spark, sf)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(df.filter(col("k").isNull).isEmpty, "unparseable props")
+    assert(df.agg(sum("n")).head.getLong(0) == total)
+  }
+}

@@ -18,7 +18,8 @@ object SparkEntry {
       SimilarityQ.defs ++ EventsQ.defs ++ ParityQ.defs ++ AsOfQ.defs ++
       StatsQ.defs ++ PipelineQ.defs ++ JdbcQ.defs ++ LayoutQ.defs ++
       SkewQ.defs ++ PackQ.defs ++ MediaQ.defs ++ MergeQ.defs ++
-      CorpusStatsQ.defs ++ GraphQ.defs ++ FormatsQ.defs ++ AnalyticsQ.defs
+      CorpusStatsQ.defs ++ GraphQ.defs ++ FormatsQ.defs ++ AnalyticsQ.defs ++
+      ReshapeQ.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,6 +18,27 @@ class EntryContractSpec extends SparkTestBase {
       s"queries without a DuckDB oracle (add one or a pinned/bounded twin): $missing")
   }
 
+  test("every QueryDef literal in graft.queries source is registered in allDefs") {
+    // Round-4 defect class: a finished query file (ReshapeQ) never added to
+    // allDefs — green tests, zero verified value. Scan the source tree for
+    // QueryDef("name", ...) literals and assert each is reachable.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val qdir = Paths.get(sys.props("user.dir"), "src", "main", "scala", "graft", "queries")
+    assume(Files.isDirectory(qdir), s"query source dir not found at $qdir")
+    val lit = """QueryDef\(\s*"([^"]+)"""".r
+    val declared = Files.list(qdir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap(p => lit.findAllMatchIn(Files.readString(p)).map(_.group(1)))
+      .toSet
+    val registered = SparkEntry.allDefs.map(_.name).toSet
+    val unwired = declared -- registered
+    assert(unwired.isEmpty,
+      s"QueryDef literals not reachable from SparkEntry.allDefs: ${unwired.toSeq.sorted}")
+    assert(declared.nonEmpty && declared.size >= 100,
+      s"source scan looks broken: only ${declared.size} QueryDef literals found")
+  }
+
   test("every query runs and returns non-negative rows at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try { fn(spark, sf).count(); None }

@@ -105,22 +105,49 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate near-dup pairs: vectors sharing a signature
-    * bucket, scored by exact cosine, kept above `minCosine`. The equi-join on
-    * the signature replaces the full O(N²) crossJoin — this is the plan shape
+    * bucket, scored by exact cosine, kept above `minCosine`. The bucket
+    * grouping replaces the full O(N²) crossJoin — this is the plan shape
     * that survives 100×: shuffle on bucket key, per-bucket pair generation.
+    *
+    * Same formulation as [[Dedup.candidatePairs]] (the MinHash twin): ONE
+    * hash-aggregate collects the sorted ids per signature bucket, buckets
+    * beyond `maxBucketSize` are DROPPED, and pairs expand in-task via a
+    * codegen'd slice/transform HOF. The cap is the scale guard a signature
+    * self-equi-join lacks: a corpus with 1M copies of one document puts all
+    * of them in ONE bucket, and its ~5·10¹¹-pair expansion would land in a
+    * single join partition. An over-cap bucket is an identical-signature
+    * mass — an exact-dup family that upstream [[Dedup.exact]] should have
+    * collapsed — whose pairwise expansion is useless for near-dup detection;
+    * excluding it bounds any task's pair fan-out at maxBucketSize²/2.
+    * Cosine scoring then joins the (bounded) candidate ids back to the
+    * vectors — two hash joins on id, never a per-bucket vector array.
     *
     * @param dim embedding dimension (all vectors must have exactly `dim`
     *            elements — required to fold the hyperplanes into literals)
+    * @param maxBucketSize buckets with more ids than this are excluded
+    *                      (mirror the cap in any oracle, as q77 does)
     */
   def lshNearDupPairs(vectors: DataFrame, numBits: Int, minCosine: Double,
-      dim: Int): DataFrame = {
+      dim: Int, maxBucketSize: Int = 4096): DataFrame = {
     val v = vectors.select(col("id"), toDoubleVec(col("vec")).as("v"))
       .withColumn("nrm", norm("v"))
+    // null signature (null vector) matches no bucket — filtered, same
+    // contract the former equi-join had (null never equi-joins)
+    val pairs = v
       .withColumn("sig", hyperplaneSignature("v", numBits, dim))
-    val a = v.select(col("sig"), col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = v.select(col("sig"), col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("sig").isNotNull)
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +
+          "named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    // each id has exactly ONE signature, so pairs are already distinct
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))

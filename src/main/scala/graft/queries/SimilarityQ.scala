@@ -66,7 +66,10 @@ object SimilarityQ {
 
   /** Hyperplane-LSH near-dup pairs — the SCALE path, oracle-gated: 4-bit
     * signatures (16 buckets), exact cosine only within equal buckets,
-    * cosine ≥ 0.35. The oracle rebuilds the identical hyperplanes in SQL
+    * cosine ≥ 0.35, buckets capped at 4096 ids (the
+    * [[graft.ops.Similarity.lshNearDupPairs]] hot-bucket guard — mirrored
+    * in the oracle's `bsz` CTE exactly as q37 mirrors the MinHash cap).
+    * The oracle rebuilds the identical hyperplanes in SQL
     * from the same md5 derivation (`Similarity.planeComponent`:
     * `('0x' || substring(md5('plane{i}:{j}'), 1, 8))::BIGINT / 2^32 - 0.5`),
     * so Spark and DuckDB compute bit-identical projections, signatures,
@@ -76,7 +79,7 @@ object SimilarityQ {
     val t = Tables(spark, dir)
     Similarity.lshNearDupPairs(
       t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
-      numBits = 4, minCosine = 0.35, dim = 64)
+      numBits = 4, minCosine = 0.35, dim = 64, maxBucketSize = 4096)
   }
 
   private val lshNearDupSql =
@@ -94,11 +97,14 @@ object SimilarityQ {
       |    sum(CASE WHEN list_dot_product(v.dv, p.plane) >= 0
       |        THEN (1::BIGINT << p.i) ELSE 0 END) AS sig
       |  FROM n v CROSS JOIN planes p GROUP BY v.vec_id
+      |), bsz AS (
+      |  SELECT sig, count(*) AS n FROM sigs GROUP BY sig
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm), 4) AS cosine
       |FROM n a
       |JOIN sigs sa ON a.vec_id = sa.vec_id
+      |JOIN bsz ON bsz.sig = sa.sig AND bsz.n BETWEEN 2 AND 4096
       |JOIN sigs sb ON sa.sig = sb.sig
       |JOIN n b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
       |WHERE list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.35""".stripMargin

@@ -42,6 +42,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(lsh.nonEmpty, "4-bit LSH should bucket at least one true near-dup pair")
   }
 
+  test("LSH hot-bucket cap drops oversized buckets and bounds the pair count") {
+    // 40 copies of one direction (all land in ONE signature bucket) plus the
+    // (1,2) near-dup pair. Cap at 8: the 40-id bucket is dropped entirely —
+    // no quadratic expansion — while small buckets still pair.
+    val dups = (100L until 140L).map(i => (i, Array(0.0f, 0.70f, 0.71f)))
+    val all = (Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f))) ++ dups).toDF("id", "vec")
+    val capped = Similarity.lshNearDupPairs(all, numBits = 4, minCosine = 0.9,
+      dim = 3, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 >= 100L),
+      s"pairs from the oversized bucket must be excluded: $capped")
+    assert(capped == Set((1L, 2L)), s"small buckets must still pair: $capped")
+    val uncapped = Similarity.lshNearDupPairs(all, numBits = 4, minCosine = 0.9,
+      dim = 3, maxBucketSize = 4096).count()
+    assert(uncapped == 1 + 40L * 39 / 2, "sanity: uncapped expansion is quadratic")
+  }
+
   test("sql extension injection registers vec_dot") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")

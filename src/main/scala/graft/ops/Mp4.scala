@@ -214,6 +214,11 @@ object Mp4 {
   def write(brand: String, timescale: Int, durationTicks: Long, width: Int,
       height: Int, nSamples: Int, payloadLen: Int): Array[Byte] = {
     require(brand.length == 4, s"brand must be a 4cc, got '$brand'")
+    // version-0 mvhd/tkhd/mdhd carry 32-bit durations; a larger value would
+    // silently truncate and round-trip wrong (parse supports 64-bit v1, but
+    // this writer only emits v0)
+    require(durationTicks >= 0 && durationTicks <= 0xffffffffL,
+      s"durationTicks $durationTicks does not fit version-0 32-bit boxes")
 
     def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
       val bos = new ByteArrayOutputStream()

@@ -15,6 +15,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FormatsQ {
 
+  /** Session-scratch dir, deleted on JVM exit — repeated bench/CI sessions
+    * must not accumulate orphaned round-trip data on disk.
+    */
+  private def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(d)) {
+        val walk = Files.walk(d)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        finally walk.close()
+      }
+    }))
+    d.toString
+  }
+
   /** q93 — JSONL round trip: documents written as JSON lines (strings with
     * embedded newlines are escaped, not split — the property a naive text
     * sink gets wrong), read back through an EXPLICIT schema (inference
@@ -25,7 +42,7 @@ object FormatsQ {
   def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val tmp = graft.core.Memo.cached(spark, s"q93-jsonl:$dir") {
-      val p = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+      val p = scratchDir("graft-jsonl") + "/docs"
       t.documents.select(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))
         .coalesce(4).write.mode("overwrite").json(p)
@@ -52,7 +69,7 @@ object FormatsQ {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val tmp = graft.core.Memo.cached(spark, s"q94-orc:$dir") {
-      val p = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/li"
+      val p = scratchDir("graft-orc") + "/li"
       t.lineitem.select(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"))
         .coalesce(4).write.mode("overwrite").orc(p)

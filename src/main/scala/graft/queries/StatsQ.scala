@@ -293,7 +293,7 @@ object StatsQ {
           round(col("absdev") / (lit(1.4826) * col("mad")), 6)))
       .withColumn("is_outlier",
         col("mad") =!= 0.0 &&
-          col("absdev") > lit(1.77912) * col("mad")) // 1.2 · 1.4826, one literal
+          col("absdev") > lit(5.1891) * col("mad")) // 3.5 · 1.4826, one literal
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"), col("robust_z"), col("is_outlier"))
   }
@@ -313,7 +313,7 @@ object StatsQ {
       |  CASE WHEN s.mad <> 0.0
       |    THEN round(d.absdev / (CAST(1.4826 AS DOUBLE) * s.mad), 6) END
       |    AS robust_z,
-      |  (s.mad <> 0.0 AND d.absdev > CAST(1.77912 AS DOUBLE) * s.mad)
+      |  (s.mad <> 0.0 AND d.absdev > CAST(5.1891 AS DOUBLE) * s.mad)
       |    AS is_outlier
       |FROM dev d JOIN stats s USING (o_orderpriority)""".stripMargin
 

@@ -43,4 +43,34 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert(exchanges >= 1, p)
   }
+
+  test("q118 pivot: pinned value list — single hash agg, no pivot-values collect job") {
+    // A missing value list would run a driver-side distinct collect BEFORE
+    // planning; with it pinned, pivot lowers to conditional aggregates in
+    // one pass. No sort anywhere (hash agg + hash join only).
+    val p = plan("q118_pivot_matrix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q119 unpivot: map-side Expand, no join, no extra shuffle") {
+    val p = plan("q119_unpivot_measures")
+    assert(p.contains("Expand"), s"unpivot must plan as Expand:\n$p")
+    assert(!p.contains("Join"), s"unpivot must not rewrite to a union/join:\n$p")
+    // Expand → partial agg → ONE exchange on the 4-group key
+    assert(p.sliding("hashpartitioning".length).count(_ == "hashpartitioning") <= 1,
+      s"q119 should shuffle once on the measure key:\n$p")
+  }
+
+  test("q77 capped LSH: bucket hash agg + pair expansion, no signature self-join") {
+    // The hot-bucket cap formulation: collect ids per signature (hash agg),
+    // expand pairs in-task (Generate/explode), then TWO id hash joins for
+    // cosine scoring. A regression to the signature self-equi-join would
+    // show a join keyed on `sig` and lose the cap.
+    val p = plan("q77_lsh_neardup")
+    assert(p.contains("Generate"), s"q77 must expand pairs via explode:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin"), p)
+    assert(!p.contains("sig#") || !p.contains("Join [sig"),
+      s"q77 must not equi-join on the signature:\n$p")
+  }
 }

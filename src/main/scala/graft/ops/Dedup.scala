@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Large-scale deduplication operators for training-data pipelines.
   *
@@ -116,6 +116,91 @@ object Dedup {
           "named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** The full doc → word → shingle → minhash → LSH-band fingerprint chain
+    * packaged as ONE transform: (idCol, band, band_key) per document. A
+    * document's fingerprints depend only on its own text, so fingerprints
+    * computed in different runs (full, prior-snapshot, incremental batch)
+    * bucket IDENTICALLY — the property [[incrementalPairs]] builds on.
+    * Documents with fewer than `shingleN` words produce no fingerprints
+    * (they cannot shingle — same contract as the full-corpus path).
+    */
+  def bandFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame = {
+    val withWords = docs
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+    val shingled = withWords
+      .select(col(idCol), explode(wordShingles("w", shingleN)).as("shingle"))
+    lshBands(minhashSignatures(shingled, idCol, "shingle", numHashes),
+      idCol, numHashes, rowsPerBand)
+  }
+
+  /** Fingerprint-store writer: the durable side of incremental dedup. At
+    * 100 TB you never re-pair the whole corpus — each ingest batch checks
+    * its new documents against this store and then appends its own
+    * fingerprints. Layout: parquet partitioned by `band` (bounded small
+    * dirs — one per band), files within a band hash-clustered on
+    * `band_key` (`repartition(filesPerBand, band_key)`), so a reader
+    * filtering one band prunes directories and the bucket join's shuffle
+    * distributes on exactly the key the files are clustered by. On a
+    * warehouse-backed cluster the same frame would go through
+    * `bucketBy(n, "band_key").saveAsTable` for a shuffle-free bucket join;
+    * path-based parquet (this method) keeps the store engine-portable.
+    */
+  def writeFingerprintStore(bands: DataFrame, path: String,
+      filesPerBand: Int = 8): Unit =
+    bands.repartition(filesPerBand, col("band_key"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Read a fingerprint store written by [[writeFingerprintStore]]. */
+  def readFingerprintStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental candidate pairs: candidates for a NEW batch of documents
+    * against a prior corpus snapshot's fingerprint store — new-new and
+    * new-prior pairs only, never re-expanding prior-prior pairs (the whole
+    * point: the prior corpus was already paired in its own run, and at
+    * 100 TB re-pairing it would dwarf the batch).
+    *
+    * Same single-hash-aggregate shape as [[candidatePairs]]: union the two
+    * band sets with an `is_new` tag, collect the sorted new/prior id sets
+    * per bucket, drop buckets whose TOTAL size exceeds `maxBucketSize`
+    * (the cap a full-corpus run would apply to the combined bucket — so
+    * `full-run pairs ≡ prior-run pairs ∪ incremental pairs` holds exactly
+    * whenever no bucket straddles the cap between runs), and expand
+    * in-task: new-new pairs from the nids triangle, new-prior pairs from
+    * the nids × pids cross — both bounded by the cap. `doc_a < doc_b` is
+    * structural (sorted sets; least/greatest on the cross).
+    *
+    * Output: (doc_a, doc_b), distinct. A re-ingested id present on BOTH
+    * sides pairs only with others, never itself.
+    */
+  def incrementalPairs(newBands: DataFrame, priorBands: DataFrame,
+      idCol: String, maxBucketSize: Int = 4096): DataFrame = {
+    val tagged = newBands
+      .select(col("band"), col("band_key"), col(idCol).as("id"), lit(true).as("is_new"))
+      .unionByName(priorBands
+        .select(col("band"), col("band_key"), col(idCol).as("id"), lit(false).as("is_new")))
+    tagged.groupBy(col("band"), col("band_key"))
+      .agg(
+        sort_array(collect_set(when(col("is_new"), col("id")))).as("nids"),
+        sort_array(collect_set(when(!col("is_new"), col("id")))).as("pids"))
+      .filter(size(col("nids")) >= 1 &&
+        size(col("nids")) + size(col("pids")) >= 2 &&
+        size(col("nids")) + size(col("pids")) <= maxBucketSize)
+      .select(explode(expr(
+        "concat(" +
+          "flatten(transform(nids, (a, i) -> " +
+            "transform(slice(nids, i + 2, size(nids) - i - 1), b -> " +
+            "named_struct('doc_a', a, 'doc_b', b)))), " +
+          "flatten(transform(nids, a -> transform(pids, b -> " +
+            "named_struct('doc_a', least(a, b), 'doc_b', greatest(a, b)))))" +
+        ")")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+  }
 
   /** Connected components over a near-dup pair graph — the TRANSITIVE
     * clustering step real corpus dedup needs (a≈b and b≈c must land in ONE

@@ -40,13 +40,8 @@ object DedupQ {
     // stage-materialization pattern the pipeline family documents
     graft.core.Memo.cached(spark, s"q37-pairs:$dir") {
       val t = Tables(spark, dir)
-      val withWords = t.documents
-        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-      val shingled = withWords
-        .select(col("doc_id"), explode(Dedup.wordShingles("w", 3)).as("shingle"))
-      val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
-      val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
+      val bands = Dedup.bandFingerprints(t.documents, "doc_id", "text",
+        NumHashes, RowsPerBand)
       Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -315,6 +310,38 @@ object DedupQ {
        |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
        |FROM cum""".stripMargin
 
+  /** q120 — INCREMENTAL dedup against a prior corpus snapshot, checked by
+    * the identity `full-corpus pairs ≡ prior-run pairs ∪ incremental
+    * pairs`: the corpus splits into a "prior" snapshot (doc_id % 3 ≠ 0)
+    * whose fingerprints go through a real parquet fingerprint-store
+    * round trip ([[graft.ops.Dedup.writeFingerprintStore]]), and a "new"
+    * batch (doc_id % 3 = 0) paired via
+    * [[graft.ops.Dedup.incrementalPairs]] — new-new and new-prior
+    * candidates only, prior-prior pairs reused from the prior run, the
+    * whole corpus never re-paired. The ORACLE IS q37's full-corpus SQL
+    * verbatim: the driver's compare proves the incremental composition
+    * reproduces the single-shot run exactly (fingerprints depend only on
+    * each document's own text, so bucketing is run-independent; no sf0.01
+    * bucket approaches the shared cap).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q120-incr:$dir") {
+      val docs = Tables(spark, dir).documents
+      val prior = docs.filter(col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 3 === 0)
+      val storePath = graft.core.Scratch.dir("graft-fpstore") + "/bands"
+      Dedup.writeFingerprintStore(
+        Dedup.bandFingerprints(prior, "doc_id", "text", NumHashes, RowsPerBand),
+        storePath)
+      val store = Dedup.readFingerprintStore(spark, storePath)
+      val priorPairs = Dedup.candidatePairs(store, "doc_id", MaxBucketSize)
+      val incr = Dedup.incrementalPairs(
+        Dedup.bandFingerprints(fresh, "doc_id", "text", NumHashes, RowsPerBand),
+        store, "doc_id", MaxBucketSize)
+      // disjoint by construction: incremental pairs always touch a new id
+      priorPairs.union(incr)
+    }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),
     QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),
@@ -324,5 +351,6 @@ object DedupQ {
     QueryDef("q38_ngram_jaccard", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     QueryDef("q39_simhash", simhashSigs, Some(simhashSigsSql)),
     QueryDef("q76_neardup_components", neardupComponents, Some(neardupComponentsSql)),
+    QueryDef("q120_incremental_dedup", incrementalDedup, Some(minhashPairsSql)),
   )
 }

@@ -18,19 +18,7 @@ object FormatsQ {
   /** Session-scratch dir, deleted on JVM exit — repeated bench/CI sessions
     * must not accumulate orphaned round-trip data on disk.
     */
-  private def scratchDir(prefix: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(d)) {
-        val walk = Files.walk(d)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-        finally walk.close()
-      }
-    }))
-    d.toString
-  }
+  private def scratchDir(prefix: String): String = graft.core.Scratch.dir(prefix)
 
   /** q93 — JSONL round trip: documents written as JSON lines (strings with
     * embedded newlines are escaped, not split — the property a naive text

@@ -43,6 +43,65 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((3L, 5L)), "unrelated docs must not pair")
   }
 
+  test("incremental pairs ∪ prior-run pairs reproduce the full-corpus run") {
+    // 9 docs: near-dup families straddling the prior/new split, plus
+    // singletons. Split: even ids = prior snapshot, odd ids = new batch.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "spark engines shuffle data between executors at scale"),
+      (5L, "spark engines shuffle data between executors at scale"),
+      (6L, "completely different content about databases and storage"),
+      (7L, "training corpora need dedup before tokenization and packing"),
+      (8L, "training corpora need dedup before tokenization and packing"),
+      (9L, "yet another singleton document with unique words only")
+    ).toDF("doc_id", "text")
+    val prior = corpus.filter($"doc_id" % 2 === 0)
+    val fresh = corpus.filter($"doc_id" % 2 === 1)
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandFingerprints(df, "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+
+    // store round trip: write the prior snapshot's fingerprints, read back
+    val storePath = graft.core.Scratch.dir("fpstore-spec") + "/bands"
+    Dedup.writeFingerprintStore(bands(prior), storePath)
+    val store = Dedup.readFingerprintStore(spark, storePath)
+    assert(store.count() == bands(prior).count(), "store must round-trip all fingerprints")
+
+    val full = Dedup.candidatePairs(bands(corpus), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val priorRun = Dedup.candidatePairs(store, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Dedup.incrementalPairs(bands(fresh), store, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(incr.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1),
+      s"incremental must never re-pair two prior docs: $incr")
+    assert((priorRun & incr).isEmpty, "prior-run and incremental pair sets are disjoint")
+    assert(priorRun ++ incr == full,
+      s"identity broken: prior=$priorRun incr=$incr full=$full")
+    assert(incr.contains((1L, 3L)) && (incr.contains((4L, 5L)) || incr.contains((7L, 8L))),
+      s"expected new-new and new-prior exact-dup pairs in $incr")
+  }
+
+  test("incremental pairs respect the total-bucket-size cap") {
+    // 6 exact copies share every band bucket; with the cap at 4 the
+    // combined bucket (2 prior + 4 new = 6 > 4) must expand NO pairs.
+    val copies = (1L to 6L).map(i => (i, "same same same words every time"))
+      .toDF("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandFingerprints(df, "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+    val incr = Dedup.incrementalPairs(
+      bands(copies.filter($"doc_id" > 2)), bands(copies.filter($"doc_id" <= 2)),
+      "doc_id", maxBucketSize = 4)
+    assert(incr.count() == 0, "over-cap combined buckets must be dropped")
+    val uncapped = Dedup.incrementalPairs(
+      bands(copies.filter($"doc_id" > 2)), bands(copies.filter($"doc_id" <= 2)),
+      "doc_id")
+    // all pairs except the prior-prior (1,2): C(6,2) - 1 = 14
+    assert(uncapped.count() == 14, "uncapped: every pair touching a new id")
+  }
+
   test("connected components merge transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 must collapse into ONE component even though (1,3) is not

@@ -14,8 +14,11 @@ import org.apache.spark.sql.{DataFrame, Row}
   * the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF) and [[AudioSystemDecoder]]
   * by `javax.sound.sampled` (WAV/AIFF/AU), no external libraries.
   * [[DeterministicFakeDecoder]] remains for payload-agnostic tests and
-  * benchmarks; only VIDEO stays interface-only (no JDK video codec — plug
-  * a codec-backed [[MediaDecoder]] in where one exists).
+  * benchmarks. VIDEO is real for Motion-JPEG: [[AviMjpegDecoder]] parses
+  * the RIFF/AVI container ([[Avi]]) and every stored frame is a complete
+  * JPEG the ImageIO path decodes — container, sampling, and frame decode
+  * all JDK-only; other codecs (H.264 …) still plug in through
+  * [[MediaDecoder]] where an external library exists.
   *
   * All four kernels run as ENCODER-BASED `Dataset.mapPartitions` (round-2
   * fix; formerly `df.rdd.mapPartitions` + `createDataFrame`): the object
@@ -136,6 +139,30 @@ object Multimodal {
           // UnsupportedAudioFileException for non-audio; IOException and
           // friends for truncated headers — all degrade, never kill a task
           case _: Exception =>
+            MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }
+  }
+
+  /** REAL video decoder for MJPEG-in-AVI ([[Avi]] container walk — pure
+    * JVM). [[MediaMeta]] mapping: `format` = "avi/" + stream handler
+    * (e.g. "avi/mjpg"), `width`/`height` from the main AVI header,
+    * `n_frames` = frames actually STORED in `movi` (not the declared
+    * count — a truncated file reports what survives). Header-only:
+    * frame payloads are located but not decoded here; decode sampled
+    * frames downstream via [[Avi.sampleFrames]] + [[ImagePoolingExtractor]].
+    * Non-AVI payloads degrade to `("unknown", -1, -1, 0, len)` —
+    * poison-safe, same contract as the other decoders.
+    */
+  object AviMjpegDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+      payloads.map { bytes =>
+        val parsed = if (bytes == null) None else Avi.parse(bytes)
+        parsed match {
+          case Some(m) =>
+            MediaMeta("avi/" + m.handler.trim.toLowerCase, m.width, m.height,
+              m.nStoredFrames, bytes.length.toLong)
+          case None =>
             MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
         }
       }

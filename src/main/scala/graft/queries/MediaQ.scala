@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.Mp4
+import graft.ops.{Avi, Mp4, Multimodal}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -67,7 +67,80 @@ object MediaQ {
       |  CAST(${Mp4.fixedOverhead} + 100 + doc_id % 50 AS BIGINT) AS byte_len
       |FROM documents""".stripMargin
 
+  private val framesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("gray_bucket", IntegerType)))
+
+  /** q121 — REAL video frame decode, end to end: per doc, plant 3–8 solid
+    * gray JPEG frames (gray level 16+32k, k = (doc_id + 3·frame) % 8 —
+    * bucket centers, so lossy-JPEG error of even ±15 levels can't cross a
+    * bucket edge), encode each via `javax.imageio`, wrap in a real MJPEG
+    * AVI ([[Avi.write]]), then run the CONSUMER path: container parse,
+    * stride-2/max-4 frame sampling ([[Avi.sampleFrames]]), per-frame JPEG
+    * decode + luminance mean-pool ([[Multimodal.ImagePoolingExtractor]]
+    * grid=1), and re-bucket the DECODED luminance. The oracle re-derives
+    * the planted buckets arithmetically — a green row proves the stored
+    * frames survive the container round trip AND the codec actually
+    * decoded them (garbage pixels ⇒ wrong bucket).
+    *
+    * Scale shape: map-only, one scan, bounded fan-out (≤ 4 rows per
+    * video) — the shape that lets a 100-TB video corpus sample frames
+    * without a shuffle or a per-video explosion.
+    */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = t.documents.select("doc_id")
+    in.mapPartitions { rows =>
+      val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nf = 3 + (id % 6).toInt
+        val (w, h) = (48, 32)
+        val jpegs = (0 until nf).map { k =>
+          val g = 16 + 32 * ((id + 3 * k) % 8).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val avi = Avi.write(w, h, usPerFrame = 100000, frames = jpegs)
+        val meta = Avi.parse(avi).getOrElse(
+          sys.error(s"AVI round-trip parse failed for doc $id")) // loud: writer/parser drift is a bug
+        val sampled = Avi.sampleFrames(avi, stride = 2, maxFrames = 4)
+        sampled.map { case (idx, jpeg) =>
+          val lum01 = pool.extractBatch(Seq(jpeg)).head(0) // mean luminance in [0,1]
+          Row(id, idx, meta.width, meta.height, meta.nStoredFrames,
+            sampled.length, math.floor(lum01 * 255.0 / 32.0).toInt)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(framesSchema))
+  }
+
+  private val videoFramesSql =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS nf,
+      |    unnest(range(0, least(4, CAST(ceil((3 + doc_id % 6) / 2.0) AS BIGINT)))) AS s
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(s * 2 AS INT) AS frame_idx,
+      |  48 AS width, 32 AS height,
+      |  nf AS n_frames,
+      |  CAST(least(4, CAST(ceil(nf / 2.0) AS BIGINT)) AS INT) AS n_sampled,
+      |  CAST((doc_id + 3 * (s * 2)) % 8 AS INT) AS gray_bucket
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
+    QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
   )
 }

@@ -432,7 +432,46 @@ object TextQ {
       |    ELSE 0.0 END AS rep_ratio
       |FROM tris""".stripMargin
 
+  /** q122 — linear text-quality classifier gate
+    * ([[graft.ops.QualityScorer]]): hashed bag-of-words features into 256
+    * buckets, md5-derived micro-unit integer weights folded into the plan
+    * as a literal array, exact BIGINT logit per document, keep = logit > 0.
+    * Map-only — zero exchanges; the oracle re-derives the identical hashed
+    * buckets, weights and integer sum in SQL, so scores are bit-equal.
+    * This is the model-scoring step between the heuristic text filters
+    * (q31/q32) and corpus curation (q100) in a real training-data
+    * pipeline; a production model swaps in its own quantized weights.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = 256
+    t.documents.select(
+      col("doc_id"),
+      size(graft.ops.Dedup.words(col("text"))).as("n_tokens"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(dim)).as("logit_u"))
+      .withColumn("keep", col("logit_u") > 0L)
+  }
+
+  private val qualityClassifierSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents
+      |), per AS (
+      |  SELECT doc_id,
+      |    SUM(('0x' || substr(md5('w:' ||
+      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+      |        % 1000001 - 500000) AS wsum
+      |  FROM toks GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS INT) AS n_tokens,
+      |  CAST(per.wsum AS BIGINT) AS logit_u,
+      |  per.wsum > 0 AS keep
+      |FROM documents d JOIN per USING (doc_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),

@@ -429,7 +429,145 @@ object CorpusStatsQ {
       |  CAST(SUM(h_term) AS DOUBLE) AS entropy
       |FROM terms GROUP BY doc_id""".stripMargin
 
+  /** q123 — CCNet-style segment-level corpus dedup: split every document
+    * into fixed 4-word segments, count each segment's corpus frequency,
+    * drop EVERY occurrence of segments appearing ≥ 3 times (boilerplate —
+    * headers, navigation, license blurbs in real crawls), and reassemble
+    * the surviving text in original order. This is the line-level dedup
+    * step real curation pipelines (CCNet/C4) run between exact-dedup and
+    * near-dedup; the testdata has no newlines, so fixed word windows play
+    * the role of lines — the dataflow is identical.
+    *
+    * Scale shape: one segment explode, one hash agg for the frequency
+    * table, and the boilerplate set (df ≥ K is SMALL by construction —
+    * that's what makes it boilerplate) broadcast into a left_anti join;
+    * reassembly is one shuffle on doc_id with `array_sort(collect_list)`
+    * ordered by the unique in-doc position. No window over raw segments,
+    * no self-join. At petabyte scale with a low K the frequent table can
+    * grow — swap the broadcast for a shuffled anti-join then; the plan is
+    * otherwise unchanged.
+    */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+      .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("toks"))
+    val nSegs = expr("cast(ceil(size(toks) / 4.0) as int)")
+    val seg = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, cast(ceil(size(toks) / 4.0) as int) - 1), " +
+        "s -> named_struct('pos', s, " +
+        "'segment', concat_ws(' ', slice(toks, s * 4 + 1, 4))))")).as("sg"))
+      .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.segment").as("segment"))
+    val boilerplate = seg.groupBy(col("segment"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 3).select("segment")
+    val rebuilt = seg.join(broadcast(boilerplate), Seq("segment"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, segment))), x -> x.segment)"))
+          .as("cleaned"))
+    docs.select(col("doc_id"), nSegs.as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("k"), lit(0L)).cast("int").as("n_kept"),
+        (col("n_segments") - coalesce(col("k"), lit(0L)).cast("int")).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
+  private val segmentDedupSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |seg AS (
+      |  SELECT doc_id, CAST(s AS INT) AS pos,
+      |    array_to_string(toks[s*4+1 : s*4+4], ' ') AS segment
+      |  FROM w, unnest(range(0, CAST(ceil(len(toks)/4.0) AS BIGINT))) t(s)),
+      |boiler AS (
+      |  SELECT segment FROM seg GROUP BY segment HAVING COUNT(*) >= 3),
+      |reb AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+      |    string_agg(segment, ' ' ORDER BY pos) AS cleaned
+      |  FROM seg WHERE segment NOT IN (SELECT segment FROM boiler)
+      |  GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(ceil(len(toks)/4.0) AS INT) AS n_segments,
+      |  COALESCE(n_kept, 0) AS n_kept,
+      |  CAST(ceil(len(toks)/4.0) AS INT) - COALESCE(n_kept, 0) AS n_dropped,
+      |  COALESCE(cleaned, '') AS cleaned_text
+      |FROM w LEFT JOIN reb USING (doc_id)""".stripMargin
+
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  /** q124 — BM25 retrieval scoring (k1 = 1.2, b = 0.75, Lucene-smoothed
+    * idf `ln(1 + (N - df + ½)/(df + ½))`): score every document against a
+    * fixed term set, return the top 20. Complements q111's inverted index
+    * (the index stores postings; this is the ranking function run over
+    * them) — together they are the retrieval leg of a training-data /
+    * RAG pipeline.
+    *
+    * Scale shape: the token explode is FILTERED to the query terms before
+    * any shuffle (map-side `isin` — the posting-list restriction an index
+    * would give), tf is one hash agg on (doc, term), df one on term
+    * (broadcast back), corpus N/avgdl one broadcast 1-row agg, and the
+    * top-20 is `TakeOrderedAndProject` — raw tokens shuffle zero times.
+    *
+    * Determinism: per-term scores round to 6 BEFORE the per-doc sum, and
+    * the sum runs in DECIMAL(18,6) — order-free exact addition, so
+    * engines can't diverge by summation order (libm `ln` agreement is the
+    * q87/q91 precedent); ranking ties break on doc_id.
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+      .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val hits = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(bm25Terms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", round(
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s").cast("decimal(18,6)")).cast("double").as("score"),
+        count(lit(1)).cast("int").as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25TopKSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM w),
+      |hits AS (
+      |  SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+      |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |  CAST(COUNT(*) AS INT) AS n_terms_hit
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q123_segment_dedup", segmentDedup, Some(segmentDedupSql)),
+    QueryDef("q124_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("q105_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q111_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q113_token_entropy", tokenEntropy, Some(tokenEntropySql)),

@@ -395,7 +395,59 @@ object StatsQ {
       |       ELSE 'test' END AS split
       |FROM h""".stripMargin
 
+  /** q125 — domain-MIXTURE resampling: the step that turns a raw crawl
+    * into a training mix ("web 40%, code 30%, …"). Per-source target
+    * weights (here md5-derived 1–5, standing in for the mix config),
+    * a global budget of 40% of corpus chars, per-source acceptance rate =
+    * min(1, source_budget / source_chars), and a deterministic per-doc
+    * hash accept at that rate (q103's integer-compare convention — same
+    * rows on any engine/partitioning/rerun).
+    *
+    * All rate arithmetic is exact BIGINT in KILO-char units: at 100 TB,
+    * `chars × 1e6` overflows int64 (1e14·1e6 > 2⁶³) but `kchars × 1e6`
+    * does not — the unit choice IS the overflow guard, and it only
+    * quantizes the control-plane rate table (20 rows), not the data.
+    * Shape: two tiny aggs (per-source, corpus total) broadcast back, then
+    * one map-side filter over the corpus — no data-plane shuffle at all.
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+      .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
+      .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
+    val tot = docs.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+    val sumw = per.agg(sum(col("w_s")).as("sum_w"))
+    val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
+      .withColumn("rate_u", least(lit(1000000L),
+        expr("(ks_tot * 2 div 5) * w_s div sum_w * 1000000 div ks_s")))
+      .select(col("source"), col("rate_u"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) < col("rate_u"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rate_u"))
+  }
+
+  private val mixtureResampleSql =
+    """WITH per AS (
+      |  SELECT source, SUM(n_chars) AS chars_s,
+      |    GREATEST(1, SUM(n_chars) // 1000) AS ks_s,
+      |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 5 + 1 AS w_s
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_chars) // 1000 AS ks_tot FROM documents),
+      |sw AS (SELECT SUM(w_s) AS sum_w FROM per),
+      |rates AS (
+      |  SELECT source,
+      |    LEAST(1000000, (ks_tot * 2 // 5) * w_s // sum_w * 1000000 // ks_s)
+      |      AS rate_u
+      |  FROM per CROSS JOIN tot CROSS JOIN sw)
+      |SELECT d.doc_id, d.source, d.n_chars, r.rate_u
+      |FROM documents d JOIN rates r USING (source)
+      |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |       % 1000000) < r.rate_u""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q114_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
     QueryDef("q109_key_integrity", keyIntegrity, Some(keyIntegritySql)),
     QueryDef("q108_robust_outliers", robustOutliers, Some(robustOutliersSql)),

@@ -381,17 +381,36 @@ object Relational {
        |  CAST(row_number() OVER (ORDER BY total_revenue DESC, n_name) AS INT) AS rank
        |FROM agg""".stripMargin
 
-  /** A13 analog — discount effectiveness (`go-metric-elt.py:254-263`). */
+  /** A13 analog — discount effectiveness (`go-metric-elt.py:254-263`).
+    *
+    * Two-level aggregate instead of `countDistinct` mixed with the decimal
+    * sums: mixing distinct and plain aggregates makes Spark Expand every
+    * row ×2 and run the distinct through its own shuffle (measured 5 s for
+    * a 2-row result at sf0.1). Aggregating first on (flag, orderkey) gets
+    * map-side combine on the natural key, the distinct count becomes a
+    * plain `count(*)` over level-1 groups, and the decimal partials re-sum
+    * exactly (decimal addition is associative) — bit-identical output,
+    * one Expand-free pass. ~0.6 s same data.
+    */
   def discountEffect(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val money4 = org.apache.spark.sql.types.DecimalType(18, 4)
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
     t.lineitem
       .withColumn("is_discounted", col("l_discount") >= 0.05)
+      .groupBy(col("is_discounted"), col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines_p"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(money4))
+          .as("rev_p"),
+        sum(col("l_discount").cast(money)).as("disc_p"),
+        count(col("l_discount")).as("n_disc_p"))
       .groupBy(col("is_discounted"))
       .agg(
-        count(lit(1)).as("n_lines"),
-        Exact.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_revenue"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        Exact.davg(col("l_discount")).as("avg_discount"))
+        sum(col("n_lines_p")).as("n_lines"),
+        sum(col("rev_p")).cast("double").as("net_revenue"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("disc_p")).cast("double") / sum(col("n_disc_p"))).as("avg_discount"))
   }
 
   private val discountEffectSql =

@@ -44,6 +44,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges >= 1, p)
   }
 
+  test("q15 discount effect: two-level agg, no distinct Expand") {
+    // countDistinct mixed with decimal sums Expands every row ×2; the
+    // two-level rewrite must keep the plan Expand-free (round-5 fix)
+    val p = plan("q15_discount_effect")
+    assert(!p.contains("Expand"), s"q15 must not re-grow an Expand:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q118 pivot: pinned value list — single hash agg, no pivot-values collect job") {
     // A missing value list would run a driver-side distinct collect BEFORE
     // planning; with it pinned, pivot lowers to conditional aggregates in

@@ -52,7 +52,94 @@ object GraphQ {
        |FROM r3""".stripMargin
   }
 
+  /** q126 — triangle count + global clustering coefficient over the part
+    * CO-PURCHASE graph (parts sharing an order; per-order pair expansion
+    * through [[graft.ops.Dedup.candidatePairs]]' capped bucket-collect
+    * shape — an order is a "bucket", so the expansion is bounded per
+    * task and never a relation self-join).
+    *
+    * Triangle enumeration uses DEGREE-ORDERED orientation: each edge
+    * points from lower (degree, id) to higher, so every out-adjacency is
+    * O(√m) even on power-law graphs — the bound that makes the
+    * wedge-close join survive hot vertices at 100 TB (id-ordering would
+    * fan a celebrity vertex's full neighborhood into one join key).
+    * Wedges = two out-edges of one source; a wedge (v, w) closes iff the
+    * oriented edge v→w exists. Every triangle has exactly ONE vertex
+    * with two out-edges inside it, so each is counted once.
+    *
+    * The oracle counts triangles with the plain id-ordered a<b<c
+    * self-join — a DIFFERENT enumeration of the same invariant totals
+    * (triangle count, edge count, wedge count are orientation-free), so
+    * agreement cross-checks the oriented algorithm rather than mirroring
+    * it. All counts exact BIGINT; the clustering coefficient is one
+    * rounded division at the end.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lp = t.lineitem.select(
+      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
+      col("l_partkey").as("p"))
+    val e = graft.ops.Dedup.candidatePairs(lp, "p")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient a↔b toward the higher (degree, id); rank carried as a struct
+    val ranked = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("id"),
+            col("b").as("oid"),
+            struct(col("db").as("d"), col("b").as("v")).as("ork")))
+          .otherwise(
+            struct(col("b").as("id"),
+              col("a").as("oid"),
+              struct(col("da").as("d"), col("a").as("v")).as("ork")))
+          .as("o"))
+      .select(col("o.id").as("src"), col("o.oid").as("dst"),
+        col("o.ork").as("dst_rk")) // rk of src not needed downstream
+    val eo = graft.core.Memo.cached(spark, s"q126-eo:$dir") {
+      ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val wedges = eo.as("x").join(eo.as("y"),
+        col("x.src") === col("y.src") && col("x.dst_rk") < col("y.dst_rk"))
+      .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
+    val tri = wedges.join(eo,
+        col("wa") === col("src") && col("wb") === col("dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+
+  private val trianglesSql =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+      |deg AS (
+      |  SELECT v, COUNT(*) AS d
+      |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+      |tri AS (
+      |  SELECT COUNT(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+      |    ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT
+      |  CAST((SELECT SUM(d) FROM deg) / 2 AS BIGINT) AS n_edges,
+      |  CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+      |  n_triangles,
+      |  round(3.0 * n_triangles / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+      |    AS global_clustering
+      |FROM tri""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q92_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("q126_triangles", triangles, Some(trianglesSql)),
   )
 }

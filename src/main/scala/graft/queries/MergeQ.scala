@@ -87,8 +87,86 @@ object MergeQ {
       |    AS is_current
       |FROM chg""".stripMargin
 
+  /** q127 — snapshot diff / change-data-feed recovery
+    * ([[graft.ops.SnapshotDiff]]): snapshot B evolves `orders`
+    * deterministically (keys ≡0 mod 97 deleted; surviving keys ≡0 mod 13
+    * repriced +1.0 and re-prioritized; keys ≡0 mod 101 re-inserted under
+    * key+10⁸), then `diff` recovers the change feed with ONE full-outer
+    * key join. Output is the audit summary: row counts per change type
+    * plus per-column change counts (`col:<name>` rows) — the
+    * replication-check shape, constant-size regardless of table size.
+    * The +1.0 reprice is one IEEE double add — identical bits in both
+    * engines; each engine compares its own A/B values, so flags agree.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.orders
+    val b = a.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 13 === 0, lit("9-REPRICED"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(a.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    val d = graft.ops.SnapshotDiff.diff(a, b, keys = Seq("o_orderkey"))
+    val byType = d.groupBy(col("change_type").as("kind"))
+      .agg(count(lit(1)).as("n"))
+    val byCol = d.select(explode(col("changed_cols")).as("c"))
+      .groupBy(concat(lit("col:"), col("c")).as("kind"))
+      .agg(count(lit(1)).as("n"))
+    byType.unionByName(byCol)
+  }
+
+  private val snapshotDiffSql =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN '9-REPRICED'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |j AS (
+      |  SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+      |    a.o_custkey IS DISTINCT FROM b.o_custkey AS d_custkey,
+      |    a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS d_status,
+      |    a.o_totalprice IS DISTINCT FROM b.o_totalprice AS d_price,
+      |    a.o_orderdate IS DISTINCT FROM b.o_orderdate AS d_date,
+      |    a.o_orderpriority IS DISTINCT FROM b.o_orderpriority AS d_prio
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+      |typed AS (
+      |  SELECT CASE WHEN ak IS NULL THEN 'added'
+      |              WHEN bk IS NULL THEN 'removed'
+      |              WHEN d_custkey OR d_status OR d_price OR d_date OR d_prio
+      |                THEN 'changed'
+      |              ELSE 'unchanged' END AS kind,
+      |    d_custkey, d_status, d_price, d_date, d_prio,
+      |    (ak IS NOT NULL AND bk IS NOT NULL) AS both_sides
+      |  FROM j)
+      |SELECT kind, COUNT(*) AS n FROM typed GROUP BY kind
+      |UNION ALL
+      |SELECT kind, n FROM (
+      |  SELECT 'col:o_custkey' AS kind,
+      |    COUNT(*) FILTER (WHERE both_sides AND d_custkey) AS n FROM typed
+      |  UNION ALL SELECT 'col:o_orderstatus',
+      |    COUNT(*) FILTER (WHERE both_sides AND d_status) FROM typed
+      |  UNION ALL SELECT 'col:o_totalprice',
+      |    COUNT(*) FILTER (WHERE both_sides AND d_price) FROM typed
+      |  UNION ALL SELECT 'col:o_orderdate',
+      |    COUNT(*) FILTER (WHERE both_sides AND d_date) FROM typed
+      |  UNION ALL SELECT 'col:o_orderpriority',
+      |    COUNT(*) FILTER (WHERE both_sides AND d_prio) FROM typed)
+      |WHERE n > 0""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q85_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q86_scd2_history", scd2History, Some(scd2HistorySql)),
+    QueryDef("q127_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
   )
 }

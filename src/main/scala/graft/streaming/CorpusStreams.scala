@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus maintenance: the continuously-ingesting twin of the
+  * batch incremental-dedup operator (q120). Each micro-batch of documents
+  * is paired against the fingerprint store accumulated by every PRIOR
+  * batch ([[Dedup.incrementalPairs]] — new-new ∪ new-prior candidates,
+  * prior-prior never re-expanded), then appends its own fingerprints to
+  * the store. `foreachBatch` batches are sequential, so batch N always
+  * sees the store state through batch N−1; with `Trigger.AvailableNow` +
+  * a checkpoint, a re-run re-ingests nothing (source offsets live in the
+  * checkpoint) and the at-least-once replay of an uncommitted batch is
+  * IDEMPOTENT — both sinks partition by batch_id with dynamic overwrite,
+  * so a replayed batch replaces its own partitions instead of appending
+  * twice (the same design as [[EventStreams.incrementalParquetSink]]).
+  *
+  * Store layout note: the STREAMING store partitions by batch_id (the
+  * idempotence key), not by band like the batch
+  * [[Dedup.writeFingerprintStore]] — re-clustering by band is a periodic
+  * compaction job ([[graft.ops.Layout]]'s park-aside swap), not a
+  * per-batch cost. The end state is batch-count-invariant: the union of
+  * per-batch incremental pairs equals the one-shot full-corpus pair set
+  * (CorpusStreamsSpec proves 3-batch ≡ 1-shot ≡ q37's formulation).
+  */
+object CorpusStreams {
+
+  /** Start the streaming incremental-dedup pipeline over a streaming
+    * documents frame with (doc_id, text). Pairs land under `pairsPath`
+    * partitioned by batch_id; fingerprints accumulate under `storePath`.
+    */
+  def incrementalDedup(docs: DataFrame, storePath: String, pairsPath: String,
+      checkpoint: String, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 4096): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = Dedup.bandFingerprints(batch, "doc_id", "text",
+          numHashes, rowsPerBand)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // prior = every batch before this one; on replay, this batch's
+          // own (possibly half-written) partition must be EXCLUDED or its
+          // documents would pair against themselves as "prior"
+          val prior =
+            try spark.read.parquet(storePath).filter(col("batch_id") =!= batchId)
+              .drop("batch_id")
+            catch { case _: Exception => // first batch: store doesn't exist yet
+              spark.emptyDataset(org.apache.spark.sql.Encoders.product[
+                (Long, Int, String)]).toDF("doc_id", "band", "band_key")
+            }
+          Dedup.incrementalPairs(bands, prior, "doc_id", maxBucketSize)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairsPath)
+          bands
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(storePath)
+        } finally bands.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

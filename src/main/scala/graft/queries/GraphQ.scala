@@ -76,38 +76,43 @@ object GraphQ {
     */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val lp = t.lineitem.select(
-      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
-      col("l_partkey").as("p"))
-    val e = graft.ops.Dedup.candidatePairs(lp, "p")
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient a↔b toward the higher (degree, id); rank carried as a struct
-    val ranked = e
-      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
-      .select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("id"),
-            col("b").as("oid"),
-            struct(col("db").as("d"), col("b").as("v")).as("ork")))
-          .otherwise(
-            struct(col("b").as("id"),
-              col("a").as("oid"),
-              struct(col("da").as("d"), col("a").as("v")).as("ork")))
-          .as("o"))
-      .select(col("o.id").as("src"), col("o.oid").as("dst"),
-        col("o.ork").as("dst_rk")) // rk of src not needed downstream
-    val eo = graft.core.Memo.cached(spark, s"q126-eo:$dir") {
-      ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deg AND eo both persist (one memo): without the deg persist, the
+    // tiny stats branch re-ran the FULL per-order pair expansion just to
+    // re-derive degrees — one whole extra pass over the edge build
+    val (deg, eo) = graft.core.Memo.cached(spark, s"q126-graph:$dir") {
+      val lp = t.lineitem.select(
+        lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
+        col("l_partkey").as("p"))
+      val e = graft.ops.Dedup.candidatePairs(lp, "p")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val dg = e.select(explode(array(col("a"), col("b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // orient a↔b toward the higher (degree, id); rank carried as a struct
+      val ranked = e
+        .join(dg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+        .join(dg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("id"), col("b").as("oid")))
+            .otherwise(struct(col("b").as("id"), col("a").as("oid")))
+            .as("o"))
+        .select(col("o.id").as("src"), col("o.oid").as("dst"))
+      (dg, ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    val wedges = eo.as("x").join(eo.as("y"),
-        col("x.src") === col("y.src") && col("x.dst_rk") < col("y.dst_rk"))
-      .select(col("x.dst").as("wa"), col("y.dst").as("wb"))
-    val tri = wedges.join(eo,
-        col("wa") === col("src") && col("wb") === col("dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // compact-forward counting: for each oriented edge (u,v), triangles
+    // through it = |N⁺(u) ∩ N⁺(v)| (each triangle counted exactly once, at
+    // its unique out-degree-2 vertex). Joining per-source adjacency ARRAYS
+    // (bounded O(√m) by the orientation) moves ~|E| rows instead of
+    // materializing every wedge — the wedge-join formulation shuffled
+    // ~138M wedge rows at sf0.1 and cost 2× this plan
+    val adj = eo.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    val tri = eo.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nb").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nb").as("nv")), Seq("dst"))
+      .agg(sum(size(array_intersect(col("nu"), col("nv")))).cast("long")
+        .as("n_triangles"))
     val stats = deg.agg(
       (sum(col("d")) / 2).cast("long").as("n_edges"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))

@@ -421,7 +421,59 @@ object WindowsQ {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |""".stripMargin.format(O.dsum("o_totalprice"))
 
+  /** q128 — trailing-exponential smoothing (EWMA, α = ½) of the daily
+    * revenue trend, in FIXED POINT: with α = ½ the weights are powers of
+    * two, so `ewma_u = Σ_{k=0..19} rev_cents[t−k] · 2^(19−k)` is an exact
+    * BIGINT (the 20-term window truncates weights below 2⁻²⁰ — under a
+    * cent on any realistic magnitude; series-start missing lags
+    * contribute 0). One window partition (priority) ordered by day, 20
+    * `lag`s over the ALREADY-AGGREGATED daily table (q22's output, never
+    * raw orders), and the only floating op is the final division — same
+    * fixed-point discipline as PageRank/Gramian, so both engines are
+    * bit-equal with no rounding anywhere. This is the anomaly-baseline /
+    * trend-smoothing step monitoring pipelines run on warehouse metrics.
+    */
+  def ewmaSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val money = org.apache.spark.sql.types.DecimalType(14, 2)
+    val daily = t.orders
+      .groupBy(col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .agg((sum(col("o_totalprice").cast(money)) * 100).cast("long").as("rev_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("order_date"))
+    val ewmaU = (0 until 20).map { k =>
+      coalesce(lag(col("rev_cents"), k).over(w), lit(0L)) * lit(1L << (19 - k))
+    }.reduce(_ + _)
+    daily
+      .withColumn("ewma_u", ewmaU)
+      .select(col("order_date"), col("o_orderpriority"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        col("ewma_u"),
+        (col("ewma_u") / 104857600.0).as("ewma")) // 100 · 2²⁰, one IEEE divide
+  }
+
+  private val ewmaSmoothingSql = {
+    val terms = (0 until 20).map(k =>
+      s"COALESCE(lag(rev_cents, $k) OVER (PARTITION BY o_orderpriority ORDER BY order_date), 0) * ${1L << (19 - k)}"
+    ).mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders GROUP BY 1, 2),
+       |sm AS (
+       |  SELECT order_date, o_orderpriority, rev_cents,
+       |    CAST($terms AS BIGINT) AS ewma_u
+       |  FROM daily)
+       |SELECT order_date, o_orderpriority,
+       |  rev_cents / 100.0 AS revenue, ewma_u,
+       |  ewma_u / 104857600.0 AS ewma
+       |FROM sm""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_ewma_smoothing", ewmaSmoothing, Some(ewmaSmoothingSql)),
     QueryDef("q116_rank_distributions", rankDistributions, Some(rankDistributionsSql)),
     QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),
     QueryDef("q18_latest_event_per_key", latestEventPerKey, Some(latestEventPerKeySql)),

@@ -565,7 +565,45 @@ object CorpusStatsQ {
       |FROM scored GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q129 — positional-postings PHRASE search (the retrieval leg q111's
+    * docs-only postings can't serve): find every document containing the
+    * exact token phrase "table value", with its occurrence count. The
+    * plan is the real positional-index intersection: `posexplode` builds
+    * (doc, position, term) postings, each phrase term's posting list is
+    * map-side FILTERED before anything shuffles (at scale these lists
+    * come straight off an indexed store), and adjacency is an equi-join
+    * on (doc_id, position) with the second term's positions shifted by
+    * −1 — no window, no array scan of full documents on the join side.
+    * The oracle counts token adjacency directly over the SQL-split
+    * arrays, immune to the substring-LIKE trap on adjacent repeats
+    * ("… table value table value …" is 2 matches).
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pos = t.documents.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("p", "term")))
+    val first = pos.filter(col("term") === "table").select(col("doc_id"), col("p"))
+    val second = pos.filter(col("term") === "value")
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    first.join(second, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  private val phraseSearchSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    len(list_filter(range(1, len(w)),
+      |        i -> w[i] = 'table' AND w[i+1] = 'value')) AS n_occurrences
+      |  FROM toks)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM hits WHERE n_occurrences > 0""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q129_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("q123_segment_dedup", segmentDedup, Some(segmentDedupSql)),
     QueryDef("q124_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("q105_chi_square", chiSquare, Some(chiSquareSql)),

@@ -175,6 +175,12 @@ object Dedup {
     *
     * Output: (doc_a, doc_b), distinct. A re-ingested id present on BOTH
     * sides pairs only with others, never itself.
+    *
+    * Store-side cost note: this formulation shuffles BOTH inputs on
+    * (band, band_key); with a store far larger than the batch, read the
+    * store from a `bucketBy(n, "band_key")` table (see
+    * [[writeFingerprintStore]]) so its side arrives pre-clustered and
+    * only the batch shuffles — the plan is otherwise unchanged.
     */
   def incrementalPairs(newBands: DataFrame, priorBands: DataFrame,
       idCol: String, maxBucketSize: Int = 4096): DataFrame = {

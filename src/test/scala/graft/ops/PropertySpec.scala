@@ -102,4 +102,56 @@ class PropertySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
     assert(twoPhase == expect)
   }
+
+  private val docsGen = Gen.listOfN(40,
+    for {
+      id <- Gen.choose(1L, 30L)
+      words <- Gen.listOfN(6, Gen.oneOf("red", "green", "blue", "fast",
+        "slow", "table", "row", "key"))
+    } yield (id, words.mkString(" ")))
+
+  test("incremental dedup identity holds for random corpora and split points") {
+    (1L to 5L).foreach { s =>
+      val raw = docsGen.pureApply(Gen.Parameters.default, Seed(s))
+        .groupBy(_._1).map { case (id, rs) => (id, rs.head._2) }.toSeq
+      val corpus = raw.toDF("doc_id", "text")
+      (2 to 3).foreach { m =>
+        val prior = corpus.filter($"doc_id" % m =!= 0)
+        val fresh = corpus.filter($"doc_id" % m === 0)
+        def bands(df: org.apache.spark.sql.DataFrame) =
+          Dedup.bandFingerprints(df, "doc_id", "text", 8, 2)
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val full = pairs(Dedup.candidatePairs(bands(corpus), "doc_id"))
+        val priorRun = pairs(Dedup.candidatePairs(bands(prior), "doc_id"))
+        val incr = pairs(Dedup.incrementalPairs(bands(fresh), bands(prior), "doc_id"))
+        assert(priorRun ++ incr == full && (priorRun & incr).isEmpty,
+          s"seed=$s mod=$m: prior=$priorRun incr=$incr full=$full")
+      }
+    }
+  }
+
+  test("snapshot diff partitions keys and is symmetric under swap") {
+    (1L to 5L).foreach { s =>
+      val rows = docsGen.pureApply(Gen.Parameters.default, Seed(s))
+        .groupBy(_._1).map { case (id, rs) => (id, rs.head._2) }.toSeq
+      val a = rows.toDF("k", "s")
+      val b = rows.filter(_._1 % 3 != 0)
+        .map { case (k, v) => (k, if (k % 2 == 0) v + "!" else v) }
+        .toDF("k", "s")
+      val d = SnapshotDiff.diff(a, b, Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val dSwap = SnapshotDiff.diff(b, a, Seq("k")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(d.keySet == dSwap.keySet)
+      d.foreach { case (k, t) =>
+        val expect = t match {
+          case "added" => "removed"
+          case "removed" => "added"
+          case other => other
+        }
+        assert(dSwap(k) == expect, s"seed=$s key=$k: $t vs ${dSwap(k)}")
+      }
+    }
+  }
 }

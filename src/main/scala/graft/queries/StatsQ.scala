@@ -446,7 +446,50 @@ object StatsQ {
       |WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
       |       % 1000000) < r.rate_u""".stripMargin
 
+  /** q130 — EQUI-DEPTH (decile) histogram of order totals: the
+    * optimizer-statistics / drift-monitoring companion of q58's
+    * equi-WIDTH histogram (equal-count bins adapt to skew; equal-range
+    * bins don't). Nine exact interpolated deciles from ONE `percentile`
+    * aggregate (single pass — not 9 sort jobs), broadcast as a 1-row
+    * frame; bin assignment is a map-side chain of strictly-greater
+    * comparisons (`bin = Σ (x > tⱼ)`, so boundary ties land LOW in both
+    * engines deterministically), then one per-bin aggregate. The
+    * interpolation arithmetic (`a + (b−a)·frac`) is the same IEEE
+    * sequence in Spark `percentile` and DuckDB `quantile_cont` — the
+    * q11/q44/q108 cross-engine precedent.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val x = t.orders.select(col("o_totalprice").as("x"))
+    val bounds = x.agg(
+      (1 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")).head,
+      (2 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")): _*)
+    val bin = (1 to 9).map(j =>
+      when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
+    x.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("lo"), max(col("x")).as("hi"),
+        graft.ops.Exact.dsum(col("x")).as("total"))
+  }
+
+  private val equidepthHistogramSql = {
+    val qs = (1 to 9).map(j => s"quantile_cont(o_totalprice, 0.$j) AS t$j")
+      .mkString(", ")
+    val bin = (1 to 9).map(j => s"CASE WHEN x > t$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT $qs FROM orders),
+       |assigned AS (
+       |  SELECT o_totalprice AS x, CAST($bin AS INT) AS bin
+       |  FROM orders CROSS JOIN b)
+       |SELECT bin, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi,
+       |  ${graft.ops.OracleSql.dsum("x")} AS total
+       |FROM assigned GROUP BY bin""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q114_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
     QueryDef("q109_key_integrity", keyIntegrity, Some(keyIntegritySql)),

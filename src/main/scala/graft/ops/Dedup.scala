@@ -117,6 +117,24 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+  /** [[candidatePairs]] keeping the number of buckets each pair shares
+    * (instead of deduping): with orders as buckets this is the exact
+    * basket co-occurrence count market-basket analysis needs. Same
+    * single-hash-aggregate + in-task expansion shape and the same
+    * `maxBucketSize` guard; the trailing agg replaces the `distinct`.
+    */
+  def candidatePairsWithCount(bands: DataFrame, idCol: String,
+      maxBucketSize: Int = 4096): DataFrame =
+    bands.groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +
+          "named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_pair"))
+
   /** The full doc → word → shingle → minhash → LSH-band fingerprint chain
     * packaged as ONE transform: (idCol, band, band_key) per document. A
     * document's fingerprints depend only on its own text, so fingerprints

@@ -143,8 +143,84 @@ object GraphQ {
       |    AS global_clustering
       |FROM tri""".stripMargin
 
+  /** q131 — association rules over order baskets (the recsys/market-basket
+    * step downstream of q126's co-purchase edges): for part pairs
+    * co-occurring in ≥ 3 orders, support / confidence / lift from exact
+    * integer counts — pair counts via the same capped bucket-collect
+    * expansion (per-order, never a basket self-join), per-part order
+    * counts as one hash agg broadcast back, basket total as a 1-row
+    * broadcast. Emitted per DIRECTION (a→b and b→a differ in
+    * confidence), top-20 by (lift, antecedent, consequent) with every
+    * ratio rounded(6) AFTER ranking on the exact integers.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lp = t.lineitem.select(
+      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
+      col("l_partkey").as("p"))
+    val basketsOfPart = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val nBaskets = t.lineitem.agg(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    val pairCounts = graft.ops.Dedup.candidatePairsWithCount(lp, "p")
+      .filter(col("n_pair") >= 3)
+    val directed = pairCounts.select(
+        col("doc_a").as("antecedent"), col("doc_b").as("consequent"), col("n_pair"))
+      .unionByName(pairCounts.select(
+        col("doc_b").as("antecedent"), col("doc_a").as("consequent"), col("n_pair")))
+    directed
+      .join(broadcast(basketsOfPart.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(basketsOfPart.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      // rank on exact integers (lift ∝ n_pair·N/(n_ante·n_cons) — compare
+      // as cross-multiplied BIGINTs? a/b vs c/d ranking needs one global
+      // order; n_pair·N and n_ante·n_cons fit long, ratio ties broken by
+      // ids, and the ROUNDED double agrees with the oracle's
+      .withColumn("lift_u", expr(
+        "(n_pair * n_baskets * CAST(1000000 AS BIGINT)) div (n_ante * n_cons)"))
+      .orderBy(col("lift_u").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("n_cons"),
+        round(col("n_pair").cast("double") / col("n_baskets"), 6).as("support"),
+        round(col("n_pair").cast("double") / col("n_ante"), 6).as("confidence"),
+        col("lift_u"))
+  }
+
+  private val associationRulesSql =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_pair
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |parts AS (SELECT p, COUNT(*) AS n_part FROM lp GROUP BY p),
+      |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM lp),
+      |directed AS (
+      |  SELECT a AS antecedent, b AS consequent, n_pair FROM pairs
+      |  UNION ALL
+      |  SELECT b, a, n_pair FROM pairs),
+      |scored AS (
+      |  SELECT antecedent, consequent, n_pair,
+      |    pa.n_part AS n_ante, pc.n_part AS n_cons, n_baskets,
+      |    (n_pair * n_baskets * 1000000) // (pa.n_part * pc.n_part) AS lift_u
+      |  FROM directed
+      |  JOIN parts pa ON pa.p = antecedent
+      |  JOIN parts pc ON pc.p = consequent
+      |  CROSS JOIN nb)
+      |SELECT antecedent, consequent, n_pair, n_ante, n_cons,
+      |  round(CAST(n_pair AS DOUBLE) / n_baskets, 6) AS support,
+      |  round(CAST(n_pair AS DOUBLE) / n_ante, 6) AS confidence,
+      |  CAST(lift_u AS BIGINT) AS lift_u
+      |FROM scored
+      |ORDER BY lift_u DESC, antecedent, consequent LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q92_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("q126_triangles", triangles, Some(trianglesSql)),
+    QueryDef("q131_association_rules", associationRules, Some(associationRulesSql)),
   )
 }

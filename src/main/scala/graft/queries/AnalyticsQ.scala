@@ -167,7 +167,57 @@ object AnalyticsQ {
       |  round(abs(observed_p - expected_p), 6) AS abs_dev
       |FROM p""".stripMargin
 
+  /** q132 — ABC / Pareto classification of parts by revenue (the
+    * inventory-analytics standard: A = parts covering the top 70% of
+    * cumulative revenue, B = to 90%, C = the tail). All in exact cents:
+    * per-part revenue as BIGINT, cumulative sum over ONE global window —
+    * but over the AGGREGATED per-part table (dimension-sized, the only
+    * place a global order is semantically required; raw lineitem never
+    * sorts) — and class boundaries as cross-multiplied integer compares
+    * (`cum·10 ≤ total·7`), so no float ever decides a class. Unique
+    * (revenue desc, partkey) ordering makes the running sum and classes
+    * engine-invariant.
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val money = org.apache.spark.sql.types.DecimalType(14, 2)
+    val perPart = t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(money)) * 100).cast("long").as("rev_u"))
+    val w = Window.orderBy(col("rev_u").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perPart.agg(sum(col("rev_u")).as("total_u"))
+    perPart
+      .withColumn("cum_u", sum(col("rev_u")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("l_partkey"),
+        (col("rev_u") / 100.0).as("revenue"),
+        col("cum_u"),
+        when(col("cum_u") * 10 <= col("total_u") * 7, "A")
+          .when(col("cum_u") * 10 <= col("total_u") * 9, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  private val abcClassificationSql =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+      |      AS rev_u
+      |  FROM lineitem GROUP BY 1),
+      |cum AS (
+      |  SELECT l_partkey, rev_u,
+      |    CAST(SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u
+      |  FROM per_part),
+      |t AS (SELECT SUM(rev_u) AS total_u FROM per_part)
+      |SELECT l_partkey, rev_u / 100.0 AS revenue, cum_u,
+      |  CASE WHEN cum_u * 10 <= total_u * 7 THEN 'A'
+      |       WHEN cum_u * 10 <= total_u * 9 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM cum CROSS JOIN t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_abc_classification", abcClassification, Some(abcClassificationSql)),
     QueryDef("q110_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q112_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     QueryDef("q115_benford_audit", benfordAudit, Some(benfordAuditSql)),

@@ -164,9 +164,71 @@ object MergeQ {
       |    COUNT(*) FILTER (WHERE both_sides AND d_prio) FROM typed)
       |WHERE n > 0""".stripMargin
 
+  /** q133 — POINT-IN-TIME (temporal) join against the SCD-2 history: for
+    * every purchase event, the user's state one hour BEFORE the purchase
+    * ("what was the user doing before buying" — the attribution /
+    * feature-backfill question that motivates SCD-2 in the first place;
+    * joining a fact to the dimension version valid AT the fact's
+    * timestamp is the temporal-correctness contract training-data
+    * backfills must honor to avoid leakage). Probes before a user's
+    * first interval stay NULL — they had no state yet, and fabricating
+    * one would be the leakage.
+    *
+    * Scale shape: ONE equi-join on user_id with the `[from, to)`
+    * interval predicate evaluated in-join (intervals partition each
+    * user's timeline, so at most one matches — row count = probe count);
+    * per-user histories are bounded, and a history too hot for one key
+    * would move to the bucketed [[graft.ops.RangeJoin]] shape. Interval
+    * semantics are half-open ([from, to)), so a probe exactly on a
+    * boundary belongs to the LATER interval in both engines.
+    */
+  def pointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hist = Merge.scd2(t.events, keys = Seq("user_id"),
+      stateCol = "event_type", tsCol = "ts", tieCol = "event_id")
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("valid_from")).as("vf_us"),
+        unix_micros(col("valid_to")).as("vt_us"))
+    val probes = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - lit(3600000000L)).as("pt_us"))
+    probes.join(hist,
+        probes("user_id") === hist("user_id") &&
+          col("vf_us") <= col("pt_us") &&
+          (col("vt_us").isNull || col("pt_us") < col("vt_us")),
+        "left")
+      .select(probes("event_id"), probes("user_id"), col("pt_us"),
+        col("state"), col("vf_us").as("state_since_us"))
+  }
+
+  private val pointInTimeJoinSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_type, ts, event_id FROM ordered
+      |  WHERE event_type IS DISTINCT FROM prev),
+      |hist AS (
+      |  SELECT user_id, event_type AS state,
+      |    epoch_us(ts) AS vf_us,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      AS vt_us
+      |  FROM chg),
+      |probes AS (
+      |  SELECT event_id, user_id, epoch_us(ts) - 3600000000 AS pt_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.pt_us, h.state,
+      |  h.vf_us AS state_since_us
+      |FROM probes p LEFT JOIN hist h
+      |  ON h.user_id = p.user_id AND h.vf_us <= p.pt_us
+      | AND (h.vt_us IS NULL OR p.pt_us < h.vt_us)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q85_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     QueryDef("q86_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("q127_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q133_pointintime_join", pointInTimeJoin, Some(pointInTimeJoinSql)),
   )
 }

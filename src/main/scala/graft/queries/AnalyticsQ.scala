@@ -177,6 +177,13 @@ object AnalyticsQ {
     * (`cum·10 ≤ total·7`), so no float ever decides a class. Unique
     * (revenue desc, partkey) ordering makes the running sum and classes
     * engine-invariant.
+    *
+    * Scale note: the running sum funnels the aggregated table through
+    * one window partition — correct while the part catalog is
+    * dimension-sized (10⁶–10⁷). For a billion-key catalog the same
+    * semantics run as two-phase prefix sums: range-partition by rev_u
+    * desc, partial sums per partition, broadcast the per-partition
+    * offsets (the `Skew.twoPhaseAgg` pattern applied to a prefix scan).
     */
   def abcClassification(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

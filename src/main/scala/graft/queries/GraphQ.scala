@@ -152,6 +152,11 @@ object GraphQ {
     * broadcast. Emitted per DIRECTION (a→b and b→a differ in
     * confidence), top-20 by (lift, antecedent, consequent) with every
     * ratio rounded(6) AFTER ranking on the exact integers.
+    *
+    * Overflow bound: `n_pair·n_baskets·10⁶` stays in int64 while
+    * basket count × pair count < ~9·10¹² — beyond that (trillion-basket
+    * corpora) the micro-lift moves to DECIMAL(38,0); the comparison
+    * semantics are unchanged.
     */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -457,6 +457,13 @@ object StatsQ {
     * interpolation arithmetic (`a + (b−a)·frac`) is the same IEEE
     * sequence in Spark `percentile` and DuckDB `quantile_cont` — the
     * q11/q44/q108 cross-engine precedent.
+    *
+    * Scale note: exact `percentile` over ONE global group buffers the
+    * column in a single aggregation state — fine at the oracle gate, but
+    * at 100 TB the bounds step swaps to `approx_percentile` (t-digest,
+    * mergeable, bounded state) and trades the exact oracle for an
+    * error-bound assert (the q48 sketch pattern). The binning plan —
+    * broadcast bounds, map-side comparison chain — is unchanged.
     */
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -103,8 +103,82 @@ object PackQ {
       |  END AS quant
       |FROM mm""".stripMargin
 
+  /** q134 — padding-waste analysis of batch assembly (the dynamic-batching
+    * question every training loader answers): batches of 32 docs per
+    * shard, padded to the batch max length — how many pad tokens does
+    * ARRIVAL-order batching burn vs LENGTH-SORTED batching? Per
+    * (strategy, shard): batch count, real tokens, padded tokens, waste%.
+    * Length-sorting collapses the per-batch max spread, so its waste is
+    * structurally lower — this query puts an exact number on it.
+    *
+    * Scale shape: q79's shard-local discipline — `row_number` windows
+    * partitioned by the hash shard (shards scale out; nothing global),
+    * one hash agg per strategy over (shard, batch), then a tiny rollup.
+    * All counts exact BIGINT; waste% is one rounded division per output
+    * row (16 rows).
+    */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val d = t.documents
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(8L)).cast("int"))
+    def strategy(name: String, order: Seq[org.apache.spark.sql.Column]) = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(order: _*)))
+      .withColumn("batch", expr("(rn - 1) div 32"))
+      .groupBy(col("shard"), col("batch"))
+      .agg(max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("real_tok"),
+        count(lit(1)).as("n_docs"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("real_tok")).as("real_tokens"),
+        sum(col("max_len") * col("n_docs")).as("padded_tokens"))
+      .withColumn("strategy", lit(name))
+    strategy("arrival", Seq(col("doc_id")))
+      .unionByName(strategy("sorted", Seq(col("n_tokens"), col("doc_id"))))
+      .select(col("strategy"), col("shard"), col("n_batches"),
+        col("real_tokens"), col("padded_tokens"),
+        round(lit(100.0) * (col("padded_tokens") - col("real_tokens"))
+          / col("padded_tokens"), 6).as("waste_pct"))
+  }
+
+  private val paddingWasteSql = {
+    def strat(name: String, order: String) =
+      s"""SELECT '$name' AS strategy, shard,
+         |  COUNT(*) AS n_batches, SUM(real_tok) AS real_tokens,
+         |  SUM(max_len * n_docs) AS padded_tokens
+         |FROM (
+         |  SELECT shard, (rn - 1) // 32 AS batch,
+         |    MAX(n_tokens) AS max_len, SUM(n_tokens) AS real_tok,
+         |    COUNT(*) AS n_docs
+         |  FROM (
+         |    SELECT shard, n_tokens, doc_id,
+         |      row_number() OVER (PARTITION BY shard ORDER BY $order) AS rn
+         |    FROM d)
+         |  GROUP BY shard, (rn - 1) // 32)
+         |GROUP BY shard""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(doc_id % 8 AS INT) AS shard
+       |  FROM documents),
+       |res AS (
+       |  ${strat("arrival", "doc_id")}
+       |  UNION ALL
+       |  ${strat("sorted", "n_tokens, doc_id")})
+       |SELECT strategy, shard, n_batches, real_tokens, padded_tokens,
+       |  round(100.0 * (padded_tokens - real_tokens) / padded_tokens, 6)
+       |    AS waste_pct
+       |FROM res""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q79_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q80_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
+    QueryDef("q134_padding_waste", paddingWaste, Some(paddingWasteSql)),
   )
 }

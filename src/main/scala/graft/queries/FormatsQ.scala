@@ -74,8 +74,41 @@ object FormatsQ {
       |FROM lineitem
       |WHERE l_orderkey >= 1000 AND l_orderkey < 4000""".stripMargin
 
+  /** q135 — parquet SCHEMA EVOLUTION round trip: generation 1 of a table
+    * (even doc_ids) lands without a `quality` column, generation 2 (odd
+    * doc_ids) adds it; a `mergeSchema` read unifies both generations and
+    * gen-1 rows surface the added column as NULL — the
+    * additive-evolution contract long-lived 100-TB tables depend on
+    * (rewriting history to add a column is the thing you can NOT do).
+    * The oracle reconstructs the merged view from the source table, so a
+    * green row proves footer merging, column backfill-as-null, and type
+    * agreement across generations.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val root = graft.core.Memo.cached(spark, s"q135-evo:$dir") {
+      val p = scratchDir("graft-evo")
+      val base = t.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      base.filter(col("doc_id") % 2 === 0)
+        .coalesce(2).write.mode("overwrite").parquet(s"$p/gen1")
+      base.filter(col("doc_id") % 2 === 1)
+        .withColumn("quality", (col("n_chars") % 100).cast("long"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$p/gen2")
+      p
+    }
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen1", s"$root/gen2")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT doc_id, lang, n_chars,
+      |  CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END AS quality
+      |FROM documents""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q93_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),
     QueryDef("q94_orc_roundtrip", orcRoundtrip, Some(orcRoundtripSql)),
+    QueryDef("q135_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
   )
 }

@@ -342,6 +342,72 @@ object DedupQ {
       priorPairs.union(incr)
     }
 
+  /** q136 — QUALITY-aware canonical survivor per near-dup cluster: real
+    * curation does not keep the lowest doc_id, it keeps the BEST copy.
+    * Compose the q76 component closure with the q122 classifier logit:
+    * survivor = argmax (logit, −doc_id) per component, via ONE `max_by`
+    * partial aggregate over the (tiny) component assignment joined to
+    * the map-only logit — no window, no sort, and the corpus outside
+    * the clusters is untouched. Output: one row per cluster with the
+    * chosen survivor, its logit, and the cluster size. The oracle
+    * re-derives the same closure (RECURSIVE CTE) and the same integer
+    * logit, so the argmax agrees exactly (BIGINT logit, deterministic
+    * id tiebreak).
+    */
+  def qualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val comps = neardupComponents(spark, dir)
+    val logits = t.documents.select(col("doc_id"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
+    comps.join(logits, comps("id") === logits("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        max_by(struct(col("doc_id").as("survivor_id"),
+          col("logit_u").as("survivor_logit_u")),
+          struct(col("logit_u"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), col("best.survivor_id").as("survivor_id"),
+        col("best.survivor_logit_u").as("survivor_logit_u"),
+        col("cluster_size"))
+  }
+
+  private val qualitySurvivorSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), logits AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(('0x' || substr(md5('w:' ||
+       |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+       |        % 1000001 - 500000) AS BIGINT) AS logit_u
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) GROUP BY doc_id
+       |), scored AS (
+       |  SELECT comp.component, comp.id, logits.logit_u
+       |  FROM comp JOIN logits ON logits.doc_id = comp.id)
+       |SELECT component, id AS survivor_id, logit_u AS survivor_logit_u,
+       |  cluster_size
+       |FROM (
+       |  SELECT component, id, logit_u,
+       |    COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+       |    row_number() OVER (PARTITION BY component
+       |                       ORDER BY logit_u DESC, id) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),
     QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),
@@ -352,5 +418,6 @@ object DedupQ {
     QueryDef("q39_simhash", simhashSigs, Some(simhashSigsSql)),
     QueryDef("q76_neardup_components", neardupComponents, Some(neardupComponentsSql)),
     QueryDef("q120_incremental_dedup", incrementalDedup, Some(minhashPairsSql)),
+    QueryDef("q136_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
   )
 }

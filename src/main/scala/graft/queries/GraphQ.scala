@@ -223,9 +223,68 @@ object GraphQ {
       |FROM scored
       |ORDER BY lift_u DESC, antecedent, consequent LIMIT 20""".stripMargin
 
+  /** q137 — bounded BFS: hop distance (≤ 4) from the top-degree hub of
+    * the co-purchase graph — the "blast radius" / influence-neighborhood
+    * question (recall sets for recommendations, contamination spread).
+    * Same iterative discipline as [[graft.ops.Dedup.connectedComponents]]
+    * and PageRank: one join + min-aggregate per round over a
+    * localCheckpoint'd frontier (lineage truncated, rounds = hop bound,
+    * each round one shuffle on the node key). The hub is the max-degree
+    * node (min id on ties) selected via `orderBy.limit(1)` —
+    * TakeOrderedAndProject, not a global window. The oracle is an
+    * independent RECURSIVE-CTE BFS with UNION dedup, so the iterative
+    * min-plus loop is cross-checked by a different algorithm.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lp = t.lineitem.select(
+      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
+      col("l_partkey").as("p"))
+    val e = graft.ops.Dedup.candidatePairs(lp, "p")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val hub = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0).as("hops"))
+    var dist = hub.localCheckpoint(true)
+    (1 to 4).foreach { _ =>
+      val next = dist.join(sym, dist("node") === sym("src"))
+        .select(sym("dst").as("node"), (dist("hops") + 1).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private val bfsHopsSql =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS b
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM e
+      |  UNION ALL SELECT b, a FROM e),
+      |hub AS (
+      |  SELECT src AS node FROM sym GROUP BY src
+      |  ORDER BY COUNT(*) DESC, src LIMIT 1),
+      |walk AS (
+      |  WITH RECURSIVE w(node, hops) AS (
+      |    SELECT node, 0 FROM hub
+      |    UNION
+      |    SELECT s.dst, w.hops + 1 FROM w JOIN sym s ON s.src = w.node
+      |    WHERE w.hops < 4
+      |  ) SELECT node, hops FROM w)
+      |SELECT node, CAST(MIN(hops) AS INT) AS hops
+      |FROM walk GROUP BY node""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q92_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("q126_triangles", triangles, Some(trianglesSql)),
     QueryDef("q131_association_rules", associationRules, Some(associationRulesSql)),
+    QueryDef("q137_bfs_hops", bfsHops, Some(bfsHopsSql)),
   )
 }

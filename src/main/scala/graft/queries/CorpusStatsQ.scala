@@ -515,7 +515,10 @@ object CorpusStatsQ {
     * engines can't diverge by summation order (libm `ln` agreement is the
     * q87/q91 precedent); ranking ties break on doc_id.
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc BM25 score over [[bm25Terms]] — shared by q124 (top-k) and
+    * q138 (rank fusion).
+    */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents
       .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("toks"))
@@ -537,9 +540,12 @@ object CorpusStatsQ {
       .groupBy(col("doc_id"))
       .agg(sum(col("s").cast("decimal(18,6)")).cast("double").as("score"),
         count(lit(1)).cast("int").as("n_terms_hit"))
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-  }
 
   private val bm25TopKSql =
     """WITH w AS (
@@ -602,7 +608,76 @@ object CorpusStatsQ {
       |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
       |FROM hits WHERE n_occurrences > 0""".stripMargin
 
+  /** q138 — reciprocal-rank fusion of two retrieval rankings (the
+    * standard hybrid-search combiner: no score normalization needed,
+    * just ranks): BM25 (q124) ⊕ phrase-occurrence (q129), each cut to
+    * its top-100 via `TakeOrderedAndProject` BEFORE ranking — RRF always
+    * fuses bounded candidate lists, so the `row_number` windows run over
+    * ≤100 rows by construction. `rrf = Σ 1/(60 + rank)`, absent-in-one-
+    * list docs contribute 0 from that list; the two reciprocal terms add
+    * in one fixed-order expression (no float-agg order issue), rounded 6,
+    * ties broken by doc_id.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top1 = bm25Scored(spark, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("r1", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r1"))
+    val top2 = phraseSearch(spark, dir)
+      .orderBy(col("n_occurrences").desc, col("doc_id")).limit(100)
+      .withColumn("r2", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r2"))
+    top1.join(top2, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r2")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("r1"), col("r2"), col("rrf"))
+  }
+
+  private val rrfFusionSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, len(toks) AS dl, toks FROM w),
+      |hits AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+      |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats),
+      |bm AS (
+      |  SELECT doc_id, CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |  FROM scored GROUP BY doc_id),
+      |r1 AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r1
+      |  FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+      |ph AS (
+      |  SELECT doc_id,
+      |    len(list_filter(range(1, len(toks)),
+      |        i -> toks[i] = 'table' AND toks[i+1] = 'value')) AS n
+      |  FROM w),
+      |r2 AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY n DESC, doc_id) AS INT) AS r2
+      |  FROM ph WHERE n > 0 ORDER BY n DESC, doc_id LIMIT 100)
+      |SELECT doc_id, r1.r1, r2.r2,
+      |  round(COALESCE(1.0 / (60 + r1.r1), 0.0)
+      |      + COALESCE(1.0 / (60 + r2.r2), 0.0), 6) AS rrf
+      |FROM r1 FULL OUTER JOIN r2 USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q129_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("q123_segment_dedup", segmentDedup, Some(segmentDedupSql)),
     QueryDef("q124_bm25_topk", bm25TopK, Some(bm25TopKSql)),

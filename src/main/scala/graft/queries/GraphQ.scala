@@ -74,17 +74,27 @@ object GraphQ {
     * it. All counts exact BIGINT; the clustering coefficient is one
     * rounded division at the end.
     */
+  /** Distinct co-purchase edges (a<b), built once per (session, sf) and
+    * persisted — q126, q137 (and DedupSpec-style consumers) all walk the
+    * same graph; without the memo each paid the full per-order expansion.
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"copurchase-e:$dir") {
+      val t = Tables(spark, dir)
+      val lp = t.lineitem.select(
+        lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
+        col("l_partkey").as("p"))
+      graft.ops.Dedup.candidatePairs(lp, "p")
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
     // deg AND eo both persist (one memo): without the deg persist, the
     // tiny stats branch re-ran the FULL per-order pair expansion just to
     // re-derive degrees — one whole extra pass over the edge build
     val (deg, eo) = graft.core.Memo.cached(spark, s"q126-graph:$dir") {
-      val lp = t.lineitem.select(
-        lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
-        col("l_partkey").as("p"))
-      val e = graft.ops.Dedup.candidatePairs(lp, "p")
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val e = copurchaseEdges(spark, dir)
       val dg = e.select(explode(array(col("a"), col("b"))).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,12 +246,7 @@ object GraphQ {
     * min-plus loop is cross-checked by a different algorithm.
     */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val lp = t.lineitem.select(
-      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
-      col("l_partkey").as("p"))
-    val e = graft.ops.Dedup.candidatePairs(lp, "p")
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e = copurchaseEdges(spark, dir)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)

@@ -495,7 +495,64 @@ object StatsQ {
        |FROM assigned GROUP BY bin""".stripMargin
   }
 
+  /** q140 — referential-integrity audit across the star schema: per FK
+    * relationship, total child rows and ORPHANS (child keys with no
+    * parent) — q109 finds holes inside ONE key space; this finds broken
+    * edges BETWEEN tables (the replication/partial-load detector). Each
+    * relationship is one left_anti join against the parent's key
+    * projection — dimension parents broadcast; the orders parent
+    * anti-join shuffles on the key like any fact⋈fact. Constant-size
+    * output (one row per relationship), exact counts.
+    */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def audit(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String, bcast: Boolean) = {
+      val keys = parent.select(col(parentKey).as(childKey)).distinct()
+      val orphans = child
+        .join(if (bcast) broadcast(keys) else keys, Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(orphans))
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))
+    }
+    Seq(
+      audit("lineitem.orderkey->orders", t.lineitem, "l_orderkey",
+        t.orders.select(col("o_orderkey").as("l_orderkey")), "l_orderkey", bcast = false),
+      audit("lineitem.partkey->part", t.lineitem, "l_partkey",
+        t.part.select(col("p_partkey").as("l_partkey")), "l_partkey", bcast = true),
+      audit("lineitem.suppkey->supplier", t.lineitem, "l_suppkey",
+        t.supplier.select(col("s_suppkey").as("l_suppkey")), "l_suppkey", bcast = true),
+      audit("orders.custkey->customer", t.orders, "o_custkey",
+        t.customer.select(col("c_custkey").as("o_custkey")), "o_custkey", bcast = true),
+      audit("customer.nationkey->nation", t.customer, "c_nationkey",
+        t.nation.select(col("n_nationkey").as("c_nationkey")), "c_nationkey", bcast = true),
+    ).reduce(_ unionByName _)
+  }
+
+  private val fkAuditSql =
+    """SELECT 'lineitem.orderkey->orders' AS relationship,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+      |UNION ALL SELECT 'lineitem.partkey->part',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |UNION ALL SELECT 'lineitem.suppkey->supplier',
+      |  (SELECT COUNT(*) FROM lineitem),
+      |  (SELECT COUNT(*) FROM lineitem
+      |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |UNION ALL SELECT 'orders.custkey->customer',
+      |  (SELECT COUNT(*) FROM orders),
+      |  (SELECT COUNT(*) FROM orders
+      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |UNION ALL SELECT 'customer.nationkey->nation',
+      |  (SELECT COUNT(*) FROM customer),
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
     QueryDef("q130_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q114_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),

@@ -472,7 +472,60 @@ object WindowsQ {
        |FROM sm""".stripMargin
   }
 
+  /** q139 — trend anomaly flags on the q128 EWMA residuals: per
+    * priority, residual = revenue − EWMA, flagged when |residual| exceeds
+    * the 3.5 modified-z cutoff on the residual MAD (q108's robust
+    * method applied to the smoothed series — the complete
+    * metric-monitoring pipeline: aggregate → smooth → deviation →
+    * robust flag). The MAD runs over the AGGREGATED daily table per
+    * priority; everything downstream of q128's exact BIGINT smoothing is
+    * the same deterministic IEEE sequence in both engines (q108's
+    * precedent), so flags agree exactly.
+    */
+  def trendAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val smoothed = ewmaSmoothing(spark, dir)
+      .withColumn("residual", col("revenue") - col("ewma"))
+    val mad = smoothed
+      .withColumn("absres", abs(col("residual")))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(absres, 0.5)").as("mad"))
+    smoothed.join(broadcast(mad), Seq("o_orderpriority"))
+      .select(col("order_date"), col("o_orderpriority"),
+        col("revenue"), col("ewma"),
+        round(col("residual"), 6).as("residual"),
+        (col("mad") =!= 0.0 &&
+          abs(col("residual")) > lit(5.1891) * col("mad")).as("is_anomaly"))
+  }
+
+  private val trendAnomaliesSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders GROUP BY 1, 2),
+       |sm AS (
+       |  SELECT order_date, o_orderpriority, rev_cents,
+       |    CAST(${(0 until 20).map(k =>
+              s"COALESCE(lag(rev_cents, $k) OVER (PARTITION BY o_orderpriority ORDER BY order_date), 0) * ${1L << (19 - k)}"
+            ).mkString(" + ")} AS BIGINT) AS ewma_u
+       |  FROM daily),
+       |res AS (
+       |  SELECT order_date, o_orderpriority,
+       |    rev_cents / 100.0 AS revenue,
+       |    ewma_u / 104857600.0 AS ewma,
+       |    rev_cents / 100.0 - ewma_u / 104857600.0 AS residual
+       |  FROM sm),
+       |mad AS (
+       |  SELECT o_orderpriority, quantile_cont(abs(residual), 0.5) AS mad
+       |  FROM res GROUP BY 1)
+       |SELECT r.order_date, r.o_orderpriority, r.revenue, r.ewma,
+       |  round(r.residual, 6) AS residual,
+       |  (m.mad <> 0.0 AND abs(r.residual) > CAST(5.1891 AS DOUBLE) * m.mad)
+       |    AS is_anomaly
+       |FROM res r JOIN mad m USING (o_orderpriority)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q139_trend_anomalies", trendAnomalies, Some(trendAnomaliesSql)),
     QueryDef("q128_ewma_smoothing", ewmaSmoothing, Some(ewmaSmoothingSql)),
     QueryDef("q116_rank_distributions", rankDistributions, Some(rankDistributionsSql)),
     QueryDef("q51_window_family", windowFamily, Some(windowFamilySql)),

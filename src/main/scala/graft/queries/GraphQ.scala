@@ -253,15 +253,23 @@ object GraphQ {
     val hub = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(1)
       .select(col("src").as("node"), lit(0).as("hops"))
-    var dist = hub.localCheckpoint(true)
-    (1 to 4).foreach { _ =>
-      val next = dist.join(sym, dist("node") === sym("src"))
-        .select(sym("dst").as("node"), (dist("hops") + 1).as("hops"))
-      dist = dist.unionByName(next)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+    // frontier-only expansion (not min-plus over the full table): each
+    // round joins ONLY the nodes first reached last round and anti-joins
+    // the visited set — on dense graphs the frontier collapses after the
+    // first hops and later rounds are near-free, where a full min-plus
+    // re-aggregation would keep paying for every settled node
+    var visited = hub.localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    (1 to 4).foreach { i =>
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(sym("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hops", lit(i))
         .localCheckpoint(true)
+      frontier = next.select(col("node"))
+      visited = visited.unionByName(next).localCheckpoint(true)
     }
-    dist
+    visited
   }
 
   private val bfsHopsSql =

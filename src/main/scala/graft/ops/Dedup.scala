@@ -194,11 +194,17 @@ object Dedup {
     * Output: (doc_a, doc_b), distinct. A re-ingested id present on BOTH
     * sides pairs only with others, never itself.
     *
-    * Store-side cost note: this formulation shuffles BOTH inputs on
-    * (band, band_key); with a store far larger than the batch, read the
-    * store from a `bucketBy(n, "band_key")` table (see
-    * [[writeFingerprintStore]]) so its side arrives pre-clustered and
-    * only the batch shuffles — the plan is otherwise unchanged.
+    * Store-side cost note: this union+aggregate formulation shuffles BOTH
+    * inputs on (band, band_key) — right while batch and store are
+    * comparable. When the store dwarfs the batch, switch to the JOIN
+    * formulation DedupSpec's "bucketed store joins without a store-side
+    * shuffle" test demonstrates: persist the store PRE-AGGREGATED (one
+    * row per bucket: combined band:key, sorted id array) in a
+    * `bucketBy(n, bucket-key)` table, aggregate only the new batch, and
+    * equi-join — the store side reads bucketed with NO exchange, only
+    * the (small) batch shuffles. Periodic compaction merges generations
+    * back to one row per bucket (the [[graft.ops.Layout]] park-aside
+    * pattern).
     */
   def incrementalPairs(newBands: DataFrame, priorBands: DataFrame,
       idCol: String, maxBucketSize: Int = 4096): DataFrame = {

@@ -84,6 +84,69 @@ class DedupSpec extends SparkTestBase {
       s"expected new-new and new-prior exact-dup pairs in $incr")
   }
 
+  test("bucketed pre-aggregated store joins without a store-side shuffle") {
+    // the scale path incrementalPairs' scaladoc documents: store =
+    // one row per bucket (combined band:key, sorted ids), bucketed on
+    // that key — the join reads the store with NO exchange; only the
+    // new batch aggregates/shuffles. Pair results must equal the
+    // union-formulation incrementalPairs.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy cat"),
+        (3L, "the quick brown fox jumps over the lazy dog"),
+        (4L, "spark engines shuffle data between executors at scale"),
+        (5L, "spark engines shuffle data between executors at scale"),
+        (6L, "completely different content about databases and storage")
+      ).toDF("doc_id", "text")
+      val prior = corpus.filter($"doc_id" % 2 === 0)
+      val fresh = corpus.filter($"doc_id" % 2 === 1)
+      def bands(df: org.apache.spark.sql.DataFrame) =
+        Dedup.bandFingerprints(df, "doc_id", "text", 8, 2)
+          .select(concat_ws(":", col("band"), col("band_key")).as("bk"), col("doc_id"))
+      bands(prior)
+        .groupBy(col("bk")).agg(sort_array(collect_set(col("doc_id"))).as("pids"))
+        .write.bucketBy(8, "bk").sortBy("bk")
+        .mode("overwrite").saveAsTable("fp_store_b")
+
+      val newAgg = bands(fresh)
+        .groupBy(col("bk")).agg(sort_array(collect_set(col("doc_id"))).as("nids"))
+      val joined = newAgg.join(spark.table("fp_store_b"), Seq("bk"), "left")
+        .withColumn("pids", coalesce(col("pids"), array().cast("array<long>")))
+        .filter(size(col("nids")) + size(col("pids")) >= 2)
+        .select(explode(expr(
+          "concat(" +
+            "flatten(transform(nids, (a, i) -> " +
+              "transform(slice(nids, i + 2, size(nids) - i - 1), b -> " +
+              "named_struct('doc_a', a, 'doc_b', b)))), " +
+            "flatten(transform(nids, a -> transform(pids, b -> " +
+              "named_struct('doc_a', least(a, b), 'doc_b', greatest(a, b)))))" +
+          ")")).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the store BRANCH must be Sort → Filter → bucketed FileScan with no
+      // Exchange in between (the batch side legitimately shuffles to align
+      // with the 8 buckets)
+      assert(plan.contains("Bucketed: true"), s"store scan must be bucketed:\n$plan")
+      val storeBranch =
+        """Sort \[bk#\d+ ASC NULLS FIRST\], false, 0\s*\n\s*(:  )?\+- Filter[^\n]*\n\s*(:  )?\+- FileScan parquet[^\n]*fp_store_b""".r
+      assert(storeBranch.findFirstIn(plan).isDefined,
+        s"store branch must read bucketed with no exchange above the scan:\n$plan")
+
+      val viaJoin = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaUnion = Dedup.incrementalPairs(
+        Dedup.bandFingerprints(fresh, "doc_id", "text", 8, 2),
+        Dedup.bandFingerprints(prior, "doc_id", "text", 8, 2), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaJoin == viaUnion, s"join formulation diverged: $viaJoin vs $viaUnion")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_store_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024)
+    }
+  }
+
   test("incremental pairs respect the total-bucket-size cap") {
     // 6 exact copies share every band bucket; with the cap at 4 the
     // combined bucket (2 prior + 4 new = 6 > 4) must expand NO pairs.

@@ -223,7 +223,65 @@ object AnalyticsQ {
       |       ELSE 'C' END AS abc_class
       |FROM cum CROSS JOIN t""".stripMargin
 
+  /** q141 — deterministic A/B experiment readout: customers hash-assigned
+    * to arms (md5 % 2 — the same engine-portable assignment q57's
+    * sampling uses, so a rerun or a different engine produces the SAME
+    * split), order revenue aggregated per (mktsegment, arm) in exact
+    * decimal, and the readout = per-segment treatment-vs-control mean
+    * delta and relative lift. Everything before the two final divisions
+    * is exact integers/decimals; the divisions are deterministic IEEE.
+    * One fact⋈dim broadcast join + one hash agg + a 5-row self-merge —
+    * the analysis shape experiment platforms run at any scale.
+    */
+  def abReadout(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val assigned = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("arm",
+        when(pmod(graft.ops.Dedup.hash60(col("o_custkey").cast("string")),
+          lit(2L)) === 0, "control").otherwise("treatment"))
+    val per = assigned.groupBy(col("c_mktsegment"), col("arm"))
+      .agg(graft.ops.Exact.dsum(col("o_totalprice")).as("rev"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_rev", round(col("rev") / col("n"), 6))
+    val c = per.filter(col("arm") === "control")
+      .select(col("c_mktsegment"), col("mean_rev").as("control_mean"),
+        col("n").as("n_control"))
+    val tr = per.filter(col("arm") === "treatment")
+      .select(col("c_mktsegment"), col("mean_rev").as("treatment_mean"),
+        col("n").as("n_treatment"))
+    c.join(tr, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_control"), col("n_treatment"),
+        col("control_mean"), col("treatment_mean"),
+        round(col("treatment_mean") - col("control_mean"), 6).as("delta"),
+        round((col("treatment_mean") - col("control_mean"))
+          / col("control_mean") * 100.0, 6).as("lift_pct"))
+  }
+
+  private val abReadoutSql =
+    """WITH assigned AS (
+      |  SELECT c.c_mktsegment, o.o_totalprice,
+      |    CASE WHEN (('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |per AS (
+      |  SELECT c_mktsegment, arm,
+      |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / COUNT(*), 6) AS mean_rev,
+      |    COUNT(*) AS n
+      |  FROM assigned GROUP BY 1, 2)
+      |SELECT c.c_mktsegment,
+      |  c.n AS n_control, t.n AS n_treatment,
+      |  c.mean_rev AS control_mean, t.mean_rev AS treatment_mean,
+      |  round(t.mean_rev - c.mean_rev, 6) AS delta,
+      |  round((t.mean_rev - c.mean_rev) / c.mean_rev * 100.0, 6) AS lift_pct
+      |FROM (SELECT * FROM per WHERE arm = 'control') c
+      |JOIN (SELECT * FROM per WHERE arm = 'treatment') t
+      |  USING (c_mktsegment)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_ab_readout", abReadout, Some(abReadoutSql)),
     QueryDef("q132_abc_classification", abcClassification, Some(abcClassificationSql)),
     QueryDef("q110_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q112_markov_transitions", markovTransitions, Some(markovTransitionsSql)),

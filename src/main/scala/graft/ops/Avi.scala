@@ -181,7 +181,7 @@ object Avi {
     val avih = chunk("avih", u32s(
       usPerFrame.toLong, // dwMicroSecPerFrame
       0L, 0L,            // dwMaxBytesPerSec, dwPaddingGranularity
-      0x10L,             // dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10=AVIF_ISINTERLEAVED conventionally harmless
+      0L,                // dwFlags: no AVIF_HASINDEX (we write no idx1), not interleaved
       frames.length.toLong, // dwTotalFrames
       0L, 1L,            // dwInitialFrames, dwStreams
       maxFrame,          // dwSuggestedBufferSize

@@ -126,7 +126,67 @@ object EventsQ {
        |  COUNT(*) AS n, ${O.dsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q142 — top user-journey trigrams: sessionize (q26's 2-hour-gap
+    * convention), order each session's event types, slide to consecutive
+    * event-type trigrams, count corpus-wide, top 15. q112's Markov
+    * transitions are the pairwise view; journeys need the longer paths
+    * product analytics actually reads ("view→click→purchase"). Shape:
+    * session-local windows (partitions scale out with users), trigram
+    * expansion via two `lead`s (no per-session array collect), one hash
+    * agg on the trigram, `TakeOrderedAndProject` top-k.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+      .withColumn("is_new_session",
+        when(col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > 7200L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new_session")).over(wRun))
+    val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sessioned
+      .withColumn("e2", lead(col("event_type"), 1).over(wSess))
+      .withColumn("e3", lead(col("event_type"), 2).over(wSess))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(15)
+  }
+
+  private val topPathsSql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged
+      |), tri AS (
+      |  SELECT event_type || '>' ||
+      |    lead(event_type, 1) OVER ws || '>' ||
+      |    lead(event_type, 2) OVER ws AS path,
+      |    lead(event_type, 2) OVER ws AS e3
+      |  FROM sess
+      |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+      |)
+      |SELECT path, COUNT(*) AS n FROM tri WHERE e3 IS NOT NULL
+      |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("q96_funnel_stages", funnelStages, Some(funnelStagesSql)),
     QueryDef("q42_hourly_window", hourlyWindow, Some(hourlyWindowSql)),

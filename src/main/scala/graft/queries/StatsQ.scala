@@ -551,7 +551,35 @@ object StatsQ {
       |  (SELECT COUNT(*) FROM customer
       |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin
 
+  /** q143 — per-group quantile normalization (the rank-based feature
+    * scaling ML prep uses when distributions are skewed or cross-group
+    * comparable features are needed): within each language,
+    * `percent_rank` and `cume_dist` of document length, plus the [0,1]
+    * normalized feature. Both are exact integer-ratio doubles
+    * ((rank−1)/(n−1), rank/n) over a UNIQUE ordering (n_chars, doc_id),
+    * so engines agree bit-for-bit with no rounding. Windows partition by
+    * lang — partitions scale out; no global order anywhere.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  private val quantileNormalizeSql =
+    """SELECT doc_id, lang, n_chars,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
     QueryDef("q130_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),

@@ -578,7 +578,42 @@ object StatsQ {
       |FROM documents
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
 
+  /** q144 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * key = ln(u)/w with u an md5-derived uniform in (0,1], take the
+    * top-k keys — each item's inclusion probability is proportional to
+    * its weight, exactly k rows come back, and (unlike q103's Bernoulli
+    * sampler) the sample size is fixed. Deterministic end to end: u is
+    * the same 60-bit integer ratio on any engine, ln/divide are the IEEE
+    * ops of the q87/q91 precedent, and the top-k is
+    * `TakeOrderedAndProject` with a doc_id tiebreak — map-side keys, no
+    * shuffle of the corpus, the ONE pass a weighted reservoir needs.
+    */
+  def weightedTopkSample(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("u",
+        (graft.ops.Dedup.hash60(col("doc_id").cast("string")) + 1).cast("double")
+          / lit(1152921504606846976.0)) // 2^60; +1 keeps u in (0,1]
+      .withColumn("es_key",
+        log(col("u")) / greatest(col("n_chars"), lit(1L)).cast("double"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("es_key"), 9).as("es_key"))
+  }
+
+  private val weightedTopkSampleSql =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+      |       / 1152921504606846976.0)
+      |      / GREATEST(n_chars, 1) AS k
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, round(k, 9) AS es_key
+      |FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
     QueryDef("q130_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),

@@ -185,7 +185,67 @@ object EventsQ {
       |SELECT path, COUNT(*) AS n FROM tri WHERE e3 IS NOT NULL
       |GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin
 
+  /** q145 — stable pseudonymization: user ids re-keyed to salted sha2
+    * surrogates through an explicit VAULT table (distinct id → surrogate),
+    * the GDPR tokenization pattern — analytics run on surrogates, the
+    * vault alone maps back, and deleting a vault row unlinks a person
+    * without touching fact history. Checked: per-surrogate event counts
+    * after re-keying ≡ per-user counts before (the re-key is a bijection —
+    * collisions would merge rows and fail the oracle). Shape: one
+    * distinct on the key domain (dimension-sized), map-side hash, one
+    * broadcast join to re-key facts.
+    */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vault = t.events.select(col("user_id")).distinct()
+      .withColumn("surrogate",
+        sha2(concat(lit("vault-salt-2026:"), col("user_id").cast("string")), 256))
+    t.events
+      .join(broadcast(vault), Seq("user_id"))
+      .groupBy(col("surrogate"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
+  private val pseudonymizeSql =
+    """SELECT sha256('vault-salt-2026:' || CAST(user_id AS VARCHAR)) AS surrogate,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** q146 — 7-day ROLLING DISTINCT users (the non-additive rolling
+    * metric: daily distincts can't be summed, and a RANGE window can't
+    * dedupe). Exact formulation that scales: dedupe to (day, user) pairs
+    * ONCE (one shuffle over the events), then each pair map-side expands
+    * to the ≤7 window-end days it participates in (`sequence` — bounded
+    * fan-out), and one hash agg counts per window-end. Raw events never
+    * see the ×7; only the aggregated pair table does. Sketch path
+    * (mergeable HLL per day) trades exactness for O(1) state when ±2%
+    * suffices — q48 covers that family.
+    */
+  def rollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    pairs
+      .select(col("user_id"), explode(expr(
+        "sequence(day, date_add(day, 6))")).as("win_end"))
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+  }
+
+  private val rollingDistinctSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |expanded AS (
+      |  SELECT user_id, CAST(unnest(range(0, 7)) AS INT) AS o, day
+      |  FROM pairs)
+      |SELECT day + o AS win_end, COUNT(DISTINCT user_id) AS u7
+      |FROM expanded GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q145_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
+    QueryDef("q146_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),
     QueryDef("q96_funnel_stages", funnelStages, Some(funnelStagesSql)),

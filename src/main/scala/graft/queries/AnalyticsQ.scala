@@ -280,7 +280,148 @@ object AnalyticsQ {
       |JOIN (SELECT * FROM per WHERE arm = 'treatment') t
       |  USING (c_mktsegment)""".stripMargin
 
+  /** q147 — autocorrelation function of the daily revenue series (lags
+    * 1–7): the seasonality diagnostic that closes the time-series family
+    * (trend → EWMA smooth → anomaly flag → ACF). Pearson r at lag k is
+    * computed CLOSED-FORM from exact integer sums over the lag-paired
+    * daily table — Σx, Σy, Σxy, Σx², Σy², n as BIGINT cent products, one
+    * rounded division at the end — never a float `corr()` whose
+    * accumulation order differs across engines/partitionings. Lag
+    * pairing is 7 `lag`s over the AGGREGATED daily table (one small
+    * window), unpivoted map-side; one hash agg per output row.
+    */
+  def autocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(14, 2)
+    val t = Tables(spark, dir)
+    val daily = t.orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg((sum(col("o_totalprice").cast(money)) * 100).cast("long").as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(
+      col("x") +: (1 to 7).map(k => lag(col("x"), k).over(w).as(s"y$k")): _*)
+    val pairs = lagged.select(explode(expr(
+      "filter(array(" +
+        (1 to 7).map(k => s"named_struct('lg', $k, 'x', x, 'y', y$k)").mkString(", ") +
+        "), p -> p.y IS NOT NULL)")).as("p"))
+      .select(col("p.lg").as("lag"), col("p.x").as("x"), col("p.y").as("y"))
+    // Σx² of cent values overflows int64 (~10²¹); all sums run in
+    // DECIMAL(38,0) — scale-0 decimal is exact integer arithmetic with
+    // 128-bit headroom, same as DuckDB's HUGEINT accumulation
+    val d38 = "decimal(38,0)"
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"))
+      .select(col("lag"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("acf"))
+  }
+
+  private val autocorrelationSql = {
+    val structs = (1 to 7).map(k =>
+      s"SELECT $k AS lag, x, lag(x, $k) OVER (ORDER BY day) AS y FROM daily")
+      .mkString("\n  UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS x
+       |  FROM orders GROUP BY 1),
+       |lagged AS (
+       |  $structs
+       |),
+       |pairs AS (SELECT lag, x, y FROM lagged WHERE y IS NOT NULL)
+       |SELECT lag, COUNT(*) AS n,
+       |  round(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)
+       |    / sqrt(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS DOUBLE)
+       |         * CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS DOUBLE)), 6)
+       |    AS acf
+       |FROM pairs GROUP BY lag""".stripMargin
+  }
+
+  /** q148 — Population Stability Index between the first and second half
+    * of the date range (industry's drift score, complementing q95's KL:
+    * PSI sums both directions): revenue decile bins fixed on the FIRST
+    * half (the "expected" period — drift is measured against the
+    * baseline's binning, the standard mistake-proof convention), per-bin
+    * shares as exact integer counts, PSI = Σ (p−q)·ln(p/q) with
+    * per-term rounding and a decimal sum (q105's determinism recipe).
+    * Laplace-style +1 smoothing keeps empty bins finite — mirrored
+    * exactly in the oracle.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dated = t.orders.select(col("o_totalprice").as("x"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+    val mid = dated.agg(
+      ((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long").as("mid_us"))
+    val tagged = dated.crossJoin(broadcast(mid))
+      .withColumn("period",
+        when(col("ts_us") < col("mid_us"), "expected").otherwise("actual"))
+    val bounds = tagged.filter(col("period") === "expected")
+      .agg((1 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")).head,
+        (2 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")): _*)
+    val bin = (1 to 9).map(j =>
+      when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("period") === "expected", 1).otherwise(0)).as("ne"),
+        sum(when(col("period") === "actual", 1).otherwise(0)).as("na"))
+    val totals = counts.agg(sum(col("ne")).as("te"), sum(col("na")).as("ta"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", (col("ne") + 1).cast("double") / (col("te") + 10))
+      .withColumn("q", (col("na") + 1).cast("double") / (col("ta") + 10))
+      .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("psi"),
+        count(lit(1)).as("n_bins"))
+  }
+
+  private val psiDriftSql =
+    """WITH dated AS (
+      |  SELECT o_totalprice AS x, epoch_us(o_orderdate) AS ts_us FROM orders),
+      |mid AS (
+      |  SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS mid_us FROM dated),
+      |tagged AS (
+      |  SELECT x, CASE WHEN ts_us < mid_us THEN 'expected' ELSE 'actual' END
+      |    AS period
+      |  FROM dated CROSS JOIN mid),
+      |b AS (
+      |  SELECT quantile_cont(x, 0.1) AS t1, quantile_cont(x, 0.2) AS t2,
+      |    quantile_cont(x, 0.3) AS t3, quantile_cont(x, 0.4) AS t4,
+      |    quantile_cont(x, 0.5) AS t5, quantile_cont(x, 0.6) AS t6,
+      |    quantile_cont(x, 0.7) AS t7, quantile_cont(x, 0.8) AS t8,
+      |    quantile_cont(x, 0.9) AS t9
+      |  FROM tagged WHERE period = 'expected'),
+      |binned AS (
+      |  SELECT period,
+      |    (CASE WHEN x > t1 THEN 1 ELSE 0 END + CASE WHEN x > t2 THEN 1 ELSE 0 END
+      |     + CASE WHEN x > t3 THEN 1 ELSE 0 END + CASE WHEN x > t4 THEN 1 ELSE 0 END
+      |     + CASE WHEN x > t5 THEN 1 ELSE 0 END + CASE WHEN x > t6 THEN 1 ELSE 0 END
+      |     + CASE WHEN x > t7 THEN 1 ELSE 0 END + CASE WHEN x > t8 THEN 1 ELSE 0 END
+      |     + CASE WHEN x > t9 THEN 1 ELSE 0 END) AS bin
+      |  FROM tagged CROSS JOIN b),
+      |counts AS (
+      |  SELECT bin,
+      |    SUM(CASE WHEN period = 'expected' THEN 1 ELSE 0 END) AS ne,
+      |    SUM(CASE WHEN period = 'actual' THEN 1 ELSE 0 END) AS na
+      |  FROM binned GROUP BY bin),
+      |tot AS (SELECT SUM(ne) AS te, SUM(na) AS ta FROM counts),
+      |terms AS (
+      |  SELECT round((CAST(ne + 1 AS DOUBLE) / (te + 10)
+      |              - CAST(na + 1 AS DOUBLE) / (ta + 10))
+      |    * ln((CAST(ne + 1 AS DOUBLE) / (te + 10))
+      |       / (CAST(na + 1 AS DOUBLE) / (ta + 10))), 6) AS term
+      |  FROM counts CROSS JOIN tot)
+      |SELECT CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi,
+      |  COUNT(*) AS n_bins
+      |FROM terms""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_autocorrelation", autocorrelation, Some(autocorrelationSql)),
+    QueryDef("q148_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("q141_ab_readout", abReadout, Some(abReadoutSql)),
     QueryDef("q132_abc_classification", abcClassification, Some(abcClassificationSql)),
     QueryDef("q110_cohort_retention", cohortRetention, Some(cohortRetentionSql)),

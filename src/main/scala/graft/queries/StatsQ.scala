@@ -612,7 +612,79 @@ object StatsQ {
       |SELECT doc_id, lang, n_chars, round(k, 9) AS es_key
       |FROM keyed ORDER BY k DESC, doc_id LIMIT 50""".stripMargin
 
+  /** q149 — Poisson-bootstrap confidence interval for the mean order
+    * value: the uncertainty-quantification technique that actually works
+    * distributed (classic resampling needs global coordination; Poisson
+    * bootstrap gives every row an INDEPENDENT Poisson(1) replica weight,
+    * so it's one map-side expression per (row, replica)). 40 replicas,
+    * weights from the md5-uniform inverse CDF (cumulative Poisson(1)
+    * thresholds as literals — the identical when-chain in both engines),
+    * replica means from exact decimal-cent sums, CI = interpolated
+    * 2.5%/97.5% percentiles over the 40 means. Deterministic end to end —
+    * same CI on any engine, partitioning, or rerun.
+    *
+    * Scale note: the ×40 fan-out is map-side over the FACT scan — linear
+    * cost, no shuffle growth (the agg keys are 40 replicas); at 100 TB
+    * you either accept the 40× scan-side arithmetic (it pipelines) or
+    * bootstrap per-partition summary statistics instead.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    // cumulative Poisson(1): P(X<=k), k=0..5; >thresh(5) → weight 6
+    val cdf = Seq(0.367879441, 0.735758882, 0.919698603,
+      0.981011843, 0.996340153, 0.999405815)
+    val b = t.orders.select(col("o_orderkey"), col("o_totalprice"))
+      .crossJoin(spark.range(1, 41).select(col("id").as("rep")))
+      .withColumn("u",
+        pmod(graft.ops.Dedup.hash60(
+          concat(col("o_orderkey").cast("string"), lit(":"), col("rep").cast("string"))),
+          lit(1000000000L)).cast("double") / 1.0e9)
+      .withColumn("w",
+        cdf.zipWithIndex.foldRight(lit(6): org.apache.spark.sql.Column) {
+          case ((th, k), rest) => when(col("u") <= th, k).otherwise(rest)
+        })
+    val means = b.groupBy(col("rep"))
+      .agg((sum(col("w") * col("o_totalprice").cast(money)).cast("double")
+        / sum(col("w"))).as("m"))
+    means.agg(
+      count(lit(1)).as("n_replicas"),
+      round(avg(col("m")), 6).as("boot_mean"),
+      round(expr("percentile(m, 0.025)"), 6).as("ci_lo"),
+      round(expr("percentile(m, 0.975)"), 6).as("ci_hi"))
+  }
+
+  private val bootstrapCiSql =
+    """WITH reps AS (SELECT unnest(range(1, 41)) AS rep),
+      |b AS (
+      |  SELECT rep,
+      |    (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+      |        CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 1000000000) / 1.0e9 AS u,
+      |    o_totalprice
+      |  FROM orders CROSS JOIN reps),
+      |w AS (
+      |  SELECT rep, o_totalprice,
+      |    CASE WHEN u <= 0.367879441 THEN 0
+      |         WHEN u <= 0.735758882 THEN 1
+      |         WHEN u <= 0.919698603 THEN 2
+      |         WHEN u <= 0.981011843 THEN 3
+      |         WHEN u <= 0.996340153 THEN 4
+      |         WHEN u <= 0.999405815 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM b),
+      |means AS (
+      |  SELECT rep,
+      |    CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / SUM(w) AS m
+      |  FROM w GROUP BY rep)
+      |SELECT COUNT(*) AS n_replicas,
+      |  round(AVG(m), 6) AS boot_mean,
+      |  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+      |  round(quantile_cont(m, 0.975), 6) AS ci_hi
+      |FROM means""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),

@@ -408,7 +408,118 @@ object DedupQ {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** q150 — the COMPLETE modern curation pipeline as ONE checked
+    * dataflow, upgrading q100's min-id composition with this round's
+    * operators: LSH near-dup components → BEST-QUALITY survivor per
+    * cluster (q136's argmax logit) → domain-mixture resampling over the
+    * survivors (q125's exact kilo-char rates) → token-budget sequence
+    * packing (q79). Every stage is individually oracle-verified; this
+    * pins that they COMPOSE — survivors feed rates computed on the
+    * post-dedup corpus (rates on the raw corpus would double-count
+    * duplicates' chars, a real pipeline bug), and packing consumes
+    * exactly the resampled set. Shapes: all stages keep their audited
+    * plans (memoized components, map-only logits, broadcast rate table,
+    * shard-local pack windows).
+    */
+  def curateV2(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    val comps = neardupComponents(spark, dir)
+    val logits = docs.select(col("doc_id"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
+    val losers = comps.join(logits, comps("id") === logits("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col("logit_u").desc, col("doc_id"))))
+      .filter(col("rn") > 1).select(col("id"))
+    val survivors = docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+    // mixture rates over the SURVIVOR corpus (post-dedup chars)
+    val per = survivors.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+      .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
+      .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
+    val tot = survivors.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+    val sumw = per.agg(sum(col("w_s")).as("sum_w"))
+    val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
+      .withColumn("rate_u", least(lit(1000000L),
+        expr("(ks_tot * 2 div 5) * w_s div sum_w * 1000000 div ks_s")))
+      .select(col("source"), col("rate_u"))
+    val kept = survivors.join(broadcast(rates), Seq("source"))
+      .filter(pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) < col("rate_u"))
+    graft.ops.Pack.concatAndChunk(kept, idCol = "doc_id",
+      groupCol = "source", budget = 2048, shards = 8)
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+  }
+
+  private val curateV2Sql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), logits AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(('0x' || substr(md5('w:' ||
+       |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+       |        % 1000001 - 500000) AS BIGINT) AS logit_u
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) GROUP BY doc_id
+       |), losers AS (
+       |  SELECT id FROM (
+       |    SELECT comp.id,
+       |      row_number() OVER (PARTITION BY comp.component
+       |                         ORDER BY logits.logit_u DESC, comp.id) AS rn
+       |    FROM comp JOIN logits ON logits.doc_id = comp.id)
+       |  WHERE rn > 1
+       |), surv AS (
+       |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+       |), per AS (
+       |  SELECT source, SUM(n_chars) AS chars_s,
+       |    GREATEST(1, SUM(n_chars) // 1000) AS ks_s,
+       |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 5 + 1 AS w_s
+       |  FROM surv GROUP BY source
+       |), tot AS (SELECT SUM(n_chars) // 1000 AS ks_tot FROM surv),
+       |sw AS (SELECT SUM(w_s) AS sum_w FROM per),
+       |rates AS (
+       |  SELECT source,
+       |    LEAST(1000000, (ks_tot * 2 // 5) * w_s // sum_w * 1000000 // ks_s)
+       |      AS rate_u
+       |  FROM per CROSS JOIN tot CROSS JOIN sw
+       |), kept AS (
+       |  SELECT s.* FROM surv s JOIN rates r USING (source)
+       |  WHERE (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |         % 1000000) < r.rate_u
+       |), toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(doc_id % 8 AS INT) AS shard,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+       |  FROM kept
+       |), cum AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM toks)
+       |SELECT doc_id, source, shard, n_tokens,
+       |  CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS pack_id,
+       |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+       |FROM cum""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_curate_v2", curateV2, Some(curateV2Sql)),
     QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),
     QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q52_fuzzy_part_names", fuzzyPartNames, Some(fuzzyPartNamesSql)),

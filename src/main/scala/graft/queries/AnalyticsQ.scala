@@ -251,7 +251,7 @@ object AnalyticsQ {
     val tr = per.filter(col("arm") === "treatment")
       .select(col("c_mktsegment"), col("mean_rev").as("treatment_mean"),
         col("n").as("n_treatment"))
-    c.join(tr, Seq("c_mktsegment"))
+    c.join(broadcast(tr), Seq("c_mktsegment")) // 5-row arm tables
       .select(col("c_mktsegment"), col("n_control"), col("n_treatment"),
         col("control_mean"), col("treatment_mean"),
         round(col("treatment_mean") - col("control_mean"), 6).as("delta"),

@@ -428,12 +428,16 @@ object DedupQ {
     val logits = docs.select(col("doc_id"),
       graft.ops.QualityScorer.logitMicro(col("text"),
         graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
-    val losers = comps.join(logits, comps("id") === logits("doc_id"))
+    // comps is cluster-members-only (tiny vs the corpus) — broadcast it
+    // into the logit projection, and broadcast the loser set into the
+    // anti-join (losers ≪ corpus, q100's documented shape)
+    val losers = broadcast(comps).join(logits, comps("id") === logits("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
           .orderBy(col("logit_u").desc, col("doc_id"))))
       .filter(col("rn") > 1).select(col("id"))
-    val survivors = docs.join(losers, docs("doc_id") === losers("id"), "left_anti")
+    val survivors = docs.join(broadcast(losers),
+      docs("doc_id") === losers("id"), "left_anti")
     // mixture rates over the SURVIVOR corpus (post-dedup chars)
     val per = survivors.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
       .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))

@@ -419,7 +419,104 @@ object AnalyticsQ {
       |  COUNT(*) AS n_bins
       |FROM terms""".stripMargin
 
+  /** q151 — hierarchical share-of-parent contribution (the BI drill-down
+    * staple): nation revenue as a share of its region, region as a share
+    * of the corpus — three stacked aggregates joined back broadcast
+    * (region and total tables are dimension-sized), NO window anywhere.
+    * Shares are exact-decimal-cent ratios with one rounded division
+    * each.
+    */
+  def shareOfParent(spark: SparkSession, dir: String): DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val t = Tables(spark, dir)
+    val nat = t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"))), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(col("o_totalprice").cast(money)) * 100).cast("long").as("rev_u"))
+    val reg = nat.groupBy(col("r_name")).agg(sum(col("rev_u")).as("reg_u"))
+    val tot = reg.agg(sum(col("reg_u")).as("tot_u"))
+    nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"),
+        (col("rev_u") / 100.0).as("revenue"),
+        round(col("rev_u").cast("double") / col("reg_u") * 100.0, 6)
+          .as("pct_of_region"),
+        round(col("reg_u").cast("double") / col("tot_u") * 100.0, 6)
+          .as("region_pct_of_total"))
+  }
+
+  private val shareOfParentSql =
+    """WITH nat AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS rev_u
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT r_name, SUM(rev_u) AS reg_u FROM nat GROUP BY 1),
+      |tot AS (SELECT SUM(reg_u) AS tot_u FROM reg)
+      |SELECT nat.r_name, n_name, rev_u / 100.0 AS revenue,
+      |  round(CAST(rev_u AS DOUBLE) / reg_u * 100.0, 6) AS pct_of_region,
+      |  round(CAST(reg_u AS DOUBLE) / tot_u * 100.0, 6) AS region_pct_of_total
+      |FROM nat JOIN reg USING (r_name) CROSS JOIN tot""".stripMargin
+
+  /** q152 — Gini coefficient of order values per market segment (the
+    * inequality/concentration diagnostic): the rank formula
+    * `G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n` over values sorted ascending
+    * WITHIN each segment — windows partition by segment (they scale
+    * out; never a global sort), ranks are unique via the orderkey
+    * tiebreak, and Σ(i·xᵢ) runs in DECIMAL(38,0) cents (the q147
+    * overflow lesson: rank×cents×count exceeds int64). One rounded
+    * division pair at the end.
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d38 = "decimal(38,0)"
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x_u"), col("o_orderkey"))
+    t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        (col("o_totalprice").cast(money) * 100).cast("long").as("x_u"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x_u").cast(d38)).as("sx"),
+        sum(col("i").cast(d38) * col("x_u")).as("six"))
+      .select(col("c_mktsegment"), col("n"),
+        round(
+          lit(2.0) * col("six").cast("double")
+            / (col("n") * col("sx")).cast("double")
+            - (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
+  private val giniConcentrationSql =
+    """WITH vals AS (
+      |  SELECT c_mktsegment, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x_u
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |ranked AS (
+      |  SELECT c_mktsegment, x_u,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY x_u, o_orderkey) AS i
+      |  FROM vals)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  round(2.0 * CAST(SUM(CAST(i AS HUGEINT) * x_u) AS DOUBLE)
+      |      / (CAST(COUNT(*) * SUM(x_u) AS DOUBLE))
+      |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+      |FROM ranked GROUP BY c_mktsegment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_share_of_parent", shareOfParent, Some(shareOfParentSql)),
+    QueryDef("q152_gini_concentration", giniConcentration, Some(giniConcentrationSql)),
     QueryDef("q147_autocorrelation", autocorrelation, Some(autocorrelationSql)),
     QueryDef("q148_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("q141_ab_readout", abReadout, Some(abReadoutSql)),

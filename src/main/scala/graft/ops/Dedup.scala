@@ -186,7 +186,10 @@ object Dedup {
     * per bucket, drop buckets whose TOTAL size exceeds `maxBucketSize`
     * (the cap a full-corpus run would apply to the combined bucket — so
     * `full-run pairs ≡ prior-run pairs ∪ incremental pairs` holds exactly
-    * whenever no bucket straddles the cap between runs), and expand
+    * whenever no bucket straddles the cap between runs; the violation is
+    * DETECTABLE, not just documented — [[straddledBuckets]] lists exactly
+    * the buckets that break the identity, for callers to assert empty or
+    * route to re-pairing), and expand
     * in-task: new-new pairs from the nids triangle, new-prior pairs from
     * the nids × pids cross — both bounded by the cap. `doc_a < doc_b` is
     * structural (sorted sets; least/greatest on the cross).
@@ -230,6 +233,33 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
+  }
+
+  /** Buckets that STRADDLE the cap between runs — the precondition
+    * violation under which the `full ≡ prior ∪ incremental` identity
+    * (q120) silently breaks: the prior run kept the bucket
+    * (`|pids| ≤ cap`) but the combined corpus now exceeds the cap
+    * (`|nids| + |pids| > cap`), so pairs the prior run emitted survive
+    * that a full-corpus run over the grown bucket would have dropped.
+    * One row per straddled bucket with both side sizes. Callers assert
+    * the frame is empty (DedupSpec does) or route exactly these buckets
+    * to re-pairing; a store that grows past the cap is thereby loud, not
+    * silent. Same one-pass hash-aggregate shape as [[incrementalPairs]]
+    * (counts only — no id arrays collected), so the audit costs one
+    * shuffle over the fingerprints, nothing quadratic.
+    */
+  def straddledBuckets(newBands: DataFrame, priorBands: DataFrame,
+      idCol: String, maxBucketSize: Int = 4096): DataFrame = {
+    val tagged = newBands
+      .select(col("band"), col("band_key"), col(idCol).as("id"), lit(true).as("is_new"))
+      .unionByName(priorBands
+        .select(col("band"), col("band_key"), col(idCol).as("id"), lit(false).as("is_new")))
+    tagged.groupBy(col("band"), col("band_key"))
+      .agg(
+        countDistinct(when(col("is_new"), col("id"))).as("n_new"),
+        countDistinct(when(!col("is_new"), col("id"))).as("n_prior"))
+      .filter(col("n_prior") <= maxBucketSize &&
+        col("n_new") + col("n_prior") > maxBucketSize)
   }
 
   /** Connected components over a near-dup pair graph — the TRANSITIVE

@@ -109,14 +109,19 @@ object Layout {
 
   /** Rows the parquet reader actually surfaced for `df`'s scan (after
     * row-group pruning) — the observable the layout exists to minimize.
-    * Materializes `df`'s own plan (a write would spawn a separate
-    * QueryExecution whose metrics `df` never sees), then reads the scan
-    * leaves' numOutputRows, descending through AQE wrappers.
+    * Materializes `df`'s OWN executedPlan by draining its RDD with a
+    * no-op foreach — a write, `count()`, or even `foreachPartition`
+    * would each spawn a separate QueryExecution whose metrics `df`
+    * never sees, and `collect()` (the previous implementation) ships
+    * every row to the driver, which would OOM on real data. SQL metric
+    * accumulators flow back on task completion regardless, so nothing
+    * needs to reach the driver — then reads the scan leaves'
+    * numOutputRows, descending through AQE wrappers.
     */
   def scanRowsAfterPruning(df: DataFrame): Long = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    df.collect()
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
     def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves().flatMap {
       case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
       case l => Seq(l)

@@ -77,6 +77,13 @@ object GraphQ {
   /** Distinct co-purchase edges (a<b), built once per (session, sf) and
     * persisted — q126, q137 (and DedupSpec-style consumers) all walk the
     * same graph; without the memo each paid the full per-order expansion.
+    *
+    * Bucket-cap contract: the expansion inherits `candidatePairs`' default
+    * `maxBucketSize = 4096`, so an order with more distinct parts than the
+    * cap contributes NO edges. Every oracle over this graph (q126, q131,
+    * q137) mirrors the cap with a `bsz` bucket-size CTE — the q37/q77
+    * convention — so an over-cap order is dropped identically on both
+    * sides instead of silently diverging.
     */
   private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(spark, s"copurchase-e:$dir") {
@@ -135,9 +142,11 @@ object GraphQ {
   private val trianglesSql =
     """WITH lp AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |bsz AS (SELECT ok FROM lp GROUP BY ok HAVING COUNT(*) <= 4096),
       |e AS (
       |  SELECT DISTINCT x.p AS a, y.p AS b
-      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |  JOIN bsz ON bsz.ok = x.ok),
       |deg AS (
       |  SELECT v, COUNT(*) AS d
       |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
@@ -208,9 +217,11 @@ object GraphQ {
   private val associationRulesSql =
     """WITH lp AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |bsz AS (SELECT ok FROM lp GROUP BY ok HAVING COUNT(*) <= 4096),
       |pairs AS (
       |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_pair
       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |  JOIN bsz ON bsz.ok = x.ok
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
       |parts AS (SELECT p, COUNT(*) AS n_part FROM lp GROUP BY p),
       |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM lp),
@@ -275,9 +286,11 @@ object GraphQ {
   private val bfsHopsSql =
     """WITH lp AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+      |bsz AS (SELECT ok FROM lp GROUP BY ok HAVING COUNT(*) <= 4096),
       |e AS (
       |  SELECT DISTINCT x.p AS a, y.p AS b
-      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+      |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p
+      |  JOIN bsz ON bsz.ok = x.ok),
       |sym AS (
       |  SELECT a AS src, b AS dst FROM e
       |  UNION ALL SELECT b, a FROM e),

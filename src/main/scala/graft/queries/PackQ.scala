@@ -114,8 +114,10 @@ object PackQ {
     * Scale shape: q79's shard-local discipline — `row_number` windows
     * partitioned by the hash shard (shards scale out; nothing global),
     * one hash agg per strategy over (shard, batch), then a tiny rollup.
-    * All counts exact BIGINT; waste% is one rounded division per output
-    * row (16 rows).
+    * All counts exact BIGINT; waste is reported as exact integer
+    * parts-per-million (`waste_ppm`, the q125 `rate_u` convention) so the
+    * oracle compare is bit-exact across engine versions — no float
+    * rounding in the output at all.
     */
   def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -141,15 +143,15 @@ object PackQ {
       .unionByName(strategy("sorted", Seq(col("n_tokens"), col("doc_id"))))
       .select(col("strategy"), col("shard"), col("n_batches"),
         col("real_tokens"), col("padded_tokens"),
-        round(lit(100.0) * (col("padded_tokens") - col("real_tokens"))
-          / col("padded_tokens"), 6).as("waste_pct"))
+        expr("(padded_tokens - real_tokens) * 1000000L div padded_tokens")
+          .as("waste_ppm"))
   }
 
   private val paddingWasteSql = {
     def strat(name: String, order: String) =
       s"""SELECT '$name' AS strategy, shard,
-         |  COUNT(*) AS n_batches, SUM(real_tok) AS real_tokens,
-         |  SUM(max_len * n_docs) AS padded_tokens
+         |  COUNT(*) AS n_batches, CAST(SUM(real_tok) AS BIGINT) AS real_tokens,
+         |  CAST(SUM(max_len * n_docs) AS BIGINT) AS padded_tokens
          |FROM (
          |  SELECT shard, (rn - 1) // 32 AS batch,
          |    MAX(n_tokens) AS max_len, SUM(n_tokens) AS real_tok,
@@ -171,8 +173,8 @@ object PackQ {
        |  UNION ALL
        |  ${strat("sorted", "n_tokens, doc_id")})
        |SELECT strategy, shard, n_batches, real_tokens, padded_tokens,
-       |  round(100.0 * (padded_tokens - real_tokens) / padded_tokens, 6)
-       |    AS waste_pct
+       |  CAST((padded_tokens - real_tokens) * 1000000 // padded_tokens
+       |    AS BIGINT) AS waste_ppm
        |FROM res""".stripMargin
   }
 

@@ -438,8 +438,8 @@ object StatsQ {
       |sw AS (SELECT SUM(w_s) AS sum_w FROM per),
       |rates AS (
       |  SELECT source,
-      |    LEAST(1000000, (ks_tot * 2 // 5) * w_s // sum_w * 1000000 // ks_s)
-      |      AS rate_u
+      |    CAST(LEAST(1000000, (ks_tot * 2 // 5) * w_s // sum_w * 1000000 // ks_s)
+      |      AS BIGINT) AS rate_u
       |  FROM per CROSS JOIN tot CROSS JOIN sw)
       |SELECT d.doc_id, d.source, d.n_chars, r.rate_u
       |FROM documents d JOIN rates r USING (source)
@@ -503,6 +503,14 @@ object StatsQ {
     * projection — dimension parents broadcast; the orders parent
     * anti-join shuffles on the key like any fact⋈fact. Constant-size
     * output (one row per relationship), exact counts.
+    *
+    * NULL semantics are PINNED on both sides, because dirty data is this
+    * query's whole subject: a NULL child key IS an orphan (it references
+    * no parent), and a NULL parent key matches nothing. `left_anti`
+    * gives exactly that; the oracle uses `NOT EXISTS (… WHERE parent =
+    * child)` — which agrees on both cases — and deliberately NOT
+    * `NOT IN`, whose three-valued logic reports ZERO orphans for every
+    * child the moment the parent key set contains a single NULL.
     */
   def fkAudit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -532,24 +540,24 @@ object StatsQ {
   private val fkAuditSql =
     """SELECT 'lineitem.orderkey->orders' AS relationship,
       |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
-      |  (SELECT COUNT(*) FROM lineitem
-      |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
       |UNION ALL SELECT 'lineitem.partkey->part',
       |  (SELECT COUNT(*) FROM lineitem),
-      |  (SELECT COUNT(*) FROM lineitem
-      |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
       |UNION ALL SELECT 'lineitem.suppkey->supplier',
       |  (SELECT COUNT(*) FROM lineitem),
-      |  (SELECT COUNT(*) FROM lineitem
-      |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
       |UNION ALL SELECT 'orders.custkey->customer',
       |  (SELECT COUNT(*) FROM orders),
-      |  (SELECT COUNT(*) FROM orders
-      |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |  (SELECT COUNT(*) FROM orders r WHERE NOT EXISTS
+      |   (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
       |UNION ALL SELECT 'customer.nationkey->nation',
       |  (SELECT COUNT(*) FROM customer),
-      |  (SELECT COUNT(*) FROM customer
-      |   WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin
+      |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))""".stripMargin
 
   /** q143 — per-group quantile normalization (the rank-based feature
     * scaling ML prep uses when distributions are skewed or cross-group

@@ -44,14 +44,24 @@ object CorpusStreams {
         try {
           // prior = every batch before this one; on replay, this batch's
           // own (possibly half-written) partition must be EXCLUDED or its
-          // documents would pair against themselves as "prior"
+          // documents would pair against themselves as "prior".
+          // Only the store's genuine ABSENCE (first batch) may fall back
+          // to empty — an existence probe, not a broad catch: a corrupt
+          // store, permission error, or transient FS failure must FAIL
+          // the batch so Structured Streaming retries it. A blanket catch
+          // here would silently commit a pair set missing all new-prior
+          // pairs and advance the checkpoint past the loss permanently.
+          val storeP = new org.apache.hadoop.fs.Path(storePath)
+          val storeExists = storeP
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(storeP)
           val prior =
-            try spark.read.parquet(storePath).filter(col("batch_id") =!= batchId)
-              .drop("batch_id")
-            catch { case _: Exception => // first batch: store doesn't exist yet
+            if (storeExists)
+              spark.read.parquet(storePath)
+                .filter(col("batch_id") =!= batchId).drop("batch_id")
+            else
               spark.emptyDataset(org.apache.spark.sql.Encoders.product[
                 (Long, Int, String)]).toDF("doc_id", "band", "band_key")
-            }
           Dedup.incrementalPairs(bands, prior, "doc_id", maxBucketSize)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")

@@ -165,6 +165,29 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped.count() == 14, "uncapped: every pair touching a new id")
   }
 
+  test("straddled buckets are detected, not silent") {
+    // same shape as the cap test: 2 prior + 4 new copies share every band
+    // bucket. With cap=4 the prior run KEPT each bucket (2 ≤ 4) but the
+    // combined run drops it (6 > 4) — exactly the condition under which
+    // `full ≡ prior ∪ incremental` breaks. straddledBuckets must surface
+    // every such bucket; with the default cap (no straddle) it is empty.
+    val copies = (1L to 6L).map(i => (i, "same same same words every time"))
+      .toDF("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bandFingerprints(df, "doc_id", "text", numHashes = 8, rowsPerBand = 2)
+    val newB = bands(copies.filter($"doc_id" > 2))
+    val priorB = bands(copies.filter($"doc_id" <= 2))
+    val straddled = Dedup.straddledBuckets(newB, priorB, "doc_id", maxBucketSize = 4)
+      .collect()
+    assert(straddled.nonEmpty, "over-cap growth must be reported")
+    assert(straddled.forall { r =>
+      r.getAs[Long]("n_prior") <= 4 &&
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_prior") > 4
+    }, s"every reported bucket must actually straddle: ${straddled.toSeq}")
+    assert(Dedup.straddledBuckets(newB, priorB, "doc_id").count() == 0,
+      "no straddle under the default cap")
+  }
+
   test("connected components merge transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3 must collapse into ONE component even though (1,3) is not

@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Memo {
   private final class Holder(build0: () => AnyRef) {
-    lazy val value: AnyRef = build0()
+    @volatile var built = false
+    lazy val value: AnyRef = { val v = build0(); built = true; v }
   }
 
   private val bySession =
@@ -42,4 +43,51 @@ object Memo {
     sessionMap(spark)
       .computeIfAbsent(key, _ => new Holder(() => build))
       .value.asInstanceOf[T]
+
+  /** Every Dataset reachable from a memo value: the value itself, or —
+    * for tuple / case-class artifacts like `(deg, edges)` and the
+    * pipeline's QualityOutput — its Product elements, recursively.
+    */
+  private def datasets(v: Any): Seq[org.apache.spark.sql.Dataset[_]] = v match {
+    case d: org.apache.spark.sql.Dataset[_] => Seq(d)
+    case p: Product => p.productIterator.flatMap(datasets).toSeq
+    case _ => Seq.empty
+  }
+
+  /** Family-scoped release: unpersist every cached Dataset under keys
+    * starting with `prefix` (default: all keys) and drop those entries,
+    * so the next access rebuilds from scratch. This is the bound on the
+    * memo's AGGREGATE footprint: per-key the memo is already bounded
+    * (one artifact per live session), but a 150-query suite run pins
+    * every family's artifacts simultaneously — Bench calls this at each
+    * family boundary so no two families' caches coexist (GC pressure on
+    * long suite runs was measurable: round-5 stage logs showed 37–46 s
+    * of gcSum in single stages).
+    *
+    * Non-Dataset artifacts (scratch-file paths, JDBC URLs) are kept:
+    * they hold no executor memory, and dropping them would orphan the
+    * files a rebuild re-writes. Never-built holders are removed without
+    * forcing them — releasing must not trigger the build it exists to
+    * undo. Unpersist blocks, so the memory is actually free before the
+    * caller's next build starts.
+    */
+  def release(spark: SparkSession, prefix: String = ""): Unit = {
+    val m = bySession.synchronized { bySession.get(spark) }
+    if (m != null) {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          if (!e.getValue.built) it.remove()
+          else {
+            val ds = datasets(e.getValue.value)
+            if (ds.nonEmpty) {
+              ds.foreach(_.unpersist(blocking = true))
+              it.remove()
+            }
+          }
+        }
+      }
+    }
+  }
 }

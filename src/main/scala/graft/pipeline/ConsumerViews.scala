@@ -44,4 +44,30 @@ final class ConsumerViews(spark: SparkSession, metricsRoot: String) {
     */
   def restaurantTrends(restaurantId: String, grain: String = "daily"): DataFrame =
     metric(s"sales_trends_$grain").filter(col("restaurant_id") === restaurantId)
+
+  /** Sidebar restaurant selector: sorted union of ids present in the RFM
+    * and CLV layers (`go_streamlit.py:204-207` — the dashboard unions the
+    * two pandas id sets so a restaurant appearing in either layer is
+    * selectable). Distinct-union-distinct over two partition-column
+    * projections: each side is a metadata-cheap scan of just the
+    * partition values, and the union dedupes map-side before one tiny
+    * shuffle.
+    */
+  def restaurantIds(): DataFrame =
+    metric("rfm").select(col("restaurant_id").cast("string"))
+      .union(metric("clv").select(col("restaurant_id").cast("string")))
+      .where(col("restaurant_id").isNotNull)
+      .distinct()
+      .orderBy(col("restaurant_id"))
+
+  /** One restaurant's RFM table sorted by recency ascending — the
+    * dashboard's default customer list (`go_streamlit.py:244-246`:
+    * most-recently-active customers first; recency = days since last
+    * order, so ascending = freshest first). The restaurant filter prunes
+    * to one partition; the sort orders only that restaurant's customers
+    * (ties broken by customer_id so the listing is deterministic).
+    */
+  def customersByRecency(restaurantId: String): DataFrame =
+    metric("rfm").filter(col("restaurant_id") === restaurantId)
+      .orderBy(col("recency"), col("customer_id"))
 }

@@ -44,13 +44,65 @@ object PipelineRunner {
     if (empty) 0L else df.sparkSession.read.parquet(path).count()
   }
 
+  /** How [[archiveLanding]] moves a file. `Rename` is atomic per file and
+    * O(1) on HDFS/local — but on object stores (S3A, GCS connectors)
+    * "rename" is a full server-side copy followed by a delete with NO
+    * atomicity, and some connectors reject directory renames outright.
+    * `CopyVerifyDelete` makes that reality explicit and safe: copy, verify
+    * the destination's length against the source, and only then delete —
+    * the reference's `copy_object` + `delete_object` sequence
+    * (`go-transform-elt.py:295-311`) with a verification step between, so
+    * a truncated copy can never cost the only copy of the data.
+    */
+  sealed trait ArchiveMode
+  object ArchiveMode {
+    case object Rename extends ArchiveMode
+    case object CopyVerifyDelete extends ArchiveMode
+  }
+
+  /** Move one file into `dstDir` (basename-keyed) under `mode`, with
+    * overwrite semantics like the reference's S3 copy+delete: a re-run
+    * archiving a same-named file replaces the old archive copy instead of
+    * failing the whole run after every stage already succeeded (HDFS/local
+    * rename returns false when the destination exists). On a failed
+    * verify, the DESTINATION copy is removed and the source preserved.
+    */
+  private def moveOne(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dstDir: org.apache.hadoop.fs.Path,
+      mode: ArchiveMode,
+      conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.Path = {
+    val target = new org.apache.hadoop.fs.Path(dstDir, src.getName)
+    if (fs.exists(target)) fs.delete(target, false)
+    mode match {
+      case ArchiveMode.Rename =>
+        if (!fs.rename(src, target))
+          throw new java.io.IOException(s"archival rename failed: $src -> $target")
+      case ArchiveMode.CopyVerifyDelete =>
+        val srcLen = fs.getFileStatus(src).getLen
+        if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, target,
+            /*deleteSource=*/ false, /*overwrite=*/ true, conf))
+          throw new java.io.IOException(s"archival copy failed: $src -> $target")
+        val dstLen = fs.getFileStatus(target).getLen
+        if (dstLen != srcLen) {
+          fs.delete(target, false)
+          throw new java.io.IOException(
+            s"archival verify failed: $src ($srcLen B) -> $target ($dstLen B); " +
+              "source preserved")
+        }
+        fs.delete(src, false)
+    }
+    target
+  }
+
   /** S10 — landing archival: move every file under `srcDir` to `dstDir`
     * (flat, basename-keyed), re-expressing the reference's copy+delete S3
-    * prefix move (`go-transform-elt.py:295-311`, `go-quality-elt.py:59-73`)
-    * as Hadoop `FileSystem.rename` — atomic-per-file on HDFS/local, and the
-    * same API the S3A committers use at scale. Returns the moved paths.
+    * prefix move (`go-transform-elt.py:295-311`, `go-quality-elt.py:59-73`).
+    * Default mode is `Rename` (atomic-per-file on HDFS/local); pass
+    * [[ArchiveMode.CopyVerifyDelete]] for object-store targets — see
+    * [[ArchiveMode]]. Returns the moved paths.
     */
-  def archiveLanding(spark: SparkSession, srcDir: String, dstDir: String): Seq[String] = {
+  def archiveLanding(spark: SparkSession, srcDir: String, dstDir: String,
+      mode: ArchiveMode = ArchiveMode.Rename): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new Path(srcDir)
@@ -59,23 +111,14 @@ object PipelineRunner {
     val dst = new Path(dstDir)
     fs.mkdirs(dst)
     val files = fs.listStatus(src).filter(_.isFile)
-    files.map { st =>
-      val target = new Path(dst, st.getPath.getName)
-      // overwrite semantics, like the reference's S3 copy+delete: a re-run
-      // archiving a same-named file must replace the old archive copy, not
-      // fail the whole run after every stage already succeeded (HDFS/local
-      // rename returns false when the destination exists)
-      if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(st.getPath, target))
-        throw new java.io.IOException(s"archival rename failed: ${st.getPath} -> $target")
-      target.toString
-    }.toSeq
+    files.map(st => moveOne(fs, st.getPath, dst, mode, conf).toString).toSeq
   }
 
   def run(spark: SparkSession, orderItemsCsv: String, optionsCsv: String,
       dateDimCsv: String, thresholds: DataFrame, outRoot: String,
       rules: MappingRuleSet = MappingRules.default,
-      archiveTo: Option[String] = None): RunResult = {
+      archiveTo: Option[String] = None,
+      archiveMode: ArchiveMode = ArchiveMode.Rename): RunResult = {
     val stages = mutable.ArrayBuffer.empty[StageResult]
     def record(stage: String, rows: Long, path: String): Unit =
       stages += StageResult(stage, rows, path)
@@ -128,16 +171,14 @@ object PipelineRunner {
     archiveTo.foreach { dst =>
       Seq(orderItemsCsv, optionsCsv, dateDimCsv).foreach { f =>
         import org.apache.hadoop.fs.Path
+        val conf = spark.sparkContext.hadoopConfiguration
         val p = new Path(f)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = p.getFileSystem(conf)
         if (fs.isFile(p)) {
           val dstDir = new Path(dst)
           fs.mkdirs(dstDir)
-          val target = new Path(dstDir, p.getName)
-          if (fs.exists(target)) fs.delete(target, false) // overwrite, as above
-          if (!fs.rename(p, target))
-            throw new java.io.IOException(s"archival rename failed: $p -> $dst")
-        } else archiveLanding(spark, f, dst)
+          moveOne(fs, p, dstDir, archiveMode, conf)
+        } else archiveLanding(spark, f, dst, archiveMode)
       }
     }
 

@@ -234,4 +234,72 @@ object Jdbc {
       createTableColumnTypes = if (ddl.isEmpty) None else Some(ddl.mkString(", ")))
     inferred
   }
+
+  // ------------------------------------------------------------------------
+  // Per-vendor DDL rendering.
+  //
+  // The inference above deliberately emits PORTABLE Spark-SQL spellings,
+  // because `createTableColumnTypes` goes through Spark's DDL parser, which
+  // doesn't know vendor names — Spark's own JdbcDialect then renders them
+  // per engine on the write path. But the reference creates its tables
+  // OUT-OF-BAND with vendor DDL (`rds/load_to_sqlserver.py:97-147,168-175`:
+  // `CREATE TABLE [schema].[table] ([col] NVARCHAR(n)/DATETIME2/BIT … NULL)`
+  // over pyodbc), and a deployment that needs that shape — pre-created
+  // tables, exact vendor types, a DBA-reviewed DDL file — should get it
+  // from a CONFIG ENTRY, not a rewrite. SqlDialect is that entry: one row
+  // per vendor (identifier quoting, string type family, unbounded-string
+  // spelling, type renames); [[createTableDdl]] renders the inferred
+  // portable types through it.
+  // ------------------------------------------------------------------------
+
+  /** One vendor's DDL conventions. `renames` maps portable spellings to
+    * vendor ones; anything absent passes through unchanged (INT, BIGINT,
+    * DECIMAL(p,s) are universal).
+    */
+  final case class SqlDialect(
+      name: String,
+      quote: String => String,
+      varcharName: String,
+      unboundedString: String,
+      renames: Map[String, String]) {
+    /** Render an inferred portable type (None = the unbounded-string
+      * branch, the reference's NVARCHAR(MAX)). */
+    def render(portable: Option[String]): String = portable match {
+      case None => unboundedString
+      case Some(t) if t.startsWith("VARCHAR(") =>
+        varcharName + t.substring("VARCHAR".length)
+      case Some(t) => renames.getOrElse(t, t)
+    }
+  }
+
+  object SqlDialect {
+    /** SQL Server, matching the reference loader's emitted DDL
+      * (`rds/load_to_sqlserver.py`): BIT / DATETIME2 / NVARCHAR(n) /
+      * NVARCHAR(MAX), `[bracket]` identifier quoting.
+      */
+    val SqlServer: SqlDialect = SqlDialect("sqlserver",
+      c => s"[$c]", "NVARCHAR", "NVARCHAR(MAX)",
+      Map("BOOLEAN" -> "BIT", "TIMESTAMP" -> "DATETIME2"))
+
+    /** Embedded Derby (the engine JdbcSpec integration-tests against). */
+    val Derby: SqlDialect = SqlDialect("derby",
+      c => "\"" + c + "\"", "VARCHAR", "CLOB",
+      Map("FLOAT" -> "DOUBLE"))
+
+    val Postgres: SqlDialect = SqlDialect("postgres",
+      c => "\"" + c + "\"", "VARCHAR", "TEXT",
+      Map("FLOAT" -> "DOUBLE PRECISION"))
+  }
+
+  /** Render a full CREATE TABLE statement for `inferred` column types (as
+    * returned by [[inferColumnTypes]]/[[writeTyped]]) in `dialect`'s DDL.
+    * Column shape mirrors the reference: `<quoted-name> <TYPE> NULL`.
+    * `table` is passed through verbatim — pre-quote it for the vendor
+    * (the reference writes `[schema].[table]`).
+    */
+  def createTableDdl(table: String, inferred: Seq[(String, Option[String])],
+      dialect: SqlDialect): String =
+    inferred
+      .map { case (c, t) => s"${dialect.quote(c)} ${dialect.render(t)} NULL" }
+      .mkString(s"CREATE TABLE $table (", ", ", ")")
 }

@@ -5,6 +5,18 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 
+/** Local filesystem whose rename ALWAYS fails — models object-store
+  * connectors where rename is unsupported or unsafe, for the S10
+  * copy+verify+delete archival test. Registered under `norename://` via
+  * `fs.norename.impl` (Hadoop instantiates it reflectively, hence
+  * top-level with a no-arg constructor).
+  */
+class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = false
+}
+
 /** Golden end-to-end: fixture CSVs (FIXTURES.md §A — messy categories,
   * sizes, QA-trigger values, test rows, guest users, threshold violations)
   * → transform → quality → metrics, asserting hand-computed outcomes.
@@ -163,6 +175,42 @@ class PipelineGoldenSpec extends SparkTestBase {
       "stale final rows must be cleared on an empty re-run")
   }
 
+  test("S10 copy+verify+delete archival works where rename is unsupported") {
+    // NoRenameFs models an object-store connector: every rename fails.
+    // CopyVerifyDelete must still archive (it never renames); Rename mode
+    // must fail loudly instead of silently losing or duplicating data.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.norename.impl", classOf[NoRenameFs].getName)
+    conf.setBoolean("fs.norename.impl.disable.cache", true)
+    val dir = Files.createTempDirectory("graft-cvd").toString
+    Files.createDirectories(Paths.get(s"$dir/landing"))
+    Files.write(Paths.get(s"$dir/landing/a.csv"), "x,y\n1,2\n".getBytes)
+    Files.write(Paths.get(s"$dir/landing/b.csv"), "x,y\n3,4\n".getBytes)
+    // pre-existing same-named archive copy: must be overwritten, not fail
+    Files.createDirectories(Paths.get(s"$dir/processed"))
+    Files.write(Paths.get(s"$dir/processed/a.csv"), "stale".getBytes)
+
+    val moved = PipelineRunner.archiveLanding(spark,
+      s"norename://$dir/landing", s"norename://$dir/processed",
+      PipelineRunner.ArchiveMode.CopyVerifyDelete)
+    assert(moved.size == 2)
+    assert(!Files.exists(Paths.get(s"$dir/landing/a.csv")), "source deleted after verify")
+    assert(new String(Files.readAllBytes(Paths.get(s"$dir/processed/a.csv"))) ==
+      "x,y\n1,2\n", "stale archive copy overwritten with verified content")
+    assert(new String(Files.readAllBytes(Paths.get(s"$dir/processed/b.csv"))) ==
+      "x,y\n3,4\n")
+
+    // Rename mode on the same FS: loud failure, source intact
+    Files.write(Paths.get(s"$dir/landing/c.csv"), "x\n9\n".getBytes)
+    val e = intercept[java.io.IOException] {
+      PipelineRunner.archiveLanding(spark,
+        s"norename://$dir/landing", s"norename://$dir/processed",
+        PipelineRunner.ArchiveMode.Rename)
+    }
+    assert(e.getMessage.contains("rename failed"))
+    assert(Files.exists(Paths.get(s"$dir/landing/c.csv")), "source preserved on failure")
+  }
+
   test("consumer views: top-k, RFM merges, partition-pruned drill-down") {
     val views = new ConsumerViews(spark, s"${result._2}/metrics")
     val top = views.topRestaurants(k = 1).head()
@@ -177,5 +225,19 @@ class PipelineGoldenSpec extends SparkTestBase {
     val plan = drill.queryExecution.executedPlan.toString
     assert(plan.contains("restaurant_id"), "partition filter present")
     assert(drill.select("restaurant_id").distinct().head().getString(0) == "r1")
+
+    // sidebar id-set union (go_streamlit.py:204-207): sorted distinct union
+    // of the rfm and clv layers' restaurant ids
+    val ids = views.restaurantIds().as[String].collect()
+    assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
+    assert(ids.toSet == Set("r1", "r2"))
+
+    // recency-sorted customer list (go_streamlit.py:244-246): one
+    // restaurant, freshest customers first
+    val custs = views.customersByRecency("r1")
+    assert(custs.select("restaurant_id").distinct().head().getString(0) == "r1")
+    val rec = custs.select("recency").as[Int].collect()
+    assert(rec.toSeq == rec.sorted.toSeq, "ascending recency = freshest first")
+    assert(rec.nonEmpty)
   }
 }

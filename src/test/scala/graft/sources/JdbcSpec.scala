@@ -134,4 +134,38 @@ class JdbcSpec extends SparkTestBase {
     assert(r7.getAs[Boolean]("bool_c") == false) // i=7 odd ⇒ "0"
     assert(back.schema("ts_c").dataType.typeName == "timestamp")
   }
+
+  test("SQL Server dialect renders the reference loader's exact DDL " +
+    "(NVARCHAR/DATETIME2/BIT, bracket quoting, NULL suffix)") {
+    // one column per branch of the reference's type lattice
+    // (rds/load_to_sqlserver.py:97-147; DDL shape :168-175)
+    val df = Seq(
+      ("7", "3000000000", "12.345", "1.5e-3", "yes",
+        "2024-03-01 10:30:00", "alpha", "", "z" * 5000)
+    ).toDF("int_c", "big_c", "dec_c", "sci_c", "bool_c", "ts_c",
+      "name_c", "empty_c", "blob_c")
+    val inferred = Jdbc.inferColumnTypes(df)
+    val ddl = Jdbc.createTableDdl("[dbo].[t_ref]", inferred,
+      Jdbc.SqlDialect.SqlServer)
+    assert(ddl.startsWith("CREATE TABLE [dbo].[t_ref] ("))
+    assert(ddl.contains("[int_c] INT NULL"))
+    assert(ddl.contains("[big_c] BIGINT NULL"))
+    assert(ddl.contains("[dec_c] DECIMAL(18,3) NULL"))
+    assert(ddl.contains("[sci_c] FLOAT NULL"))
+    assert(ddl.contains("[bool_c] BIT NULL"))          // reference: BIT
+    assert(ddl.contains("[ts_c] DATETIME2 NULL"))      // reference: DATETIME2
+    assert(ddl.contains("[name_c] NVARCHAR(32) NULL")) // min width 32, as ref
+    assert(ddl.contains("[empty_c] NVARCHAR(255) NULL")) // all-null-ish branch
+    assert(ddl.contains("[blob_c] NVARCHAR(MAX) NULL")) // unbounded branch
+
+    // same inference, other vendors: only the type-name table changes
+    val derby = Jdbc.createTableDdl("t_ref", inferred, Jdbc.SqlDialect.Derby)
+    assert(derby.contains("\"bool_c\" BOOLEAN NULL") &&
+      derby.contains("\"blob_c\" CLOB NULL") &&
+      derby.contains("\"sci_c\" DOUBLE NULL"))
+    val pg = Jdbc.createTableDdl("t_ref", inferred, Jdbc.SqlDialect.Postgres)
+    assert(pg.contains("\"ts_c\" TIMESTAMP NULL") &&
+      pg.contains("\"blob_c\" TEXT NULL") &&
+      pg.contains("\"name_c\" VARCHAR(32) NULL"))
+  }
 }

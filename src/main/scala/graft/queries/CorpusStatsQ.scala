@@ -676,7 +676,58 @@ object CorpusStatsQ {
       |FROM r1 FULL OUTER JOIN r2 USING (doc_id)
       |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** q155 — tokenizer-vocabulary coverage / OOV rate: fix the vocabulary
+    * to the corpus's top-1000 tokens and report, per document, how many
+    * token OCCURRENCES fall outside it — the coverage number that decides
+    * whether a tokenizer's vocab (or a frequency-pruned embedding table)
+    * fits a corpus, and the per-doc outlier signal (high OOV ⇒ boilerplate,
+    * code, or wrong-language contamination).
+    *
+    * Scale shape: raw tokens never shuffle (the q87 invariant) — the only
+    * data-sized exchange carries the (doc, term) tf pairs; the vocabulary
+    * is top-k by (count, term) via TakeOrderedAndProject over the
+    * term-level agg (never a global sort of the vocabulary) and comes
+    * back BROADCAST, so the oov flag is map-side on the tf table. Rates
+    * are exact integer ppm (the q125/q134 convention).
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(1000)
+      .select(col("term"), lit(true).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+  }
+
+  private val oovRateSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT term FROM (SELECT term, SUM(c) AS cnt FROM tf GROUP BY 1)
+      |  ORDER BY cnt DESC, term LIMIT 1000)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN c ELSE 0 END) * 1000000
+      |    // SUM(c) AS BIGINT) AS oov_ppm
+      |FROM tf LEFT JOIN vocab v USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_oov_rate", oovRate, Some(oovRateSql)),
     QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q129_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("q123_segment_dedup", segmentDedup, Some(segmentDedupSql)),

@@ -522,7 +522,63 @@ object DedupQ {
        |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
        |FROM cum""".stripMargin
 
+  /** q156 — near-dup CLUSTER-SIZE distribution: the dedup health report
+    * every curation run publishes (how much of the corpus is duplicated,
+    * in how many clusters, and is there a mega-cluster?). Singleton docs
+    * — never paired, so absent from the component table — appear as
+    * size-1 clusters via pure count arithmetic (total − covered), not a
+    * data-sized anti-join. A sudden mega-cluster here is the classic
+    * boilerplate-template failure a pair count alone hides.
+    *
+    * Scale shape: sizes and the distribution are two stacked hash aggs
+    * over the (already-materialized, memo-shared) component table; the
+    * totals are 1-row aggs broadcast into the singleton row. Output is
+    * distribution-sized (≤ distinct cluster sizes + 1 rows).
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val comps = neardupComponents(spark, dir)
+    val dist = comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+    val totals = t.documents.agg(count(lit(1)).as("n_total"))
+    val covered = comps.agg(count(lit(1)).as("n_cov"))
+    val singletons = totals.crossJoin(broadcast(covered)).select(
+      lit(1L).as("cluster_size"),
+      (col("n_total") - col("n_cov")).as("n_clusters"),
+      (col("n_total") - col("n_cov")).as("n_docs"))
+    dist.unionByName(singletons)
+  }
+
+  private val clusterSizesSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |cov AS (SELECT COUNT(*) AS n_cov FROM comp)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY sz
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), CAST(n_total - n_cov AS BIGINT),
+       |  CAST(n_total - n_cov AS BIGINT)
+       |FROM tot CROSS JOIN cov""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q156_cluster_sizes", clusterSizes, Some(clusterSizesSql)),
     QueryDef("q150_curate_v2", curateV2, Some(curateV2Sql)),
     QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),
     QueryDef("q83_decontamination", decontamination, Some(decontaminationSql)),

@@ -135,10 +135,116 @@ object SimilarityQ {
       |  CAST(SUM(u) AS BIGINT) / 1000000.0 AS gram
       |FROM terms GROUP BY 1, 2""".stripMargin
 
+  /** q154 — fixed-point Lloyd k-means (k=4, two update rounds) over the
+    * embedding corpus: the clustering step corpus curation uses for
+    * diversity sampling / topic balancing, done bit-deterministically.
+    * Everything integer: vectors quantize to BIGINT micro-units (the
+    * q102 convention), distances are exact Σ(aᵤ−bᵤ)² folds, the argmin
+    * breaks ties on the lower cluster id, and the centroid mean uses a
+    * +OFFSET shift before integer division so Spark's truncate-toward-
+    * zero `div` and DuckDB's floor `//` agree on negative coordinates —
+    * the PageRank half-up-divide lesson, adapted.
+    *
+    * Scale shape: assignment is MAP-SIDE — the k current centroids fold
+    * into the plan as literal arrays (q122's literal-folding
+    * discipline) and each vector computes k distances in one
+    * `transform`+`aggregate` HOF chain with NO join; the update is one
+    * posexplode + (cluster, dim) hash agg whose k·d = 256-value result
+    * returns to the driver as the next round's literals (control-plane
+    * scalars — the CC/IVF policy). Rounds are fixed (2), so the plan is
+    * statically bounded; the quantized input is localCheckpoint'd once
+    * and reused by all three passes instead of re-scanning parquet.
+    * Oracle: an independent LONG-FORMAT relational k-means (explode
+    * dims, join, window argmin) — a different formulation of the same
+    * integer fixpoint, so agreement cross-checks the algorithm.
+    */
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val Off = 8000000L // > max |micro-unit| ⇒ shifted sums stay positive
+    val u = t.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("v"))
+      .localCheckpoint(true)
+    val seedIds = Seq(0L, 125L, 250L, 375L)
+
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+      val entries = cents.map { case (cid, vs) =>
+        s"named_struct('cid', $cid, 'cv', array(${vs.mkString("L,")}L))"
+      }.mkString(",")
+      u.withColumn("a", expr(
+        s"""array_min(transform(array($entries), c -> named_struct(
+           |  'dist', aggregate(zip_with(v, c.cv, (a, b) -> (a-b)*(a-b)),
+           |                    0L, (acc, x) -> acc + x),
+           |  'cid', c.cid)))""".stripMargin))
+        .select(col("vec_id"), col("v"),
+          col("a.cid").as("cluster"), col("a.dist").as("dist_u"))
+    }
+    def update(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr(s"(sum(val + ${Off}L) div count(1)) - ${Off}L").as("cv"))
+        .collect()
+        .groupBy(_.getInt(0)).toSeq
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }.sortBy(_._1)
+
+    val seeds = u.filter(col("vec_id").isin(seedIds: _*)).collect()
+      .sortBy(r => seedIds.indexOf(r.getLong(0))).zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1) }.toSeq
+    val c1 = update(assign(seeds))
+    val c2 = update(assign(c1))
+    assign(c2).select(col("vec_id"), col("cluster"), col("dist_u"))
+  }
+
+  private val kmeansEmbedSql =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(t.i + 1 AS INT) AS dim,
+      |    CAST(round(CAST(list_extract(embedding, CAST(t.i + 1 AS INT)) AS DOUBLE)
+      |      * 1000000) AS BIGINT) AS v
+      |  FROM embeddings, range(64) t(i)),
+      |c0 AS (
+      |  SELECT CASE vec_id WHEN 0 THEN 0 WHEN 125 THEN 1 WHEN 250 THEN 2
+      |    ELSE 3 END AS cid, dim, v
+      |  FROM u WHERE vec_id IN (0, 125, 250, 375)),
+      |a1 AS (
+      |  SELECT u.vec_id, c.cid, SUM((u.v - c.v) * (u.v - c.v)) AS dist
+      |  FROM u JOIN c0 c USING (dim) GROUP BY 1, 2),
+      |b1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM a1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT b.cid, u.dim,
+      |    CAST((SUM(u.v + 8000000) // COUNT(*)) - 8000000 AS BIGINT) AS v
+      |  FROM u JOIN b1 b USING (vec_id) GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT u.vec_id, c.cid, SUM((u.v - c.v) * (u.v - c.v)) AS dist
+      |  FROM u JOIN c1 c USING (dim) GROUP BY 1, 2),
+      |b2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM a2) WHERE rn = 1),
+      |c2 AS (
+      |  SELECT b.cid, u.dim,
+      |    CAST((SUM(u.v + 8000000) // COUNT(*)) - 8000000 AS BIGINT) AS v
+      |  FROM u JOIN b2 b USING (vec_id) GROUP BY 1, 2),
+      |a3 AS (
+      |  SELECT u.vec_id, c.cid, SUM((u.v - c.v) * (u.v - c.v)) AS dist
+      |  FROM u JOIN c2 c USING (dim) GROUP BY 1, 2)
+      |SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_u
+      |FROM (
+      |  SELECT vec_id, cid, dist,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM a3) WHERE rn = 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
+    QueryDef("q154_kmeans_embed", kmeansEmbed, Some(kmeansEmbedSql)),
   )
 }

@@ -470,8 +470,86 @@ object TextQ {
       |  per.wsum > 0 AS keep
       |FROM documents d JOIN per USING (doc_id)""".stripMargin
 
+  /** q153 — quality-filter FUNNEL with per-rule attrition: the accounting
+    * view every training-data pipeline publishes next to its filters
+    * ("raw 4.1B docs → length 3.8B → lang 2.9B → …"). Rules run in a
+    * fixed order and a document is charged to the FIRST rule it fails
+    * (the way chained filters actually drop it), so per-stage drops sum
+    * to total attrition — double-counting-free, unlike the per-rule-flag
+    * view q04 gives. Rules are integer-exact (char counts, token counts,
+    * cross-multiplied ratio compares — no float thresholds to drift).
+    *
+    * Scale shape: ONE map pass classifies every document (the when-chain
+    * is a single projection over the scan), ONE 1-row aggregate holding
+    * all four drop counts plus the total, and the cumulative in/out
+    * arithmetic is a map-side `stack` over that row — one scan, one
+    * all-to-one agg, no cache, no window.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val d = t.documents.select(
+      col("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val classified = d.select(
+      when(col("n_chars") < 100, 1)
+        .when(col("n_tokens") < 15, 2)
+        .when(col("n_chars") > col("n_tokens") * 12, 3)      // avg word len > 12
+        .when(col("n_distinct") * 10 < col("n_tokens") * 3, 4) // diversity < 0.3
+        .otherwise(0).as("first_fail"))
+    def dropped(i: Int) =
+      sum(when(col("first_fail") === i, 1L).otherwise(0L)).as(s"d$i")
+    classified
+      .agg(count(lit(1)).as("n_total"), dropped(1), dropped(2), dropped(3), dropped(4))
+      .select(expr(
+        """stack(4,
+          |  1, 'too_short',      n_total,            d1,
+          |  2, 'too_few_tokens', n_total-d1,         d2,
+          |  3, 'long_words',     n_total-d1-d2,      d3,
+          |  4, 'low_diversity',  n_total-d1-d2-d3,   d4
+          |) as (stage, rule, n_in, n_dropped)""".stripMargin))
+      .select(col("stage"), col("rule"), col("n_in"), col("n_dropped"),
+        (col("n_in") - col("n_dropped")).as("n_out"))
+  }
+
+  private val filterFunnelSql =
+    """WITH d AS (
+      |  SELECT n_chars,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+      |      AS BIGINT) AS n_distinct
+      |  FROM documents),
+      |cls AS (
+      |  SELECT CASE
+      |    WHEN n_chars < 100 THEN 1
+      |    WHEN n_tokens < 15 THEN 2
+      |    WHEN n_chars > n_tokens * 12 THEN 3
+      |    WHEN n_distinct * 10 < n_tokens * 3 THEN 4
+      |    ELSE 0 END AS first_fail
+      |  FROM d),
+      |counts AS (SELECT first_fail, COUNT(*) AS n FROM cls GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
+      |stages(stage, rule) AS (VALUES
+      |  (1, 'too_short'), (2, 'too_few_tokens'),
+      |  (3, 'long_words'), (4, 'low_diversity'))
+      |SELECT stage, rule,
+      |  CAST(n_total - COALESCE(SUM(n_dropped) OVER
+      |    (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS n_in,
+      |  CAST(n_dropped AS BIGINT) AS n_dropped,
+      |  CAST(n_total - COALESCE(SUM(n_dropped) OVER
+      |    (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    - n_dropped AS BIGINT) AS n_out
+      |FROM (
+      |  SELECT s.stage, s.rule, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
+      |  FROM stages s LEFT JOIN counts c ON c.first_fail = s.stage)
+      |CROSS JOIN tot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),

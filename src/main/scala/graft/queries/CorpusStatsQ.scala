@@ -688,7 +688,11 @@ object CorpusStatsQ {
     * is top-k by (count, term) via TakeOrderedAndProject over the
     * term-level agg (never a global sort of the vocabulary) and comes
     * back BROADCAST, so the oov flag is map-side on the tf table. Rates
-    * are exact integer ppm (the q125/q134 convention).
+    * are exact integer ppm (the q125/q134 convention). The tf subtree
+    * feeds both the vocab and the per-doc branch; at RUNTIME AQE plans
+    * the vocab branch as a ReusedExchange over the tf shuffle — one scan,
+    * one tokenize (verified with `PlanAudit` SPARK_GRAFT_RUN=1; the
+    * static explain shows a duplicated subtree that never executes).
     */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -726,7 +730,138 @@ object CorpusStatsQ {
       |FROM tf LEFT JOIN vocab v USING (term)
       |GROUP BY doc_id""".stripMargin
 
+  /** q157 — PMI collocations: top-20 adjacent word pairs by pointwise
+    * mutual information (`ln(p(a,b) / (p(a)·p(b)))`), the classic
+    * phrase-mining / tokenizer-vocab-seeding statistic ("new york" scores
+    * high because it co-occurs far above chance; "of the" does not,
+    * despite its raw count — exactly what the q88 frequency ranking
+    * can't see). Pairs below 5 occurrences are dropped first (PMI is
+    * noise at tiny counts AND the filter shrinks the join input).
+    *
+    * Scale shape: two map passes over text (one exploding unigrams, one
+    * exploding adjacent pairs via `zip_with` slices — no self-join,
+    * q88's discipline), each into one hash agg; totals are 1-row aggs
+    * off the AGGREGATED tables broadcast back; the marginal lookups
+    * shuffle the min-count-filtered pair table on the term key (the
+    * q87 idf-join shape — the unigram table is vocabulary-sized, too
+    * big to assume broadcastable at corpus scale). The PMI double is
+    * ONE fixed-shape IEEE expression rounded(6) on both engines, and
+    * the top-k ranks on the ROUNDED value with (lhs, rhs) tie-breaks
+    * (the q124 convention) via TakeOrderedAndProject.
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val docs = t.documents.select(tk.as("tk"))
+    val uni = docs.select(explode(col("tk")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
+    val pairCounts = docs.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |         (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nTok = uni.agg(sum(col("c_term")).as("n_tok"))
+    val nPair = pairCounts.agg(sum(col("c_ab")).as("n_pair"))
+    pairCounts.filter(col("c_ab") >= 5)
+      .join(uni.select(col("term").as("lhs"), col("c_term").as("c_lhs")), Seq("lhs"))
+      .join(uni.select(col("term").as("rhs"), col("c_term").as("c_rhs")), Seq("rhs"))
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPair))
+      .withColumn("pmi", expr(
+        """round(ln((CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+          |        / (CAST(n_pair AS DOUBLE) * CAST(c_lhs AS DOUBLE) * CAST(c_rhs AS DOUBLE))), 6)""".stripMargin))
+      .orderBy(col("pmi").desc, col("lhs"), col("rhs"))
+      .limit(20)
+      .select(col("lhs"), col("rhs"), col("c_ab"), col("c_lhs"), col("c_rhs"),
+        col("pmi"))
+  }
+
+  private val pmiPairsSql =
+    """WITH d AS (
+      |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |uni AS (SELECT unnest(tk) AS term FROM d),
+      |uc AS (SELECT term, COUNT(*) AS c_term FROM uni GROUP BY 1),
+      |pc AS (
+      |  SELECT p[1] AS lhs, p[2] AS rhs, COUNT(*) AS c_ab
+      |  FROM d, unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) t(p)
+      |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+      |ntok AS (SELECT CAST(SUM(c_term) AS BIGINT) AS n_tok FROM uc),
+      |npair AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pair FROM pc)
+      |SELECT lhs, rhs, CAST(c_ab AS BIGINT) AS c_ab,
+      |  CAST(l.c_term AS BIGINT) AS c_lhs, CAST(r.c_term AS BIGINT) AS c_rhs,
+      |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE))
+      |         / (CAST(n_pair AS DOUBLE) * CAST(l.c_term AS DOUBLE)
+      |            * CAST(r.c_term AS DOUBLE))), 6) AS pmi
+      |FROM pc
+      |JOIN uc l ON l.term = pc.lhs
+      |JOIN uc r ON r.term = pc.rhs
+      |CROSS JOIN ntok CROSS JOIN npair
+      |WHERE c_ab >= 5
+      |ORDER BY pmi DESC, lhs, rhs LIMIT 20""".stripMargin
+
+  /** q159 — per-source DATA CARD: the per-subset summary table a corpus
+    * release publishes (docs, chars, language mix, exact-duplicate rate)
+    * — one row per source with its dominant language and share. The
+    * "dup_ppm" column is the within-source exact-duplicate occurrence
+    * share (Σ(copies−1) per md5 text hash), the first number a data
+    * consumer checks before trusting a subset.
+    *
+    * Scale shape: ONE data-sized shuffle — everything derives from a
+    * single (source, lang, text-hash) pre-aggregate (at most one row
+    * per distinct document version): doc/char/dup totals are SUMS over
+    * it, the language mix is a rollup of it, and the dominant language
+    * is a row_number over the source×lang table (tiny by construction).
+    * Rates are exact integer ppm.
+    */
+  def sourceDatacard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val pre = t.documents
+      .groupBy(col("source"), col("lang"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("chars"))
+    val per = pre.groupBy(col("source")).agg(
+      sum(col("c")).as("n_docs"),
+      sum(col("chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("c") - 1).as("n_dup_docs"))
+    val sl = pre.groupBy(col("source"), col("lang")).agg(sum(col("c")).as("lc"))
+    val top = sl.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("lc").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("lc").as("top_c"))
+    per.join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("n_langs"),
+        col("top_lang"),
+        expr("top_c * 1000000L div n_docs").as("top_lang_ppm"),
+        expr("n_dup_docs * 1000000L div n_docs").as("dup_ppm"))
+  }
+
+  private val sourceDatacardSql =
+    """WITH pre AS (
+      |  SELECT source, lang, md5(text) AS h, COUNT(*) AS c,
+      |    SUM(n_chars) AS chars
+      |  FROM documents GROUP BY 1, 2, 3),
+      |per AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(SUM(chars) AS BIGINT) AS total_chars,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+      |  FROM pre GROUP BY 1),
+      |sl AS (SELECT source, lang, SUM(c) AS lc FROM pre GROUP BY 1, 2),
+      |top AS (
+      |  SELECT source, lang AS top_lang, lc AS top_c FROM (
+      |    SELECT source, lang, lc,
+      |      row_number() OVER (PARTITION BY source ORDER BY lc DESC, lang) AS rn
+      |    FROM sl) WHERE rn = 1)
+      |SELECT p.source, p.n_docs, p.total_chars, p.n_langs, t.top_lang,
+      |  CAST(t.top_c * 1000000 // p.n_docs AS BIGINT) AS top_lang_ppm,
+      |  CAST(p.n_dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_ppm
+      |FROM per p JOIN top t USING (source)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
+    QueryDef("q157_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q155_oov_rate", oovRate, Some(oovRateSql)),
     QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q129_phrase_search", phraseSearch, Some(phraseSearchSql)),

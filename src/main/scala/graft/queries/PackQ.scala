@@ -178,9 +178,57 @@ object PackQ {
        |FROM res""".stripMargin
   }
 
+  /** q158 — context-length fit curve: for each candidate max-sequence
+    * length, how many documents fit whole and what token share survives
+    * truncation — the planning table behind "train at 512 or 2048?"
+    * (q134 prices PADDING at a fixed batch shape; this prices
+    * TRUNCATION across candidate context lengths — the other half of
+    * the sequence-budget tradeoff).
+    *
+    * Scale shape: one map pass computes token counts, a 5-literal
+    * `explode` fans each doc across the candidate lengths map-side
+    * (never a join), and one 5-group hash agg finishes. All counts
+    * exact BIGINT; the truncated share is integer ppm.
+    */
+  def contextFit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .select(col("n_tokens"), explode(array(
+        lit(128L), lit(256L), lit(512L), lit(1024L), lit(2048L))).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") <= col("ctx_len"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(least(col("n_tokens"), col("ctx_len"))).as("kept_tokens"))
+      .select(col("ctx_len"), col("n_docs"), col("n_fit"),
+        col("total_tokens"), col("kept_tokens"),
+        expr("(total_tokens - kept_tokens) * 1000000L div total_tokens")
+          .as("trunc_ppm"))
+  }
+
+  private val contextFitSql =
+    """WITH d AS (
+      |  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents),
+      |spine(ctx_len) AS (VALUES (CAST(128 AS BIGINT)), (256), (512), (1024), (2048))
+      |SELECT ctx_len,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_tokens <= ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fit,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(LEAST(n_tokens, ctx_len)) AS BIGINT) AS kept_tokens,
+      |  CAST((SUM(n_tokens) - SUM(LEAST(n_tokens, ctx_len))) * 1000000
+      |    // SUM(n_tokens) AS BIGINT) AS trunc_ppm
+      |FROM d CROSS JOIN spine
+      |GROUP BY ctx_len""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q79_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q80_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     QueryDef("q134_padding_waste", paddingWaste, Some(paddingWasteSql)),
+    QueryDef("q158_context_fit", contextFit, Some(contextFitSql)),
   )
 }

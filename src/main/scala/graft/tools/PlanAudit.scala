@@ -22,9 +22,18 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_RUN=1: execute each query (noop sink) first and print
+    // the AQE FINAL plan — ReusedExchange/ReusedSubquery and runtime join
+    // selections only appear after execution, so a static explain alone
+    // can misread a shared-subtree plan as a double scan.
+    val execute = sys.env.contains("SPARK_GRAFT_RUN")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(graft.SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      // drain the df's OWN plan (a write would execute a different
+      // QueryExecution) so its AdaptiveSparkPlanExec reaches final state
+      if (execute) df.queryExecution.executedPlan.execute().foreach(_ => ())
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

@@ -70,6 +70,35 @@ class PlanShapeSpec extends SparkTestBase {
       s"q119 should shuffle once on the measure key:\n$p")
   }
 
+  test("q153 funnel: one scan, one stack, no join, no window") {
+    val p = plan("q153_filter_funnel")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), s"q153 stays scan+agg:\n$p")
+    assert(p.contains("Generate"), s"funnel rows come from a map-side stack:\n$p")
+  }
+
+  test("q154 kmeans: final assignment is map-side — no join in the returned plan") {
+    // centroids are literal arrays folded into the projection; a regression
+    // to a centroid join would put a Join between the checkpoint scan and
+    // the argmin projection
+    val p = plan("q154_kmeans_embed")
+    assert(!p.contains("Join"), s"assignment must stay join-free:\n$p")
+    assert(!p.contains("Exchange"), s"assignment is map-only over the checkpoint:\n$p")
+  }
+
+  test("q158 context fit: literal explode fan-out, no join") {
+    val p = plan("q158_context_fit")
+    assert(!p.contains("Join"), s"the length spine must not become a join:\n$p")
+    assert(p.contains("Generate"), s"spine fan-out is a map-side explode:\n$p")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+  }
+
+  test("q159 data card: no sort-merge join; windows only over the tiny source×lang table") {
+    val p = plan("q159_source_datacard")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q77 capped LSH: bucket hash agg + pair expansion, no signature self-join") {
     // The hot-bucket cap formulation: collect ids per signature (hash agg),
     // expand pairs in-task (Generate/explode), then TWO id hash joins for

@@ -131,6 +131,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("straddle detector is exactly the identity precondition across caps") {
+    // For random corpora, split points AND bucket caps: whenever
+    // straddledBuckets is EMPTY, `full ≡ prior ∪ incremental` must hold
+    // at that cap — i.e. the detector's all-clear really is the identity's
+    // precondition, not just a heuristic. (When buckets do straddle, the
+    // identity may legitimately break; the detector's job is to be
+    // non-empty exactly then, which the DedupSpec fixture pins.)
+    (1L to 4L).foreach { s =>
+      val raw = docsGen.pureApply(Gen.Parameters.default, Seed(s))
+        .groupBy(_._1).map { case (id, rs) => (id, rs.head._2) }.toSeq
+      val corpus = raw.toDF("doc_id", "text")
+      val prior = corpus.filter($"doc_id" % 2 =!= 0)
+      val fresh = corpus.filter($"doc_id" % 2 === 0)
+      def bands(df: org.apache.spark.sql.DataFrame) =
+        Dedup.bandFingerprints(df, "doc_id", "text", 8, 2)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Seq(2, 4, 4096).foreach { cap =>
+        val straddled = Dedup.straddledBuckets(
+          bands(fresh), bands(prior), "doc_id", cap).count()
+        if (straddled == 0) {
+          val full = pairs(Dedup.candidatePairs(bands(corpus), "doc_id", cap))
+          val priorRun = pairs(Dedup.candidatePairs(bands(prior), "doc_id", cap))
+          val incr = pairs(Dedup.incrementalPairs(
+            bands(fresh), bands(prior), "doc_id", cap))
+          assert(priorRun ++ incr == full,
+            s"seed=$s cap=$cap: no straddle but identity broke")
+        }
+      }
+    }
+  }
+
   test("snapshot diff partitions keys and is symmetric under swap") {
     (1L to 5L).foreach { s =>
       val rows = docsGen.pureApply(Gen.Parameters.default, Seed(s))

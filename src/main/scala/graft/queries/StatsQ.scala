@@ -691,7 +691,56 @@ object StatsQ {
       |  round(quantile_cont(m, 0.975), 6) AS ci_hi
       |FROM means""".stripMargin
 
+  /** q162 — K-ANONYMITY audit over quasi-identifiers: equivalence-class
+    * size histogram for the (nation, market segment, $1000
+    * account-balance band) triple — the standard re-identification risk
+    * readout for a dataset release (a class of size 1 means a record is
+    * unique on its quasi-identifiers; k<5 is the conventional "at risk"
+    * line). Complements q145's pseudonymization: hashing direct
+    * identifiers does nothing about quasi-identifier uniqueness.
+    *
+    * Balance bands are EXACT-CENTS integer arithmetic (the q132
+    * convention — `round(bal*100)::BIGINT div 100000`), so band edges
+    * can't float-drift between engines.
+    *
+    * Scale shape: one hash aggregate on the QI triple (map-side partial
+    * combine does the heavy lifting), one tiny re-aggregate on the class
+    * size, plus a broadcast 1-row total for the ppm — the class table is
+    * at most one row per QI combination, never data-sized.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val classes = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val tot = classes.agg(sum(col("k")).as("n_total"))
+    classes.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_records"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_classes"), col("n_records"),
+        (col("k") < 5).as("at_risk"),
+        expr("n_records * 1000000L div n_total").as("records_ppm"))
+  }
+
+  private val kAnonymitySql =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+      |    COUNT(*) AS k
+      |  FROM customer GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_total FROM classes)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_records,
+      |  (k < 5) AS at_risk,
+      |  CAST(SUM(k) * 1000000 // n_total AS BIGINT) AS records_ppm
+      |FROM classes CROSS JOIN tot
+      |GROUP BY k, n_total""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -547,9 +547,113 @@ object TextQ {
       |  FROM stages s LEFT JOIN counts c ON c.first_fail = s.stage)
       |CROSS JOIN tot""".stripMargin
 
+  /** q160 — quality-threshold SWEEP: the retention curve a curation team
+    * reads before pinning a min-length cutoff — for each candidate
+    * min-token-count threshold, how many documents and how many tokens
+    * survive. The q153 funnel answers "what does the CHOSEN rule chain
+    * drop"; this answers "what WOULD each cutoff drop" (the
+    * hyperparameter sweep that precedes it).
+    *
+    * Scale shape: one map pass computes each document's token count,
+    * then a 5-literal `explode` fans every doc into the 5 candidate
+    * groups MAP-SIDE (the q158 convention — never a join), and ONE
+    * 5-group hash aggregate carries kept/total docs and tokens, so the
+    * retention ppm needs no separate totals pass: every group sees the
+    * whole corpus by construction. Rates are exact integer ppm.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.documents.select(
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+    d.select(explode(expr("array(20, 40, 60, 80, 100)")).as("min_tokens"),
+        col("n_tokens"))
+      .groupBy(col("min_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("min_tokens"), 1L).otherwise(0L))
+          .as("docs_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("n_tokens") >= col("min_tokens"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(col("min_tokens"), col("docs_kept"),
+        expr("docs_kept * 1000000L div n_docs").as("docs_ppm"),
+        col("tokens_kept"),
+        expr("tokens_kept * 1000000L div tokens_total").as("tokens_ppm"))
+  }
+
+  private val thresholdSweepSql =
+    """WITH d AS (
+      |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+      |    AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |fan AS (
+      |  SELECT t.min_tokens, d.n_tokens
+      |  FROM d CROSS JOIN (VALUES (20), (40), (60), (80), (100)) t(min_tokens))
+      |SELECT min_tokens,
+      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS docs_kept,
+      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS docs_ppm,
+      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END)
+      |    AS BIGINT) AS tokens_kept,
+      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END)
+      |    * 1000000 // SUM(n_tokens) AS BIGINT) AS tokens_ppm
+      |FROM fan GROUP BY min_tokens""".stripMargin
+
+  /** q161 — tokenizer FERTILITY by language: BPE-ish tokens per
+    * whitespace word and characters per token, per language — the
+    * standard multilingual-tokenizer audit (a tokenizer trained on
+    * English "explodes" other scripts into more tokens per word; the
+    * fertility ratio is the number that quantifies it, and it directly
+    * prices each language's share of a fixed token budget).
+    *
+    * Scale shape: ONE map pass tokenizes each document twice (whitespace
+    * words + the q55 GPT-2-style pre-tokenizer regex — both inside one
+    * projection, raw tokens never leave the map side), then one
+    * language-keyed hash aggregate (5 groups). Ratios are exact integer
+    * ppm off BIGINT sums.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    t.documents
+      .select(col("lang"), col("n_chars"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+          .as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000L div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000L div n_bpe_tokens").as("chars_per_token_ppm"))
+  }
+
+  private val tokenFertilitySql =
+    """WITH d AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_words,
+      |    CAST(len(regexp_extract_all(text,
+      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+      |      AS BIGINT) AS n_bpe
+      |  FROM documents)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(SUM(n_bpe) * 1000000 // SUM(n_words) AS BIGINT) AS fertility_ppm,
+      |  CAST(SUM(n_chars) * 1000000 // SUM(n_bpe) AS BIGINT)
+      |    AS chars_per_token_ppm
+      |FROM d GROUP BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),
+    QueryDef("q160_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
+    QueryDef("q161_token_fertility", tokenFertility, Some(tokenFertilitySql)),
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),

@@ -859,7 +859,80 @@ object CorpusStatsQ {
       |  CAST(p.n_dup_docs * 1000000 // p.n_docs AS BIGINT) AS dup_ppm
       |FROM per p JOIN top t USING (source)""".stripMargin
 
+  /** q163 — DSIR-style IMPORTANCE WEIGHTING: score every document by how
+    * much more likely its unigrams are under a TARGET domain's
+    * distribution (here the `en` slice stands in for the high-quality
+    * target) than under the full corpus — the data-selection statistic
+    * from "Data Selection for Language Models via Importance Resampling"
+    * (Xie et al., 2023). The top-weighted documents are what a targeted
+    * pretraining mix would up-sample. Add-1 smoothing on both models so
+    * unseen terms stay finite.
+    *
+    * Scale shape: ONE (doc, term) tf aggregate is the only data-sized
+    * exchange; BOTH per-term models come off it as two window sums over
+    * the same `term` partition (one Window node, the q91 ReusedExchange
+    * shape — no second scan, no join); the three corpus totals are a
+    * broadcast 1-row agg. Per-term log-ratios are rounded(6) BEFORE the
+    * per-doc DECIMAL sum (Exact.dsum rule — order-independent), and the
+    * top-50 ranks on the rounded weight with doc_id tie-break via
+    * TakeOrderedAndProject.
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(
+      sum(col("tf")).as("n_all"),
+      sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("n_tgt"),
+      countDistinct(col("term")).as("v"))
+    val w = Window.partitionBy(col("term"))
+    tf
+      .withColumn("c_all", sum(col("tf")).over(w))
+      .withColumn("c_tgt",
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("r",
+        round(log((col("c_tgt") + 1).cast("double") * (col("n_all") + col("v"))
+          / ((col("c_all") + 1).cast("double") * (col("n_tgt") + col("v")))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("r")).as("w_dec"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("w_dec").cast("double").as("logweight"))
+      .orderBy(col("logweight").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val importanceWeightsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT CAST(SUM(tf) AS BIGINT) AS n_all,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS n_tgt,
+      |    CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+      |  FROM tf),
+      |scored AS (
+      |  SELECT doc_id, lang, tf,
+      |    CAST(round(ln(CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END)
+      |          OVER (PARTITION BY term) + 1 AS DOUBLE) * (n_all + v)
+      |        / (CAST(SUM(tf) OVER (PARTITION BY term) + 1 AS DOUBLE)
+      |           * (n_tgt + v))), 6) AS DECIMAL(18,6)) AS r
+      |  FROM tf CROSS JOIN tot)
+      |SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(tf * r) AS DOUBLE) AS logweight
+      |FROM scored GROUP BY doc_id, lang
+      |ORDER BY logweight DESC, doc_id LIMIT 50""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
     QueryDef("q157_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q155_oov_rate", oovRate, Some(oovRateSql)),

@@ -577,7 +577,43 @@ object DedupQ {
        |  CAST(n_total - n_cov AS BIGINT)
        |FROM tot CROSS JOIN cov""".stripMargin
 
+  /** q166 — CROSS-SOURCE near-duplicate MATRIX: the q37 candidate pairs
+    * re-keyed to (source, source) — which subsets duplicate INTO each
+    * other. Off-diagonal mass is the syndication/mirror signal (the same
+    * article crawled from two sites); diagonal mass is within-source
+    * boilerplate. This is the data-card companion to q159's
+    * within-source exact-dup rate, at near-dup granularity.
+    *
+    * Scale shape: the pair set is the memoized q37 build (pairs, not
+    * corpus — the family amortizes one LSH pass); each side joins to the
+    * (doc_id, source) projection on the pair's own key, the pair-canon
+    * `least/greatest` keeps the matrix triangular, and the final agg is
+    * source×source-sized (tiny by construction).
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.documents.select(col("doc_id"), col("source"))
+    minhashPairs(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val crossSourceDupsSql =
+    s"""$minhashCtes
+       |SELECT LEAST(da.source, db.source) AS source_x,
+       |  GREATEST(da.source, db.source) AS source_y,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q166_cross_source_dups", crossSourceDups, Some(crossSourceDupsSql)),
     QueryDef("q156_cluster_sizes", clusterSizes, Some(clusterSizesSql)),
     QueryDef("q150_curate_v2", curateV2, Some(curateV2Sql)),
     QueryDef("q100_curate_pack", curateAndPack, Some(curateAndPackSql)),

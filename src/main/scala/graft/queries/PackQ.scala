@@ -225,7 +225,60 @@ object PackQ {
       |FROM d CROSS JOIN spine
       |GROUP BY ctx_len""".stripMargin
 
+  /** q164 — sliding-window CHUNKING: split each document's token stream
+    * into 64-token context windows with stride 48 (16-token overlap) —
+    * the chunk table that feeds embedding/retrieval indexing and
+    * fixed-context pretraining (q79 packs whole docs INTO a budget; this
+    * SPLITS docs that exceed one). Every document yields ≥1 chunk; the
+    * last chunk is short rather than dropped (no token is lost — the
+    * overlap guarantees continuity across boundaries).
+    *
+    * Chunk-count arithmetic is `1 + (greatest(0, n−64) + 47) div 48`,
+    * keeping the dividend NON-NEGATIVE — Spark `div` truncates toward
+    * zero while DuckDB `//` floors, so a negative dividend would
+    * silently disagree (the q154 +OFFSET lesson, solved here by
+    * clamping instead of shifting).
+    *
+    * Scale shape: one map pass (tokenize → count), a per-doc `sequence`
+    * explode whose fan-out is the doc's own chunk count (data-
+    * proportional, never a join), zero shuffles — chunking is
+    * embarrassingly parallel and stays that way at any scale.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        expr("1L + (greatest(0L, n - 64) + 47) div 48"))
+      .select(col("doc_id"), col("n"), col("n_chunks"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("i"))
+      .select(col("doc_id"),
+        (col("i") + 1L).as("chunk_id"),
+        (col("i") * 48L + 1L).as("start_tok"),
+        least(lit(64L), col("n") - col("i") * 48L).as("chunk_len"),
+        col("n_chunks"))
+  }
+
+  private val docChunksSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CAST(1 + (GREATEST(0, n - 64) + 47) // 48 AS BIGINT) AS n_chunks
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(i + 1 AS BIGINT) AS chunk_id,
+      |  CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+      |  CAST(LEAST(64, n - i * 48) AS BIGINT) AS chunk_len,
+      |  n_chunks
+      |FROM c, unnest(generate_series(0, n_chunks - 1)) t(i)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_doc_chunks", docChunks, Some(docChunksSql)),
     QueryDef("q79_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q80_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     QueryDef("q134_padding_waste", paddingWaste, Some(paddingWasteSql)),

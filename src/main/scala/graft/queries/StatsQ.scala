@@ -739,7 +739,55 @@ object StatsQ {
       |FROM classes CROSS JOIN tot
       |GROUP BY k, n_total""".stripMargin
 
+  /** q165 — TEMPERATURE-scaled language mixture: the multilingual
+    * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
+    * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
+    * language with 4× the documents gets only 2× the sampling weight.
+    * Output compares the proportional (T=1) and temperature (T=2) ppm
+    * side by side plus each language's boost factor.
+    *
+    * Determinism: `c^(1/2)` is computed as `floor(sqrt(c · 10⁶))` —
+    * the argument is an exact integer ≤2⁵³ so the long→double cast is
+    * exact, IEEE sqrt is correctly rounded on both engines, and the
+    * floor pins the result to a BIGINT; every downstream ratio is
+    * integer ppm (no float division anywhere).
+    *
+    * Scale shape: one language-keyed hash agg (map-side combine), two
+    * broadcast 1-row totals — control-plane after the first agg.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)"))
+    val tot = per.agg(sum(col("n_docs")).as("n_tot"), sum(col("w")).as("w_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        expr("n_docs * 1000000L div n_tot").as("prop_ppm"),
+        expr("w * 1000000L div w_tot").as("temp_ppm"),
+        expr("(w * 1000000L div w_tot) * 1000000L div (n_docs * 1000000L div n_tot)")
+          .as("boost_ppm"))
+  }
+
+  private val temperatureMixtureSql =
+    """WITH per AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(floor(sqrt(CAST(COUNT(*) * 1000000 AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+      |    CAST(SUM(w) AS BIGINT) AS w_tot FROM per)
+      |SELECT lang, n_docs, n_chars,
+      |  CAST(n_docs * 1000000 // n_tot AS BIGINT) AS prop_ppm,
+      |  CAST(w * 1000000 // w_tot AS BIGINT) AS temp_ppm,
+      |  CAST((w * 1000000 // w_tot) * 1000000
+      |    // (n_docs * 1000000 // n_tot) AS BIGINT) AS boost_ppm
+      |FROM per CROSS JOIN tot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),

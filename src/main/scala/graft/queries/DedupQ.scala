@@ -98,17 +98,24 @@ object DedupQ {
     * directly comparable; the shingle table is persisted once and feeds both
     * the signature aggregation and the two pair-side lookups.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    // memoized per (session, dir): repeated invocations (bench medians)
-    // reuse ONE pinned shingle table instead of stacking new cache copies
-    val d = graft.core.Memo.cached(spark, s"q38-shingles:$dir") {
+  /** (doc_id, distinct-3-gram-shingle-array) table, memoized per
+    * (session, dir): repeated invocations (bench medians) and the three
+    * consumers (q38, q167, q170) reuse ONE pinned shingle table instead
+    * of stacking new cache copies.
+    */
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q38-shingles:$dir") {
+      val t = Tables(spark, dir)
       t.documents
         .select(col("doc_id"), Dedup.words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), Dedup.wordShingles("w", 3).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = shingleDocs(spark, dir)
     val shingled = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sigs = Dedup.minhashSignatures(shingled, "doc_id", "shingle", NumHashes)
     val bands = Dedup.lshBands(sigs, "doc_id", NumHashes, RowsPerBand)
@@ -612,7 +619,113 @@ object DedupQ {
        |JOIN documents db ON db.doc_id = p.doc_b
        |GROUP BY 1, 2""".stripMargin
 
+  /** q167 — n-gram NOVELTY profile: for each document, the share of its
+    * distinct 3-gram shingles that first appear IN that document (owner =
+    * lowest doc_id containing the shingle — the deterministic
+    * first-occurrence convention). Low-novelty documents are assembled
+    * from content that already exists elsewhere in the corpus — the
+    * incremental-value signal a curation pass reads alongside the
+    * near-dup clusters (a doc can be 0.2 Jaccard from everything yet
+    * still contribute almost no new n-grams).
+    *
+    * Scale shape: the memoized q38 shingle table feeds ONE shingle-keyed
+    * aggregate (min owner — map-side combine) and one join back on the
+    * same shingle key (the decontamination join discipline: shingle-
+    * bounded, never doc×doc); the per-doc rollup is the only other
+    * exchange. Exact integer ppm.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleDocs(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val owner = ex.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
+    ex.join(owner, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000L div n_shingles").as("novelty_ppm"))
+  }
+
+  private val ngramNoveltySql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM w WHERE len(toks) >= 3),
+      |own AS (SELECT shingle, MIN(doc_id) AS owner FROM sh GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST(SUM(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN own USING (shingle)
+      |GROUP BY doc_id""".stripMargin
+
+  /** q170 — LSH CALIBRATION curve: mean exact Jaccard of candidate pairs
+    * grouped by how many of the 4 LSH bands they collide in — the
+    * empirical "bands shared → expected similarity" table that validates
+    * the (numHashes, rowsPerBand) choice (more shared bands should mean
+    * monotonically higher true similarity; a flat curve means the bands
+    * aren't discriminating and the thresholds need retuning).
+    *
+    * Scale shape: band-collision counts come from the same single
+    * hash-aggregate + capped in-task expansion as q37 (pairs, not
+    * corpus); the exact Jaccard joins the memoized shingle arrays on the
+    * pair's own keys; the final agg is 4 rows. Jaccards are rounded(4)
+    * (the q38 scale) BEFORE the DECIMAL mean (Exact.dsum rule).
+    */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = shingleDocs(spark, dir)
+    val pairs = graft.core.Memo.cached(spark, s"q170-bandpairs:$dir") {
+      val bands = Dedup.bandFingerprints(t.documents, "doc_id", "text",
+        NumHashes, RowsPerBand)
+      Dedup.candidatePairsWithCount(bands, "doc_id", MaxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("jr",
+        round(Dedup.jaccard(col("sa"), col("sb")), 4).cast("decimal(18,4)"))
+      .groupBy(col("n_pair"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jr")).as("sj"))
+      .select(col("n_pair").as("n_bands"), col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs"), 6).as("mean_jaccard"))
+  }
+
+  private val lshCalibrationSql =
+    s"""$minhashCtes, pc AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN ok_buckets k ON a.band = k.band AND a.band_key = k.band_key
+       |  GROUP BY 1, 2),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM w WHERE len(toks) >= 3),
+       |jac AS (
+       |  SELECT pc.n_bands,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4)
+       |      AS jr
+       |  FROM pc
+       |  JOIN shs sa ON sa.doc_id = pc.doc_a
+       |  JOIN shs sb ON sb.doc_id = pc.doc_b)
+       |SELECT CAST(n_bands AS BIGINT) AS n_bands,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(jr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+       |    AS mean_jaccard
+       |FROM jac GROUP BY n_bands""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q167_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
+    QueryDef("q170_lsh_calibration", lshCalibration, Some(lshCalibrationSql)),
     QueryDef("q166_cross_source_dups", crossSourceDups, Some(crossSourceDupsSql)),
     QueryDef("q156_cluster_sizes", clusterSizes, Some(clusterSizesSql)),
     QueryDef("q150_curate_v2", curateV2, Some(curateV2Sql)),

@@ -240,7 +240,75 @@ object SimilarityQ {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
       |  FROM a3) WHERE rn = 1""".stripMargin
 
+  /** q168 — embedding-space LABEL AUDIT: mean cosine of deterministic
+    * vector pairs, split by whether the pair shares a label — the cheap
+    * "is the embedding space healthy" check (same-label pairs should
+    * average meaningfully higher cosine than cross-label pairs; if they
+    * don't, the embeddings carry no label signal and an
+    * embedding-cosine dedup threshold is meaningless).
+    *
+    * Pairing is hash-derived, not random: vectors sort by a salted
+    * 60-bit md5 of their id inside 64 hash buckets and pair with their
+    * successor (`lead`) — a deterministic linear-size pair SAMPLE (the
+    * q57 hash-sampling convention applied to pairs), rerun- and
+    * partitioning-stable on any engine. The one lost pair per bucket
+    * boundary is by construction, identically on both sides.
+    *
+    * Scale shape: windows partition by the 64 hash buckets (parallel,
+    * never a global sort); pairs are linear in the corpus; the final agg
+    * is 2 rows. Cosines are the same left-to-right double fold on both
+    * engines ([[graft.functions.VecDotProduct]] ≡ `list_dot_product`),
+    * rounded(6) BEFORE the DECIMAL mean (Exact.dsum rule).
+    */
+  def labelCosineAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val dot = graft.functions.GraftFunctions.vec_dot _
+    val v = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("dv"),
+        col("label"),
+        graft.ops.Dedup.hash60(col("vec_id").cast("string"), "pair").as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(64L)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("vec_id"))
+    v.withColumn("dv_b", lead(col("dv"), 1).over(w))
+      .withColumn("id_b", lead(col("vec_id"), 1).over(w))
+      .withColumn("label_b", lead(col("label"), 1).over(w))
+      .filter(col("id_b").isNotNull)
+      .withColumn("cos",
+        round(dot(col("dv"), col("dv_b"))
+          / (sqrt(dot(col("dv"), col("dv"))) * sqrt(dot(col("dv_b"), col("dv_b")))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy((col("label") === col("label_b")).as("same_label"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cos")).as("sc"))
+      .select(col("same_label"), col("n_pairs"),
+        round(col("sc").cast("double") / col("n_pairs"), 6).as("mean_cosine"))
+  }
+
+  private val labelCosineAuditSql =
+    """WITH v AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS dv, label,
+      |    ('0x' || substr(md5('pair:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM embeddings),
+      |b AS (SELECT *, h % 64 AS bucket FROM v),
+      |p AS (
+      |  SELECT vec_id, dv, label,
+      |    lead(dv) OVER w AS dv_b,
+      |    lead(vec_id) OVER w AS id_b,
+      |    lead(label) OVER w AS label_b
+      |  FROM b WINDOW w AS (PARTITION BY bucket ORDER BY h, vec_id)),
+      |scored AS (
+      |  SELECT (label = label_b) AS same_label,
+      |    CAST(round(list_dot_product(dv, dv_b)
+      |      / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(dv_b, dv_b))),
+      |      6) AS DECIMAL(18,6)) AS cos
+      |  FROM p WHERE id_b IS NOT NULL)
+      |SELECT same_label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  round(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS mean_cosine
+      |FROM scored GROUP BY same_label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_label_cosine_audit", labelCosineAudit, Some(labelCosineAuditSql)),
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),

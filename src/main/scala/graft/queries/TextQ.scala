@@ -649,11 +649,69 @@ object TextQ {
       |    AS chars_per_token_ppm
       |FROM d GROUP BY lang""".stripMargin
 
+  /** q169 — CURRICULUM phase assignment: order the corpus by a
+    * lexical-diversity score (distinct-token ratio, exact ppm) and cut
+    * it into 4 equal-count phases with `ntile` — the
+    * easy-to-hard schedule a curriculum-training run feeds from (phase 1
+    * = most repetitive/simplest text first). Output is the per-phase
+    * summary (docs, tokens, score range) that validates the cut points.
+    *
+    * Determinism: the score is integer ppm and the ntile ordering
+    * carries a doc_id tie-break, so phase boundaries are exact on both
+    * engines (ntile's unequal-remainder rule — earlier tiles get the
+    * extra rows — is the same in Spark and DuckDB).
+    *
+    * Scale note: a single global ntile is a total sort into one window
+    * partition — fine at the gate, but the 100-TB path computes the 3
+    * phase-boundary scores once (approx_percentile, the q130 bounds
+    * pattern) and assigns phases map-side by comparison; the output
+    * contract is unchanged. Documented trade, same as q130.
+    */
+  def curriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    t.documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("score_ppm", expr("n_distinct * 1000000L div n_tokens"))
+      .withColumn("phase",
+        ntile(4).over(Window.orderBy(col("score_ppm"), col("doc_id"))))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+  }
+
+  private val curriculumPhasesSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+      |      AS BIGINT) AS n_distinct
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS score_ppm
+      |  FROM d),
+      |phased AS (
+      |  SELECT n_tokens, score_ppm,
+      |    CAST(ntile(4) OVER (ORDER BY score_ppm, doc_id) AS INT) AS phase
+      |  FROM scored)
+      |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+      |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+      |FROM phased GROUP BY phase""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q160_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     QueryDef("q161_token_fertility", tokenFertility, Some(tokenFertilitySql)),
+    QueryDef("q169_curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),

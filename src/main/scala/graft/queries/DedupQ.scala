@@ -32,17 +32,32 @@ object DedupQ {
   /** MinHash + LSH candidate pairs: word-3-gram shingles → 8 salted-md5
     * minhash signatures → 4 bands of 2 → pairs sharing a band bucket.
     */
+  /** Candidate pairs WITH their shared-band count, memoized — the ONE
+    * LSH band build the whole dedup family derives from: [[minhashPairs]]
+    * (q37 and its consumers) is a projection of this table, and
+    * [[lshCalibration]] (q170) reads the counts directly, so the
+    * expensive tokenize → shingle → minhash → band pass runs once per
+    * (session, sf) no matter how many pair consumers execute.
+    */
+  private def bandPairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q170-bandpairs:$dir") {
+      val t = Tables(spark, dir)
+      val bands = Dedup.bandFingerprints(t.documents, "doc_id", "text",
+        NumHashes, RowsPerBand)
+      Dedup.candidatePairsWithCount(bands, "doc_id", MaxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     // the candidate-pair set is TINY (pairs, not corpus) but expensive to
     // build (tokenize → shingle → minhash → band); four consumers exist
     // (q37, q76's closure, q100's curation, DedupSpec) — materialize once
     // per (session, sf) and let the family amortize, the same
-    // stage-materialization pattern the pipeline family documents
+    // stage-materialization pattern the pipeline family documents.
+    // The pair SET is exactly [[bandPairCounts]] minus the count column
+    // (candidatePairs ≡ distinct of the same in-bucket expansion).
     graft.core.Memo.cached(spark, s"q37-pairs:$dir") {
-      val t = Tables(spark, dir)
-      val bands = Dedup.bandFingerprints(t.documents, "doc_id", "text",
-        NumHashes, RowsPerBand)
-      Dedup.candidatePairs(bands, "doc_id", MaxBucketSize)
+      bandPairCounts(spark, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -679,15 +694,8 @@ object DedupQ {
     * (the q38 scale) BEFORE the DECIMAL mean (Exact.dsum rule).
     */
   def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
     val d = shingleDocs(spark, dir)
-    val pairs = graft.core.Memo.cached(spark, s"q170-bandpairs:$dir") {
-      val bands = Dedup.bandFingerprints(t.documents, "doc_id", "text",
-        NumHashes, RowsPerBand)
-      Dedup.candidatePairsWithCount(bands, "doc_id", MaxBucketSize)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    pairs
+    bandPairCounts(spark, dir)
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("jr",

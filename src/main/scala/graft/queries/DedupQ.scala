@@ -731,7 +731,82 @@ object DedupQ {
        |    AS mean_jaccard
        |FROM jac GROUP BY n_bands""".stripMargin
 
+  /** q173 — train/test SPLIT LEAKAGE audit: how many q114-split TEST
+    * documents share at least one 3-gram shingle with the TRAIN split —
+    * the self-contamination readout for a corpus release (q83
+    * decontaminates against an EXTERNAL eval set; this audits the
+    * corpus's own held-out split, where near-identical members of a
+    * duplicate cluster routinely land on both sides of a random split).
+    * Split assignment reuses q114's salted-hash thresholds verbatim, so
+    * this audits exactly the split that q114 ships. Scope is shingleable
+    * documents (≥3 words), the same universe the dedup family uses.
+    *
+    * Scale shape: the memoized shingle table + a map-side split tag; one
+    * distinct on train shingles, one LEFT SEMI join on the shingle key,
+    * one distinct on leaked test doc ids — all shingle/doc-keyed (the
+    * decontamination discipline), final output a 1-row broadcast
+    * combine.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(md5(concat_ws("|", lit("split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val s = shingleDocs(spark, dir)
+      .withColumn("split",
+        when(v < 3435973836L, lit("train"))        // floor(0.8 * 2^32)
+          .when(v < 3865470566L, lit("val"))       // floor(0.9 * 2^32)
+          .otherwise(lit("test")))
+    val ex = s.select(col("doc_id"), col("split"), explode(col("sh")).as("shingle"))
+    val trainSh = ex.filter(col("split") === "train").select(col("shingle")).distinct()
+    val leaked = ex.filter(col("split") === "test")
+      .join(trainSh, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_leaked_test_docs"))
+    val totals = s.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test_docs"))
+    totals.crossJoin(broadcast(leaked))
+      .select(col("n_train_docs"), col("n_test_docs"), col("n_leaked_test_docs"),
+        expr("n_leaked_test_docs * 1000000L div n_test_docs").as("leak_ppm"))
+  }
+
+  private val splitLeakageSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM w WHERE len(toks) >= 3),
+      |spd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN v < 3435973836 THEN 'train'
+      |         WHEN v < 3865470566 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT DISTINCT doc_id,
+      |      ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)),
+      |                      1, 8))::BIGINT AS v
+      |    FROM sh)),
+      |tr AS (
+      |  SELECT DISTINCT shingle FROM sh JOIN spd USING (doc_id)
+      |  WHERE split = 'train'),
+      |leaked AS (
+      |  SELECT DISTINCT s.doc_id
+      |  FROM sh s JOIN spd p ON s.doc_id = p.doc_id AND p.split = 'test'
+      |  WHERE EXISTS (SELECT 1 FROM tr WHERE tr.shingle = s.shingle))
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM spd WHERE split = 'train') AS BIGINT)
+      |    AS n_train_docs,
+      |  CAST((SELECT COUNT(*) FROM spd WHERE split = 'test') AS BIGINT)
+      |    AS n_test_docs,
+      |  CAST((SELECT COUNT(*) FROM leaked) AS BIGINT) AS n_leaked_test_docs,
+      |  CAST((SELECT COUNT(*) FROM leaked) * 1000000
+      |    // (SELECT COUNT(*) FROM spd WHERE split = 'test') AS BIGINT)
+      |    AS leak_ppm""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q167_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("q170_lsh_calibration", lshCalibration, Some(lshCalibrationSql)),
     QueryDef("q166_cross_source_dups", crossSourceDups, Some(crossSourceDupsSql)),

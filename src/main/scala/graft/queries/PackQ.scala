@@ -277,7 +277,73 @@ object PackQ {
       |  n_chunks
       |FROM c, unnest(generate_series(0, n_chunks - 1)) t(i)""".stripMargin
 
+  /** q171 — QUANTIZATION ERROR audit: reconstruct q80's int8-quantized
+    * embeddings (`x̂ = mn + q·scale`) and report per-label mean/max
+    * absolute reconstruction error — the "is int8 storage safe for this
+    * index" check that accompanies any quantized-embedding rollout
+    * (error should sit near scale/2 ≈ (mx−mn)/510; a label whose max
+    * error breaks away has outlier dimensions that need per-dim or
+    * asymmetric quantization).
+    *
+    * Determinism: per-element |err| is integer NANO units via
+    * `floor(|err|·10⁹ + 0.5)` (explicit half-up — engine `round()`
+    * half-rule differences can't bite), so every sum is an order-free
+    * BIGINT fold; nothing float survives past the element expression.
+    * Degenerate flat vectors (mx = mn) reconstruct exactly (err 0),
+    * guarded before the division on both engines.
+    *
+    * Scale shape: entirely map-side per vector (one scan, the q80
+    * plan) into one label-keyed hash agg.
+    */
+  def quantError(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.embeddings
+      .withColumn("dv", col("embedding").cast("array<double>"))
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("mx", array_max(col("embedding")).cast("double"))
+      .withColumn("earr", expr(
+        """CASE WHEN mx = mn THEN array(0L)
+          |ELSE transform(dv, x -> CAST(floor(abs(
+          |  x - (mn + LEAST(255.0, FLOOR((x - mn) * 255.0 / (mx - mn)))
+          |       * ((mx - mn) / 255.0))) * 1000000000.0 + 0.5) AS BIGINT))
+          |END""".stripMargin))
+      .select(col("label"),
+        expr("aggregate(earr, 0L, (a, x) -> a + x)").as("s_abs"),
+        array_max(col("earr")).as("m_abs"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_abs")).as("sum_abs"),
+        max(col("m_abs")).as("max_abs_err_nano"))
+      .select(col("label"), col("n_vecs"),
+        expr("sum_abs div (n_vecs * 64)").as("mean_abs_err_nano"),
+        col("max_abs_err_nano"))
+  }
+
+  private val quantErrorSql =
+    """WITH v AS (
+      |  SELECT label, embedding::DOUBLE[] AS dv,
+      |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |    CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT label,
+      |    CASE WHEN mx = mn THEN [CAST(0 AS BIGINT)]
+      |    ELSE list_transform(dv, x -> CAST(floor(abs(
+      |      x - (mn + LEAST(255.0, FLOOR((x - mn) * 255.0 / (mx - mn)))
+      |           * ((mx - mn) / 255.0))) * 1000000000.0 + 0.5) AS BIGINT))
+      |    END AS earr
+      |  FROM v),
+      |pv AS (
+      |  SELECT label, CAST(list_sum(earr) AS BIGINT) AS s_abs,
+      |    CAST(list_max(earr) AS BIGINT) AS m_abs
+      |  FROM e)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(s_abs) // (COUNT(*) * 64) AS BIGINT) AS mean_abs_err_nano,
+      |  CAST(MAX(m_abs) AS BIGINT) AS max_abs_err_nano
+      |FROM pv GROUP BY label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_quant_error", quantError, Some(quantErrorSql)),
     QueryDef("q164_doc_chunks", docChunks, Some(docChunksSql)),
     QueryDef("q79_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q80_embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),

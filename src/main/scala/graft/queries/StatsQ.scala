@@ -786,7 +786,58 @@ object StatsQ {
       |    // (n_docs * 1000000 // n_tot) AS BIGINT) AS boost_ppm
       |FROM per CROSS JOIN tot""".stripMargin
 
+  /** q172 — EPOCH ALLOCATION under a fixed token budget: given a global
+    * budget of 2× the corpus (the data-constrained regime), per-source
+    * mix weights (q125's md5-derived 1–5 stand-in for the config), and
+    * the ≤4-epoch repeat ceiling (beyond ~4 epochs repeated data stops
+    * helping — the data-constrained-scaling rule of thumb), compute each
+    * source's allocated budget, its repeat factor in milli-epochs, and
+    * the budget it actually absorbs. The gap between `alloc_k` and
+    * `actual_k` is the head-room the mix designer reassigns.
+    *
+    * All arithmetic is exact BIGINT in KILO-char units (q125's overflow
+    * guard: chars×10⁶ overflows int64 at 100 TB, kchars×10³ does not).
+    *
+    * Scale shape: one per-source agg, two broadcast 1-row totals —
+    * control-plane after the first aggregate, zero data-plane shuffles.
+    */
+  def epochAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents.select(col("source"), col("n_chars"))
+    val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
+      .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
+      .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
+    val tot = docs.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+    val sumw = per.agg(sum(col("w_s")).as("sum_w"))
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
+      .withColumn("alloc_k", expr("2 * ks_tot * w_s div sum_w"))
+      .withColumn("epochs_milli",
+        least(lit(4000L), expr("alloc_k * 1000 div ks_s")))
+      .withColumn("actual_k", expr("ks_s * epochs_milli div 1000"))
+      .select(col("source"), col("ks_s"), col("w_s"), col("alloc_k"),
+        col("epochs_milli"), col("actual_k"))
+  }
+
+  private val epochAllocationSql =
+    """WITH per AS (
+      |  SELECT source, SUM(n_chars) AS chars_s,
+      |    CAST(GREATEST(1, SUM(n_chars) // 1000) AS BIGINT) AS ks_s,
+      |    CAST(('0x' || substr(md5(source), 1, 15))::BIGINT % 5 + 1 AS BIGINT)
+      |      AS w_s
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_chars) // 1000 AS BIGINT) AS ks_tot
+      |        FROM documents),
+      |sw AS (SELECT CAST(SUM(w_s) AS BIGINT) AS sum_w FROM per)
+      |SELECT source, ks_s, w_s,
+      |  CAST(2 * ks_tot * w_s // sum_w AS BIGINT) AS alloc_k,
+      |  CAST(LEAST(4000, (2 * ks_tot * w_s // sum_w) * 1000 // ks_s) AS BIGINT)
+      |    AS epochs_milli,
+      |  CAST(ks_s * LEAST(4000, (2 * ks_tot * w_s // sum_w) * 1000 // ks_s)
+      |    // 1000 AS BIGINT) AS actual_k
+      |FROM per CROSS JOIN tot CROSS JOIN sw""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_epoch_allocation", epochAllocation, Some(epochAllocationSql)),
     QueryDef("q165_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),

@@ -281,9 +281,10 @@ object PackQ {
     * embeddings (`x̂ = mn + q·scale`) and report per-label mean/max
     * absolute reconstruction error — the "is int8 storage safe for this
     * index" check that accompanies any quantized-embedding rollout
-    * (error should sit near scale/2 ≈ (mx−mn)/510; a label whose max
-    * error breaks away has outlier dimensions that need per-dim or
-    * asymmetric quantization).
+    * (q80 floor-quantizes, so |err| < one step = (mx−mn)/255 and the
+    * mean sits near step/2; a label whose max error breaks the step
+    * bound has outlier dimensions that need per-dim or asymmetric
+    * quantization — CurationQueriesSpec pins the bound).
     *
     * Determinism: per-element |err| is integer NANO units via
     * `floor(|err|·10⁹ + 0.5)` (explicit half-up — engine `round()`

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-6 curation/training-data queries that the
+  * DuckDB oracle can't express (properties over the OUTPUT, not a second
+  * formulation of it): chunk tiling, quantization error bounds, leakage
+  * set containment, mixture normalization, sweep monotonicity, phase
+  * partitioning.
+  */
+class CurationQueriesSpec extends SparkTestBase {
+
+  test("q164: chunks tile every document — stride 48, full coverage, short tail") {
+    val rows = graft.queries.PackQ.docChunks(spark, sf)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // starts advance by exactly the stride, beginning at token 1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("start_tok") == i * 48L + 1L)
+        val len = r.getAs[Long]("chunk_len")
+        assert(len >= 1L && len <= 64L)
+      }
+      // the last chunk ends exactly at the document's last token, so with
+      // stride < window the chunk union covers [1..n] with no gap
+      val last = sorted.last
+      val n = sorted.head.getAs[Long]("n_chunks")
+      assert(sorted.length.toLong == n)
+      // every non-last chunk is full-width; only the tail may be short
+      sorted.init.foreach(r => assert(r.getAs[Long]("chunk_len") == 64L))
+    }
+  }
+
+  test("q171: reconstruction error is bounded by one quantization step") {
+    val maxRange = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select((array_max(col("embedding")) - array_min(col("embedding")))
+        .cast("double").as("r"))
+      .agg(max(col("r"))).collect()(0).getDouble(0)
+    // q80 FLOOR-quantizes, so |err| < one full step = (mx-mn)/255
+    // (round-based quantization would halve this); +1 nano for the half-up
+    val boundNano = maxRange / 255.0 * 1e9 + 1
+    val out = graft.queries.PackQ.quantError(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mean = r.getAs[Long]("mean_abs_err_nano")
+      val mx = r.getAs[Long]("max_abs_err_nano")
+      assert(mean <= mx)
+      assert(mx <= boundNano, s"max err $mx exceeds step/2 bound $boundNano")
+    }
+  }
+
+  test("q173: leaked docs are a subset of test docs and ppm is consistent") {
+    val r = graft.queries.DedupQ.splitLeakage(spark, sf).collect()(0)
+    val nTest = r.getAs[Long]("n_test_docs")
+    val nLeak = r.getAs[Long]("n_leaked_test_docs")
+    assert(nLeak >= 0L && nLeak <= nTest)
+    assert(r.getAs[Long]("leak_ppm") == nLeak * 1000000L / nTest)
+  }
+
+  test("q165: temperature weights normalize and compress the distribution") {
+    val rows = graft.queries.StatsQ.temperatureMixture(spark, sf).collect()
+    val tempSum = rows.map(_.getAs[Long]("temp_ppm")).sum
+    // floor division loses at most (#langs - 1) ppm
+    assert(tempSum <= 1000000L && tempSum >= 1000000L - rows.length)
+    // temperature scaling compresses: the largest language's share shrinks,
+    // the smallest language's share grows
+    val byDocs = rows.sortBy(_.getAs[Long]("n_docs"))
+    assert(byDocs.last.getAs[Long]("temp_ppm") <= byDocs.last.getAs[Long]("prop_ppm"))
+    assert(byDocs.head.getAs[Long]("temp_ppm") >= byDocs.head.getAs[Long]("prop_ppm"))
+  }
+
+  test("q160: retention is monotonically non-increasing in the cutoff") {
+    val rows = graft.queries.TextQ.thresholdSweep(spark, sf)
+      .collect().sortBy(_.getAs[Int]("min_tokens"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("docs_kept") >= b.getAs[Long]("docs_kept"))
+      assert(a.getAs[Long]("tokens_kept") >= b.getAs[Long]("tokens_kept"))
+    }
+  }
+
+  test("q169: phases partition the corpus with ordered score ranges") {
+    val rows = graft.queries.TextQ.curriculumPhases(spark, sf)
+      .collect().sortBy(_.getAs[Int]("phase"))
+    assert(rows.map(_.getAs[Int]("phase")).toSeq == Seq(1, 2, 3, 4))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // ntile orders by score: each phase's min is >= the previous phase's min
+    // and its max bounds the next phase's min (ties may share a boundary)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_score_ppm") <= b.getAs[Long]("min_score_ppm")
+        || a.getAs[Long]("max_score_ppm") == b.getAs[Long]("min_score_ppm"))
+      assert(a.getAs[Long]("min_score_ppm") <= b.getAs[Long]("min_score_ppm"))
+    }
+  }
+
+  test("q172: absorbed budget never exceeds allocation or the epoch ceiling") {
+    val rows = graft.queries.StatsQ.epochAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val em = r.getAs[Long]("epochs_milli")
+      assert(em >= 0L && em <= 4000L)
+      assert(r.getAs[Long]("actual_k") <= r.getAs[Long]("alloc_k")
+        || em == 4000L) // at the cap, actual is ks_s*4 which may differ from alloc
+      assert(r.getAs[Long]("actual_k") == r.getAs[Long]("ks_s") * em / 1000L)
+    }
+  }
+}

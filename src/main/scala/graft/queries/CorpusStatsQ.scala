@@ -931,7 +931,100 @@ object CorpusStatsQ {
       |FROM scored GROUP BY doc_id, lang
       |ORDER BY logweight DESC, doc_id LIMIT 50""".stripMargin
 
+  /** q174 — VOCABULARY COVERAGE curve: share of token OCCURRENCES
+    * covered by the top-K terms, for candidate vocab sizes K — the
+    * tokenizer-vocab-sizing sweep (where the curve flattens is where
+    * extra vocab stops paying; q155 reports the OOV rate of ONE chosen
+    * K=1000 vocab, this sweeps the choice).
+    *
+    * Scale shape: raw tokens collapse into the term-count aggregate
+    * (vocabulary-sized) immediately; the rank is a global row_number
+    * over THAT table (a vocab-sized sort, not a corpus sort); the
+    * 4-literal explode fans the ranked vocab map-side (the q160
+    * convention) so coverage and totals ride one 4-group agg. Exact
+    * integer ppm.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tc = t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val ranked = tc.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    ranked
+      .select(explode(expr("array(5, 10, 20, 50)")).as("vocab_k"),
+        col("rnk"), col("cnt"))
+      .groupBy(col("vocab_k"))
+      .agg(
+        sum(when(col("rnk") <= col("vocab_k"), col("cnt")).otherwise(0L))
+          .as("covered"),
+        sum(col("cnt")).as("total"),
+        sum(when(col("rnk") <= col("vocab_k"), 1L).otherwise(0L))
+          .as("n_terms_used"))
+      .select(col("vocab_k"), col("n_terms_used"), col("covered"),
+        expr("covered * 1000000L div total").as("coverage_ppm"))
+  }
+
+  private val vocabCoverageSql =
+    """WITH tc AS (
+      |  SELECT term, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) GROUP BY term),
+      |ranked AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      |  FROM tc),
+      |fan AS (
+      |  SELECT k.vocab_k, r.rnk, r.cnt
+      |  FROM ranked r CROSS JOIN (VALUES (5), (10), (20), (50)) k(vocab_k))
+      |SELECT vocab_k,
+      |  CAST(SUM(CASE WHEN rnk <= vocab_k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_terms_used,
+      |  CAST(SUM(CASE WHEN rnk <= vocab_k THEN cnt ELSE 0 END) AS BIGINT)
+      |    AS covered,
+      |  CAST(SUM(CASE WHEN rnk <= vocab_k THEN cnt ELSE 0 END) * 1000000
+      |    // SUM(cnt) AS BIGINT) AS coverage_ppm
+      |FROM fan GROUP BY vocab_k""".stripMargin
+
+  /** q175 — term BURSTINESS: for the top-20 terms by corpus frequency,
+    * the mean occurrences per CONTAINING document (cf/df, micro units) —
+    * the classic content-vs-function-word discriminator (function words
+    * spread evenly, df≈docs and burstiness low; topical terms clump
+    * into few documents and burst high). Reads directly on q124's BM25
+    * assumptions: bursty terms are exactly where tf saturation matters.
+    *
+    * Scale shape: one (doc, term) tf aggregate (raw tokens never
+    * shuffle), one vocabulary-sized per-term rollup carrying cf AND df
+    * in the same pass, TakeOrderedAndProject(20) on (cf desc, term).
+    */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("term"))
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .select(col("term"), col("cf"), col("df"),
+        expr("cf * 1000000L div df").as("burst_micro"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(20)
+  }
+
+  private val termBurstinessSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) GROUP BY doc_id, term)
+      |SELECT term, CAST(SUM(c) AS BIGINT) AS cf,
+      |  CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(c) * 1000000 // COUNT(*) AS BIGINT) AS burst_micro
+      |FROM tf GROUP BY term
+      |ORDER BY cf DESC, term LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
+    QueryDef("q175_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
     QueryDef("q157_pmi_pairs", pmiPairs, Some(pmiPairsSql)),

@@ -815,11 +815,20 @@ object CorpusStatsQ {
     * Rates are exact integer ppm.
     */
   def sourceDatacard(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val pre = t.documents
       .groupBy(col("source"), col("lang"), md5(col("text").cast("binary")).as("h"))
       .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("chars"))
+    datacardFromPre(pre)
+  }
+
+  /** The q159 rollup from a (source, lang, h, c, chars) pre-aggregate —
+    * shared by the batch query above and the STREAMING card
+    * ([[graft.streaming.CorpusStreams.readDatacard]]), so both surfaces
+    * compute the identical card from merged partials.
+    */
+  private[graft] def datacardFromPre(pre: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val per = pre.groupBy(col("source")).agg(
       sum(col("c")).as("n_docs"),
       sum(col("chars")).as("total_chars"),

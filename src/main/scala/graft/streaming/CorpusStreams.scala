@@ -79,4 +79,46 @@ object CorpusStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming per-source DATA CARD maintenance — the continuously-
+    * ingesting twin of the batch q159 card. Each micro-batch writes its
+    * own (source, lang, text-hash) PARTIAL aggregate partitioned by
+    * batch_id (dynamic overwrite ⇒ an at-least-once replay replaces its
+    * own partition — idempotent, the store design above), and the card
+    * itself is computed ON READ by merging partials
+    * ([[readDatacard]]). This is the classic partial-agg log: the batch
+    * never re-reads the corpus, the log is doc-VERSION-sized (not
+    * event-sized), and periodic compaction of old batch partitions is
+    * the same park-aside job as the fingerprint store's re-clustering.
+    */
+  def datacardPartials(docs: DataFrame, partialsPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .groupBy(col("source"), col("lang"),
+            md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("chars"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(partialsPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the partial-aggregate log back into the q159 card — the SAME
+    * rollup code as the batch query (`CorpusStatsQ.datacardFromPre`), so
+    * streaming and batch cards are definitionally identical
+    * (CorpusStreamsSpec proves 3-batch ≡ one-shot).
+    */
+  def readDatacard(spark: org.apache.spark.sql.SparkSession,
+      partialsPath: String): DataFrame = {
+    val pre = spark.read.parquet(partialsPath)
+      .groupBy(col("source"), col("lang"), col("h"))
+      .agg(sum(col("c")).as("c"), sum(col("chars")).as("chars"))
+    graft.queries.CorpusStatsQ.datacardFromPre(pre)
+  }
 }

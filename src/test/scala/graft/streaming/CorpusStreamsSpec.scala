@@ -53,4 +53,37 @@ class CorpusStreamsSpec extends SparkTestBase {
       .awaitTermination()
     assert(pairsOf(spark.read.parquet(pairs)) == streamed, "replay must be a no-op")
   }
+
+  test("3-batch streaming data card ≡ one-shot batch q159 card, and replays are no-ops") {
+    val root = graft.core.Scratch.dir("datacard-stream")
+    val docsDir = s"$root/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$docsDir/part$i")
+    }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(docsDir)
+
+    val (partials, ckpt) = (s"$root/partials", s"$root/ckpt")
+    CorpusStreams.datacardPartials(stream, partials, ckpt).awaitTermination()
+
+    def cardOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    val streamed = cardOf(CorpusStreams.readDatacard(spark, partials))
+    val oneShot = cardOf(graft.queries.CorpusStatsQ.sourceDatacard(spark, sf))
+    assert(streamed == oneShot,
+      s"streamed ∆ one-shot: ${(streamed diff oneShot) ++ (oneShot diff streamed)}")
+
+    // genuinely incremental (multiple partial partitions), and a replay
+    // with the same checkpoint changes nothing
+    assert(spark.read.parquet(partials).select("batch_id").distinct().count() > 1)
+    CorpusStreams.datacardPartials(stream, partials, ckpt).awaitTermination()
+    assert(cardOf(CorpusStreams.readDatacard(spark, partials)) == streamed,
+      "replay must be a no-op")
+  }
 }

@@ -139,8 +139,70 @@ object MediaQ {
       |  CAST((doc_id + 3 * (s * 2)) % 8 AS INT) AS gray_bucket
       |FROM f""".stripMargin
 
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("byte_len", LongType)))
+
+  /** q176 — AUDIO container metadata through the REAL JDK decoder
+    * (`javax.sound.sampled.AudioSystem`, the q84 design for audio):
+    * deterministic 16-bit PCM WAV containers are synthesized per
+    * document id with the JDK ENCODER, then decoded back header-only by
+    * [[graft.ops.Multimodal.AudioSystemDecoder]] — encoder→decoder
+    * round-trip, so a writer/parser drift fails loudly. The oracle
+    * derives every field arithmetically from the id (canonical PCM WAV:
+    * 44-byte header + frames×channels×2 data bytes; duration =
+    * frames·1000 div rate).
+    *
+    * Scale shape: embarrassingly parallel `mapPartitions` (the
+    * multimodal batched-decode shape) — no shuffle anywhere.
+    */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val t = Tables(spark, dir)
+    val in = t.documents.select("doc_id")
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val ch = 1 + (id % 2).toInt
+        val nf = (500 + id % 4000).toInt
+        val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+        val pcm = new Array[Byte](nf * fmt.getFrameSize)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+        val bytes = out.toByteArray
+        val m = Multimodal.AudioSystemDecoder.decodeBatch(Seq(bytes)).head
+        require(m.format != "unknown", s"audio round-trip failed for doc $id")
+        Row(id, m.format, m.width, m.height, m.n_frames,
+          m.n_frames.toLong * 1000L / m.width, bytes.length.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(audioSchema))
+  }
+
+  private val audioMetaSql =
+    """SELECT doc_id,
+      |  'wav' AS format,
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |       WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(500 + doc_id % 4000 AS INT) AS n_frames,
+      |  CAST((500 + doc_id % 4000) * 1000
+      |    // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |        WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT) AS duration_ms,
+      |  CAST(44 + (500 + doc_id % 4000) * (1 + doc_id % 2) * 2 AS BIGINT)
+      |    AS byte_len
+      |FROM documents""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
+    QueryDef("q176_audio_meta", audioMeta, Some(audioMetaSql)),
   )
 }

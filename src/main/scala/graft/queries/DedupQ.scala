@@ -805,7 +805,55 @@ object DedupQ {
       |    // (SELECT COUNT(*) FROM spd WHERE split = 'test') AS BIGINT)
       |    AS leak_ppm""".stripMargin
 
+  /** q178 — near-dup cluster SOURCE PURITY: of the multi-document
+    * near-dup clusters (q76's components), how many span more than one
+    * source — the syndication-vs-boilerplate discriminator at CLUSTER
+    * granularity (q166 counts cross-source PAIRS; a single 10-doc
+    * mirror cluster contributes 45 pairs there but one cluster here,
+    * so this is the de-skewed view). Per-cluster rows for the spanning
+    * clusters plus their member/source counts.
+    *
+    * Scale shape: the memoized component table joins (doc_id, source)
+    * on its own key; one component-keyed agg (cluster-sized output);
+    * the multi-source filter is a HAVING on that agg.
+    */
+  def clusterSourcePurity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.documents.select(col("doc_id").as("id"), col("source"))
+    neardupComponents(spark, dir)
+      .join(src, Seq("id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .select(col("component"), col("n_docs"), col("n_sources"),
+        (col("n_sources") > 1).as("cross_source"))
+  }
+
+  private val clusterSourcePuritySql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+       |  (COUNT(DISTINCT d.source) > 1) AS cross_source
+       |FROM comp c JOIN documents d ON d.doc_id = c.id
+       |GROUP BY component
+       |HAVING COUNT(*) >= 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_cluster_source_purity", clusterSourcePurity, Some(clusterSourcePuritySql)),
     QueryDef("q173_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q167_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     QueryDef("q170_lsh_calibration", lshCalibration, Some(lshCalibrationSql)),

@@ -836,7 +836,100 @@ object StatsQ {
       |    // 1000 AS BIGINT) AS actual_k
       |FROM per CROSS JOIN tot CROSS JOIN sw""".stripMargin
 
+  /** q177 — output SHARD BALANCE audit: hash documents into 16 output
+    * shards (the training-data write layout) and report each shard's
+    * doc/char share plus its deviation from the uniform 1/16 — the
+    * pre-write check that catches a bad shard key before 1000 workers
+    * inherit a straggler shard. Hash sharding is the q114 family
+    * convention (salted md5 → stable under corpus growth).
+    *
+    * Scale shape: map-side shard tag, one 16-group agg, one broadcast
+    * 1-row total; exact integer ppm.
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.documents.select(col("doc_id"), col("n_chars"),
+      pmod(graft.ops.Dedup.hash60(col("doc_id").cast("string"), "shard"),
+        lit(16L)).as("shard"))
+    val per = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_chars")).as("t_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        expr("n_chars * 1000000L div t_chars").as("chars_share_ppm"),
+        expr("abs(n_chars * 1000000L div t_chars - 62500)").as("dev_ppm"))
+  }
+
+  private val shardBalanceSql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 16 AS shard
+      |  FROM documents),
+      |per AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM d GROUP BY shard),
+      |tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t_chars FROM per)
+      |SELECT shard, n_docs, n_chars,
+      |  CAST(n_chars * 1000000 // t_chars AS BIGINT) AS chars_share_ppm,
+      |  CAST(abs(n_chars * 1000000 // t_chars - 62500) AS BIGINT) AS dev_ppm
+      |FROM per CROSS JOIN tot""".stripMargin
+
+  /** q179 — SPLIT FAIRNESS audit: per train/val/test split (q114's
+    * thresholds verbatim), document count and mean token count — the
+    * "is the held-out set distributionally comparable" check that
+    * accompanies any random split (a split whose test docs are
+    * systematically longer measures length, not generalization).
+    *
+    * Scale shape: map-side split tag + token count in one projection,
+    * one 3-group agg; exact integer micro-token means.
+    */
+  def splitFairness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v = conv(substring(md5(concat_ws("|", lit("split"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    t.documents
+      .select(
+        when(v < 3435973836L, lit("train"))
+          .when(v < 3865470566L, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L div n_docs").as("mean_tokens_micro"),
+        expr("n_chars * 1000000L div n_docs").as("mean_chars_micro"))
+  }
+
+  private val splitFairnessSql =
+    """WITH d AS (
+      |  SELECT
+      |    CASE WHEN v < 3435973836 THEN 'train'
+      |         WHEN v < 3865470566 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    n_chars
+      |  FROM (
+      |    SELECT text, n_chars,
+      |      ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)),
+      |                      1, 8))::BIGINT AS v
+      |    FROM documents))
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_tokens) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS mean_tokens_micro,
+      |  CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS mean_chars_micro
+      |FROM d GROUP BY split""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_shard_balance", shardBalance, Some(shardBalanceSql)),
+    QueryDef("q179_split_fairness", splitFairness, Some(splitFairnessSql)),
     QueryDef("q172_epoch_allocation", epochAllocation, Some(epochAllocationSql)),
     QueryDef("q165_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),

@@ -706,9 +706,49 @@ object TextQ {
       |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
       |FROM phased GROUP BY phase""".stripMargin
 
+  /** q180 — BOILERPLATE PREFIX families: documents sharing an identical
+    * leading 4-word prefix (the q123 segment width), grouped into
+    * families — the cheap template/boilerplate detector (scraped pages
+    * sharing a header, generated docs sharing a preamble) that catches
+    * repetition too LOCAL for whole-document dedup: two docs can share a
+    * template prefix at near-zero global Jaccard. Families report their
+    * size, how many sources they span, and their lowest doc_id as the
+    * canonical example.
+    *
+    * Scale shape: map-side prefix projection (raw text never shuffles —
+    * only the ≤4-word prefix), ONE prefix-keyed hash agg with map-side
+    * combine, HAVING on the aggregate. Family count is bounded by
+    * distinct prefixes, not documents.
+    */
+  def boilerplatePrefixes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    t.documents
+      .select(col("doc_id"), col("source"),
+        array_join(slice(toks, 1, 4), " ").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc_id"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private val boilerplatePrefixesSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_aggregate(regexp_split_to_array(lower(trim(text)), '\s+')[1:4],
+      |      'string_agg', ' ') AS prefix
+      |  FROM documents)
+      |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+      |FROM d GROUP BY prefix
+      |HAVING COUNT(*) >= 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),
+    QueryDef("q180_boilerplate_prefixes", boilerplatePrefixes, Some(boilerplatePrefixesSql)),
     QueryDef("q160_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     QueryDef("q161_token_fertility", tokenFertility, Some(tokenFertilitySql)),
     QueryDef("q169_curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),

@@ -110,4 +110,53 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("sig#") || !p.contains("Join [sig"),
       s"q77 must not equi-join on the signature:\n$p")
   }
+
+  test("q160/q161: literal fan-out sweeps stay join-free (one scan, one agg)") {
+    Seq("q160_threshold_sweep", "q161_token_fertility").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+        s"$q must scan once:\n$p")
+    }
+  }
+
+  test("q163 importance weights: both unigram models share one term exchange, no self-join") {
+    // the target and corpus models are two window sums over the same term
+    // partition — a regression to a tf self-join would recompute the
+    // tokenize subtree (the q87/q89 round-4 lesson). Spark stacks them as
+    // two adjacent Window nodes over ONE exchange (CollapseWindow doesn't
+    // merge here); the scale invariant is the single term shuffle, not the
+    // node count.
+    val p = plan("q163_importance_weights")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val winCount = p.sliding("Window".length).count(_ == "Window")
+    assert(winCount <= 2, s"q163 must not grow extra window passes:\n$p")
+    // static plans double-print the shared tf subtree (the totals branch);
+    // at runtime AQE plans it as a ReusedExchange over the tf shuffle —
+    // verified with PlanAudit SPARK_GRAFT_RUN=1 (PLANS_r6.md). Two prints
+    // are the share; THREE would be a real third shuffle.
+    assert(p.sliding("hashpartitioning(term".length)
+      .count(_ == "hashpartitioning(term") <= 2,
+      s"q163 must not grow a third term exchange:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
+  }
+
+  test("q164 chunking: map-only (zero exchanges, no join)") {
+    val p = plan("q164_doc_chunks")
+    assert(!p.contains("Exchange"), s"q164 must stay map-only:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q171 quant error: single scan into the label agg, no join") {
+    val p = plan("q171_quant_error")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"q171 must scan embeddings once:\n$p")
+  }
+
+  test("q180 boilerplate prefixes: raw text stays map-side; one prefix agg") {
+    val p = plan("q180_boilerplate_prefixes")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+  }
 }

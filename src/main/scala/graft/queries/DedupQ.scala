@@ -852,7 +852,53 @@ object DedupQ {
        |GROUP BY component
        |HAVING COUNT(*) >= 2""".stripMargin
 
+  /** q182 — HASH-COLLISION integrity audit: distinct documents (by full
+    * md5) that collide on the engine's 60-bit content hash
+    * ([[Dedup.hash60]]) — the birthday-bound check behind every
+    * hash-keyed operator in this engine (exact dedup, sampling, splits,
+    * sharding). At 2⁶⁰ the expected collision count stays ~0 below ~10⁹
+    * documents; a nonzero row at small scale means a broken hash, and
+    * the expected-regime audit at 100 TB is THIS query on the real
+    * corpus (where a handful of collisions is the birthday bound, not a
+    * bug). Reports group sizes so a pathological many-way collision is
+    * distinguishable from a 2-way birthday hit.
+    *
+    * Scale shape: one (hash60, md5) two-level aggregate — the second
+    * level is collision-group-sized; a 1-row summary plus per-collision
+    * rows (empty at healthy small scale, and the oracle proves EMPTY
+    * exactly rather than assuming it).
+    */
+  def hashCollisionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pre = t.documents
+      .groupBy(Dedup.hash60(col("text")).as("hv"), md5(col("text")).as("tm"))
+      .agg(count(lit(1)).as("c"))
+    val per = pre.groupBy(col("hv"))
+      .agg(countDistinct(col("tm")).as("n_texts"), sum(col("c")).as("n_docs"))
+    per.agg(
+      count(lit(1)).as("n_hashes"),
+      sum(when(col("n_texts") > 1, 1L).otherwise(0L)).as("n_colliding_hashes"),
+      max(col("n_texts")).as("max_group_texts"),
+      sum(col("n_docs")).as("n_docs_total"))
+  }
+
+  private val hashCollisionAuditSql =
+    """WITH pre AS (
+      |  SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv,
+      |    md5(text) AS tm, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |per AS (
+      |  SELECT hv, COUNT(DISTINCT tm) AS n_texts, SUM(c) AS n_docs
+      |  FROM pre GROUP BY hv)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+      |  CAST(SUM(CASE WHEN n_texts > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_colliding_hashes,
+      |  CAST(MAX(n_texts) AS BIGINT) AS max_group_texts,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
+      |FROM per""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),
     QueryDef("q178_cluster_source_purity", clusterSourcePurity, Some(clusterSourcePuritySql)),
     QueryDef("q173_split_leakage", splitLeakage, Some(splitLeakageSql)),
     QueryDef("q167_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.core.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Statistical / sampling / aggregation-shape operators rounding out the
   * analytics surface: deterministic sampling, fixed-width histograms,
@@ -927,7 +927,60 @@ object StatsQ {
       |    AS mean_chars_micro
       |FROM d GROUP BY split""".stripMargin
 
+  /** q181 — log₂ LENGTH HISTOGRAM: documents per power-of-two token
+    * bucket — the heavy-tail audit (natural text lengths are roughly
+    * log-normal; a missing tail bucket means truncation upstream, a fat
+    * one means concatenation artifacts). Bucket edges are EXACT integer
+    * thresholds compiled from one Scala sequence into the SAME CASE
+    * chain on both engines (the MappingRules convention) — never
+    * `floor(log2(double))`, whose boundary cells drift between engines.
+    *
+    * Scale shape: map-side bucket assignment + one ≤12-group agg.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n = size(split(lower(trim(col("text"))), "\\s+")).cast("long")
+    // ascending chained whens — FIRST match wins, exactly like the SQL
+    // CASE below (a fold that wraps outward would invert the precedence
+    // and classify everything into the widest bucket)
+    val bucket = (1 to 11).foldLeft(null: Column) { (acc, i) =>
+      val w = if (acc == null) when(n < (1L << i), i - 1)
+              else acc.when(n < (1L << i), i - 1)
+      w
+    }.otherwise(11)
+    t.documents
+      .select(bucket.as("bucket"), n.as("n_tokens"), col("n_chars"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("bucket"),
+        expr("CAST(shiftleft(1L, bucket) AS BIGINT)").as("bucket_lo"),
+        expr("CAST(shiftleft(1L, bucket + 1) - 1 AS BIGINT)").as("bucket_hi"),
+        col("n_docs"), col("n_tokens"), col("n_chars"))
+  }
+
+  private val lengthHistogramSql = {
+    val whens = (1 to 11).map(i => s"WHEN n < ${1L << i} THEN ${i - 1}")
+      .mkString("\n      |    ", "\n      |    ", "")
+    s"""WITH d AS (
+      |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+      |    AS BIGINT) AS n, n_chars
+      |  FROM documents),
+      |b AS (
+      |  SELECT CASE$whens
+      |    ELSE 11 END AS bucket, n, n_chars
+      |  FROM d)
+      |SELECT CAST(bucket AS INT) AS bucket,
+      |  CAST(1 << bucket AS BIGINT) AS bucket_lo,
+      |  CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM b GROUP BY bucket""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_length_histogram", lengthHistogram, Some(lengthHistogramSql)),
     QueryDef("q177_shard_balance", shardBalance, Some(shardBalanceSql)),
     QueryDef("q179_split_fairness", splitFairness, Some(splitFairnessSql)),
     QueryDef("q172_epoch_allocation", epochAllocation, Some(epochAllocationSql)),

@@ -67,9 +67,13 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out}/oracle_sql.json"))
     failures = 0
+    matched = set()
     for name in sorted(oracle_sql):
-        if only and name not in only:
-            continue
+        if only:
+            hits = {f for f in only if name == f or name.startswith(f)}
+            if not hits:
+                continue
+            matched |= hits
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -91,6 +95,11 @@ def main():
                 print(f"    {msg}")
         else:
             print(f"PASS {name} ({len(sdf)} rows)")
+    # a filter that matched nothing is a FAILURE, not a vacuous pass —
+    # "0 failures" must never mean "0 comparisons"
+    for miss in sorted(only - matched):
+        print(f"FAIL filter '{miss}' matched no query")
+        failures += 1
     print(f"\n{failures} failures")
     sys.exit(min(failures, 120))
 

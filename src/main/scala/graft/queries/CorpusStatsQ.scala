@@ -1031,7 +1031,57 @@ object CorpusStatsQ {
       |FROM tf GROUP BY term
       |ORDER BY cf DESC, term LIMIT 20""".stripMargin
 
+  /** q184 — per-source LANGUAGE ENTROPY: Shannon entropy of each
+    * source's language mix (nats, 6dp) plus doc and language counts —
+    * the single-number language-diversity column for q159's data card
+    * (H = 0 ⇒ monolingual source; ln(5) ≈ 1.609 ⇒ uniform over the 5
+    * corpus languages). Complements q165: entropy says how much
+    * temperature scaling will rebalance WITHIN a source.
+    *
+    * Determinism: per-language terms `c·round(ln(n/c), 6)` are rounded
+    * BEFORE the DECIMAL sum (Exact.dsum rule — ln is the only
+    * transcendental and it's one fixed-shape IEEE call on both
+    * engines); the final divide-by-n is one double op rounded(6).
+    *
+    * Scale shape: one (source, lang) hash agg (tiny by construction);
+    * totals via a window over that table; everything after is
+    * control-plane-sized.
+    */
+  def sourceLangEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sl = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    sl.withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+      .withColumn("term",
+        (col("c") * round(log(col("n").cast("double") / col("c")), 6)
+          .cast("decimal(18,6)")))
+      .groupBy(col("source"))
+      .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("term")).as("h_sum"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("h_sum").cast("double") / col("n_docs"), 6)
+          .as("lang_entropy"))
+  }
+
+  private val sourceLangEntropySql =
+    """WITH sl AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |w AS (
+      |  SELECT source, c,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM sl),
+      |t AS (
+      |  SELECT source, n,
+      |    c * CAST(round(ln(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6))
+      |      AS term
+      |  FROM w)
+      |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |  round(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS lang_entropy
+      |FROM t GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_source_lang_entropy", sourceLangEntropy, Some(sourceLangEntropySql)),
     QueryDef("q174_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("q175_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),

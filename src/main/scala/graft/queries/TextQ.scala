@@ -745,7 +745,71 @@ object TextQ {
       |FROM d GROUP BY prefix
       |HAVING COUNT(*) >= 2""".stripMargin
 
+  /** q183 — SOURCE × QUALITY-BAND matrix: q122's exact integer logit
+    * bucketed into four bands and cross-tabbed by source — the "which
+    * subsets are junk" readout that decides per-source filtering
+    * thresholds (a source whose mass sits in `strong_drop` gets cut
+    * wholesale; one straddling the boundary gets a tuned threshold).
+    * Band edges are exact MICRO-unit integers on the q122 logit, so the
+    * matrix is bit-stable across engines.
+    *
+    * Scale shape: the logit is q122's map-only expression (model
+    * gating at scan cost); one (source, band) hash agg; the
+    * within-source share is a window over the source×band table (≤4
+    * rows per source by construction).
+    */
+  def sourceQualityMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val dim = 256
+    val scored = t.documents.select(
+      col("source"),
+      size(graft.ops.Dedup.words(col("text"))).cast("long").as("n_tokens"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(dim)).as("logit_u"))
+      .withColumn("band",
+        when(col("logit_u") < -500000L, lit("strong_drop"))
+          .when(col("logit_u") < 0L, lit("drop"))
+          .when(col("logit_u") < 500000L, lit("keep"))
+          .otherwise(lit("strong_keep")))
+    scored.groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("src_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("band"), col("n_docs"), col("n_tokens"),
+        expr("n_docs * 1000000L div src_total").as("share_ppm"))
+  }
+
+  private val sourceQualityMatrixSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents
+      |), per AS (
+      |  SELECT doc_id,
+      |    SUM(('0x' || substr(md5('w:' ||
+      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+      |        % 1000001 - 500000) AS wsum
+      |  FROM toks GROUP BY doc_id
+      |), scored AS (
+      |  SELECT d.source,
+      |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CASE WHEN per.wsum < -500000 THEN 'strong_drop'
+      |         WHEN per.wsum < 0 THEN 'drop'
+      |         WHEN per.wsum < 500000 THEN 'keep'
+      |         ELSE 'strong_keep' END AS band
+      |  FROM documents d JOIN per USING (doc_id)
+      |), m AS (
+      |  SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM scored GROUP BY source, band)
+      |SELECT source, band, n_docs, n_tokens,
+      |  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
+      |    AS BIGINT) AS share_ppm
+      |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_source_quality_matrix", sourceQualityMatrix, Some(sourceQualityMatrixSql)),
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("q180_boilerplate_prefixes", boilerplatePrefixes, Some(boilerplatePrefixesSql)),

@@ -16,7 +16,11 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => VecDotProduct(exprs(0), exprs(1))),
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)))
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "topk_structs" -> (exprs => {
+      require(exprs.head.foldable, "topk_structs: k must be a literal")
+      TopKStructs(exprs(1), exprs.head.eval().asInstanceOf[Number].intValue())
+    }))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -44,6 +48,15 @@ object GraftFunctions {
   def rolling_hash(c: Column): Column = {
     registerCurrent()
     call_function("rolling_hash", c)
+  }
+
+  /** Column-API bounded top-k aggregate (see [[TopKStructs]]): the k
+    * smallest struct values per group as a sorted array, with partial
+    * buffers bounded at O(k) — the shuffle-bounded per-key top-k.
+    */
+  def topk_structs(k: Int, s: Column): Column = {
+    registerCurrent()
+    call_function("topk_structs", org.apache.spark.sql.functions.lit(k), s)
   }
 }
 

@@ -1101,5 +1101,74 @@ object CorpusStatsQ {
     QueryDef("q89_dupspan_fraction", dupSpanFraction, Some(dupSpanFractionSql)),
     QueryDef("q90_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q91_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
+    QueryDef("q186_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
   )
+
+  /** q186 — bigram conditional log-likelihood per document: the next step
+    * up from q91's unigram surprisal and the classic cheap perplexity
+    * proxy for corpus quality filtering (fluent prose scores low; shuffled
+    * or boilerplate text scores high even when its unigrams look normal,
+    * because P(rhs|lhs) = c(lhs,rhs)/c(lhs·) punishes unseen transitions).
+    * Emitted per doc: bigram count, Σ−ln P(rhs|lhs), and the
+    * length-normalized average (the filterable score).
+    *
+    * Scale shape: raw tokens never shuffle — adjacent pairs form inside
+    * the row (`zip_with` over two slices, the q88 mechanism) and collapse
+    * immediately into the (doc, lhs, rhs) tf agg with map-side combine;
+    * the corpus-level c(lhs,rhs) and c(lhs·) are two window sums over that
+    * aggregate (shuffles of the COLLAPSED bigram table only); the per-doc
+    * rollup regroups on the doc prefix. Determinism: each −ln term is
+    * rounded to 6dp into a DECIMAL(18,6) before the weighted sum — the
+    * q91 recipe verbatim.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val tf = toks
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)).as("p"))
+      .groupBy(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(count(lit(1)).as("tf"))
+    tf
+      .withColumn("c_ab",
+        sum(col("tf")).over(Window.partitionBy(col("lhs"), col("rhs"))))
+      .withColumn("c_a", sum(col("tf")).over(Window.partitionBy(col("lhs"))))
+      .withColumn("r",
+        round(log(col("c_a").cast("double") / col("c_ab")), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("r")).as("sum_dec"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_dec").cast("double").as("sum_neglogp"),
+        round(col("sum_dec").cast("double") / col("n_bigrams"), 6)
+          .as("avg_neglogp"))
+  }
+
+  private val bigramLogprobSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, tk[i] AS lhs, tk[i + 1] AS rhs
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+      |        WHERE len(tk) >= 2)),
+      |tf AS (SELECT doc_id, lhs, rhs, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT *, SUM(tf) OVER (PARTITION BY lhs, rhs) AS c_ab,
+      |    SUM(tf) OVER (PARTITION BY lhs) AS c_a
+      |  FROM tf),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    SUM(tf * CAST(round(ln(CAST(c_a AS DOUBLE) / c_ab), 6)
+      |        AS DECIMAL(18,6))) AS sum_dec
+      |  FROM g GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST(sum_dec AS DOUBLE) AS sum_neglogp,
+      |  round(CAST(sum_dec AS DOUBLE) / n_bigrams, 6) AS avg_neglogp
+      |FROM d""".stripMargin
 }

@@ -430,6 +430,86 @@ object DedupQ {
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
 
+  /** q188 — dedup IMPACT report per source: document and character counts
+    * before vs after quality-survivor near-dup removal (q76 components +
+    * q136 argmax-logit survivors), with exact retained-ppm. This is the
+    * number every curation change ships with — "near-dup removal cost
+    * source X 12% of its characters" — and it surfaces the classic
+    * failure where one boilerplate-heavy source silently collapses while
+    * the aggregate retention still looks healthy.
+    *
+    * Scale shape: the component and survivor tables are cluster-members
+    * only (≪ corpus) and BROADCAST into one pass over `documents`; the
+    * kept/dropped decision is a row-local predicate and the report is a
+    * single per-source hash agg — the corpus itself never shuffles.
+    * Oracle: the q136 RECURSIVE-CTE closure + argmax survivor recomputed
+    * independently in SQL, then the same one-pass accounting.
+    */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val comps = neardupComponents(spark, dir)
+    val surv = qualitySurvivor(spark, dir)
+      .select(col("component").as("sc"), col("survivor_id"))
+    t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(comps), col("doc_id") === comps("id"), "left")
+      .join(broadcast(surv), col("component") === col("sc"), "left")
+      .withColumn("kept",
+        col("component").isNull || col("doc_id") === col("survivor_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_after"),
+        sum(col("n_chars")).as("chars_before"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("chars_after"))
+      .withColumn("retained_ppm", expr("n_after * 1000000 div n_before"))
+  }
+
+  private val dedupImpactSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), logits AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(('0x' || substr(md5('w:' ||
+       |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+       |        % 1000001 - 500000) AS BIGINT) AS logit_u
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM documents) GROUP BY doc_id
+       |), surv AS (
+       |  SELECT component, id AS survivor_id
+       |  FROM (
+       |    SELECT comp.component, comp.id,
+       |      row_number() OVER (PARTITION BY comp.component
+       |        ORDER BY logits.logit_u DESC, comp.id) AS rn
+       |    FROM comp JOIN logits ON logits.doc_id = comp.id)
+       |  WHERE rn = 1
+       |), j AS (
+       |  SELECT d.source, d.n_chars,
+       |    (c.component IS NULL OR s.survivor_id = d.doc_id) AS kept
+       |  FROM documents d
+       |  LEFT JOIN comp c ON c.id = d.doc_id
+       |  LEFT JOIN surv s ON s.component = c.component)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_before,
+       |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_after,
+       |  CAST(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+       |    // COUNT(*) AS BIGINT) AS retained_ppm
+       |FROM j GROUP BY source""".stripMargin
+
   /** q150 — the COMPLETE modern curation pipeline as ONE checked
     * dataflow, upgrading q100's min-id composition with this round's
     * operators: LSH near-dup components → BEST-QUALITY survivor per
@@ -916,5 +996,6 @@ object DedupQ {
     QueryDef("q76_neardup_components", neardupComponents, Some(neardupComponentsSql)),
     QueryDef("q120_incremental_dedup", incrementalDedup, Some(minhashPairsSql)),
     QueryDef("q136_quality_survivor", qualitySurvivor, Some(qualitySurvivorSql)),
+    QueryDef("q188_dedup_impact", dedupImpact, Some(dedupImpactSql)),
   )
 }

@@ -307,6 +307,115 @@ object SimilarityQ {
       |  round(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS mean_cosine
       |FROM scored GROUP BY same_label""".stripMargin
 
+  /** q185 — hard-negative mining for contrastive training: for each probe
+    * vector (vec_id < 20), the top-5 most-similar corpus vectors carrying a
+    * DIFFERENT label — the "looks the same, labeled differently" set that
+    * contrastive batches and reranker training want
+    * (the standard mining step behind dense-retrieval fine-tuning).
+    *
+    * Scale shape: the ~20 probes broadcast into a single map-side pass over
+    * the corpus (broadcast nested loop, no corpus shuffle — q40's declared
+    * shape), and the top-k reduction is the BOUNDED aggregate
+    * [[graft.functions.TopKStructs]] (`topk_structs`), whose partial
+    * buffers hold at most O(k) rows per probe: the probes×corpus scored
+    * set never crosses the wire — only ~k rows per (probe, partition) do —
+    * where q40's window baseline (and a `slice(sort_array(collect_list))`
+    * re-packaging, whose partial buffers are UNbounded) would shuffle the
+    * full Q·N scored set. Cosines live as exact 1e6 micro-units (BIGINT)
+    * with the neighbor id as in-struct tiebreaker, so the bounded partial
+    * sorts, the merge, and the oracle hash all agree bit-for-bit.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val k = 5
+    val v = t.embeddings.select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", Similarity.norm("v"))
+    val probes = v.filter(col("id") < 20).select(
+      col("id").as("q_id"), col("v").as("qv"),
+      col("label").as("q_label"), col("nrm").as("qn"))
+    v.join(broadcast(probes), col("label") =!= col("q_label"))
+      .withColumn("cos_u",
+        round(Similarity.dot("qv", "v") / (col("qn") * col("nrm")) * 1e6)
+          .cast("long"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions.topk_structs(k, struct(
+        (-col("cos_u")).as("neg_u"), col("id").as("neighbor_id"),
+        col("label").as("neighbor_label"))).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.neighbor_label").as("neighbor_label"),
+        (-col("col.neg_u")).as("cos_u"))
+  }
+
+  private val hardNegativesSql =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS dv FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, dv, sqrt(list_dot_product(dv, dv)) AS nrm FROM v
+      |), scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    c.label AS neighbor_label,
+      |    CAST(round(list_dot_product(q.dv, c.dv) / (q.nrm * c.nrm) * 1000000)
+      |      AS BIGINT) AS cos_u
+      |  FROM n q JOIN n c ON q.vec_id < 20 AND c.label <> q.label
+      |)
+      |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, neighbor_label,
+      |  cos_u
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos_u DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5""".stripMargin
+
+  /** q189 — embedding L2-norm audit per label: corrupt or degenerate
+    * vectors (zeroed rows, double-scaled batches, truncated uploads) show
+    * up as norm outliers long before they poison a similarity index.
+    * Norms are exact 1e6 micro-units; the outlier band is
+    * [median/2, median·2] around the GLOBAL median norm (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the suite's pinned pair), so
+    * the flag threshold itself is data-derived, not a magic constant.
+    *
+    * Scale shape: one map-side projection computes each norm (no join, no
+    * shuffle of vectors); the median is a 1-row broadcast; the audit is a
+    * single label-keyed hash agg. At 100 TB the only wide op is the
+    * tiny per-label agg — the q114 family shape.
+    */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val v = t.embeddings.select(col("vec_id"), col("label"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("norm_u", round(Similarity.norm("v") * 1e6).cast("long"))
+      .select(col("vec_id"), col("label"), col("norm_u"))
+    val med = v.agg(expr("percentile(norm_u, 0.5d)").as("med"))
+    v.crossJoin(broadcast(med))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("norm_u")) / count(lit(1))).cast("long").as("mean_u"),
+        min(col("norm_u")).as("min_u"),
+        max(col("norm_u")).as("max_u"),
+        sum(when(col("norm_u") * 2 < col("med") ||
+                 col("norm_u") > col("med") * 2, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  private val embeddingNormAuditSql =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    CAST(round(sqrt(list_dot_product(embedding::DOUBLE[],
+      |      embedding::DOUBLE[])) * 1000000) AS BIGINT) AS norm_u
+      |  FROM embeddings
+      |), med AS (SELECT quantile_cont(norm_u, 0.5) AS med FROM v)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(trunc(CAST(SUM(norm_u) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_u,
+      |  CAST(MIN(norm_u) AS BIGINT) AS min_u,
+      |  CAST(MAX(norm_u) AS BIGINT) AS max_u,
+      |  CAST(SUM(CASE WHEN norm_u * 2 < med OR norm_u > med * 2
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM v, med GROUP BY label""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q168_label_cosine_audit", labelCosineAudit, Some(labelCosineAuditSql)),
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
@@ -314,5 +423,8 @@ object SimilarityQ {
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
     QueryDef("q154_kmeans_embed", kmeansEmbed, Some(kmeansEmbedSql)),
+    QueryDef("q185_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QueryDef("q189_embedding_norm_audit", embeddingNormAudit,
+      Some(embeddingNormAuditSql)),
   )
 }

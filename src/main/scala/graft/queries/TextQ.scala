@@ -808,7 +808,192 @@ object TextQ {
       |    AS BIGINT) AS share_ppm
       |FROM m""".stripMargin
 
+  /** q187 — Gopher-style repetition audit per source: for every document,
+    * the token share covered by its single most frequent 2-gram and
+    * 3-gram (the published Gopher repetition rules use 0.20 / 0.18 as the
+    * removal thresholds), rolled up per source as flagged-document counts
+    * and mean coverage ppm. Complements q82 (distinct-trigram ratio) and
+    * q89 (cross-doc dup spans): this is the "one phrase stamped over and
+    * over" detector that catches templated spam whose trigram DIVERSITY
+    * still looks fine.
+    *
+    * Scale shape: ONE scan — both gram sizes materialize inside the row
+    * (two `transform`s concatenated, tagged with n) and `explode_outer`
+    * keeps gram-less short docs alive for the per-source doc counts; the
+    * only wide ops are the (doc, n, gram) count (map-side combine; raw
+    * text never shuffles) and the nested per-doc / per-source rollups
+    * over collapsed aggregates. Coverage is exact integer ppm
+    * (`div`, positive operands — both engines truncate identically).
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def grams(n: Int): String = {
+      val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
+      s"""CASE WHEN size(tk) >= $n THEN
+         |  transform(sequence(1, size(tk) - ${n - 1}),
+         |    i -> named_struct('n', $n, 'g', concat_ws(' ', $parts)))
+         |ELSE array() END""".stripMargin
+    }
+    val base = t.documents
+      .select(col("doc_id"), col("source"),
+        split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .withColumn("n_toks", size(col("tk")).cast("long"))
+    val perDoc = base
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        explode_outer(expr(s"concat(${grams(2)}, ${grams(3)})")).as("p"))
+      .groupBy(col("doc_id"), col("source"), col("n_toks"),
+        col("p.n").as("n"), col("p.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"), col("n_toks"), col("n"))
+      .agg(max(col("c")).as("max_c"))
+      .groupBy(col("doc_id"), col("source"), col("n_toks"))
+      .agg(
+        max(when(col("n") === 2, col("max_c"))).as("m2"),
+        max(when(col("n") === 3, col("max_c"))).as("m3"))
+      .select(col("doc_id"), col("source"),
+        coalesce(expr("1000000L * 2 * m2 div n_toks"), lit(0L)).as("frac2_ppm"),
+        coalesce(expr("1000000L * 3 * m3 div n_toks"), lit(0L)).as("frac3_ppm"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("frac2_ppm") > 200000L, 1L).otherwise(0L)).as("flagged_2g"),
+        sum(when(col("frac3_ppm") > 180000L, 1L).otherwise(0L)).as("flagged_3g"),
+        expr("sum(frac2_ppm) div count(1)").as("mean_frac2_ppm"),
+        expr("sum(frac3_ppm) div count(1)").as("mean_frac3_ppm"))
+  }
+
+  private val gopherRepetitionSql =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i + 1] AS g
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM base)
+      |  UNION ALL
+      |  SELECT doc_id, 3, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM base)),
+      |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+      |m AS (SELECT doc_id, n, MAX(c) AS max_c FROM c GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN n = 2 THEN max_c END) AS m2,
+      |    MAX(CASE WHEN n = 3 THEN max_c END) AS m3
+      |  FROM m GROUP BY 1),
+      |p AS (
+      |  SELECT b.doc_id, b.source,
+      |    COALESCE(CAST(1000000 * 2 * d.m2 AS BIGINT) // CAST(len(b.tk) AS BIGINT), 0)
+      |      AS frac2_ppm,
+      |    COALESCE(CAST(1000000 * 3 * d.m3 AS BIGINT) // CAST(len(b.tk) AS BIGINT), 0)
+      |      AS frac3_ppm
+      |  FROM base b LEFT JOIN d USING (doc_id))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN frac2_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS flagged_2g,
+      |  CAST(SUM(CASE WHEN frac3_ppm > 180000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS flagged_3g,
+      |  CAST(CAST(SUM(frac2_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+      |    AS mean_frac2_ppm,
+      |  CAST(CAST(SUM(frac3_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+      |    AS mean_frac3_ppm
+      |FROM p GROUP BY source""".stripMargin
+
+  /** q190 — "is the quality classifier just a length detector?" — the
+    * standard sanity check before gating a corpus on a learned score:
+    * per-source Spearman rank correlation between the q122 logit and
+    * document length. A |ρ| near 1 means the expensive classifier is
+    * reproducing `n_chars` and the curation threshold is secretly a
+    * length filter. Ranks use the q98 recipe (row_number with doc_id as
+    * the unique tiebreaker, d² summed as exact BIGINT, one final double
+    * expression over exact integers — deterministic across engines).
+    *
+    * Scale shape: the logit is map-side (q122's literal-folded weights);
+    * the two rank windows partition BY SOURCE (never a global window);
+    * the result is one tiny per-source agg.
+    */
+  def qualityLengthCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(col("doc_id"), col("source"), col("n_chars"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
+    val wq = Window.partitionBy(col("source"))
+      .orderBy(col("logit_u"), col("doc_id"))
+    val wl = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    scored
+      .withColumn("rx", row_number().over(wq))
+      .withColumn("ry", row_number().over(wl))
+      .withColumn("d", col("rx").cast("long") - col("ry"))
+      .withColumn("d2", col("d") * col("d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .withColumn("rho",
+        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+  }
+
+  private val qualityLengthCorrSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents
+      |), per AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(('0x' || substr(md5('w:' ||
+      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+      |        % 1000001 - 500000) AS BIGINT) AS logit_u
+      |  FROM toks GROUP BY doc_id
+      |), r AS (
+      |  SELECT d.source,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY per.logit_u, d.doc_id) AS rx,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY d.n_chars, d.doc_id) AS ry
+      |  FROM documents d JOIN per ON per.doc_id = d.doc_id)
+      |SELECT source, COUNT(*) AS n,
+      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) *
+      |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** q191 — language-ID confusion matrix: the q32 stopword-hit classifier
+    * judged against the corpus's declared `lang` labels, as (labeled ×
+    * guessed) counts with each row's share of its labeled language in
+    * exact ppm. The per-language recall lives on the diagonal; "unk" mass
+    * shows where the stopword lists have no coverage. This is the audit
+    * that decides whether the cheap classifier is good enough to gate a
+    * language-filtered training mix.
+    *
+    * Scale shape: q32's per-doc classification is map-side (stopword sets
+    * fold in as literals); the matrix is one tiny (labeled, guessed) agg
+    * and the row totals a window over ≤ |langs|² rows.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(spark, dir)
+      .groupBy(col("labeled_lang"), col("guessed_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("labeled_lang"))))
+      .select(col("labeled_lang"), col("guessed_lang"), col("n"),
+        expr("n * 1000000 div row_total").as("share_ppm"))
+  }
+
+  private def langidConfusionSql: String =
+    s"""WITH li AS ($langIdSql)
+       |SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(CAST(COUNT(*) * 1000000 AS BIGINT) //
+       |    CAST(SUM(COUNT(*)) OVER (PARTITION BY labeled_lang) AS BIGINT)
+       |    AS BIGINT) AS share_ppm
+       |FROM li GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
+    QueryDef("q190_quality_length_corr", qualityLengthCorr, Some(qualityLengthCorrSql)),
+    QueryDef("q191_langid_confusion", langidConfusion, Some(langidConfusionSql)),
     QueryDef("q183_source_quality_matrix", sourceQualityMatrix, Some(sourceQualityMatrixSql)),
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),

@@ -159,4 +159,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
     assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
   }
+
+  test("q185 hard negatives: broadcast probes + bounded topk agg, no window") {
+    // the whole point of topk_structs is that the scored probes×corpus set
+    // never shuffles: the reduction must be an ObjectHashAggregate pair,
+    // NOT a Window (which would shuffle every scored row), and the corpus
+    // side must not shuffle before the join
+    val p = plan("q185_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), s"bounded topk agg missing:\n$p")
+    assert(!p.contains("Window"), s"q185 must not fall back to a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q187 gopher repetition: one scan, no join") {
+    val p = plan("q187_gopher_repetition")
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"q187 must form both gram sizes in one scan:\n$p")
+  }
+
+  test("q189 norm audit: map-side norms, subquery median, no vector shuffle") {
+    val p = plan("q189_embedding_norm_audit")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // norms reduce to (vec_id, label, norm_u) before any exchange: the
+    // exchanged row must not carry the 64-float vector
+    assert(!p.contains("Window"), p)
+  }
 }

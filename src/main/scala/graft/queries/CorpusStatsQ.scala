@@ -87,7 +87,7 @@ object CorpusStatsQ {
         """filter(
           |  zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
           |           (a, b) -> named_struct('lhs', a, 'rhs', b)),
-          |  p -> NOT (p.lhs rlike '^\s+$' OR p.rhs rlike '^\s+$'))""".stripMargin))
+          |  p -> NOT (p.lhs rlike '^\\s+$' OR p.rhs rlike '^\\s+$'))""".stripMargin))
         .as("p"))
       .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .groupBy(col("lhs"), col("rhs"))
@@ -1102,6 +1102,7 @@ object CorpusStatsQ {
     QueryDef("q90_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q91_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QueryDef("q186_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
+    QueryDef("q192_surprisal_mixture", surprisalMixture, Some(surprisalMixtureSql)),
   )
 
   /** q186 — bigram conditional log-likelihood per document: the next step
@@ -1121,33 +1122,43 @@ object CorpusStatsQ {
     * rounded to 6dp into a DECIMAL(18,6) before the weighted sum — the
     * q91 recipe verbatim.
     */
-  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val toks = t.documents
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
-      .filter(size(col("tk")) >= 2)
-    val tf = toks
-      .select(col("doc_id"), explode(expr(
-        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
-          |  (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)).as("p"))
-      .groupBy(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-      .agg(count(lit(1)).as("tf"))
-    tf
-      .withColumn("c_ab",
-        sum(col("tf")).over(Window.partitionBy(col("lhs"), col("rhs"))))
-      .withColumn("c_a", sum(col("tf")).over(Window.partitionBy(col("lhs"))))
-      .withColumn("r",
-        round(log(col("c_a").cast("double") / col("c_ab")), 6)
-          .cast("decimal(18,6)"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("tf")).as("n_bigrams"),
-        sum(col("tf") * col("r")).as("sum_dec"))
+  /** Per-doc (doc_id, n_bigrams, sum_dec) bigram-surprisal table, memoized
+    * per (session, dir): the expensive bigram build is shared by q186 (the
+    * per-doc score) and q192 (the per-source mixture rollup) — one pinned
+    * 3-column aggregate, not two bigram passes.
+    */
+  private def bigramDocLp(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q186-doclp:$dir") {
+      val t = Tables(spark, dir)
+      val toks = t.documents
+        .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val tf = toks
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+            |  (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)).as("p"))
+        .groupBy(col("doc_id"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(count(lit(1)).as("tf"))
+      tf
+        .withColumn("c_ab",
+          sum(col("tf")).over(Window.partitionBy(col("lhs"), col("rhs"))))
+        .withColumn("c_a", sum(col("tf")).over(Window.partitionBy(col("lhs"))))
+        .withColumn("r",
+          round(log(col("c_a").cast("double") / col("c_ab")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("r")).as("sum_dec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramDocLp(spark, dir)
       .select(col("doc_id"), col("n_bigrams"),
         col("sum_dec").cast("double").as("sum_neglogp"),
         round(col("sum_dec").cast("double") / col("n_bigrams"), 6)
           .as("avg_neglogp"))
-  }
 
   private val bigramLogprobSql =
     """WITH toks AS (
@@ -1171,4 +1182,81 @@ object CorpusStatsQ {
       |  CAST(sum_dec AS DOUBLE) AS sum_neglogp,
       |  round(CAST(sum_dec AS DOUBLE) / n_bigrams, 6) AS avg_neglogp
       |FROM d""".stripMargin
+
+  /** q192 — surprisal-weighted mixture (DoReMi-flavored): per-source
+    * training-mix weights proportional to EXCESS language-model loss
+    * rather than raw size. Each source's token-weighted mean bigram
+    * surprisal (micro-nats, off the memoized q186 per-doc table) is
+    * compared to the best source; weight ∝ excess, with a uniform
+    * fallback when all sources tie. This is the loss-aware counterpart
+    * to q163 (count-based importance) and q165 (temperature scaling):
+    * up-weight the domains the model finds hard, not merely the small
+    * ones. All arithmetic is exact BIGINT micro-units and positive
+    * integer division — no float weights to drift.
+    *
+    * Scale shape: the bigram build is shared (memo) with q186; this adds
+    * one broadcast join of the per-doc 3-column table to (doc, source),
+    * one per-source agg, and two 1-row broadcast combines — control-plane
+    * after the shared build.
+    */
+  def surprisalMixture(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val per = bigramDocLp(spark, dir)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("sum_dec")).as("sum_dec"))
+      .withColumn("mean_u",
+        round(col("sum_dec").cast("double") / col("n_bigrams") * 1e6)
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("mean_u"))
+    val floor = per.agg(min(col("mean_u")).as("min_u"))
+    val withExcess = per.crossJoin(broadcast(floor))
+      .withColumn("excess_u", col("mean_u") - col("min_u"))
+    val tot = withExcess.agg(
+      sum(col("excess_u")).as("sum_excess"), count(lit(1)).as("n_sources"))
+    withExcess.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm",
+        when(col("sum_excess") > 0,
+          expr("excess_u * 1000000 div sum_excess"))
+          .otherwise(expr("1000000 div n_sources")))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("mean_u"), col("excess_u"), col("weight_ppm"))
+  }
+
+  private val surprisalMixtureSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, tk[i] AS lhs, tk[i + 1] AS rhs
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks
+      |        WHERE len(tk) >= 2)),
+      |tf AS (SELECT doc_id, lhs, rhs, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT *, SUM(tf) OVER (PARTITION BY lhs, rhs) AS c_ab,
+      |    SUM(tf) OVER (PARTITION BY lhs) AS c_a
+      |  FROM tf),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    SUM(tf * CAST(round(ln(CAST(c_a AS DOUBLE) / c_ab), 6)
+      |        AS DECIMAL(18,6))) AS sum_dec
+      |  FROM g GROUP BY doc_id),
+      |s AS (
+      |  SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(d.n_bigrams) AS BIGINT) AS n_bigrams,
+      |    CAST(round(CAST(SUM(d.sum_dec) AS DOUBLE)
+      |      / CAST(SUM(d.n_bigrams) AS DOUBLE) * 1000000) AS BIGINT) AS mean_u
+      |  FROM d JOIN documents doc USING (doc_id) GROUP BY doc.source),
+      |m AS (SELECT MIN(mean_u) AS min_u FROM s),
+      |e AS (SELECT s.*, mean_u - min_u AS excess_u FROM s, m),
+      |tt AS (SELECT CAST(SUM(excess_u) AS BIGINT) AS sum_excess,
+      |       COUNT(*) AS n_sources FROM e)
+      |SELECT source, n_docs, n_bigrams, mean_u, excess_u,
+      |  CAST(CASE WHEN sum_excess > 0
+      |       THEN CAST(excess_u * 1000000 AS BIGINT) // sum_excess
+      |       ELSE 1000000 // n_sources END AS BIGINT) AS weight_ppm
+      |FROM e, tt""".stripMargin
 }

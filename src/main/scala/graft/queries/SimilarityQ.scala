@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.core.Tables
 import graft.ops.Similarity
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity-search query surface over `embeddings` (64-dim float
   * vectors): brute-force cosine top-k baseline, embedding-cosine near-dup
@@ -75,14 +75,22 @@ object SimilarityQ {
     * so Spark and DuckDB compute bit-identical projections, signatures,
     * buckets, and therefore the same approximate pair set.
     */
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    Similarity.lshNearDupPairs(
-      t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
-      numBits = 4, minCosine = 0.35, dim = 64, maxBucketSize = 4096)
-  }
+  /** Memoized LSH near-dup pair set, shared by q77 (the pair listing) and
+    * q193 (the split-leakage audit) — one band build per (session, dir).
+    */
+  private def lshPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q77-pairs:$dir") {
+      val t = Tables(spark, dir)
+      Similarity.lshNearDupPairs(
+        t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        numBits = 4, minCosine = 0.35, dim = 64, maxBucketSize = 4096)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
-  private val lshNearDupSql =
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame =
+    lshPairs(spark, dir)
+
+  private val lshCtes =
     """WITH v AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
       |), n AS (
@@ -99,7 +107,10 @@ object SimilarityQ {
       |  FROM n v CROSS JOIN planes p GROUP BY v.vec_id
       |), bsz AS (
       |  SELECT sig, count(*) AS n FROM sigs GROUP BY sig
-      |)
+      |)""".stripMargin
+
+  private val lshNearDupSql =
+    s"""$lshCtes
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm), 4) AS cosine
       |FROM n a
@@ -416,7 +427,93 @@ object SimilarityQ {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM v, med GROUP BY label""".stripMargin
 
+  /** q193 — embedding-space split leakage: evaluation vectors (q114's
+    * md5-hash split convention, applied to vec_id) that are near-duplicates
+    * (cosine ≥ 0.35 within shared LSH buckets) of a TRAIN vector. The
+    * embedding-space counterpart of q173's shingle-based audit: text-level
+    * decontamination misses paraphrases and re-encodings that land next to
+    * a train point in embedding space, which inflate eval scores exactly
+    * like verbatim leaks. Reported per eval split: vectors, leaked
+    * vectors, exact ppm.
+    *
+    * Scale shape: rides the memoized q77 pair set (bucketed, capped — the
+    * audited near-dup scale path); split tags are map-side md5; leakage is
+    * a union of two pair-sized projections, one distinct, one tiny agg.
+    * Never vector×vector.
+    */
+  def embeddingSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def splitOf(c: Column): Column = {
+      val v = conv(substring(md5(concat_ws("|", lit("split"),
+        c.cast("string"))), 1, 8), 16, 10).cast("long")
+      when(v < 3435973836L, lit("train"))        // floor(0.8 * 2^32)
+        .when(v < 3865470566L, lit("val"))       // floor(0.9 * 2^32)
+        .otherwise(lit("test"))
+    }
+    val cross = lshPairs(spark, dir)
+      .withColumn("sa", splitOf(col("id_a")))
+      .withColumn("sb", splitOf(col("id_b")))
+    val leaked = cross
+      .filter(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("id_b").as("id"), col("sb").as("split"))
+      .union(cross
+        .filter(col("sb") === "train" && col("sa") =!= "train")
+        .select(col("id_a").as("id"), col("sa").as("split")))
+      .distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    t.embeddings.select(splitOf(col("vec_id")).as("split"))
+      .filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_vectors"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_vectors"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .withColumn("leaked_ppm", expr("n_leaked * 1000000 div n_vectors"))
+  }
+
+  private val embeddingSplitLeakageSql =
+    s"""$lshCtes, pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM n a
+       |  JOIN sigs sa ON a.vec_id = sa.vec_id
+       |  JOIN bsz ON bsz.sig = sa.sig AND bsz.n BETWEEN 2 AND 4096
+       |  JOIN sigs sb ON sa.sig = sb.sig
+       |  JOIN n b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.35
+       |), tag AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ('0x' || substr(md5('split' || '|' ||
+       |           CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < 3435973836
+       |         THEN 'train'
+       |         WHEN ('0x' || substr(md5('split' || '|' ||
+       |           CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566
+       |         THEN 'val' ELSE 'test' END AS split
+       |  FROM embeddings
+       |), cr AS (
+       |  SELECT p.id_a, p.id_b, ta.split AS sa, tb.split AS sb
+       |  FROM pr p
+       |  JOIN tag ta ON ta.vec_id = p.id_a
+       |  JOIN tag tb ON tb.vec_id = p.id_b
+       |), leaked AS (
+       |  SELECT DISTINCT id, split FROM (
+       |    SELECT id_b AS id, sb AS split FROM cr
+       |    WHERE sa = 'train' AND sb <> 'train'
+       |    UNION ALL
+       |    SELECT id_a, sa FROM cr WHERE sb = 'train' AND sa <> 'train')
+       |), lk AS (
+       |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked
+       |  FROM leaked GROUP BY 1
+       |), tot AS (
+       |  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM tag WHERE split <> 'train' GROUP BY 1)
+       |SELECT tot.split, n_vectors,
+       |  CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+       |  CAST(CAST(COALESCE(n_leaked, 0) * 1000000 AS BIGINT) // n_vectors
+       |    AS BIGINT) AS leaked_ppm
+       |FROM tot LEFT JOIN lk USING (split)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_embedding_split_leakage", embeddingSplitLeakage,
+      Some(embeddingSplitLeakageSql)),
     QueryDef("q168_label_cosine_audit", labelCosineAudit, Some(labelCosineAuditSql)),
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),

@@ -990,7 +990,68 @@ object TextQ {
        |    AS BIGINT) AS share_ppm
        |FROM li GROUP BY 1, 2""".stripMargin
 
+  /** q194 — sentence-segmentation statistics per source: document counts,
+    * total sentences, mean sentences per document and mean tokens per
+    * sentence (exact centi-units). Sentence-level structure is the
+    * granularity real pipelines filter and chunk at (too-long sentences
+    * break context packing; one-sentence "docs" are usually titles or
+    * spam), and the per-source means expose which feeds are prose vs
+    * fragments. Segmentation is the shared-dialect regex `[.!?]+` with
+    * trimmed-empty removal, identical on both engines.
+    *
+    * Scale shape: entirely map-side per row (split → trim-filter → HOF
+    * token fold, no explode); one per-source agg of four counters. The
+    * raw text never leaves the scan projection.
+    */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("source"), expr(
+        """filter(transform(split(text, '[.!?]+'), s -> trim(s)),
+          |  s -> s != '')""".stripMargin).as("sents"))
+      .select(col("source"), size(col("sents")).cast("long").as("n_sents"),
+        // NB double-escape: Spark SQL string literals CONSUME unknown
+        // escapes ('\s' → 's'), so the literal must carry \\s to reach
+        // the regex engine as \s (NOTES.md round-6 lesson)
+        expr("aggregate(sents, 0L, (acc, s) -> acc + size(split(s, '\\\\s+')))")
+          .as("n_toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_sents")).as("n_sents"),
+        sum(col("n_toks")).as("n_sent_toks"))
+      .select(col("source"), col("n_docs"), col("n_sents"),
+        col("n_sent_toks"),
+        expr("n_sents * 100 div n_docs").as("mean_sents_per_doc_c"),
+        when(col("n_sents") > 0,
+          expr("n_sent_toks * 100 div n_sents")).otherwise(lit(0L))
+          .as("mean_toks_per_sent_c"))
+  }
+
+  private val sentenceStatsSql =
+    """WITH s AS (
+      |  SELECT source,
+      |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+      |      s -> trim(s)), s -> s <> '') AS sents
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, CAST(len(sents) AS BIGINT) AS n_sents,
+      |    CAST(COALESCE(list_sum(list_transform(sents,
+      |      x -> len(regexp_split_to_array(x, '\s+')))), 0) AS BIGINT)
+      |      AS n_toks
+      |  FROM s)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_sents) AS BIGINT) AS n_sents,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_sent_toks,
+      |  CAST(CAST(SUM(n_sents) * 100 AS BIGINT) // COUNT(*) AS BIGINT)
+      |    AS mean_sents_per_doc_c,
+      |  CAST(CASE WHEN SUM(n_sents) > 0
+      |       THEN CAST(SUM(n_toks) * 100 AS BIGINT) // CAST(SUM(n_sents) AS BIGINT)
+      |       ELSE 0 END AS BIGINT) AS mean_toks_per_sent_c
+      |FROM p GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_sentence_stats", sentenceStats, Some(sentenceStatsSql)),
     QueryDef("q187_gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
     QueryDef("q190_quality_length_corr", qualityLengthCorr, Some(qualityLengthCorrSql)),
     QueryDef("q191_langid_confusion", langidConfusion, Some(langidConfusionSql)),

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich-style): learn the merge
+  * table from a corpus. The suite already tokenizes with a fixed BPE-ish
+  * regex (q55) and counts adjacent pairs (q88 — the first merge's input);
+  * this operator closes the loop and learns the merges themselves.
+  *
+  * Scale design — the classic trick is that BPE trains on the WORD
+  * FREQUENCY table, not the corpus: ONE corpus pass builds `(word, n)`
+  * (vocab-sized — millions of rows at 100 TB, not billions), and every
+  * merge round then runs on that small table: adjacent-unit pairs form
+  * IN-ROW (no token explosion crosses a shuffle un-collapsed), one
+  * (lhs, rhs) hash agg weighted by `n`, and the argmax merge is a 1-row
+  * control-plane collect (the CC/IVF driver-scalar policy). The greedy
+  * left-to-right substitution is a map-side HOF fold; each round
+  * `localCheckpoint`s to keep the logical plan flat (the iterative-
+  * algorithm rule in NOTES.md).
+  *
+  * Determinism: the winning pair is argmax by (weighted count DESC, lhs,
+  * rhs) — total order, no RNG; the fold is sequential per word, so "aaaa"
+  * under merge (a,a) becomes ["aa","aa"], never the overlapping
+  * ["a","aa","a"] ambiguity.
+  */
+object BpeTrain {
+
+  /** Split a word into its character units (the round-0 representation). */
+  def charUnits(wordCol: String): Column =
+    expr(s"filter(split($wordCol, ''), x -> x != '')")
+
+  private def lit1(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  /** Greedy left-to-right in-row merge of adjacent units (a, b) → a||b. */
+  def mergePair(unitsCol: String, a: String, b: String): Column = {
+    val (qa, qb) = (lit1(a), lit1(b))
+    val ab = lit1(a + b)
+    expr(
+      s"""aggregate($unitsCol,
+         |  named_struct('out', CAST(array() AS array<string>),
+         |               'pend', CAST(NULL AS string)),
+         |  (acc, x) -> CASE
+         |    WHEN acc.pend IS NULL
+         |      THEN named_struct('out', acc.out, 'pend', x)
+         |    WHEN acc.pend = $qa AND x = $qb
+         |      THEN named_struct('out', concat(acc.out, array($ab)),
+         |                        'pend', CAST(NULL AS string))
+         |    ELSE named_struct('out', concat(acc.out, array(acc.pend)),
+         |                      'pend', x) END,
+         |  acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+         |         ELSE concat(acc.out, array(acc.pend)) END)""".stripMargin)
+  }
+
+  /** One merge learned: rank, the pair, its weighted count, and the
+    * weighted corpus unit count AFTER applying it (the compression curve).
+    */
+  final case class Merge(rank: Int, lhs: String, rhs: String,
+      pair_count: Long, units_after: Long)
+
+  /** Train `rounds` merges over a `(word, n)` frequency table.
+    *
+    * @param wordFreq distinct words with corpus counts — columns
+    *                 (word: string, n: long)
+    * @return one row per learned merge, rank-ordered
+    */
+  def train(wordFreq: DataFrame, rounds: Int): Seq[Merge] = {
+    var cur = wordFreq
+      .select(col("word"), col("n").cast("long").as("n"),
+        charUnits("word").as("units"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .select(col("n"), explode(expr(
+          """CASE WHEN size(units) >= 2 THEN
+            |  zip_with(slice(units, 1, size(units) - 1),
+            |           slice(units, 2, size(units) - 1),
+            |    (a, b) -> named_struct('lhs', a, 'rhs', b))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()                 // control-plane scalar: 1 row
+      if (top.isEmpty) exhausted = true
+      else {
+        val (lhs, rhs, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val prev = cur
+        cur = cur
+          .withColumn("units", mergePair("units", lhs, rhs))
+          .localCheckpoint(true)
+        prev.unpersist()
+        val unitsAfter = cur
+          .agg(sum(col("n") * size(col("units")))).collect()(0).getLong(0)
+        out += Merge(r, lhs, rhs, c, unitsAfter)
+        r += 1
+      }
+    }
+    cur.unpersist()
+    out.result()
+  }
+
+  /** One-pass corpus → `(word, n)` frequency table (whitespace words of
+    * lowercased text) — the ONLY corpus-sized stage of BPE training.
+    */
+  def wordFrequencies(documents: DataFrame, textCol: String): DataFrame =
+    documents
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+}

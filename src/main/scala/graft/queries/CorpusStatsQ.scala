@@ -1103,7 +1103,55 @@ object CorpusStatsQ {
     QueryDef("q91_unigram_logprob", unigramLogprob, Some(unigramLogprobSql)),
     QueryDef("q186_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("q192_surprisal_mixture", surprisalMixture, Some(surprisalMixtureSql)),
+    QueryDef("q195_bpe_merges", bpeMerges, Some(bpeMergesSql)),
   )
+
+  /** q195 — BPE tokenizer TRAINING (the merge loop q88's pair counts are
+    * the first step of): 8 Sennrich-style merges learned from the corpus,
+    * with each round's winning pair, weighted count, and the corpus unit
+    * count after the merge (the compression curve a tokenizer team reads
+    * before picking a vocab size). See [[graft.ops.BpeTrain]] for the
+    * scale argument: ONE corpus-sized pass (the word-frequency agg),
+    * then every round is vocab-sized with in-row pair formation, one
+    * weighted hash agg, and a 1-row argmax collect.
+    *
+    * Oracle: PINNED literals at sf0.01 (the driver gate's scale) — the
+    * greedy left-to-right substitution is sequential-fold semantics SQL
+    * can't restate independently (the q53 pinned-oracle policy);
+    * BpeTrainSpec hand-verifies the algorithm at unit scale including
+    * the overlap and tie rules. Regenerate by running [[bpeMerges]]
+    * against /root/testdata/sf0.01 if the tokenization or testdata ever
+    * change.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val merges = graft.core.Memo.cached(spark, s"q195-merges:$dir") {
+      graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.wordFrequencies(Tables(spark, dir).documents, "text"),
+        rounds = 8)
+    }
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  private val bpeMergesSql: String = {
+    val pinned = Seq(
+      ("e", "r", 4568L, 117941L),
+      ("i", "n", 2760L, 115181L),
+      ("o", "w", 2747L, 112434L),
+      ("o", "r", 2696L, 109738L),
+      ("s", "t", 2676L, 107062L),
+      ("m", "er", 1852L, 105210L),
+      ("a", "t", 1845L, 103365L),
+      ("l", "u", 1831L, 101534L))
+    val rows = pinned.zipWithIndex.map { case ((l, r, c, u), i) =>
+      s"(${i + 1}, '$l', '$r', $c, $u)"
+    }.mkString(", ")
+    s"""SELECT CAST(rank AS INT) AS rank, lhs, rhs,
+       |  CAST(pair_count AS BIGINT) AS pair_count,
+       |  CAST(units_after AS BIGINT) AS units_after
+       |FROM (VALUES $rows) AS t(rank, lhs, rhs, pair_count, units_after)"""
+      .stripMargin
+  }
 
   /** q186 — bigram conditional log-likelihood per document: the next step
     * up from q91's unigram surprisal and the classic cheap perplexity

@@ -1104,7 +1104,83 @@ object CorpusStatsQ {
     QueryDef("q186_bigram_logprob", bigramLogprob, Some(bigramLogprobSql)),
     QueryDef("q192_surprisal_mixture", surprisalMixture, Some(surprisalMixtureSql)),
     QueryDef("q195_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("q196_bpe_fertility", bpeFertility, Some(bpeFertilitySql)),
   )
+
+  /** q196 — apply the q195-LEARNED merges and report per-source fertility:
+    * BPE units per word (centi) and compression vs the character baseline
+    * (ppm). Closes the tokenizer loop (train q195 → apply → measure) and
+    * complements q161, which measures the FIXED regex tokenizer — this is
+    * the learned one, so the two disagree exactly where training data and
+    * corpus diverge.
+    *
+    * Scale shape: tokenization applies on the VOCAB table (distinct
+    * words), not the corpus — the 8 merge folds run once per distinct
+    * word in-row, and the corpus-sized work is a single (source, word)
+    * counted agg joined to the broadcast vocab. Oracle: pinned per-source
+    * literals (q195's fold-semantics rationale); BpeTrainSpec verifies
+    * the application path at unit scale.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val merges = graft.core.Memo.cached(spark, s"q195-merges:$dir") {
+      graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.wordFrequencies(t.documents, "text"), rounds = 8)
+    }
+    val sourceWords = t.documents
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    var vocab = sourceWords.select(col("word")).distinct()
+      .withColumn("units", graft.ops.BpeTrain.charUnits("word"))
+    merges.foreach { m =>
+      vocab = vocab.withColumn("units",
+        graft.ops.BpeTrain.mergePair("units", m.lhs, m.rhs))
+    }
+    val scored = vocab.select(col("word"),
+      length(col("word")).cast("long").as("chars"),
+      size(col("units")).cast("long").as("bpe_units"))
+    sourceWords.join(broadcast(scored), Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * col("chars")).as("char_units"),
+        sum(col("n") * col("bpe_units")).as("bpe_units"))
+      .select(col("source"), col("n_words"), col("char_units"),
+        col("bpe_units"),
+        expr("bpe_units * 100 div n_words").as("fertility_c"),
+        expr("bpe_units * 1000000 div char_units").as("compression_ppm"))
+  }
+
+  /** Pinned at sf0.01 (driver-gate scale) — regenerate by running
+    * [[bpeFertility]] against /root/testdata/sf0.01 if tokenization,
+    * merge count, or testdata change.
+    */
+  private val bpeFertilitySql: String = {
+    val pinned: Seq[(String, Long, Long, Long)] = Seq(
+      ("src0", 1435L, 6539L, 5386L), ("src1", 1540L, 7055L, 5804L),
+      ("src10", 1303L, 5883L, 4881L), ("src11", 1522L, 6890L, 5723L),
+      ("src12", 1272L, 5680L, 4703L), ("src13", 1553L, 6934L, 5754L),
+      ("src14", 1318L, 5923L, 4893L), ("src15", 1298L, 5827L, 4807L),
+      ("src16", 1351L, 6158L, 5110L), ("src17", 1373L, 6129L, 5064L),
+      ("src18", 1364L, 6217L, 5153L), ("src19", 1147L, 5184L, 4302L),
+      ("src2", 1407L, 6307L, 5253L), ("src3", 1384L, 6261L, 5183L),
+      ("src4", 1294L, 5829L, 4819L), ("src5", 1329L, 5950L, 4963L),
+      ("src6", 1266L, 5723L, 4721L), ("src7", 1507L, 6719L, 5625L),
+      ("src8", 1136L, 5166L, 4273L), ("src9", 1366L, 6135L, 5117L))
+    val rows = pinned.map { case (s, w, c, b) => s"('$s', $w, $c, $b)" }
+      .mkString(", ")
+    s"""SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(char_units AS BIGINT) AS char_units,
+       |  CAST(bpe_units AS BIGINT) AS bpe_units,
+       |  CAST(CAST(bpe_units AS BIGINT) * 100 // n_words AS BIGINT)
+       |    AS fertility_c,
+       |  CAST(CAST(bpe_units AS BIGINT) * 1000000 // char_units AS BIGINT)
+       |    AS compression_ppm
+       |FROM (VALUES $rows) AS t(source, n_words, char_units, bpe_units)"""
+      .stripMargin
+  }
 
   /** q195 — BPE tokenizer TRAINING (the merge loop q88's pair counts are
     * the first step of): 8 Sennrich-style merges learned from the corpus,

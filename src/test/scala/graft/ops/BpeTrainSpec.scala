@@ -52,6 +52,21 @@ class BpeTrainSpec extends SparkTestBase {
     assert(wf == Seq(("low", 3L), ("lowest", 1L)))
   }
 
+  test("applying learned merges in sequence tokenizes as hand-computed") {
+    val freq = Seq(("low", 5L), ("lowest", 2L)).toDF("word", "n")
+    val merges = BpeTrain.train(freq, 3) // (l,o) (lo,w) (e,s) — see above
+    var v = Seq("low", "lowest", "slow").toDF("word")
+      .withColumn("units", BpeTrain.charUnits("word"))
+    merges.foreach(m => v = v.withColumn("units",
+      BpeTrain.mergePair("units", m.lhs, m.rhs)))
+    val out = v.select($"word", $"units").as[(String, Seq[String])]
+      .collect().toMap
+    assert(out("low") == Seq("low"))
+    assert(out("lowest") == Seq("low", "es", "t"))
+    // unseen word: merges still apply where they match
+    assert(out("slow") == Seq("s", "low"))
+  }
+
   test("exhausts cleanly when no pairs remain") {
     val freq = Seq(("ab", 1L)).toDF("word", "n")
     val merges = BpeTrain.train(freq, 5)

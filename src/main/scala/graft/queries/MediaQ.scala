@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.core.Tables
 import graft.ops.{Avi, Mp4, Multimodal}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -200,9 +201,86 @@ object MediaQ {
       |    AS byte_len
       |FROM documents""".stripMargin
 
+  private val imageDedupSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dhash", LongType)))
+
+  /** q197 — PERCEPTUAL image dedup (dHash), the multimodal leg of the
+    * near-dup family: re-encoded or brightness-shifted copies of the same
+    * picture share a 64-bit difference hash even though their bytes (and
+    * sha256, q35) differ. Per doc, a deterministic 9×8-cell grayscale
+    * pattern is planted (md5-derived levels, seed = doc_id % 64) with a
+    * per-copy uniform brightness jitter (+8·((doc_id div 64) % 4)),
+    * encoded as a REAL JPEG, then hashed through the real decode →
+    * integer average-pool → thresholded-dHash path
+    * ([[graft.ops.ImageHash]]). Jittered copies of a seed MUST collide —
+    * the oracle re-derives each seed's hash arithmetically from the
+    * planted formula (jitter-free), so a green row proves the codec
+    * round trip AND the brightness invariance end to end
+    * (ImageHashSpec additionally pins the noise margins per seed).
+    *
+    * Scale shape: synthesis+hash is map-only over one scan; dedup is one
+    * (dhash) count joined back broadcast — hash-bucket grouping, the
+    * SimHash shape, never image×image.
+    */
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ImageHash
+    val t = Tables(spark, dir)
+    val hashes = t.documents.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = (id % 64).toInt
+        val jitter = ((id / 64) % 4).toInt * 8
+        val cells = Array.tabulate(ImageHash.GridW * ImageHash.GridH) { i =>
+          ImageHash.plantedValue(seed, i % ImageHash.GridW,
+            i / ImageHash.GridW) + jitter
+        }
+        val h = ImageHash.dHash64(ImageHash.grayCellJpeg(cells)).getOrElse(
+          sys.error(s"synthesized JPEG failed to decode for doc $id"))
+        Row(id, h)
+      }
+    }(org.apache.spark.sql.Encoders.row(imageDedupSchema))
+    val groups = hashes.groupBy(col("dhash"))
+      .agg(count(lit(1)).as("group_n"))
+    hashes.join(broadcast(groups), Seq("dhash"))
+      .select(col("doc_id"), col("dhash"), col("group_n"),
+        (col("group_n") > 1L).as("is_near_dup"))
+  }
+
+  private val imageDedupSql =
+    """WITH grid AS (
+      |  SELECT x, y FROM range(0, 9) t1(x), range(0, 8) t2(y)),
+      |vals AS (
+      |  SELECT s.seed, g.x, g.y,
+      |    32 + 64 * (('0x' || substr(md5('img:' || s.seed || ':' || g.x ||
+      |      ':' || g.y), 1, 8))::BIGINT % 4) AS v
+      |  FROM range(0, 64) s(seed), grid g),
+      |bits AS (
+      |  SELECT a.seed, a.x, a.y,
+      |    CASE WHEN b.v >= a.v + 32 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      |  FROM vals a
+      |  JOIN vals b ON b.seed = a.seed AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hashes AS (
+      |  -- bit 63 is the BIGINT sign bit: DuckDB's checked 1<<63 overflows,
+      |  -- so express it as the two's-complement minimum instead
+      |  SELECT seed, CAST(SUM(CASE WHEN y * 8 + x = 63
+      |    THEN bit * (-9223372036854775807 - 1)
+      |    ELSE bit << (y * 8 + x) END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY seed),
+      |docs AS (
+      |  SELECT doc_id, CAST(doc_id % 64 AS INT) AS seed FROM documents),
+      |j AS (
+      |  SELECT d.doc_id, h.dhash FROM docs d JOIN hashes h USING (seed))
+      |SELECT doc_id, dhash,
+      |  CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
+      |  (COUNT(*) OVER (PARTITION BY dhash)) > 1 AS is_near_dup
+      |FROM j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
     QueryDef("q176_audio_meta", audioMeta, Some(audioMetaSql)),
+    QueryDef("q197_image_phash_dedup", imageDedup, Some(imageDedupSql)),
   )
 }

@@ -277,10 +277,71 @@ object MediaQ {
       |  (COUNT(*) OVER (PARTITION BY dhash)) > 1 AS is_near_dup
       |FROM j""".stripMargin
 
+  private val audioDedupSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fp", IntegerType)))
+
+  /** q198 — audio fingerprint dedup, completing the multimodal near-dup
+    * triad (text MinHash q37 / image dHash q197 / audio here): per doc a
+    * deterministic 17-frame square-wave recording is planted (md5-derived
+    * energy levels, seed = doc_id % 48) with a per-copy uniform GAIN
+    * (×(1 + (doc_id div 48) % 3)), written as a real PCM WAV, then hashed
+    * through the real decode → frame-energy → ratio-fingerprint path
+    * ([[graft.ops.AudioFingerprint]]). Re-gained copies MUST collide —
+    * the ratio comparisons cancel the gain exactly — and the oracle
+    * re-derives each seed's fingerprint arithmetically from the planted
+    * formula. Scale shape: map-only synthesis+hash over one scan, one
+    * (fp) count agg broadcast back; never audio×audio.
+    */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AudioFingerprint
+    val t = Tables(spark, dir)
+    val hashes = t.documents.select("doc_id").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val seed = (id % 48).toInt
+        val gain = 1 + ((id / 48) % 3).toInt
+        val amps = Array.tabulate(AudioFingerprint.NFrames)(i =>
+          AudioFingerprint.plantedLevel(seed, i) * gain)
+        val fp = AudioFingerprint.fingerprint16(
+          AudioFingerprint.squareWav(amps)).getOrElse(
+          sys.error(s"synthesized WAV failed to decode for doc $id"))
+        Row(id, fp)
+      }
+    }(org.apache.spark.sql.Encoders.row(audioDedupSchema))
+    val groups = hashes.groupBy(col("fp")).agg(count(lit(1)).as("group_n"))
+    hashes.join(broadcast(groups), Seq("fp"))
+      .select(col("doc_id"), col("fp"), col("group_n"),
+        (col("group_n") > 1L).as("is_near_dup"))
+  }
+
+  private val audioDedupSql =
+    """WITH lv AS (
+      |  SELECT s.seed, t.i,
+      |    (CASE ('0x' || substr(md5('aud:' || s.seed || ':' || t.i), 1, 8))
+      |       ::BIGINT % 4
+      |     WHEN 0 THEN 300 WHEN 1 THEN 900 WHEN 2 THEN 2700
+      |     ELSE 8100 END) AS lvl
+      |  FROM range(0, 48) s(seed), range(0, 17) t(i)),
+      |fps AS (
+      |  SELECT a.seed,
+      |    CAST(SUM(CASE WHEN b.lvl > a.lvl THEN 1 << a.i ELSE 0 END)
+      |      AS INT) AS fp
+      |  FROM lv a JOIN lv b ON b.seed = a.seed AND b.i = a.i + 1
+      |  WHERE a.i < 16 GROUP BY a.seed),
+      |docs AS (
+      |  SELECT doc_id, CAST(doc_id % 48 AS INT) AS seed FROM documents),
+      |j AS (SELECT d.doc_id, f.fp FROM docs d JOIN fps f USING (seed))
+      |SELECT doc_id, fp,
+      |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
+      |  (COUNT(*) OVER (PARTITION BY fp)) > 1 AS is_near_dup
+      |FROM j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
     QueryDef("q176_audio_meta", audioMeta, Some(audioMetaSql)),
     QueryDef("q197_image_phash_dedup", imageDedup, Some(imageDedupSql)),
+    QueryDef("q198_audio_fp_dedup", audioDedup, Some(audioDedupSql)),
   )
 }

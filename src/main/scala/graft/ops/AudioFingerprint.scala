@@ -2,7 +2,7 @@ package graft.ops
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFormat, AudioInputStream}
 
 /** Scale-invariant audio fingerprinting for multimodal near-dup dedup —
   * the audio leg of the family (text: MinHash/SimHash; image: dHash
@@ -34,9 +34,7 @@ object AudioFingerprint {
     * exactly.
     */
   def plantedLevel(seed: Int, i: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"aud:$seed:$i".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val hex = Md5.hex8(s"aud:$seed:$i")
     Levels((java.lang.Long.parseLong(hex, 16) % 4).toInt)
   }
 
@@ -59,7 +57,9 @@ object AudioFingerprint {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
       (NFrames * FrameSamples).toLong)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    // cached SPI writer — AudioSystem.write re-scans providers under a
+    // global lock per call and serializes executors (SoundProviders)
+    SoundProviders.writeWave(ais, out)
     out.toByteArray
   }
 
@@ -68,7 +68,7 @@ object AudioFingerprint {
     */
   def frameEnergies(bytes: Array[Byte]): Option[Array[Long]] =
     try {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val ais = SoundProviders.audioInputStream(bytes).getOrElse(return None)
       val data = ais.readAllBytes()
       ais.close()
       val n = data.length / 2

@@ -115,9 +115,23 @@ object ImageHash {
     * ::BIGINT % 4` exactly.
     */
   def plantedValue(seed: Int, x: Int, y: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"img:$seed:$x:$y".getBytes("UTF-8"))
-      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val hex = Md5.hex8(s"img:$seed:$x:$y")
     (32 + 64 * (java.lang.Long.parseLong(hex, 16) % 4)).toInt
+  }
+}
+
+/** Thread-local MD5 — `MessageDigest.getInstance` is a synchronized JCA
+  * provider lookup PER CALL and measurably serializes 32-thread
+  * executors when a planted-value derivation runs per row (q197/q198).
+  */
+private[ops] object Md5 {
+  private val local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 hex chars of md5(s) — the house `substr(md5(x), 1, 8)`. */
+  def hex8(s: String): String = {
+    val md = local.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
   }
 }

@@ -126,10 +126,10 @@ object Multimodal {
         try {
           if (bytes == null) MediaMeta("unknown", -1, -1, 0, 0L)
           else {
-            // ByteArrayInputStream supports mark/reset, which the SPI
-            // probe requires of its input
-            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-              new java.io.ByteArrayInputStream(bytes))
+            // cached SPI probe (SoundProviders) — AudioSystem's own
+            // lookup re-scans providers under a global lock per call
+            val aff = SoundProviders.audioFileFormat(bytes).getOrElse(
+              throw new javax.sound.sampled.UnsupportedAudioFileException)
             val fmt = aff.getFormat
             MediaMeta(aff.getType.getExtension.toLowerCase,
               math.round(fmt.getSampleRate), fmt.getChannels,

@@ -177,7 +177,9 @@ object MediaQ {
         val ais = new AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, nf.toLong)
         val out = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+        // cached SPI writer — AudioSystem.write serializes under the
+        // JDK's per-call provider-rescan lock (SoundProviders)
+        graft.ops.SoundProviders.writeWave(ais, out)
         val bytes = out.toByteArray
         val m = Multimodal.AudioSystemDecoder.decodeBatch(Seq(bytes)).head
         require(m.format != "unknown", s"audio round-trip failed for doc $id")

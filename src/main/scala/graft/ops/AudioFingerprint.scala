@@ -33,7 +33,7 @@ object AudioFingerprint {
     * `('0x' || substr(md5('aud:' || seed || ':' || i), 1, 8))::BIGINT % 4`
     * exactly.
     */
-  def plantedLevel(seed: Int, i: Int): Int = {
+  def plantedLevel(seed: Long, i: Int): Int = {
     val hex = Md5.hex8(s"aud:$seed:$i")
     Levels((java.lang.Long.parseLong(hex, 16) % 4).toInt)
   }

@@ -114,7 +114,7 @@ object ImageHash {
     * `('0x' || substr(md5('img:' || seed || ':' || x || ':' || y), 1, 8))
     * ::BIGINT % 4` exactly.
     */
-  def plantedValue(seed: Int, x: Int, y: Int): Int = {
+  def plantedValue(seed: Long, x: Int, y: Int): Int = {
     val hex = Md5.hex8(s"img:$seed:$x:$y")
     (32 + 64 * (java.lang.Long.parseLong(hex, 16) % 4)).toInt
   }

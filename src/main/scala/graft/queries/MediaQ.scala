@@ -225,23 +225,35 @@ object MediaQ {
     * (dhash) count joined back broadcast — hash-bucket grouping, the
     * SimHash shape, never image×image.
     */
-  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.ImageHash
-    val t = Tables(spark, dir)
-    val hashes = t.documents.select("doc_id").mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val seed = (id % 64).toInt
-        val jitter = ((id / 64) % 4).toInt * 8
-        val cells = Array.tabulate(ImageHash.GridW * ImageHash.GridH) { i =>
-          ImageHash.plantedValue(seed, i % ImageHash.GridW,
-            i / ImageHash.GridW) + jitter
+  /** Memoized (doc_id, dhash) — ONE JPEG round-trip pass per (session,
+    * dir), shared by q197 and the cross-modal q199/q200.
+    */
+  private def imageHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q197-hashes:$dir") {
+      import graft.ops.ImageHash
+      val t = Tables(spark, dir)
+      t.documents.select("doc_id").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // every 4th doc is a copy from one of 16 shared patterns
+          // (brightness-jittered per copy); the rest are unique — so
+          // dedup has BOTH positives and negatives to get right
+          val seed = if (id % 4 == 0) (id / 4) % 16 else -(id + 1)
+          val jitter = ((id / 64) % 4).toInt * 8
+          val cells = Array.tabulate(ImageHash.GridW * ImageHash.GridH) { i =>
+            ImageHash.plantedValue(seed, i % ImageHash.GridW,
+              i / ImageHash.GridW) + jitter
+          }
+          val h = ImageHash.dHash64(ImageHash.grayCellJpeg(cells)).getOrElse(
+            sys.error(s"synthesized JPEG failed to decode for doc $id"))
+          Row(id, h)
         }
-        val h = ImageHash.dHash64(ImageHash.grayCellJpeg(cells)).getOrElse(
-          sys.error(s"synthesized JPEG failed to decode for doc $id"))
-        Row(id, h)
-      }
-    }(org.apache.spark.sql.Encoders.row(imageDedupSchema))
+      }(org.apache.spark.sql.Encoders.row(imageDedupSchema))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def imageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = imageHashes(spark, dir)
     val groups = hashes.groupBy(col("dhash"))
       .agg(count(lit(1)).as("group_n"))
     hashes.join(broadcast(groups), Seq("dhash"))
@@ -249,35 +261,66 @@ object MediaQ {
         (col("group_n") > 1L).as("is_near_dup"))
   }
 
+  /** Shared oracle text: per-doc planted seeds (sparse duplication) →
+    * arithmetic dHash / audio fingerprint per DISTINCT seed.
+    */
+  private val imageSeedSql =
+    "CASE WHEN doc_id % 4 = 0 THEN (doc_id // 4) % 16 ELSE -(doc_id + 1) END"
+  private val audioSeedSql =
+    "CASE WHEN doc_id % 3 = 0 THEN (doc_id // 3) % 12 ELSE -(doc_id + 1) END"
+
+  private def imageHashCtes(docsCte: String): String =
+    s"""$docsCte,
+       |igrid AS (SELECT x, y FROM range(0, 9) t1(x), range(0, 8) t2(y)),
+       |iseeds AS (SELECT DISTINCT iseed AS seed FROM docs0),
+       |ivals AS (
+       |  SELECT s.seed, g.x, g.y,
+       |    32 + 64 * (('0x' || substr(md5('img:' || s.seed || ':' || g.x ||
+       |      ':' || g.y), 1, 8))::BIGINT % 4) AS v
+       |  FROM iseeds s, igrid g),
+       |ibits AS (
+       |  SELECT a.seed, a.x, a.y,
+       |    CASE WHEN b.v >= a.v + 32 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM ivals a
+       |  JOIN ivals b ON b.seed = a.seed AND b.y = a.y AND b.x = a.x + 1
+       |  WHERE a.x < 8),
+       |ihash AS (
+       |  -- bit 63 is the BIGINT sign bit: DuckDB's checked 1<<63 overflows,
+       |  -- so express it as the two's-complement minimum instead
+       |  SELECT seed, CAST(SUM(CASE WHEN y * 8 + x = 63
+       |    THEN bit * (-9223372036854775807 - 1)
+       |    ELSE bit << (y * 8 + x) END) AS BIGINT) AS dhash
+       |  FROM ibits GROUP BY seed),
+       |aseeds AS (SELECT DISTINCT aseed AS seed FROM docs0),
+       |alv AS (
+       |  SELECT s.seed, t.i,
+       |    (CASE ('0x' || substr(md5('aud:' || s.seed || ':' || t.i), 1, 8))
+       |       ::BIGINT % 4
+       |     WHEN 0 THEN 300 WHEN 1 THEN 900 WHEN 2 THEN 2700
+       |     ELSE 8100 END) AS lvl
+       |  FROM aseeds s, range(0, 17) t(i)),
+       |afp AS (
+       |  SELECT a.seed,
+       |    CAST(SUM(CASE WHEN b.lvl > a.lvl THEN 1 << a.i ELSE 0 END)
+       |      AS INT) AS fp
+       |  FROM alv a JOIN alv b ON b.seed = a.seed AND b.i = a.i + 1
+       |  WHERE a.i < 16 GROUP BY a.seed)""".stripMargin
+
+  private val docs0Cte =
+    s"""WITH docs0 AS (
+       |  SELECT doc_id, source, text,
+       |    $imageSeedSql AS iseed, $audioSeedSql AS aseed
+       |  FROM documents)""".stripMargin
+
   private val imageDedupSql =
-    """WITH grid AS (
-      |  SELECT x, y FROM range(0, 9) t1(x), range(0, 8) t2(y)),
-      |vals AS (
-      |  SELECT s.seed, g.x, g.y,
-      |    32 + 64 * (('0x' || substr(md5('img:' || s.seed || ':' || g.x ||
-      |      ':' || g.y), 1, 8))::BIGINT % 4) AS v
-      |  FROM range(0, 64) s(seed), grid g),
-      |bits AS (
-      |  SELECT a.seed, a.x, a.y,
-      |    CASE WHEN b.v >= a.v + 32 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-      |  FROM vals a
-      |  JOIN vals b ON b.seed = a.seed AND b.y = a.y AND b.x = a.x + 1
-      |  WHERE a.x < 8),
-      |hashes AS (
-      |  -- bit 63 is the BIGINT sign bit: DuckDB's checked 1<<63 overflows,
-      |  -- so express it as the two's-complement minimum instead
-      |  SELECT seed, CAST(SUM(CASE WHEN y * 8 + x = 63
-      |    THEN bit * (-9223372036854775807 - 1)
-      |    ELSE bit << (y * 8 + x) END) AS BIGINT) AS dhash
-      |  FROM bits GROUP BY seed),
-      |docs AS (
-      |  SELECT doc_id, CAST(doc_id % 64 AS INT) AS seed FROM documents),
-      |j AS (
-      |  SELECT d.doc_id, h.dhash FROM docs d JOIN hashes h USING (seed))
-      |SELECT doc_id, dhash,
-      |  CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
-      |  (COUNT(*) OVER (PARTITION BY dhash)) > 1 AS is_near_dup
-      |FROM j""".stripMargin
+    s"""${imageHashCtes(docs0Cte)},
+       |j AS (
+       |  SELECT d.doc_id, h.dhash FROM docs0 d
+       |  JOIN ihash h ON h.seed = d.iseed)
+       |SELECT doc_id, dhash,
+       |  CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_n,
+       |  (COUNT(*) OVER (PARTITION BY dhash)) > 1 AS is_near_dup
+       |FROM j""".stripMargin
 
   private val audioDedupSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -295,22 +338,33 @@ object MediaQ {
     * formula. Scale shape: map-only synthesis+hash over one scan, one
     * (fp) count agg broadcast back; never audio×audio.
     */
+  /** Memoized (doc_id, fp) — ONE WAV round-trip pass per (session, dir),
+    * shared by q198 and the cross-modal q199/q200.
+    */
+  private def audioFps(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q198-fps:$dir") {
+      import graft.ops.AudioFingerprint
+      val t = Tables(spark, dir)
+      t.documents.select("doc_id").mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          // every 3rd doc is a re-gained copy from one of 12 shared
+          // recordings; the rest are unique (see imageHashes)
+          val seed = if (id % 3 == 0) (id / 3) % 12 else -(id + 1)
+          val gain = 1 + ((id / 36) % 3).toInt
+          val amps = Array.tabulate(AudioFingerprint.NFrames)(i =>
+            AudioFingerprint.plantedLevel(seed, i) * gain)
+          val fp = AudioFingerprint.fingerprint16(
+            AudioFingerprint.squareWav(amps)).getOrElse(
+            sys.error(s"synthesized WAV failed to decode for doc $id"))
+          Row(id, fp)
+        }
+      }(org.apache.spark.sql.Encoders.row(audioDedupSchema))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def audioDedup(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.AudioFingerprint
-    val t = Tables(spark, dir)
-    val hashes = t.documents.select("doc_id").mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val seed = (id % 48).toInt
-        val gain = 1 + ((id / 48) % 3).toInt
-        val amps = Array.tabulate(AudioFingerprint.NFrames)(i =>
-          AudioFingerprint.plantedLevel(seed, i) * gain)
-        val fp = AudioFingerprint.fingerprint16(
-          AudioFingerprint.squareWav(amps)).getOrElse(
-          sys.error(s"synthesized WAV failed to decode for doc $id"))
-        Row(id, fp)
-      }
-    }(org.apache.spark.sql.Encoders.row(audioDedupSchema))
+    val hashes = audioFps(spark, dir)
     val groups = hashes.groupBy(col("fp")).agg(count(lit(1)).as("group_n"))
     hashes.join(broadcast(groups), Seq("fp"))
       .select(col("doc_id"), col("fp"), col("group_n"),
@@ -318,26 +372,138 @@ object MediaQ {
   }
 
   private val audioDedupSql =
-    """WITH lv AS (
-      |  SELECT s.seed, t.i,
-      |    (CASE ('0x' || substr(md5('aud:' || s.seed || ':' || t.i), 1, 8))
-      |       ::BIGINT % 4
-      |     WHEN 0 THEN 300 WHEN 1 THEN 900 WHEN 2 THEN 2700
-      |     ELSE 8100 END) AS lvl
-      |  FROM range(0, 48) s(seed), range(0, 17) t(i)),
-      |fps AS (
-      |  SELECT a.seed,
-      |    CAST(SUM(CASE WHEN b.lvl > a.lvl THEN 1 << a.i ELSE 0 END)
-      |      AS INT) AS fp
-      |  FROM lv a JOIN lv b ON b.seed = a.seed AND b.i = a.i + 1
-      |  WHERE a.i < 16 GROUP BY a.seed),
-      |docs AS (
-      |  SELECT doc_id, CAST(doc_id % 48 AS INT) AS seed FROM documents),
-      |j AS (SELECT d.doc_id, f.fp FROM docs d JOIN fps f USING (seed))
-      |SELECT doc_id, fp,
-      |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
-      |  (COUNT(*) OVER (PARTITION BY fp)) > 1 AS is_near_dup
-      |FROM j""".stripMargin
+    s"""${imageHashCtes(docs0Cte)},
+       |j AS (
+       |  SELECT d.doc_id, f.fp FROM docs0 d
+       |  JOIN afp f ON f.seed = d.aseed)
+       |SELECT doc_id, fp,
+       |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
+       |  (COUNT(*) OVER (PARTITION BY fp)) > 1 AS is_near_dup
+       |FROM j""".stripMargin
+
+  /** Per-doc dup flags in all three modalities, shared by q199/q200:
+    * text = exact content hash (q36's convention), image = q197 dHash
+    * group, audio = q198 fingerprint group.
+    */
+  private def modalFlags(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val text = t.documents.select(col("doc_id"), col("source"),
+      md5(col("text")).as("thash"))
+    val tg = text.groupBy(col("thash")).agg(
+      count(lit(1)).as("tn"), min(col("doc_id")).as("tkeep"))
+    val ig = imageHashes(spark, dir).groupBy(col("dhash")).agg(
+      count(lit(1)).as("in_"), min(col("doc_id")).as("ikeep"))
+    val ag = audioFps(spark, dir).groupBy(col("fp")).agg(
+      count(lit(1)).as("an"), min(col("doc_id")).as("akeep"))
+    text
+      .join(broadcast(tg), Seq("thash"))
+      .join(imageHashes(spark, dir), Seq("doc_id"))
+      .join(broadcast(ig), Seq("dhash"))
+      .join(audioFps(spark, dir), Seq("doc_id"))
+      .join(broadcast(ag), Seq("fp"))
+      .select(col("doc_id"), col("source"),
+        (col("tn") > 1L).as("text_dup"), (col("in_") > 1L).as("image_dup"),
+        (col("an") > 1L).as("audio_dup"),
+        (col("doc_id") === col("tkeep")).as("text_keep"),
+        (col("doc_id") === col("ikeep")).as("image_keep"),
+        (col("doc_id") === col("akeep")).as("audio_keep"))
+  }
+
+  /** q199 — CROSS-MODAL dedup agreement matrix: for every document,
+    * whether it is a duplicate in text (exact content hash, q36), image
+    * (q197 dHash group), and audio (q198 fingerprint group), aggregated
+    * into the 2×2×2 agreement matrix with exact ppm shares. This is the
+    * audit a multimodal curation runs before trusting ANY single-modality
+    * dedup: "image-dup but text-unique" rows are recaptioned screenshots,
+    * "text-dup but media-unique" rows are boilerplate captions — each
+    * cell drives a different policy.
+    *
+    * Scale shape: the three hash passes are memoized (shared with
+    * q197/q198); each modality adds one hash-keyed count agg broadcast
+    * back; the matrix is an 8-row agg. Never doc×doc in any modality.
+    */
+  def crossModalMatrix(spark: SparkSession, dir: String): DataFrame =
+    modalFlags(spark, dir)
+      .groupBy(col("text_dup"), col("image_dup"), col("audio_dup"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("text_dup"), col("image_dup"), col("audio_dup"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+
+  private val modalCtes =
+    s"""${imageHashCtes(docs0Cte)},
+       |tg AS (
+       |  SELECT md5(text) AS thash, COUNT(*) AS tn, MIN(doc_id) AS tkeep
+       |  FROM documents GROUP BY 1),
+       |docs AS (
+       |  SELECT d.doc_id, d.source, md5(d.text) AS thash, ih.dhash, af.fp
+       |  FROM docs0 d
+       |  JOIN ihash ih ON ih.seed = d.iseed
+       |  JOIN afp af ON af.seed = d.aseed),
+       |ig AS (SELECT dhash, COUNT(*) AS in_, MIN(doc_id) AS ikeep
+       |       FROM docs GROUP BY 1),
+       |ag AS (SELECT fp, COUNT(*) AS an, MIN(doc_id) AS akeep
+       |       FROM docs GROUP BY 1),
+       |flags AS (
+       |  SELECT d.doc_id, d.source,
+       |    tg.tn > 1 AS text_dup, ig.in_ > 1 AS image_dup,
+       |    ag.an > 1 AS audio_dup,
+       |    d.doc_id = tg.tkeep AS text_keep,
+       |    d.doc_id = ig.ikeep AS image_keep,
+       |    d.doc_id = ag.akeep AS audio_keep
+       |  FROM docs d
+       |  JOIN tg ON tg.thash = d.thash
+       |  JOIN ig ON ig.dhash = d.dhash
+       |  JOIN ag ON ag.fp = d.fp)""".stripMargin
+
+  private val crossModalMatrixSql =
+    s"""$modalCtes
+       |SELECT text_dup, image_dup, audio_dup,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(CAST(COUNT(*) * 1000000 AS BIGINT)
+       |    // CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+       |FROM flags GROUP BY 1, 2, 3""".stripMargin
+
+  /** q200 — MULTIMODAL curation: keep a document only if it is the
+    * canonical copy in EVERY modality (min-id per exact-text group, per
+    * image dHash group, per audio fingerprint group — the q36 keep_id
+    * convention applied across modalities), reported per source with
+    * per-modality survival counts and exact retained-ppm. The capstone
+    * composition of the dedup triad: a pipeline that deduplicates text
+    * only would keep recaptioned screenshots and re-gained audio copies
+    * that this drops.
+    *
+    * Scale shape: same memoized hash passes + three broadcast group
+    * tables into one documents pass; one per-source agg.
+    */
+  def multimodalCurate(spark: SparkSession, dir: String): DataFrame =
+    modalFlags(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text_keep"), 1L).otherwise(0L)).as("kept_text"),
+        sum(when(col("image_keep"), 1L).otherwise(0L)).as("kept_image"),
+        sum(when(col("audio_keep"), 1L).otherwise(0L)).as("kept_audio"),
+        sum(when(col("text_keep") && col("image_keep") && col("audio_keep"),
+          1L).otherwise(0L)).as("kept_all"))
+      .withColumn("retained_ppm", expr("kept_all * 1000000 div n_docs"))
+
+  private val multimodalCurateSql =
+    s"""$modalCtes
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN text_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_text,
+       |  CAST(SUM(CASE WHEN image_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_image,
+       |  CAST(SUM(CASE WHEN audio_keep THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS kept_audio,
+       |  CAST(SUM(CASE WHEN text_keep AND image_keep AND audio_keep
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_all,
+       |  CAST(CAST(SUM(CASE WHEN text_keep AND image_keep AND audio_keep
+       |    THEN 1 ELSE 0 END) * 1000000 AS BIGINT) // COUNT(*) AS BIGINT)
+       |    AS retained_ppm
+       |FROM flags GROUP BY source""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
@@ -345,5 +511,7 @@ object MediaQ {
     QueryDef("q176_audio_meta", audioMeta, Some(audioMetaSql)),
     QueryDef("q197_image_phash_dedup", imageDedup, Some(imageDedupSql)),
     QueryDef("q198_audio_fp_dedup", audioDedup, Some(audioDedupSql)),
+    QueryDef("q199_crossmodal_matrix", crossModalMatrix, Some(crossModalMatrixSql)),
+    QueryDef("q200_multimodal_curate", multimodalCurate, Some(multimodalCurateSql)),
   )
 }

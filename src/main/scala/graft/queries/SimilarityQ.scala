@@ -169,7 +169,17 @@ object SimilarityQ {
     * dims, join, window argmin) — a different formulation of the same
     * integer fixpoint, so agreement cross-checks the algorithm.
     */
-  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame = {
+  def kmeansEmbed(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(spark, dir)
+
+  /** Memoized final k-means assignment (vec_id, cluster, dist_u) — one
+    * Lloyd fixpoint per (session, dir), shared by q154 (the listing) and
+    * q201 (SemDeDup's cluster scoping). The assignment is the expensive
+    * artifact (3 assignment passes + 2 update shuffles + driver
+    * control-plane rounds); consumers only re-scan the tiny result.
+    */
+  private def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+   graft.core.Memo.cached(spark, s"q154-assign:$dir") {
     val t = Tables(spark, dir)
     val Off = 8000000L // > max |micro-unit| ⇒ shifted sums stay positive
     val u = t.embeddings.select(col("vec_id"),
@@ -206,9 +216,14 @@ object SimilarityQ {
     val c1 = update(assign(seeds))
     val c2 = update(assign(c1))
     assign(c2).select(col("vec_id"), col("cluster"), col("dist_u"))
-  }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+   }
 
-  private val kmeansEmbedSql =
+  /** The k-means CTE chain, ending in `asg(vec_id, cluster, dist_u)` —
+    * shared by the q154 oracle (a straight projection) and the q201
+    * oracle (cluster scoping for SemDeDup).
+    */
+  private val kmeansCtes =
     """WITH u AS (
       |  SELECT vec_id, CAST(t.i + 1 AS INT) AS dim,
       |    CAST(round(CAST(list_extract(embedding, CAST(t.i + 1 AS INT)) AS DOUBLE)
@@ -244,12 +259,96 @@ object SimilarityQ {
       |  FROM u JOIN b2 b USING (vec_id) GROUP BY 1, 2),
       |a3 AS (
       |  SELECT u.vec_id, c.cid, SUM((u.v - c.v) * (u.v - c.v)) AS dist
-      |  FROM u JOIN c2 c USING (dim) GROUP BY 1, 2)
-      |SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_u
-      |FROM (
-      |  SELECT vec_id, cid, dist,
-      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |  FROM a3) WHERE rn = 1""".stripMargin
+      |  FROM u JOIN c2 c USING (dim) GROUP BY 1, 2),
+      |asg AS (
+      |  SELECT vec_id, CAST(cid AS INT) AS cluster, CAST(dist AS BIGINT) AS dist_u
+      |  FROM (
+      |    SELECT vec_id, cid, dist,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM a3) WHERE rn = 1)""".stripMargin
+
+  private val kmeansEmbedSql =
+    s"""$kmeansCtes
+       |SELECT vec_id, cluster, dist_u FROM asg""".stripMargin
+
+  /** q201 — SemDeDup-shaped semantic dedup (Abbas et al. 2023, public):
+    * embedding near-duplicates are pruned WITHIN k-means clusters — a
+    * vector is dropped when a same-cluster vector with a SMALLER id sits
+    * at cosine ≥ 0.35 (anchor-ordered pruning: deterministic,
+    * join-expressible, and an over-approximation of the paper's greedy
+    * epsilon-ball sweep that never depends on visit order). Reported per
+    * cluster: size, near-dup pairs, dropped, kept ppm.
+    *
+    * Scale shape: the pair expansion is scoped to a cluster — never
+    * corpus×corpus — and clusters above `cap` members contribute no pairs
+    * (the candidatePairs/q77 hot-bucket convention, mirrored in the
+    * oracle's `csz` CTE). In the paper's regime k scales with N
+    * (clusters stay ~constant-sized); here k is pinned at 4 for the
+    * oracle-checked fixpoint, so the cap is the honest guard. Rides the
+    * memoized q154 assignment — SemDeDup costs one small self-join on
+    * top of clustering the corpus already paid for.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cap = 4096
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val csz = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    val v = t.embeddings
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("dv"))
+      .withColumn("nrm", Similarity.norm("dv"))
+      .join(asg, Seq("vec_id"))
+      .join(broadcast(csz), Seq("cluster"))
+      .filter(col("n_vectors") <= cap)
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("dv").as("dv_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("dv").as("dv_b"), col("nrm").as("nrm_b"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot("dv_a", "dv_b")
+        / (col("nrm_a") * col("nrm_b")) >= 0.35)
+    val np = pairs.groupBy(col("cluster")).agg(count(lit(1)).as("n_pairs"))
+    val nd = pairs.select(col("cluster"), col("id_b")).distinct()
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+    csz.join(np, Seq("cluster"), "left").join(nd, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vectors"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .withColumn("kept_ppm",
+        expr("(n_vectors - n_dropped) * 1000000 div n_vectors"))
+  }
+
+  private val semanticDedupSql =
+    s"""$kmeansCtes,
+       |nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS dv,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |      AS nrm
+       |  FROM embeddings),
+       |csz AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |  FROM asg GROUP BY 1),
+       |m AS (
+       |  SELECT a.cluster, n.vec_id, n.dv, n.nrm
+       |  FROM nv n JOIN asg a USING (vec_id)
+       |  JOIN csz USING (cluster) WHERE csz.n_vectors <= 4096),
+       |pr AS (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM m a JOIN m b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.35),
+       |np AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pr GROUP BY 1),
+       |nd AS (
+       |  SELECT cluster, CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped
+       |  FROM pr GROUP BY 1)
+       |SELECT csz.cluster, n_vectors,
+       |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST((n_vectors - COALESCE(n_dropped, 0)) * 1000000 // n_vectors
+       |    AS BIGINT) AS kept_ppm
+       |FROM csz LEFT JOIN np USING (cluster) LEFT JOIN nd USING (cluster)""".stripMargin
 
   /** q168 — embedding-space LABEL AUDIT: mean cosine of deterministic
     * vector pairs, split by whether the pair shares a label — the cheap
@@ -523,5 +622,6 @@ object SimilarityQ {
     QueryDef("q185_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q189_embedding_norm_audit", embeddingNormAudit,
       Some(embeddingNormAuditSql)),
+    QueryDef("q201_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
   )
 }

@@ -4,7 +4,7 @@ import graft.QueryDef
 import graft.core.Tables
 import graft.ops.{Decontaminate, Dedup}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Deduplication query surface over `documents` — exact, MinHash+LSH,
   * n-gram Jaccard, SimHash (the training-data pipeline dedup family), each
@@ -977,7 +977,142 @@ object DedupQ {
       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
       |FROM per""".stripMargin
 
+  /** q202 — Bloom-filter decontamination with a false-positive audit: the
+    * eval split's distinct 5-word shingles load a 2²⁰-bit Bloom filter
+    * (32768 64-bit-storable words of 32 used bits; two salted 60-bit md5
+    * hashes per shingle), and every TRAIN document is flagged when any of
+    * its shingles has BOTH probe bits set. The exact shingle semi-join
+    * (q83/q173's discipline) runs alongside as ground truth, so the output
+    * quantifies the bloom's per-source false-positive cost — exact hits
+    * are a subset of bloom flags by construction (no false negatives).
+    *
+    * Scale shape — the reason this exists: at 100 TB the corpus-side path
+    * is scan → in-row shingles → TWO BROADCAST hash joins against the
+    * 32768-row bloom table (map-side, no corpus shuffle) → a doc-id
+    * distinct; the eval benchmark compresses to ~256 KiB of bits no
+    * matter how many shingles it has. The exact semi-join twin — the only
+    * shingle-keyed shuffle here — is the audit you run at small scale to
+    * size the filter, then drop in production. 5-word shingles (vs the
+    * family's 3) because contamination wants high-precision matches, not
+    * near-dup recall. All hash math is the portable 60-bit md5
+    * convention, so DuckDB rebuilds the identical filter bit-for-bit.
+    */
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val M = 1048576L // bloom bits; 2^20 keeps doc-level FP rates sub-% here
+    def splitCol(c: Column): Column = {
+      val v = conv(substring(md5(concat_ws("|", lit("split"),
+        c.cast("string"))), 1, 8), 16, 10).cast("long")
+      when(v < 3435973836L, lit("train"))        // floor(0.8 * 2^32)
+        .when(v < 3865470566L, lit("val"))       // floor(0.9 * 2^32)
+        .otherwise(lit("test"))
+    }
+    val docs = t.documents.select(col("doc_id"), col("source"),
+      splitCol(col("doc_id")).as("split"))
+    val sh = t.documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(Dedup.wordShingles("w", 5)).as("shingle"))
+      .join(docs.select(col("doc_id"), col("split")), Seq("doc_id"))
+    // eval shingle set feeds the bloom build AND the exact audit join
+    val ev = sh.filter(col("split") === "test")
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    def idx(saltN: Int): Column = pmod(Dedup.hash60(col("shingle"), s"bf$saltN"), lit(M))
+    val bloom = ev.select(idx(1).as("i")).unionAll(ev.select(idx(2).as("i")))
+      .select(expr("i div 32").as("w"),
+        expr("shiftleft(1L, cast(i % 32 as int))").as("bv"))
+      .groupBy(col("w")).agg(expr("bit_or(bv)").as("bits"))
+    val tr = sh.filter(col("split") === "train")
+      .withColumn("i1", idx(1)).withColumn("i2", idx(2))
+    val bloomFlag = tr
+      .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))),
+        expr("i1 div 32") === col("w1"), "left")
+      .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("bits2"))),
+        expr("i2 div 32") === col("w2"), "left")
+      .filter(
+        expr("coalesce(bits1, 0L) & shiftleft(1L, cast(i1 % 32 as int))") =!= 0 &&
+        expr("coalesce(bits2, 0L) & shiftleft(1L, cast(i2 % 32 as int))") =!= 0)
+      .select(col("doc_id")).distinct().withColumn("bf", lit(1L))
+    val exactFlag = tr.join(ev, Seq("shingle"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+    docs.filter(col("split") === "train")
+      .join(bloomFlag, Seq("doc_id"), "left")
+      .join(exactFlag, Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(coalesce(col("bf"), lit(0L))).as("bloom_flagged"),
+        sum(coalesce(col("ex"), lit(0L))).as("exact_hits"))
+      .withColumn("fp_docs", col("bloom_flagged") - col("exact_hits"))
+      .withColumn("fp_ppm", expr("fp_docs * 1000000 div n_train_docs"))
+  }
+
+  private val bloomDecontamSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+      |  FROM w WHERE len(toks) >= 5),
+      |spd AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN v < 3435973836 THEN 'train'
+      |         WHEN v < 3865470566 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      ('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)),
+      |                      1, 8))::BIGINT AS v
+      |    FROM documents)),
+      |ev AS (
+      |  SELECT DISTINCT shingle FROM sh JOIN spd USING (doc_id)
+      |  WHERE split = 'test'),
+      |hs AS (
+      |  SELECT shingle,
+      |    ('0x' || substr(md5('bf1:' || shingle), 1, 15))::BIGINT % 1048576 AS i1,
+      |    ('0x' || substr(md5('bf2:' || shingle), 1, 15))::BIGINT % 1048576 AS i2
+      |  FROM ev),
+      |bloom AS (
+      |  SELECT wd, bit_or(bv) AS bits FROM (
+      |    SELECT i1 // 32 AS wd, 1::BIGINT << CAST(i1 % 32 AS INT) AS bv FROM hs
+      |    UNION ALL
+      |    SELECT i2 // 32, 1::BIGINT << CAST(i2 % 32 AS INT) FROM hs)
+      |  GROUP BY wd),
+      |tr AS (
+      |  SELECT s.doc_id, s.shingle,
+      |    ('0x' || substr(md5('bf1:' || s.shingle), 1, 15))::BIGINT % 1048576 AS i1,
+      |    ('0x' || substr(md5('bf2:' || s.shingle), 1, 15))::BIGINT % 1048576 AS i2
+      |  FROM sh s JOIN spd USING (doc_id) WHERE split = 'train'),
+      |bfdocs AS (
+      |  SELECT DISTINCT p.doc_id FROM tr p
+      |  LEFT JOIN bloom b1 ON b1.wd = p.i1 // 32
+      |  LEFT JOIN bloom b2 ON b2.wd = p.i2 // 32
+      |  WHERE (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(p.i1 % 32 AS INT))) != 0
+      |    AND (COALESCE(b2.bits, 0) & (1::BIGINT << CAST(p.i2 % 32 AS INT))) != 0),
+      |exdocs AS (
+      |  SELECT DISTINCT s.doc_id FROM tr s
+      |  WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = s.shingle))
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+      |  CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS bloom_flagged,
+      |  CAST(SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS exact_hits,
+      |  CAST(SUM(CASE WHEN bf.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |     - SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS fp_docs,
+      |  CAST((SUM(CASE WHEN bf.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      - SUM(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)) * 1000000
+      |    // COUNT(*) AS BIGINT) AS fp_ppm
+      |FROM spd d
+      |LEFT JOIN bfdocs bf ON bf.doc_id = d.doc_id
+      |LEFT JOIN exdocs ex ON ex.doc_id = d.doc_id
+      |WHERE d.split = 'train'
+      |GROUP BY d.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
     QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),
     QueryDef("q178_cluster_source_purity", clusterSourcePurity, Some(clusterSourcePuritySql)),
     QueryDef("q173_split_leakage", splitLeakage, Some(splitLeakageSql)),

@@ -1111,7 +1111,97 @@ object DedupQ {
       |WHERE d.split = 'train'
       |GROUP BY d.source""".stripMargin
 
+  /** q203 — content-defined chunking (CDC) dedup: chunk boundaries are
+    * placed where the rolling 4-word-window hash ≡ 0 (mod 16) — the
+    * Rabin/FastCDC idea at word granularity — so an insertion or deletion
+    * early in a document shifts chunk CONTENT for at most one chunk
+    * instead of re-aligning every fixed-width window (the property
+    * fixed-size chunking, q164, fundamentally lacks). Duplicate chunks
+    * across the corpus are then exact-hash groups; reported per
+    * chunk-size bucket: chunks, distinct chunks, max copies, dup ppm.
+    *
+    * Scale shape: boundary detection, chunk assembly, and chunk hashing
+    * are ALL in-row HOFs over the word array — zero shuffles until the
+    * (bucket, md5) hash agg, and only the 16-byte digest crosses the
+    * wire, never chunk text (the raw-tokens-never-shuffle rule). The
+    * two-level agg keeps the distinct count Expand-free (the q15
+    * lesson). Expected chunk length is the 16-window modulus; both
+    * engines rebuild identical boundaries from the portable 60-bit md5.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val chunks = t.documents
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .withColumn("cuts", expr(
+        """CASE WHEN size(w) >= 5 THEN
+          |  filter(transform(sequence(4, size(w) - 1), i ->
+          |    IF(CAST(conv(substring(md5(concat('cdc:',
+          |         concat_ws(' ', element_at(w, i-3), element_at(w, i-2),
+          |                        element_at(w, i-1), element_at(w, i)))),
+          |         1, 15), 16, 10) AS BIGINT) % 16 = 0, i, CAST(NULL AS INT))),
+          |    x -> x IS NOT NULL)
+          |ELSE CAST(array() AS array<int>) END""".stripMargin))
+      .withColumn("bounds",
+        expr("concat(array(0), cuts, array(size(w)))"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(2, size(bounds)), j ->
+          |  concat_ws(' ', slice(w, element_at(bounds, j-1) + 1,
+          |    element_at(bounds, j) - element_at(bounds, j-1))))""".stripMargin))
+        .as("txt"))
+    val perHash = chunks
+      .select(
+        when(expr("size(split(txt, ' '))") <= 8, "01-08")
+          .when(expr("size(split(txt, ' '))") <= 16, "09-16")
+          .when(expr("size(split(txt, ' '))") <= 32, "17-32")
+          .otherwise("33+").as("bucket"),
+        md5(col("txt")).as("h"))
+      .groupBy(col("bucket"), col("h")).agg(count(lit(1)).as("c"))
+    perHash.groupBy(col("bucket")).agg(
+        sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        max(col("c")).as("max_copies"))
+      .withColumn("dup_ppm",
+        expr("(n_chunks - n_distinct_chunks) * 1000000 div n_chunks"))
+  }
+
+  private val cdcChunksSql =
+    """WITH w AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |cu AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) >= 5 THEN
+      |      list_filter(list_transform(range(4, len(toks)), i ->
+      |        CASE WHEN ('0x' || substr(md5('cdc:' ||
+      |            array_to_string(toks[i-3:i], ' ')), 1, 15))::BIGINT % 16 = 0
+      |        THEN i END), x -> x IS NOT NULL)
+      |    ELSE [] END AS cuts
+      |  FROM w),
+      |b AS (
+      |  SELECT doc_id, toks,
+      |    list_concat(list_concat([0], cuts), [len(toks)]) AS bounds
+      |  FROM cu),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(2, len(bounds) + 1), j ->
+      |      array_to_string(toks[bounds[j-1]+1:bounds[j]], ' '))) AS txt
+      |  FROM b),
+      |g AS (
+      |  SELECT CASE WHEN len(string_split(txt, ' ')) <= 8 THEN '01-08'
+      |              WHEN len(string_split(txt, ' ')) <= 16 THEN '09-16'
+      |              WHEN len(string_split(txt, ' ')) <= 32 THEN '17-32'
+      |              ELSE '33+' END AS bucket,
+      |    md5(txt) AS h
+      |  FROM ch),
+      |per AS (SELECT bucket, h, COUNT(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_chunks,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(MAX(c) AS BIGINT) AS max_copies,
+      |  CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT) AS dup_ppm
+      |FROM per GROUP BY bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q203_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("q202_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
     QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),
     QueryDef("q178_cluster_source_purity", clusterSourcePurity, Some(clusterSourcePuritySql)),

@@ -974,6 +974,72 @@ object CorpusStatsQ {
         expr("covered * 1000000L div total").as("coverage_ppm"))
   }
 
+  /** q204 — Zipf power-law fit of the term-frequency distribution: OLS
+    * slope and intercept of ln(freq) on ln(rank) over the top-1000 terms
+    * (Zipf's law predicts slope ≈ −1; a materially flatter or steeper
+    * slope flags boilerplate-heavy or truncated-vocabulary corpora — a
+    * standard data-quality fingerprint for a training corpus).
+    *
+    * Determinism: both logs are rounded to 1e4 fixed-point BIGINT on
+    * BOTH engines BEFORE any arithmetic (the suite's rounded-
+    * transcendental rule), all five OLS sums are exact BIGINT, and the
+    * closed-form slope/intercept are single IEEE divisions of identical
+    * integers — bit-equal across engines. int64 headroom: with rank ≤
+    * 1000 and ln scaled 1e4, Σx·Σxy style products stay < 2⁶³ up to
+    * ~10⁸-term vocabularies.
+    *
+    * Scale shape: raw tokens collapse to the vocabulary-sized term agg
+    * immediately (the q174 shape); ranking is a window over that tiny
+    * table; the fit is one 1-row agg of five integer sums.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tc = t.documents
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    tc.withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rnk") <= 1000)
+      .select(
+        expr("CAST(round(ln(CAST(rnk AS DOUBLE)) * 10000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT)").as("y"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        round(expr("(n_terms * sxy - sx * sy) / CAST(n_terms * sxx - sx * sx AS DOUBLE)"), 6)
+          .as("slope"),
+        round(expr("(sy * sxx - sx * sxy) / CAST(n_terms * sxx - sx * sx AS DOUBLE) / 10000.0"), 6)
+          .as("intercept_ln"))
+  }
+
+  private val zipfSlopeSql =
+    """WITH tc AS (
+      |  SELECT term, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) GROUP BY term),
+      |ranked AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+      |  FROM tc QUALIFY rnk <= 1000),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 10000) AS BIGINT) AS x,
+      |         CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+      |  FROM ranked),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM pts)
+      |SELECT n_terms,
+      |  round((n_terms * sxy - sx * sy) /
+      |    CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
+      |  round((sy * sxx - sx * sxy) /
+      |    CAST(n_terms * sxx - sx * sx AS DOUBLE) / 10000.0, 6) AS intercept_ln
+      |FROM s""".stripMargin
+
   private val vocabCoverageSql =
     """WITH tc AS (
       |  SELECT term, COUNT(*) AS cnt FROM (
@@ -1083,6 +1149,7 @@ object CorpusStatsQ {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q184_source_lang_entropy", sourceLangEntropy, Some(sourceLangEntropySql)),
     QueryDef("q174_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
+    QueryDef("q204_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q175_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),

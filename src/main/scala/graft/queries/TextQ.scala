@@ -990,6 +990,63 @@ object TextQ {
        |    AS BIGINT) AS share_ppm
        |FROM li GROUP BY 1, 2""".stripMargin
 
+  /** q205 — Cohen's kappa for the lang-id classifier vs the declared
+    * labels: chance-corrected agreement over the q191 confusion matrix,
+    * the single-number companion to q191's per-cell view (raw accuracy
+    * flatters any classifier on a label-skewed corpus — this corpus is
+    * ~44% 'en' — kappa subtracts the agreement a label-marginal guesser
+    * would get for free). κ = (N·Σdiag − Σᵢrᵢcᵢ) / (N² − Σᵢrᵢcᵢ),
+    * computed entirely in BIGINT and emitted as micro-units via the
+    * shift-by-one trick (κ ≥ −1 always, so κ+1 is a nonneg dividend and
+    * Spark's truncating `div` ≡ DuckDB's flooring `//` — the q164 rule).
+    * int64 headroom to ~10⁹ docs; past that the marginal products move
+    * to DECIMAL(38,0) (the q147 recipe).
+    *
+    * Scale shape: q32's classification is map-side; everything after is
+    * aggs over the ≤|langs|² matrix and its two marginal vectors —
+    * control-plane sized regardless of corpus size.
+    */
+  def kappaLangid(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir)
+      .groupBy(col("labeled_lang").as("a"), col("guessed_lang").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val totals = cells.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("diag"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("c")).as("r"))
+    val cols = cells.groupBy(col("b")).agg(sum(col("c")).as("g"))
+    val src = rows.join(cols, rows("a") === cols("b"))
+      .agg(coalesce(sum(col("r") * col("g")), lit(0L)).as("src"))
+    totals.crossJoin(broadcast(src))
+      .select(
+        col("n").as("n_docs"), col("diag").as("n_agree"),
+        expr("diag * 1000000 div n").as("po_ppm"),
+        expr("src * 1000000 div (n * n)").as("pe_ppm"),
+        expr("((n * diag - src) + (n * n - src)) * 1000000 div (n * n - src) - 1000000")
+          .as("kappa_u"))
+  }
+
+  private def kappaLangidSql: String =
+    s"""WITH li AS ($langIdSql),
+       |cells AS (
+       |  SELECT labeled_lang AS a, guessed_lang AS b, COUNT(*) AS c
+       |  FROM li GROUP BY 1, 2),
+       |t AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+       |  FROM cells),
+       |r AS (SELECT a, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |g AS (SELECT b, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+       |s AS (
+       |  SELECT CAST(COALESCE(SUM(r.r * g.g), 0) AS BIGINT) AS src
+       |  FROM r JOIN g ON r.a = g.b)
+       |SELECT n AS n_docs, diag AS n_agree,
+       |  CAST(diag * 1000000 // n AS BIGINT) AS po_ppm,
+       |  CAST(src * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+       |  CAST(((n * diag - src) + (n * n - src)) * 1000000 // (n * n - src)
+       |    - 1000000 AS BIGINT) AS kappa_u
+       |FROM t, s""".stripMargin
+
   /** q194 — sentence-segmentation statistics per source: document counts,
     * total sentences, mean sentences per document and mean tokens per
     * sentence (exact centi-units). Sentence-level structure is the
@@ -1055,6 +1112,7 @@ object TextQ {
     QueryDef("q187_gopher_repetition", gopherRepetition, Some(gopherRepetitionSql)),
     QueryDef("q190_quality_length_corr", qualityLengthCorr, Some(qualityLengthCorrSql)),
     QueryDef("q191_langid_confusion", langidConfusion, Some(langidConfusionSql)),
+    QueryDef("q205_kappa_langid", kappaLangid, Some(kappaLangidSql)),
     QueryDef("q183_source_quality_matrix", sourceQualityMatrix, Some(sourceQualityMatrixSql)),
     QueryDef("q122_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q153_filter_funnel", filterFunnel, Some(filterFunnelSql)),

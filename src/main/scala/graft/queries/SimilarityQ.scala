@@ -307,10 +307,15 @@ object SimilarityQ {
       .filter(col("id_a") < col("id_b"))
       .filter(Similarity.dot("dv_a", "dv_b")
         / (col("nrm_a") * col("nrm_b")) >= 0.35)
-    val np = pairs.groupBy(col("cluster")).agg(count(lit(1)).as("n_pairs"))
-    val nd = pairs.select(col("cluster"), col("id_b")).distinct()
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
-    csz.join(np, Seq("cluster"), "left").join(nd, Seq("cluster"), "left")
+    // ONE pass over the quadratic pair expansion: per-(cluster, id_b)
+    // counts first, then the per-cluster rollup carries pairs AND dropped
+    // together — the q15 Expand-free recipe; a separate distinct-count
+    // branch would rebuild the whole self-join subtree (PLANS_r4 lesson)
+    val agg = pairs.groupBy(col("cluster"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("c")).as("n_pairs"), count(lit(1)).as("n_dropped"))
+    csz.join(broadcast(agg), Seq("cluster"), "left")
       .select(col("cluster"), col("n_vectors"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))

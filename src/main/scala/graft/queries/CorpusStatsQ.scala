@@ -1009,9 +1009,19 @@ object CorpusStatsQ {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("n_terms"),
-        round(expr("(n_terms * sxy - sx * sy) / CAST(n_terms * sxx - sx * sx AS DOUBLE)"), 6)
+        // numerators go through DECIMAL(38,0): sy·sxx alone reaches ~8e20
+        // at a 1000-term fit (ANSI-caught at sf1), far past int64 — the
+        // q147 exact-128-bit recipe; the denominator peaks ~5e15 and
+        // stays BIGINT (and double-exact, < 2^53)
+        round(expr(
+          """CAST(CAST(n_terms AS DECIMAL(38,0)) * sxy
+            |   - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            | / CAST(n_terms * sxx - sx * sx AS DOUBLE)""".stripMargin), 6)
           .as("slope"),
-        round(expr("(sy * sxx - sx * sxy) / CAST(n_terms * sxx - sx * sx AS DOUBLE) / 10000.0"), 6)
+        round(expr(
+          """CAST(CAST(sy AS DECIMAL(38,0)) * sxx
+            |   - CAST(sx AS DECIMAL(38,0)) * sxy AS DOUBLE)
+            | / CAST(n_terms * sxx - sx * sx AS DOUBLE) / 10000.0""".stripMargin), 6)
           .as("intercept_ln"))
   }
 
@@ -1034,9 +1044,11 @@ object CorpusStatsQ {
       |    CAST(SUM(x * x) AS BIGINT) AS sxx
       |  FROM pts)
       |SELECT n_terms,
-      |  round((n_terms * sxy - sx * sy) /
+      |  round(CAST(CAST(n_terms AS HUGEINT) * sxy
+      |        - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
       |    CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope,
-      |  round((sy * sxx - sx * sxy) /
+      |  round(CAST(CAST(sy AS HUGEINT) * sxx
+      |        - CAST(sx AS HUGEINT) * sxy AS DOUBLE) /
       |    CAST(n_terms * sxx - sx * sx AS DOUBLE) / 10000.0, 6) AS intercept_ln
       |FROM s""".stripMargin
 

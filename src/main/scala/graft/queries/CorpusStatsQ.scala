@@ -974,6 +974,89 @@ object CorpusStatsQ {
         expr("covered * 1000000L div total").as("coverage_ppm"))
   }
 
+  /** q206 — pairwise Jensen–Shannon divergence between source term
+    * distributions: the source-similarity matrix behind mixture design
+    * (two sources with near-zero JS are redundant — deduplicate the MIX,
+    * not just the documents; a high-JS source adds diversity). JS is
+    * computed in exact micro-nats: each KL term uses the integer ratio
+    * identity p/m = 2·cₐ·N_b / (cₐ·N_b + c_b·Nₐ) — a quotient of exact
+    * int64 products, identical on both engines — with ln rounded to 1e6
+    * fixed point BEFORE the count-weighted BIGINT sum (the q87/q91
+    * rounded-transcendental discipline). KL ≥ 0 mathematically, but
+    * rounded terms can dip a hair negative, so each sum clamps at zero
+    * before the truncating division (div ≡ // on nonneg). int64 headroom:
+    * cₐ·N_b caps at ~1e13 at sf1; past ~1e9-token sources the products
+    * move to DECIMAL(38,0) (the q147 recipe).
+    *
+    * Scale shape: raw tokens collapse to the (source, term) agg in one
+    * pass; the sources×vocab grid, the pair join, and the 190-row matrix
+    * are all vocabulary-sized — corpus size only enters through the one
+    * term agg.
+    */
+  def sourceJsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tc = t.documents
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val terms = tc.select(col("term")).distinct()
+    val grid = totals.crossJoin(terms)
+      .join(tc, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("source").as("src_a"), col("term"),
+      col("n").as("na"), col("c").as("ca"))
+    val b = grid.select(col("source").as("src_b"), col("term"),
+      col("n").as("nb"), col("c").as("cb"))
+    a.join(b, Seq("term")).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        when(col("ca") > 0, col("ca") * expr(
+          "CAST(round(ln(CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .otherwise(0L).as("ta"),
+        when(col("cb") > 0, col("cb") * expr(
+          "CAST(round(ln(CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .otherwise(0L).as("tb"))
+      .groupBy(col("src_a"), col("src_b"), col("na"), col("nb"))
+      .agg(sum(col("ta")).as("sa"), sum(col("tb")).as("sb"))
+      .select(col("src_a"), col("src_b"),
+        expr("greatest(sa, 0L) div (2 * na) + greatest(sb, 0L) div (2 * nb)")
+          .as("js_micro_nats"))
+  }
+
+  private val sourceJsDivergenceSql =
+    """WITH tc AS (
+      |  SELECT source, term, COUNT(*) AS c FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |    FROM documents) GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+      |terms AS (SELECT DISTINCT term FROM tc),
+      |grid AS (
+      |  SELECT t.source, x.term, t.n, CAST(COALESCE(tc.c, 0) AS BIGINT) AS c
+      |  FROM totals t CROSS JOIN terms x
+      |  LEFT JOIN tc ON tc.source = t.source AND tc.term = x.term),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb,
+      |    a.c AS ca, b.c AS cb
+      |  FROM grid a JOIN grid b
+      |    ON a.term = b.term AND a.source < b.source),
+      |contrib AS (
+      |  SELECT src_a, src_b, na, nb,
+      |    CASE WHEN ca > 0 THEN ca *
+      |      CAST(round(ln(CAST(2 * ca * nb AS DOUBLE)
+      |        / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000)
+      |        AS BIGINT) ELSE 0 END AS ta,
+      |    CASE WHEN cb > 0 THEN cb *
+      |      CAST(round(ln(CAST(2 * cb * na AS DOUBLE)
+      |        / CAST(ca * nb + cb * na AS DOUBLE)) * 1000000)
+      |        AS BIGINT) ELSE 0 END AS tb
+      |  FROM pr)
+      |SELECT src_a, src_b,
+      |  CAST(greatest(CAST(SUM(ta) AS BIGINT), 0) // (2 * na)
+      |     + greatest(CAST(SUM(tb) AS BIGINT), 0) // (2 * nb) AS BIGINT)
+      |    AS js_micro_nats
+      |FROM contrib GROUP BY src_a, src_b, na, nb""".stripMargin
+
   /** q204 — Zipf power-law fit of the term-frequency distribution: OLS
     * slope and intercept of ln(freq) on ln(rank) over the top-1000 terms
     * (Zipf's law predicts slope ≈ −1; a materially flatter or steeper
@@ -1162,6 +1245,8 @@ object CorpusStatsQ {
     QueryDef("q184_source_lang_entropy", sourceLangEntropy, Some(sourceLangEntropySql)),
     QueryDef("q174_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("q204_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
+    QueryDef("q206_source_js_divergence", sourceJsDivergence,
+      Some(sourceJsDivergenceSql)),
     QueryDef("q175_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),

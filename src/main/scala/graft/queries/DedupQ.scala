@@ -1111,6 +1111,76 @@ object DedupQ {
       |WHERE d.split = 'train'
       |GROUP BY d.source""".stripMargin
 
+  /** q207 — SimHash Hamming-distance separation: the distance histogram
+    * of the LSH CANDIDATE pairs (q37's band collisions) against a
+    * deterministic hash-paired BASELINE of the same corpus (the q168
+    * successor-pairing convention). This is the measurement that
+    * justifies a SimHash cutoff: near-dup candidates should mass at low
+    * Hamming distance while unrelated pairs center near 30 of 60 bits —
+    * if the two histograms overlap, simhash carries no dedup signal on
+    * this corpus and a bit-distance threshold is meaningless.
+    *
+    * Scale shape: signatures are the q39 build (token-level agg, never
+    * doc×doc); the candidate side joins the TINY memoized pair set to
+    * the signature table twice on doc keys; the baseline is linear
+    * (64-bucket window, parallel lead); output is a ≤10-row histogram.
+    * XOR + bit_count are identical integer ops on both engines.
+    */
+  def simhashDistance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = simhashSigs(spark, dir)
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    val cand = minhashPairs(spark, dir)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(lit("candidate").as("pair_kind"),
+        expr("bit_count(sig_a ^ sig_b)").as("d"))
+    val v = sigs
+      .withColumn("h", Dedup.hash60(col("doc_id").cast("string"), "shpair"))
+      .withColumn("bucket", pmod(col("h"), lit(64L)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val base = v.withColumn("sig_b", lead(col("simhash"), 1).over(w))
+      .filter(col("sig_b").isNotNull)
+      .select(lit("baseline").as("pair_kind"),
+        expr("bit_count(simhash ^ sig_b)").as("d"))
+    cand.unionAll(base)
+      .groupBy(col("pair_kind"),
+        when(col("d") <= 4, "00-04").when(col("d") <= 8, "05-08")
+          .when(col("d") <= 16, "09-16").when(col("d") <= 24, "17-24")
+          .otherwise("25+").as("dist_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def simhashDistanceSql: String =
+    s"""$minhashCtes,
+       |sims AS (
+       |$simhashSigsSql
+       |),
+       |cand AS (
+       |  SELECT 'candidate' AS pair_kind,
+       |    bit_count(xor(a.simhash, b.simhash)) AS d
+       |  FROM pairs p
+       |  JOIN sims a ON a.doc_id = p.doc_a
+       |  JOIN sims b ON b.doc_id = p.doc_b),
+       |hv AS (
+       |  SELECT simhash,
+       |    ('0x' || substr(md5('shpair:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h, doc_id
+       |  FROM sims),
+       |bl AS (
+       |  SELECT 'baseline' AS pair_kind,
+       |    bit_count(xor(simhash, lead(simhash) OVER w)) AS d
+       |  FROM (SELECT *, h % 64 AS bucket FROM hv)
+       |  WINDOW w AS (PARTITION BY bucket ORDER BY h, doc_id)),
+       |alld AS (
+       |  SELECT * FROM cand UNION ALL SELECT * FROM bl WHERE d IS NOT NULL)
+       |SELECT pair_kind,
+       |  CASE WHEN d <= 4 THEN '00-04' WHEN d <= 8 THEN '05-08'
+       |       WHEN d <= 16 THEN '09-16' WHEN d <= 24 THEN '17-24'
+       |       ELSE '25+' END AS dist_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM alld GROUP BY 1, 2""".stripMargin
+
   /** q203 — content-defined chunking (CDC) dedup: chunk boundaries are
     * placed where the rolling 4-word-window hash ≡ 0 (mod 16) — the
     * Rabin/FastCDC idea at word granularity — so an insertion or deletion
@@ -1201,6 +1271,7 @@ object DedupQ {
       |FROM per GROUP BY bucket""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
     QueryDef("q203_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("q202_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
     QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),

@@ -1111,6 +1111,72 @@ object DedupQ {
       |WHERE d.split = 'train'
       |GROUP BY d.source""".stripMargin
 
+  /** q208 — quality-band × near-dup calibration: for each of q183's four
+    * exact logit bands, the share of documents that participate in at
+    * least one MinHash near-dup pair. This is the "do low-quality docs
+    * duplicate more" audit behind the curation ordering decision —
+    * if dup rates skew into the drop bands, dedup-then-filter and
+    * filter-then-dedup give materially different corpora (q150's
+    * composition), and this table says which order pays.
+    * Near-dup membership is pair-set membership (a doc is in a q76
+    * component iff it appears in a q37 pair — same semantics, no
+    * recursive closure needed in the oracle).
+    *
+    * Scale shape: scoring is the q122/q183 map-side literal-folded
+    * logit; the dup-id set is two projections of the TINY memoized pair
+    * set; one broadcast-ready left join + a 4-row band agg.
+    */
+  def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val scored = t.documents.select(col("doc_id"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
+      .withColumn("band",
+        when(col("logit_u") < -500000L, lit("strong_drop"))
+          .when(col("logit_u") < 0L, lit("drop"))
+          .when(col("logit_u") < 500000L, lit("keep"))
+          .otherwise(lit("strong_keep")))
+    val pairs = minhashPairs(spark, dir)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("isdup", lit(1L))
+    scored.join(broadcast(dup), Seq("doc_id"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+  }
+
+  private def qualityDupCalibrationSql: String =
+    s"""$minhashCtes,
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b FROM pairs)),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents
+       |), per AS (
+       |  SELECT doc_id,
+       |    SUM(('0x' || substr(md5('w:' ||
+       |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+       |        % 1000001 - 500000) AS wsum
+       |  FROM toks GROUP BY doc_id
+       |), scored AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN per.wsum < -500000 THEN 'strong_drop'
+       |         WHEN per.wsum < 0 THEN 'drop'
+       |         WHEN per.wsum < 500000 THEN 'keep'
+       |         ELSE 'strong_keep' END AS band
+       |  FROM documents d JOIN per USING (doc_id))
+       |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS dup_ppm
+       |FROM scored LEFT JOIN dup ON dup.doc_id = scored.doc_id
+       |GROUP BY band""".stripMargin
+
   /** q207 — SimHash Hamming-distance separation: the distance histogram
     * of the LSH CANDIDATE pairs (q37's band collisions) against a
     * deterministic hash-paired BASELINE of the same corpus (the q168
@@ -1272,6 +1338,8 @@ object DedupQ {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
+    QueryDef("q208_quality_dup_calibration", qualityDupCalibration,
+      Some(qualityDupCalibrationSql)),
     QueryDef("q203_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("q202_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
     QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),

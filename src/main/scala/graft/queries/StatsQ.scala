@@ -739,6 +739,61 @@ object StatsQ {
       |FROM classes CROSS JOIN tot
       |GROUP BY k, n_total""".stripMargin
 
+  /** q209 — L-DIVERSITY audit over the q162 quasi-identifier classes:
+    * distinct-sensitive-value counts (exact-cents account balance as the
+    * sensitive attribute) per equivalence class. Completes the privacy
+    * pair: k-anonymity bounds RE-IDENTIFICATION (class size), but a
+    * large class whose members all share one sensitive value still
+    * discloses that value to anyone who can place a record in the class
+    * — l < 3 is the conventional homogeneity-risk line. Same QI triple
+    * and exact-cents integer banding as q162, so the two audits read on
+    * identical classes.
+    *
+    * Scale shape: two stacked hash aggs — (QI, sensitive) then QI —
+    * keep the distinct count Expand-free (the q15 recipe); the l
+    * histogram and broadcast 1-row total are class-table-sized, never
+    * data-sized.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perVal = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("bal_cents"))
+      .agg(count(lit(1)).as("c"))
+    val classes = perVal
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(sum(col("c")).as("k"), count(lit(1)).as("l"))
+    val tot = classes.agg(sum(col("k")).as("n_total"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_records"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("n_classes"), col("n_records"),
+        (col("l") < 3).as("at_risk"),
+        expr("n_records * 1000000L div n_total").as("records_ppm"))
+  }
+
+  private val lDiversitySql =
+    """WITH pv AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+      |    COUNT(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3, 4),
+      |classes AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_band,
+      |    CAST(SUM(c) AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS l
+      |  FROM pv GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n_total FROM classes)
+      |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(k) AS BIGINT) AS n_records,
+      |  (l < 3) AS at_risk,
+      |  CAST(SUM(k) * 1000000 // n_total AS BIGINT) AS records_ppm
+      |FROM classes CROSS JOIN tot
+      |GROUP BY l, n_total""".stripMargin
+
   /** q165 — TEMPERATURE-scaled language mixture: the multilingual
     * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
     * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
@@ -986,6 +1041,7 @@ object StatsQ {
     QueryDef("q172_epoch_allocation", epochAllocation, Some(epochAllocationSql)),
     QueryDef("q165_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("q209_ldiversity", lDiversity, Some(lDiversitySql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -615,7 +615,109 @@ object SimilarityQ {
        |    AS BIGINT) AS leaked_ppm
        |FROM tot LEFT JOIN lk USING (split)""".stripMargin
 
+  /** q210 — ANN ranking quality: nDCG@10 and MRR of the hyperplane-LSH
+    * bucket search against the exact cosine top-10, per probe (vec_id <
+    * 20, the q40/q185 probe convention). Recall@k (q53) says how many
+    * true neighbors an index returns; nDCG says whether they arrive in
+    * the right ORDER with the right weight — the metric an embedding-
+    * retrieval eval actually reports. Relevance is graded by exact rank
+    * (rel = 11 − exact_rank, 0 if outside the true top-10).
+    *
+    * Determinism: cosines live as 1e6 micro-unit BIGINTs with id
+    * tiebreaks (the q185 recipe); each DCG term rounds
+    * rel·1e6/log₂(pos+1) to BIGINT before the sum (only ten distinct
+    * log₂ values exist, p ∈ 1..10); MRR is the exact integer
+    * `1000000 div pos` of the first relevant position. Probes whose
+    * bucket holds no other vector drop from BOTH engines identically.
+    *
+    * Scale shape: the exact branch is the declared-baseline broadcast
+    * sweep (q40's shape — 20 probes map-side over the corpus); the
+    * approx branch joins only same-signature candidates BEFORE scoring
+    * (the whole point of the index: at scale it scores N/16 of the
+    * corpus per probe); windows partition by probe. Output is ≤20 rows.
+    */
+  def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val v = t.embeddings.select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("dv"))
+      .withColumn("nrm", Similarity.norm("dv"))
+      .withColumn("sig", Similarity.hyperplaneSignature("dv", 4, 64))
+    val probes = v.filter(col("id") < 20).select(col("id").as("q_id"),
+      col("dv").as("qv"), col("nrm").as("qn"), col("sig").as("qsig"))
+    def score(df: DataFrame): DataFrame = df
+      .withColumn("cos_u",
+        round(Similarity.dot("qv", "dv") / (col("qn") * col("nrm")) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_u").desc, col("id"))
+    val exact = score(v.join(broadcast(probes), col("id") =!= col("q_id")))
+      .withColumn("ex_rank", row_number().over(w))
+      .filter(col("ex_rank") <= 10)
+      .select(col("q_id"), col("id"), col("ex_rank"))
+    val idcg = exact.groupBy(col("q_id"))
+      .agg(sum(expr(
+        "CAST(round((11 - ex_rank) * 1000000 / log2(ex_rank + 1)) AS BIGINT)"))
+        .as("idcg_u"))
+    val approx = score(v.join(broadcast(probes),
+        col("sig") === col("qsig") && col("id") =!= col("q_id")))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 10)
+      .select(col("q_id"), col("id"), col("pos"))
+    approx.join(exact, Seq("q_id", "id"), "left")
+      .withColumn("rel", coalesce(lit(11) - col("ex_rank"), lit(0)))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+        sum(expr("CAST(round(rel * 1000000 / log2(pos + 1)) AS BIGINT)"))
+          .as("dcg_u"),
+        max(when(col("rel") > 0, expr("1000000 div pos")).otherwise(0L))
+          .as("mrr_u"))
+      .join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("n_hits"), col("dcg_u"), col("idcg_u"),
+        expr("dcg_u * 1000000 div idcg_u").as("ndcg_ppm"), col("mrr_u"))
+  }
+
+  private val annNdcgSql =
+    s"""$lshCtes,
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS id,
+       |    CAST(round(list_dot_product(q.dv, c.dv) / (q.nrm * c.nrm) * 1000000)
+       |      AS BIGINT) AS cos_u
+       |  FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |ex AS (
+       |  SELECT q_id, id, rk AS ex_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_u DESC, id) AS rk FROM scored) WHERE rk <= 10),
+       |idcg AS (
+       |  SELECT q_id,
+       |    CAST(SUM(CAST(round((11 - ex_rank) * 1000000 / log2(ex_rank + 1))
+       |      AS BIGINT)) AS BIGINT) AS idcg_u
+       |  FROM ex GROUP BY 1),
+       |cand AS (
+       |  SELECT s.q_id, s.id, s.cos_u FROM scored s
+       |  JOIN sigs sq ON sq.vec_id = s.q_id
+       |  JOIN sigs sc ON sc.vec_id = s.id AND sc.sig = sq.sig),
+       |ap AS (
+       |  SELECT q_id, id, rk AS pos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_u DESC, id) AS rk FROM cand) WHERE rk <= 10),
+       |rel AS (
+       |  SELECT a.q_id, a.pos, COALESCE(11 - e.ex_rank, 0) AS rel
+       |  FROM ap a LEFT JOIN ex e ON e.q_id = a.q_id AND e.id = a.id),
+       |per AS (
+       |  SELECT q_id,
+       |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    CAST(SUM(CAST(round(rel * 1000000 / log2(pos + 1)) AS BIGINT))
+       |      AS BIGINT) AS dcg_u,
+       |    CAST(MAX(CASE WHEN rel > 0 THEN 1000000 // pos ELSE 0 END)
+       |      AS BIGINT) AS mrr_u
+       |  FROM rel GROUP BY 1)
+       |SELECT per.q_id, n_hits, dcg_u, idcg_u,
+       |  CAST(dcg_u * 1000000 // idcg_u AS BIGINT) AS ndcg_ppm, mrr_u
+       |FROM per JOIN idcg USING (q_id)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q210_ann_ndcg", annNdcg, Some(annNdcgSql)),
     QueryDef("q193_embedding_split_leakage", embeddingSplitLeakage,
       Some(embeddingSplitLeakageSql)),
     QueryDef("q168_label_cosine_audit", labelCosineAudit, Some(labelCosineAuditSql)),

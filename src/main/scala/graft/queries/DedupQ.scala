@@ -1111,6 +1111,54 @@ object DedupQ {
       |WHERE d.split = 'train'
       |GROUP BY d.source""".stripMargin
 
+  /** q211 — near-dup edit-distance profile: normalized character-level
+    * Levenshtein distance across the MinHash candidate pairs, as a
+    * percent-of-length histogram. Shingle Jaccard (q38/q170) measures
+    * SET overlap; edit distance measures SEQUENCE closeness — templated
+    * rewrites (same vocabulary, reshuffled order) sit low on Jaccard
+    * distance but high on edit distance, so the two histograms together
+    * say WHAT KIND of near-duplication the corpus carries (copy-edits
+    * vs template stamping), which picks the right dedup family.
+    *
+    * Scale shape: the quadratic-looking work rides the TINY memoized
+    * capped pair set — never corpus×corpus; both texts clamp to their
+    * first 2000 chars (mirrored in the oracle) so the O(L²) DP per pair
+    * is bounded ~4M cells regardless of document length. Output is a
+    * 5-row histogram.
+    */
+  def neardupEditDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val txt = t.documents.select(col("doc_id"),
+      substring(col("text"), 1, 2000).as("t2k"))
+    minhashPairs(spark, dir)
+      .join(txt.select(col("doc_id").as("doc_a"), col("t2k").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("t2k").as("tb")), Seq("doc_b"))
+      .select((expr("levenshtein(ta, tb)").cast("long") * 100L).as("raw"),
+        greatest(greatest(length(col("ta")), length(col("tb"))), lit(1))
+          .cast("long").as("mx"))
+      .select(expr("raw div mx").as("pct"))
+      .groupBy(
+        when(col("pct") <= 5, "00-05").when(col("pct") <= 10, "06-10")
+          .when(col("pct") <= 25, "11-25").when(col("pct") <= 50, "26-50")
+          .otherwise("51+").as("edit_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def neardupEditDistSql: String =
+    s"""$minhashCtes,
+       |txt AS (SELECT doc_id, substr(text, 1, 2000) AS t2k FROM documents),
+       |pd AS (
+       |  SELECT CAST(levenshtein(a.t2k, b.t2k) * 100 AS BIGINT)
+       |      // greatest(greatest(length(a.t2k), length(b.t2k)), 1) AS pct
+       |  FROM pairs p
+       |  JOIN txt a ON a.doc_id = p.doc_a
+       |  JOIN txt b ON b.doc_id = p.doc_b)
+       |SELECT CASE WHEN pct <= 5 THEN '00-05' WHEN pct <= 10 THEN '06-10'
+       |            WHEN pct <= 25 THEN '11-25' WHEN pct <= 50 THEN '26-50'
+       |            ELSE '51+' END AS edit_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pd GROUP BY 1""".stripMargin
+
   /** q208 — quality-band × near-dup calibration: for each of q183's four
     * exact logit bands, the share of documents that participate in at
     * least one MinHash near-dup pair. This is the "do low-quality docs
@@ -1340,6 +1388,7 @@ object DedupQ {
     QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
     QueryDef("q208_quality_dup_calibration", qualityDupCalibration,
       Some(qualityDupCalibrationSql)),
+    QueryDef("q211_neardup_editdist", neardupEditDist, Some(neardupEditDistSql)),
     QueryDef("q203_cdc_chunks", cdcChunks, Some(cdcChunksSql)),
     QueryDef("q202_bloom_decontam", bloomDecontam, Some(bloomDecontamSql)),
     QueryDef("q182_hash_collision_audit", hashCollisionAudit, Some(hashCollisionAuditSql)),

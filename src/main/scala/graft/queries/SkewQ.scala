@@ -86,7 +86,62 @@ object SkewQ {
       |  COUNT(*) AS n_items
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q212 — join-key skew report: per keyspace the engine actually joins
+    * or groups on (lineitem order/part/supp keys, orders customer key,
+    * events user key), the per-key row-count profile that DECIDES the
+    * skew strategy — top-1 key share (broadcast/salt trigger), p99 key
+    * size (reducer sizing), and max/mean ratio in ppm (the "is AQE skew
+    * split enough" number q78's salting and the two-phase agg q101 are
+    * the answers to). On healthy TPC-H keys all ratios sit near 1× —
+    * the report proves it rather than assuming it.
+    *
+    * Scale shape: one hash agg per keyspace (map-side combine) over the
+    * key, then a 1-row stats agg of the per-key counts; five such pairs
+    * unioned. Never wider than the key cardinality. p99 is exact
+    * `percentile` ≡ `quantile_cont` (the suite's pinned pair), emitted
+    * as round(…, 6) DOUBLE — never CAST double→int, whose rounding
+    * direction differs between engines. int64 note: the max·keys·1e6
+    * product needs DECIMAL(38,0) past ~10⁹ distinct keys (q147 recipe).
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def one(name: String, df: DataFrame,
+        key: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"),
+          round(expr("percentile(c, 0.99d)"), 6).as("p99_key_rows"))
+        .select(lit(name).as("keyspace"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"), col("p99_key_rows"),
+          expr("max_key_rows * 1000000 div n_rows").as("top_share_ppm"),
+          expr("max_key_rows * n_keys * 1000000 div n_rows").as("skew_x_ppm"))
+    one("lineitem.l_orderkey", t.lineitem, col("l_orderkey"))
+      .unionByName(one("lineitem.l_partkey", t.lineitem, col("l_partkey")))
+      .unionByName(one("lineitem.l_suppkey", t.lineitem, col("l_suppkey")))
+      .unionByName(one("orders.o_custkey", t.orders, col("o_custkey")))
+      .unionByName(one("events.user_id", t.events, col("user_id")))
+  }
+
+  private val skewReportSql = {
+    def one(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS keyspace,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS max_key_rows,
+         |  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+         |  CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_share_ppm,
+         |  CAST(MAX(c) * COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS skew_x_ppm
+         |FROM (SELECT $key AS k, COUNT(*) AS c FROM $table GROUP BY 1)""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      one("orders.o_custkey", "orders", "o_custkey"),
+      one("events.user_id", "events", "user_id")).mkString("\nUNION ALL\n")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q212_skew_report", skewReport, Some(skewReportSql)),
     QueryDef("q78_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
     QueryDef("q101_two_phase_skew_agg", twoPhaseSkewAgg, Some(twoPhaseSkewAggSql)),
   )

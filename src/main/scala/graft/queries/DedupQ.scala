@@ -184,12 +184,20 @@ object DedupQ {
        |FROM reach GROUP BY src""".stripMargin
 
   /** SimHash 60-bit signatures per document (near-dup clustering key). */
-  def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val tokens = t.documents.select(
-      col("doc_id"), explode(array_distinct(Dedup.words(col("text")))).as("tok"))
-    Dedup.simhash(tokens, "doc_id", "tok")
-  }
+  /** Memoized per (session, dir): the signature build (token explode ×
+    * 60 bit votes) is the whole cost, and TWO consumers read it — q39
+    * (the listing) and q207 (the distance histogram) — the shingleDocs
+    * amortization pattern.
+    */
+  def simhashSigs(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q39-sigs:$dir") {
+      val t = Tables(spark, dir)
+      Dedup.simhashInRow(
+        t.documents.select(col("doc_id"),
+          array_distinct(Dedup.words(col("text"))).as("toks")),
+        "doc_id", "toks")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val simhashSigsSql =
     """WITH toks AS (

@@ -353,8 +353,9 @@ object Dedup {
     * projection — bit-identical to [[simhash]] (`2·Σbit ≥ n` is the same
     * tie-toward-1 majority) but the 60× per-token bit rows never
     * materialize and nothing shuffles except the final tiny result.
-    * Measured 2.4× on the sf0.1 signature build (9.1 s → 3.8 s
-    * single-pass); prefer this form whenever tokens start life in-row.
+    * Measured 1.5× on the sf0.1 standalone signature build (4.48 s
+    * explode-form → 2.93 s, single runs); prefer this form whenever
+    * tokens start life in-row.
     */
   def simhashInRow(docs: DataFrame, idCol: String, toksCol: String): DataFrame =
     docs

@@ -121,4 +121,66 @@ object CorpusStreams {
       .agg(sum(col("c")).as("c"), sum(col("chars")).as("chars"))
     graft.queries.CorpusStatsQ.datacardFromPre(pre)
   }
+
+  /** Streaming heavy hitters: each micro-batch folds its term stream into
+    * ONE bounded Misra-Gries sketch ([[graft.ops.HeavyHitters.MGSketch]],
+    * ≤ k counters regardless of batch size) and appends the sketch — k
+    * rows, not a vocabulary — to a batch_id-partitioned log with dynamic
+    * overwrite, so a replayed at-least-once batch replaces its own
+    * partition (the datacardPartials idempotence design). Per-batch state
+    * that crosses the wire is O(k); the vocabulary never accumulates
+    * anywhere.
+    */
+  def heavyHitterPartials(rows: DataFrame, item: org.apache.spark.sql.Column,
+      sketchPath: String, checkpoint: String, k: Int = 64): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val sk = graft.ops.HeavyHitters.sketch(
+          batch.select(item.as("term")), col("term"), k)
+        // one row per surviving counter + the TRUE stream length n (the
+        // merge needs n even when every counter decayed to zero)
+        sk.counters.toSeq.toDF("term", "cnt")
+          .unionByName(Seq((null: String, 0L)).toDF("term", "cnt"))
+          .withColumn("n", lit(sk.n))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(sketchPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the sketch log into one [[graft.ops.HeavyHitters.MGSketch]].
+    * Mergeable-summaries property: summing counters per term across
+    * sketches and applying ONE final reduction is a valid merge order, so
+    * every item with true frequency > N/(k+1) over the WHOLE stream is
+    * still present (the candidate set may be larger — callers run the
+    * exact confirmation pass, the q90 discipline, over the full corpus).
+    */
+  def readMergedSketch(spark: org.apache.spark.sql.SparkSession,
+      sketchPath: String, k: Int = 64): graft.ops.HeavyHitters.MGSketch = {
+    val log = spark.read.parquet(sketchPath)
+    val merged = new graft.ops.HeavyHitters.MGSketch(k)
+    log.filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+      .collect()
+      .foreach(r => merged.counters.update(r.getString(0), r.getLong(1)))
+    merged.n = log.groupBy(col("batch_id")).agg(first(col("n")).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    if (merged.counters.size > k) {
+      val kth = merged.counters.values.toArray
+        .sorted(Ordering[Long].reverse).apply(k)
+      val dead = merged.counters.collect {
+        case (t, c) if c - kth <= 0 => t
+      }.toSeq
+      merged.counters.mapValuesInPlace((_, c) => c - kth)
+      dead.foreach(merged.counters.remove)
+    }
+    merged
+  }
 }

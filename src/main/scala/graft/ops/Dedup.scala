@@ -359,6 +359,13 @@ object Dedup {
     */
   def simhashInRow(docs: DataFrame, idCol: String, toksCol: String): DataFrame =
     docs
+      // parity guard: the explode form simply has no rows for an empty
+      // token array (the doc vanishes from the groupBy), while an in-row
+      // fold over zero tokens would pass every `2·0 ≥ 0` majority vote
+      // and emit an all-ones signature — filter to keep the two forms
+      // bit-identical on ANY input, not just words() output (which is
+      // never empty: splitting '' yields [''])
+      .filter(size(col(toksCol)) > 0)
       // hash once per token in its OWN projection — inside the j-lambda
       // the transform would re-md5 every token 60 times (no CSE across
       // lambda scopes)

@@ -60,6 +60,42 @@ class DecontamDedupSpec extends SparkTestBase {
     assert(slope <= 0.0, s"positive Zipf slope $slope")
   }
 
+  test("q210: nDCG bounded by 1, DCG ≤ IDCG, MRR only at exact reciprocal positions") {
+    val rows = graft.queries.SimilarityQ.annNdcg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val validMrr = (1 to 10).map(p => 1000000L / p).toSet + 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dcg_u") <= r.getAs[Long]("idcg_u"))
+      assert(r.getAs[Long]("ndcg_ppm") <= 1000000L)
+      assert(validMrr.contains(r.getAs[Long]("mrr_u")),
+        s"mrr ${r.getAs[Long]("mrr_u")} is not 1e6 div pos for pos in 1..10")
+      assert(r.getAs[Long]("n_hits") <= 10L)
+    }
+  }
+
+  test("q211: histogram masses exactly the candidate pair set") {
+    val hist = graft.queries.DedupQ.neardupEditDist(spark, sf)
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    val pairs = graft.queries.DedupQ.minhashPairs(spark, sf).count()
+    assert(hist == pairs, s"histogram covers $hist of $pairs pairs")
+  }
+
+  test("q212: per-keyspace row totals equal the scanned tables' counts") {
+    val rows = graft.queries.SkewQ.skewReport(spark, sf).collect()
+      .map(r => r.getAs[String]("keyspace") -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    val ord = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows("lineitem.l_orderkey").getAs[Long]("n_rows") == li)
+    assert(rows("lineitem.l_partkey").getAs[Long]("n_rows") == li)
+    assert(rows("orders.o_custkey").getAs[Long]("n_rows") == ord)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("max_key_rows") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("top_share_ppm") <= 1000000L)
+      // max/mean ratio is ≥ 1× by definition (max ≥ mean)
+      assert(r.getAs[Long]("skew_x_ppm") >= 1000000L - 1L)
+    }
+  }
+
   test("q205: kappa within [-1, 1] micro-units and po/pe consistent") {
     val r = graft.queries.TextQ.kappaLangid(spark, sf).collect()(0)
     val k = r.getAs[Long]("kappa_u")

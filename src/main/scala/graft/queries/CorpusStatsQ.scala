@@ -974,6 +974,79 @@ object CorpusStatsQ {
         expr("covered * 1000000L div total").as("coverage_ppm"))
   }
 
+  /** q213 — per-source Kolmogorov–Smirnov drift on the document-length
+    * distribution: D = max over lengths of |ECDF_source − ECDF_rest|,
+    * the distribution-free two-sample test that catches a feed whose
+    * documents got systematically longer/shorter even when its language
+    * and term mixes look unchanged. Completes the drift triad: q95 (KL
+    * on term distributions), q148 (PSI on binned values over time),
+    * q213 (KS on a continuous marginal, no binning choice to defend).
+    *
+    * Exactness: the statistic is computed as the exact integer cross
+    * product |cum_s·n_r − cum_r·n_s| (no per-point division, so no
+    * truncation ordering to argue about), scaled to ppm only once at
+    * the max — int64-safe to ~3·10⁹ docs per side (then the q147
+    * DECIMAL recipe). ECDFs evaluate at every distinct length, which is
+    * where the max must occur.
+    *
+    * Scale shape: one (source, n_chars) count agg collapses the corpus;
+    * cumulative windows run per source over the tiny (source × distinct
+    * lengths) table; one per-source max. The corpus is scanned once.
+    */
+  def ksLengthDrift(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perLen = t.documents.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    // global per-length cumulative — a single-partition window over the
+    // DISTINCT-LENGTHS table (hundreds of rows), not the corpus
+    val perLenAll = perLen.groupBy(col("n_chars")).agg(sum(col("c")).as("c_all"))
+      .withColumn("cum_all", sum(col("c_all")).over(
+        Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = perLen.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val tot = totals.agg(sum(col("n_s")).as("n_tot"))
+    val wS = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    totals.crossJoin(perLenAll.select(col("n_chars"), col("cum_all")))
+      .join(perLen, Seq("source", "n_chars"), "left")
+      .withColumn("cum_s",
+        sum(coalesce(col("c"), lit(0L))).over(wS))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_r", col("cum_all") - col("cum_s"))
+      .withColumn("n_r", col("n_tot") - col("n_s"))
+      .withColumn("d_num",
+        abs(col("cum_s") * col("n_r") - col("cum_r") * col("n_s")))
+      .groupBy(col("source"), col("n_s"), col("n_r"))
+      .agg(max(col("d_num")).as("d_num"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("d_num * 1000000 div (n_s * n_r)").as("ks_ppm"))
+  }
+
+  private val ksLengthDriftSql =
+    """WITH pl AS (
+      |  SELECT source, n_chars, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |pla AS (
+      |  SELECT n_chars, SUM(c) AS c_all,
+      |    SUM(SUM(c)) OVER (ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS cum_all
+      |  FROM pl GROUP BY n_chars),
+      |tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM pl GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM tt),
+      |grid AS (
+      |  SELECT tt.source, a.n_chars, tt.n_s, a.cum_all,
+      |    SUM(COALESCE(pl.c, 0)) OVER (PARTITION BY tt.source
+      |      ORDER BY a.n_chars ROWS UNBOUNDED PRECEDING) AS cum_s
+      |  FROM tt CROSS JOIN pla a
+      |  LEFT JOIN pl ON pl.source = tt.source AND pl.n_chars = a.n_chars),
+      |d AS (
+      |  SELECT g.source, g.n_s, t.n_tot - g.n_s AS n_r,
+      |    abs(g.cum_s * (t.n_tot - g.n_s)
+      |      - (g.cum_all - g.cum_s) * g.n_s) AS d_num
+      |  FROM grid g CROSS JOIN tot t)
+      |SELECT source, n_s AS n_docs,
+      |  CAST(MAX(d_num) * 1000000 // (n_s * n_r) AS BIGINT) AS ks_ppm
+      |FROM d GROUP BY source, n_s, n_r""".stripMargin
+
   /** q206 — pairwise Jensen–Shannon divergence between source term
     * distributions: the source-similarity matrix behind mixture design
     * (two sources with near-zero JS are redundant — deduplicate the MIX,
@@ -1247,6 +1320,7 @@ object CorpusStatsQ {
     QueryDef("q204_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q206_source_js_divergence", sourceJsDivergence,
       Some(sourceJsDivergenceSql)),
+    QueryDef("q213_ks_length_drift", ksLengthDrift, Some(ksLengthDriftSql)),
     QueryDef("q175_term_burstiness", termBurstiness, Some(termBurstinessSql)),
     QueryDef("q163_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q159_source_datacard", sourceDatacard, Some(sourceDatacardSql)),

@@ -243,8 +243,103 @@ object EventsQ {
       |SELECT day + o AS win_end, COUNT(DISTINCT user_id) AS u7
       |FROM expanded GROUP BY 1""".stripMargin
 
+  /** q215 — SURVIVAL analysis of inter-event waiting times (Nelson–Aalen
+    * cumulative hazard with right-censoring): every gap between a user's
+    * consecutive events is a COMPLETE observation ("waited g hours, then
+    * acted"); each user's final open gap (last event → observation end)
+    * is right-CENSORED — we know they waited at least that long, and
+    * dropping it would bias the estimator optimistic (the classic
+    * churn-analysis mistake). For each gap length t (hours) with ≥1
+    * completed wait: the risk set `n(t)` (gaps, complete or censored,
+    * of length ≥ t), completion count `d(t)`, discrete hazard `d/n`,
+    * and the Nelson–Aalen cumulative hazard `Σ_{t'≤t} d/n` — "given
+    * you've been silent t hours, how likely are you to ever return".
+    * Complements q110's calendar cohort grid with the censoring-aware,
+    * cohort-free estimator.
+    *
+    * Determinism: Nelson–Aalen instead of Kaplan–Meier PRODUCT-limit —
+    * each hazard term is an exact integer ppm (`d·10⁶ div n`, both
+    * non-negative so Spark `div` ≡ DuckDB `//`) and the cumulative sum
+    * is exact BIGINT; a KM product would force float multiplication
+    * chains that drift across engines. Timestamps cross as unix_micros;
+    * the lead window carries event_id as the equal-ts tiebreaker.
+    *
+    * Scale shape: one per-user lead window over events (keyed shuffle,
+    * the q21 lag-gap shape), one hash agg onto the distinct-gap-length
+    * table (≤ observation-window hours — hundreds of rows); the risk set
+    * is total-minus-prefix off ONE cumulative window, and the
+    * single-partition ordered windows run on that tiny table only (the
+    * q213 ECDF precedent).
+    */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val obsEnd = ev.agg(max(col("us")).as("end_us"))
+    val wLead = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = ev
+      .withColumn("next_us", lead(col("us"), 1).over(wLead))
+      .crossJoin(broadcast(obsEnd))
+      .select(
+        expr("coalesce(next_us - us, end_us - us) div 3600000000L")
+          .as("gap_h"),
+        col("next_us").isNotNull.as("complete"))
+    val byGap = gaps.groupBy(col("gap_h"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("complete"), 1L).otherwise(0L)).as("d"))
+    val tot = byGap.agg(sum(col("n_all")).as("n_gaps"))
+    val wPrev = Window.orderBy(col("gap_h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("gap_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byGap
+      .crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_gaps") - coalesce(sum(col("n_all")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0L)
+      .withColumn("hazard_ppm", expr("d * 1000000L div n_risk"))
+      .withColumn("cum_hazard_ppm", sum(col("hazard_ppm")).over(wCum))
+      .select(col("gap_h"), col("n_risk"), col("d").as("d_completed"),
+        col("hazard_ppm"), col("cum_hazard_ppm"))
+  }
+
+  private val survivalHazardSql =
+    """WITH obs AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+      |gaps AS (
+      |  SELECT COALESCE(
+      |      LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) - epoch_us(ts),
+      |      (SELECT end_us FROM obs) - epoch_us(ts)) // 3600000000
+      |      AS gap_h,
+      |    (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) IS NOT NULL) AS complete
+      |  FROM events),
+      |by_gap AS (
+      |  SELECT gap_h, CAST(COUNT(*) AS BIGINT) AS n_all,
+      |    CAST(SUM(CASE WHEN complete THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM gaps GROUP BY gap_h),
+      |tot AS (SELECT CAST(SUM(n_all) AS BIGINT) AS n_gaps FROM by_gap),
+      |risk AS (
+      |  SELECT gap_h, d,
+      |    n_gaps - CAST(COALESCE(SUM(n_all) OVER (
+      |      ORDER BY gap_h ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |  FROM by_gap CROSS JOIN tot),
+      |hz AS (
+      |  SELECT gap_h, n_risk, d AS d_completed,
+      |    CAST(d * 1000000 // n_risk AS BIGINT) AS hazard_ppm
+      |  FROM risk WHERE d > 0)
+      |SELECT gap_h, n_risk, d_completed, hazard_ppm,
+      |  CAST(SUM(hazard_ppm) OVER (ORDER BY gap_h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_hazard_ppm
+      |FROM hz""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q145_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
+    QueryDef("q215_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     QueryDef("q146_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),

@@ -814,6 +814,92 @@ object StatsQ {
       |FROM classes CROSS JOIN tot
       |GROUP BY l, n_total""".stripMargin
 
+  /** q214 — T-CLOSENESS audit, completing the privacy triple with q162
+    * (k-anonymity: class SIZE) and q209 (l-diversity: value VARIETY):
+    * per quasi-identifier class, the ordered Earth Mover's Distance
+    * between the class's sensitive-value distribution and the global
+    * one (Li et al., ICDE 2007 — a class can be large AND diverse yet
+    * still leak if its distribution is skewed vs the population, e.g.
+    * "this nation+segment is mostly top-band balances"). QI here is the
+    * (nation, segment) pair; the sensitive attribute is the q162 $1000
+    * exact-cents balance band, which is ORDERED, so the audit uses the
+    * ordinal EMD `Σ|cumΣ(p−q)| / (m−1)`, not plain total-variation.
+    *
+    * Determinism: p and q are integer micro-unit fractions (floor-div of
+    * non-negative counts, where Spark `div` and DuckDB `//` agree); the
+    * cumulative differences, their absolute sum, and the final `/(m−1)`
+    * are all exact BIGINT — no float anywhere (q131 lift convention).
+    *
+    * Scale shape: two stacked hash aggs off one (QI, band) count table,
+    * then everything runs on the classes×bands GRID (|QI classes| · |m
+    * bands| rows — class-table-sized, never data-sized): the global band
+    * distribution and the 1-row total broadcast in, the cumulative
+    * window partitions by class. No data-plane shuffle after the first
+    * aggregate.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val pv = t.customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("c"))
+    val cls = pv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("k"))
+    val gl = pv.groupBy(col("bal_band")).agg(sum(col("c")).as("nc"))
+    val tot = gl.agg(sum(col("nc")).as("n_total"), count(lit(1)).as("m"))
+    val grid = cls
+      .crossJoin(broadcast(gl))
+      .join(pv, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff_u",
+        expr("c * 1000000L div k - nc * 1000000L div n_total"))
+    val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("bal_band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_u", sum(col("diff_u")).over(w))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("k"), col("m"))
+      .agg(sum(abs(col("cum_u"))).as("s"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("k"),
+        expr("s div greatest(1L, m - 1L)").as("emd_u"))
+      .withColumn("at_risk", col("emd_u") > 200000L)
+  }
+
+  private val tClosenessSql =
+    """WITH pv AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment, CAST(SUM(c) AS BIGINT) AS k
+      |        FROM pv GROUP BY 1, 2),
+      |gl AS (SELECT bal_band, CAST(SUM(c) AS BIGINT) AS nc FROM pv GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_total,
+      |               CAST(COUNT(*) AS BIGINT) AS m FROM gl),
+      |grid AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.k, gl.bal_band,
+      |    COALESCE(pv.c, 0) AS c, gl.nc, tot.n_total, tot.m
+      |  FROM cls CROSS JOIN gl CROSS JOIN tot
+      |  LEFT JOIN pv ON pv.c_nationkey = cls.c_nationkey
+      |    AND pv.c_mktsegment = cls.c_mktsegment
+      |    AND pv.bal_band = gl.bal_band),
+      |cum AS (
+      |  SELECT c_nationkey, c_mktsegment, k, m,
+      |    SUM(c * 1000000 // k - nc * 1000000 // n_total) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+      |      ROWS UNBOUNDED PRECEDING) AS cum_u
+      |  FROM grid),
+      |sel AS (
+      |  SELECT c_nationkey, c_mktsegment, k,
+      |    CAST(SUM(ABS(cum_u)) // GREATEST(1, m - 1) AS BIGINT) AS emd_u
+      |  FROM cum GROUP BY c_nationkey, c_mktsegment, k, m)
+      |SELECT c_nationkey, c_mktsegment, k, emd_u,
+      |  (emd_u > 200000) AS at_risk
+      |FROM sel""".stripMargin
+
   /** q165 — TEMPERATURE-scaled language mixture: the multilingual
     * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
     * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
@@ -1062,6 +1148,7 @@ object StatsQ {
     QueryDef("q165_temperature_mixture", temperatureMixture, Some(temperatureMixtureSql)),
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q209_ldiversity", lDiversity, Some(lDiversitySql)),
+    QueryDef("q214_tcloseness", tCloseness, Some(tClosenessSql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -99,4 +99,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(df.filter(col("k").isNull).isEmpty, "unparseable props")
     assert(df.agg(sum("n")).head.getLong(0) == total)
   }
+
+  test("q214 t-closeness: EMD in [0,1e6], classes cover every customer") {
+    val df = StatsQ.tCloseness(spark, sf).cache()
+    try {
+      assert(df.filter(col("emd_u") < 0 || col("emd_u") > 1000000L).isEmpty)
+      // every (nation, segment) class present exactly once; k conserves
+      val nCustomers = spark.read.parquet(s"$sf/customer.parquet").count()
+      assert(df.agg(sum("k")).head.getLong(0) == nCustomers)
+      val nClasses = spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_nationkey", "c_mktsegment").distinct().count()
+      assert(df.count() == nClasses)
+      assert(df.filter(col("at_risk") =!= (col("emd_u") > 200000L)).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("q215 survival: risk set monotone down, hazard bounded, cum hazard monotone up") {
+    val rows = EventsQ.survivalHazard(spark, sf)
+      .orderBy(col("gap_h")).collect()
+    assert(rows.nonEmpty)
+    // total gap observations = one per event (last gap censored at obs end)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.head.getAs[Long]("n_risk") == nEvents)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("d_completed")
+      val n = r.getAs[Long]("n_risk")
+      assert(d >= 1L && d <= n)
+      val h = r.getAs[Long]("hazard_ppm")
+      assert(h >= 0L && h <= 1000000L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_risk") > b.getAs[Long]("n_risk"))
+        assert(a.getAs[Long]("cum_hazard_ppm") <= b.getAs[Long]("cum_hazard_ppm"))
+      case _ => ()
+    }
+  }
 }

@@ -1314,8 +1314,101 @@ object CorpusStatsQ {
       |  round(CAST(SUM(term) AS DOUBLE) / MAX(n), 6) AS lang_entropy
       |FROM t GROUP BY source""".stripMargin
 
+  /** q216 — GREEDY token-budget curation: rank each source's documents
+    * by the q122 quality logit (best first) and keep documents until the
+    * source's token budget — 30% of its token mass — is exhausted; the
+    * knapsack-relaxation selection every "train on the best N tokens"
+    * pipeline runs once a compute budget is fixed. Per source: docs
+    * considered/kept, token mass, budget, kept tokens, kept-ppm, and the
+    * kept docs' summed logit (exact BIGINT — the oracle-stable stand-in
+    * for "mean selected quality").
+    *
+    * Determinism: the greedy order carries doc_id as tiebreaker; budgets
+    * and kept-ppm are integer floor-divisions of non-negative token
+    * counts (`div` ≡ `//`); the q122 logit is already bit-equal across
+    * engines (md5 weights, integer sum).
+    *
+    * Scale shape: scoring is the q122 map-side literal-folded logit
+    * (zero exchanges); the only data-sized shuffle is the per-source
+    * cumulative window (keyed by source — the q212 skew report decides
+    * when a dominant source needs the q101 two-phase treatment); budgets
+    * broadcast back as a source-table-sized join and the output is one
+    * row per source.
+    */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = 256
+    val scored = t.documents.select(col("doc_id"), col("source"),
+      size(graft.ops.Dedup.words(col("text"))).cast("long").as("n_tokens"),
+      graft.ops.QualityScorer.logitMicro(col("text"),
+        graft.ops.QualityScorer.md5Weights(dim)).as("logit_u"))
+    val budgets = scored.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("tot_tokens"))
+      .withColumn("budget_tokens", expr("tot_tokens * 3 div 10"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("logit_u").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("selected", col("cum_tokens") <= col("budget_tokens"))
+      .groupBy(col("source"), col("tot_tokens"), col("budget_tokens"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("selected"), col("n_tokens")).otherwise(0L))
+          .as("sel_tokens"),
+        sum(when(col("selected"), col("logit_u")).otherwise(0L))
+          .as("sel_logit_u"))
+      .select(col("source"), col("n_docs"), col("n_selected"),
+        col("tot_tokens"), col("budget_tokens"), col("sel_tokens"),
+        expr("sel_tokens * 1000000L div tot_tokens").as("sel_ppm"),
+        col("sel_logit_u"))
+  }
+
+  private val tokenBudgetSelectSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id,
+      |    SUM(('0x' || substr(md5('w:' ||
+      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
+      |        % 1000001 - 500000) AS wsum
+      |  FROM toks GROUP BY doc_id),
+      |scored AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(per.wsum AS BIGINT) AS logit_u
+      |  FROM documents d JOIN per USING (doc_id)),
+      |budgets AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+      |    CAST(SUM(n_tokens) * 3 // 10 AS BIGINT) AS budget_tokens
+      |  FROM scored GROUP BY source),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens, logit_u,
+      |    SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY logit_u DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM scored),
+      |sel AS (
+      |  SELECT c.source, b.tot_tokens, b.budget_tokens, c.n_tokens,
+      |    c.logit_u, (c.cum_tokens <= b.budget_tokens) AS selected
+      |  FROM cum c JOIN budgets b USING (source))
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+      |  tot_tokens, budget_tokens,
+      |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS sel_tokens,
+      |  CAST(SUM(CASE WHEN selected THEN n_tokens ELSE 0 END) * 1000000
+      |    // tot_tokens AS BIGINT) AS sel_ppm,
+      |  CAST(SUM(CASE WHEN selected THEN logit_u ELSE 0 END) AS BIGINT)
+      |    AS sel_logit_u
+      |FROM sel GROUP BY source, tot_tokens, budget_tokens""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q184_source_lang_entropy", sourceLangEntropy, Some(sourceLangEntropySql)),
+    QueryDef("q216_token_budget_select", tokenBudgetSelect, Some(tokenBudgetSelectSql)),
     QueryDef("q174_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("q204_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q206_source_js_divergence", sourceJsDivergence,

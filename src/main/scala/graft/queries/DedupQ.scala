@@ -1392,7 +1392,109 @@ object DedupQ {
       |  CAST((SUM(c) - COUNT(*)) * 1000000 // SUM(c) AS BIGINT) AS dup_ppm
       |FROM per GROUP BY bucket""".stripMargin
 
+  /** q217 — WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): hash every 3-word k-gram, slide a
+    * 4-gram window over the hash sequence, and keep each window's
+    * MINIMUM — the guarantee the simpler q33/q56 fingerprints lack: any
+    * shared run of ≥ k+w−1 words between two documents shares ≥1
+    * selected fingerprint, at an expected density of only 2/(w+1) of
+    * the grams. Per source: eligible docs, gram count, selected
+    * fingerprint count, selection density ppm, and the count/share of
+    * fingerprints also seen in ≥2 documents (the local-plagiarism /
+    * near-dup overlap signal).
+    *
+    * Determinism: gram hashes are the portable 60-bit md5
+    * ([[graft.ops.Dedup.hash60]] formulation inline in SQL); window
+    * minima, distinct-per-doc selection, and all ratios are exact
+    * integer ops. Docs shorter than k+w−1 = 6 words cannot fill one
+    * window and are excluded in BOTH engines.
+    *
+    * Scale shape: gram hashing AND window-min selection are one in-row
+    * HOF chain — raw grams never leave the row (the PLANS no-raw-shuffle
+    * invariant); only the SELECTED fingerprints (≈2/(w+1) ≈ 40% of
+    * grams as 64-bit ints) explode into the (fp → doc-frequency) hash
+    * agg and the fp-keyed dup join — the q37 bucket shape. The oracle
+    * mirrors selection with a per-doc ordered window at sf0.01 scale.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val eligible = t.documents
+      .select(col("doc_id"), col("source"), Dedup.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 6)
+      .withColumn("kh", expr(
+        """transform(sequence(1, size(ws) - 2), i ->
+          |  CAST(conv(substring(md5(concat_ws(' ',
+          |    element_at(ws, i), element_at(ws, i + 1),
+          |    element_at(ws, i + 2))), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("kh")).cast("long").as("g"),
+        expr("""array_distinct(transform(sequence(1, size(kh) - 3), j ->
+          |  array_min(slice(kh, j, 4))))""".stripMargin).as("sel"))
+    val perDoc = eligible.select(col("doc_id"), col("source"), col("g"),
+      size(col("sel")).cast("long").as("s"))
+    val ex = eligible.select(col("doc_id"), col("source"),
+      explode(col("sel")).as("fp"))
+    val dfreq = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val dup = ex.join(dfreq, Seq("fp"))
+      .filter(col("df") >= 2L)
+      .groupBy(col("source")).agg(count(lit(1)).as("dup_fp"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("g")).as("n_grams"),
+        sum(col("s")).as("n_fps"))
+      .join(dup, Seq("source"), "left")
+      .na.fill(0L, Seq("dup_fp"))
+      .select(col("source"), col("n_docs"), col("n_grams"), col("n_fps"),
+        expr("n_fps * 1000000L div n_grams").as("density_ppm"),
+        col("dup_fp"),
+        expr("dup_fp * 1000000L div n_fps").as("dup_ppm"))
+  }
+
+  private val winnowingSql =
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, source, CAST(len(ws) - 2 AS BIGINT) AS g, ws
+      |  FROM w WHERE len(ws) >= 6),
+      |kh AS (
+      |  SELECT doc_id, source, g, unnest(range(1, len(ws) - 1)) AS i, ws
+      |  FROM e),
+      |kv AS (
+      |  SELECT doc_id, source, g, i,
+      |    ('0x' || substr(md5(ws[CAST(i AS INT)] || ' ' ||
+      |       ws[CAST(i AS INT) + 1] || ' ' ||
+      |       ws[CAST(i AS INT) + 2]), 1, 15))::BIGINT AS h
+      |  FROM kh),
+      |mn AS (
+      |  SELECT doc_id, source, g, i,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      |  FROM kv),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, source, mh
+      |  FROM mn WHERE i <= g - 3),
+      |perdoc AS (
+      |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS s
+      |  FROM sel GROUP BY 1, 2),
+      |dfreq AS (SELECT mh, COUNT(*) AS df FROM sel GROUP BY mh),
+      |dup AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_fp
+      |  FROM sel JOIN dfreq USING (mh) WHERE df >= 2 GROUP BY source),
+      |per AS (
+      |  SELECT e.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(e.g) AS BIGINT) AS n_grams,
+      |    CAST(SUM(perdoc.s) AS BIGINT) AS n_fps
+      |  FROM e JOIN perdoc USING (doc_id) GROUP BY e.source)
+      |SELECT per.source, n_docs, n_grams, n_fps,
+      |  CAST(n_fps * 1000000 // n_grams AS BIGINT) AS density_ppm,
+      |  CAST(COALESCE(dup.dup_fp, 0) AS BIGINT) AS dup_fp,
+      |  CAST(COALESCE(dup.dup_fp, 0) * 1000000 // n_fps AS BIGINT) AS dup_ppm
+      |FROM per LEFT JOIN dup ON per.source = dup.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q217_winnowing", winnowing, Some(winnowingSql)),
     QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
     QueryDef("q208_quality_dup_calibration", qualityDupCalibration,
       Some(qualityDupCalibrationSql)),

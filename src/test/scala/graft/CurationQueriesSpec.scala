@@ -106,4 +106,57 @@ class CurationQueriesSpec extends SparkTestBase {
       assert(r.getAs[Long]("actual_k") == r.getAs[Long]("ks_s") * em / 1000L)
     }
   }
+
+  test("q216: kept tokens never exceed the 30% budget; counts conserve") {
+    val rows = graft.queries.CorpusStatsQ.tokenBudgetSelect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("budget_tokens") == r.getAs[Long]("tot_tokens") * 3 / 10)
+      assert(r.getAs[Long]("sel_tokens") <= r.getAs[Long]("budget_tokens"))
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sel_ppm") <= 300000L)
+    }
+  }
+
+  test("q217: winnowing density below 1, dup fingerprints bounded by selected") {
+    val rows = graft.queries.DedupQ.winnowing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val grams = r.getAs[Long]("n_grams")
+      val fps = r.getAs[Long]("n_fps")
+      val docs = r.getAs[Long]("n_docs")
+      // selected-per-doc is at most the window count g-3, at least 1
+      assert(fps >= docs && fps <= grams - 3 * docs)
+      assert(r.getAs[Long]("density_ppm") <= 1000000L)
+      assert(r.getAs[Long]("dup_fp") <= fps)
+      assert(r.getAs[Long]("dup_ppm") <= 1000000L)
+    }
+  }
+
+  test("q217 guarantee: docs sharing a >=6-word run share a fingerprint") {
+    // winnowing's coverage property (any shared run of >= k+w-1 = 6 words
+    // yields >= 1 shared selected fingerprint), verified on the same
+    // in-row selection expression the query uses: two documents that
+    // agree only on a 6-word middle run must intersect in fingerprints
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over"
+    val docs = Seq(
+      s"alpha beta gamma $shared delta epsilon zeta",
+      s"one two three four $shared five six seven eight").toDF("text")
+    val fps = docs.select(expr(
+      """array_distinct(transform(sequence(1,
+        |  size(split(lower(trim(text)), '\\s+')) - 5), j ->
+        |  array_min(transform(sequence(j, j + 3), i ->
+        |    CAST(conv(substring(md5(concat_ws(' ',
+        |      element_at(split(lower(trim(text)), '\\s+'), i),
+        |      element_at(split(lower(trim(text)), '\\s+'), i + 1),
+        |      element_at(split(lower(trim(text)), '\\s+'), i + 2))),
+        |      1, 15), 16, 10) AS BIGINT)))))""".stripMargin).as("fps"))
+      .as[Seq[Long]].collect()
+    assert(fps.length == 2)
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty,
+      "shared 6-word run selected no common fingerprint")
+  }
 }

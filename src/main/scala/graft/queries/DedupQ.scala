@@ -1493,8 +1493,68 @@ object DedupQ {
       |  CAST(COALESCE(dup.dup_fp, 0) * 1000000 // n_fps AS BIGINT) AS dup_ppm
       |FROM per LEFT JOIN dup ON per.source = dup.source""".stripMargin
 
+  /** q219 — CONTAINMENT profile over the MinHash candidate pairs:
+    * Jaccard (q38) is symmetric and misses SUBSET duplication — a short
+    * document wholly quoted inside a long one scores low Jaccard but
+    * containment |A∩B|/min(|A|,|B|) ≈ 1. The 2-D (containment band ×
+    * Jaccard band) histogram separates copy-edits (both high) from
+    * quote/subset dups (containment high, Jaccard low — the
+    * `n_subset_dups` column), which picks between whole-doc dedup and
+    * span-level dedup (q89/q123) as the remediation.
+    *
+    * Determinism: shingle sets are exact distinct arrays, intersection
+    * sizes are integers, both ratios are integer-ppm floor divisions of
+    * non-negative counts (`div` ≡ `//`) — no float anywhere.
+    *
+    * Scale shape: rides the memoized capped candidate-pair set and the
+    * memoized shingle table (never corpus×corpus); per-pair work is one
+    * in-row `array_intersect` of two distinct-shingle arrays; output is
+    * a ≤25-cell histogram.
+    */
+  def containmentProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = shingleDocs(spark, dir)
+    minhashPairs(spark, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("na", size(col("sa")).cast("long"))
+      .withColumn("nb", size(col("sb")).cast("long"))
+      .withColumn("cont_ppm", expr("inter * 1000000L div least(na, nb)"))
+      .withColumn("jac_ppm", expr("inter * 1000000L div (na + nb - inter)"))
+      .withColumn("cont_band", expr("cont_ppm div 250000"))
+      .withColumn("jac_band", expr("jac_ppm div 250000"))
+      .groupBy(col("cont_band"), col("jac_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cont_ppm") >= 900000L && col("jac_ppm") < 500000L, 1L)
+          .otherwise(0L)).as("n_subset_dups"))
+  }
+
+  private val containmentProfileSql =
+    s"""$minhashCtes, shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM w WHERE len(toks) >= 3
+       |), prof AS (
+       |  SELECT
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(sa.sh) AS BIGINT) AS na,
+       |    CAST(len(sb.sh) AS BIGINT) AS nb
+       |  FROM pairs JOIN shs sa ON doc_a = sa.doc_id
+       |             JOIN shs sb ON doc_b = sb.doc_id
+       |), pp AS (
+       |  SELECT inter * 1000000 // LEAST(na, nb) AS cont_ppm,
+       |    inter * 1000000 // (na + nb - inter) AS jac_ppm
+       |  FROM prof)
+       |SELECT CAST(cont_ppm // 250000 AS BIGINT) AS cont_band,
+       |  CAST(jac_ppm // 250000 AS BIGINT) AS jac_band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN cont_ppm >= 900000 AND jac_ppm < 500000
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_subset_dups
+       |FROM pp GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q217_winnowing", winnowing, Some(winnowingSql)),
+    QueryDef("q219_containment", containmentProfile, Some(containmentProfileSql)),
     QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
     QueryDef("q208_quality_dup_calibration", qualityDupCalibration,
       Some(qualityDupCalibrationSql)),

@@ -900,6 +900,76 @@ object StatsQ {
       |  (emd_u > 200000) AS at_risk
       |FROM sel""".stripMargin
 
+  /** q218 — DIFFERENTIALLY-PRIVATE count release (ε=0.5 two-sided
+    * geometric mechanism): per-nation customer counts published with
+    * integer noise drawn by inverse-CDF from the discrete Laplace
+    * distribution — the release step after the q162/q209/q214 audits
+    * say raw counts are too risky, and the privacy-family capstone
+    * (pseudonymize → k-anon → l-div → t-close → DP release). Output
+    * keeps the true count beside the released one: this is the
+    * CALIBRATION view (per-key absolute error and the ε accounting), the
+    * view a data owner signs off on before dropping the true column.
+    *
+    * Determinism: production DP draws fresh randomness per release; a
+    * cross-engine oracle needs the DRAW pinned, so u comes from the q57
+    * md5 convention (`hash60('dp:'||key) % 10⁶` — the [[graft.ops
+    * .QualityScorer.md5Weights]] demo-weights pattern: swap in a real
+    * RNG in production, keep the mechanism). With α=e^(−ε) and ε=0.5 the
+    * magnitude is `floor(−2·round(ln(1−v),6))` — ln of an exact small
+    * integer ratio is the same IEEE double in both engines, round-6
+    * pins it (QueryDef rules), and everything after is exact integer.
+    *
+    * Scale shape: one nation-keyed hash agg (map-side combine) and a
+    * map-side noise projection — release tables are key-space-sized, the
+    * mechanism adds zero exchanges.
+    */
+  def dpRelease(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("u", graft.ops.Dedup.hash60(
+        concat(lit("dp:"), col("c_nationkey").cast("string"))) % 1000000L)
+      .withColumn("sgn", when(col("u") < 500000L, -1L).otherwise(lit(1L)))
+      .withColumn("vv",
+        when(col("u") < 500000L, (lit(500000L) - col("u")) * 2L)
+          .otherwise((col("u") - lit(500000L)) * 2L))
+      .withColumn("k", floor(
+        round(log((lit(1000000L) - col("vv")).cast("double") / 1000000.0), 6)
+          * -2.0).cast("long"))
+      .withColumn("noise", col("sgn") * col("k"))
+      .select(col("c_nationkey"), col("true_count"), col("noise"),
+        greatest(lit(0L), col("true_count") + col("noise")).as("released"),
+        abs(col("noise")).as("abs_err"),
+        lit(500L).as("epsilon_milli"))
+  }
+
+  private val dpReleaseSql =
+    """WITH cnt AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_count
+      |  FROM customer GROUP BY 1),
+      |nz AS (
+      |  SELECT c_nationkey, true_count,
+      |    ('0x' || substr(md5('dp:' || c_nationkey), 1, 15))::BIGINT
+      |      % 1000000 AS u
+      |  FROM cnt),
+      |mech AS (
+      |  SELECT c_nationkey, true_count,
+      |    CASE WHEN u < 500000 THEN -1 ELSE 1 END AS sgn,
+      |    CASE WHEN u < 500000 THEN (500000 - u) * 2
+      |         ELSE (u - 500000) * 2 END AS vv
+      |  FROM nz),
+      |noise AS (
+      |  SELECT c_nationkey, true_count,
+      |    CAST(sgn * CAST(floor(
+      |      round(ln((1000000 - vv) / 1000000.0), 6) * -2.0) AS BIGINT)
+      |      AS BIGINT) AS noise
+      |  FROM mech)
+      |SELECT c_nationkey, true_count, noise,
+      |  GREATEST(0, true_count + noise) AS released,
+      |  ABS(noise) AS abs_err,
+      |  CAST(500 AS BIGINT) AS epsilon_milli
+      |FROM noise""".stripMargin
+
   /** q165 — TEMPERATURE-scaled language mixture: the multilingual
     * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
     * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
@@ -1149,6 +1219,7 @@ object StatsQ {
     QueryDef("q162_kanonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q209_ldiversity", lDiversity, Some(lDiversitySql)),
     QueryDef("q214_tcloseness", tCloseness, Some(tClosenessSql)),
+    QueryDef("q218_dp_release", dpRelease, Some(dpReleaseSql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -135,6 +135,36 @@ class CurationQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q218: DP release clamps at zero, noise bounded by the mechanism tail") {
+    val rows = graft.queries.StatsQ.dpRelease(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("true_count")
+      val n = r.getAs[Long]("noise")
+      assert(r.getAs[Long]("released") == math.max(0L, t + n))
+      assert(r.getAs[Long]("abs_err") == math.abs(n))
+      // inverse-CDF magnitude at eps=0.5: floor(-2*ln(2e-6)) = 26 max
+      assert(math.abs(n) <= 26L)
+      assert(r.getAs[Long]("epsilon_milli") == 500L)
+    }
+    // the md5-pinned draw is deterministic across invocations
+    val again = graft.queries.StatsQ.dpRelease(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("q219: containment histogram conserves the pair set; subset dups within cells") {
+    val df = graft.queries.DedupQ.containmentProfile(spark, sf).cache()
+    try {
+      val nPairs = graft.queries.DedupQ.minhashPairs(spark, sf).count()
+      assert(df.agg(sum("n_pairs")).head.getLong(0) == nPairs)
+      assert(df.filter(col("cont_band") < 0 || col("cont_band") > 4).isEmpty)
+      assert(df.filter(col("jac_band") < 0 || col("jac_band") > 4).isEmpty)
+      assert(df.filter(col("n_subset_dups") > col("n_pairs")).isEmpty)
+      // containment >= jaccard always (min(na,nb) <= union size)
+      assert(df.filter(col("cont_band") < col("jac_band")).isEmpty)
+    } finally df.unpersist()
+  }
+
   test("q217 guarantee: docs sharing a >=6-word run share a fingerprint") {
     // winnowing's coverage property (any shared run of >= k+w-1 = 6 words
     // yields >= 1 shared selected fingerprint), verified on the same

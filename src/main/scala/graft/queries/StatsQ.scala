@@ -970,6 +970,84 @@ object StatsQ {
       |  CAST(500 AS BIGINT) AS epsilon_milli
       |FROM noise""".stripMargin
 
+  /** q220 — training-ORDER shuffle quality (Wald–Wolfowitz runs audit):
+    * within each shard, in training order (doc_id), count the RUNS of
+    * consecutive same-source documents and compare to the expectation
+    * under a random permutation, `E[R] = 1 + (n² − Σnᵢ²)/n`. A ratio
+    * well below 1 means source-clumped batches (consecutive gradient
+    * steps see one distribution — the thing corpus shuffling exists to
+    * prevent); ≈1 means well-mixed. Complements q177 (shard SIZE
+    * balance) and q178 (cluster source purity) with the ORDER dimension
+    * neither sees.
+    *
+    * Determinism: run boundaries are exact (lag + string inequality);
+    * E[R] and the ratio are the documented rounded-double exception
+    * (n² exceeds BIGINT at petabyte shard sizes, so both engines compute
+    * the same IEEE expression and round to 6 — QueryDef rules).
+    *
+    * Scale shape: one (shard, source) hash agg for the expectation
+    * terms, and a per-shard ordered lag window for the observed runs.
+    * The window keys on ONE-BYTE cardinality (8 shards) — fine at the
+    * oracle gate, but at 100 TB this is 8 sort partitions; the scale
+    * path chunks the order key (runs stitch exactly across chunk
+    * boundaries: ΣchunkRuns − Σ[chunk k+1 starts with chunk k's last
+    * source]) — same answer, partition-local sorts. The audit readout
+    * is unchanged either way.
+    */
+  def shuffleRuns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val d = t.documents.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(8L)).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val runs = d
+      .withColumn("prev", lag(col("source"), 1).over(w))
+      .select(col("shard"),
+        when(col("prev").isNull || col("prev") =!= col("source"), 1L)
+          .otherwise(0L).as("is_start"))
+      .groupBy(col("shard")).agg(sum(col("is_start")).as("n_runs"))
+    val exp = d.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    runs.join(exp, Seq("shard"))
+      .withColumn("e_runs", round(
+        lit(1.0) + (col("n_docs").cast("double") * col("n_docs")
+          - col("sum_sq")) / col("n_docs"), 6))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("n_runs"),
+        col("e_runs"),
+        round(col("n_runs").cast("double") / col("e_runs"), 6)
+          .as("runs_ratio"))
+  }
+
+  private val shuffleRunsSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(doc_id % 8 AS INT) AS shard
+      |  FROM documents),
+      |r AS (
+      |  SELECT shard,
+      |    CASE WHEN LAG(source) OVER (PARTITION BY shard ORDER BY doc_id)
+      |      IS DISTINCT FROM source THEN 1 ELSE 0 END AS is_start
+      |  FROM d),
+      |runs AS (
+      |  SELECT shard, CAST(SUM(is_start) AS BIGINT) AS n_runs
+      |  FROM r GROUP BY shard),
+      |pc AS (SELECT shard, source, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |    CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      |  FROM pc GROUP BY shard),
+      |j AS (
+      |  SELECT runs.shard, n_docs, n_sources, n_runs,
+      |    round(1.0 + (CAST(n_docs AS DOUBLE) * n_docs - sum_sq) / n_docs, 6)
+      |      AS e_runs
+      |  FROM runs JOIN ex ON runs.shard = ex.shard)
+      |SELECT shard, n_docs, n_sources, n_runs, e_runs,
+      |  round(CAST(n_runs AS DOUBLE) / e_runs, 6) AS runs_ratio
+      |FROM j""".stripMargin
+
   /** q165 — TEMPERATURE-scaled language mixture: the multilingual
     * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
     * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
@@ -1220,6 +1298,7 @@ object StatsQ {
     QueryDef("q209_ldiversity", lDiversity, Some(lDiversitySql)),
     QueryDef("q214_tcloseness", tCloseness, Some(tClosenessSql)),
     QueryDef("q218_dp_release", dpRelease, Some(dpReleaseSql)),
+    QueryDef("q220_shuffle_runs", shuffleRuns, Some(shuffleRunsSql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -165,6 +165,20 @@ class CurationQueriesSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("q220: runs bounded by [n_sources, n_docs], ratio positive") {
+    val rows = graft.queries.StatsQ.shuffleRuns(spark, sf).collect()
+    assert(rows.length == 8)
+    val totalDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      val runs = r.getAs[Long]("n_runs")
+      assert(runs >= r.getAs[Long]("n_sources"))
+      assert(runs <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("e_runs") >= 1.0)
+      assert(r.getAs[Double]("runs_ratio") > 0.0)
+    }
+  }
+
   test("q217 guarantee: docs sharing a >=6-word run share a fingerprint") {
     // winnowing's coverage property (any shared run of >= k+w-1 = 6 words
     // yields >= 1 shared selected fingerprint), verified on the same

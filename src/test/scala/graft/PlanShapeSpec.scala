@@ -186,4 +186,19 @@ class PlanShapeSpec extends SparkTestBase {
     // exchanged row must not carry the 64-float vector
     assert(!p.contains("Window"), p)
   }
+
+  test("q218 dp release: one agg, mechanism is a map-side projection") {
+    val p = plan("q218_dp_release")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the noise mechanism must not add joins or windows:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q216 budget select: broadcast budgets, one source-keyed window, no merge join") {
+    val p = plan("q216_token_budget_select")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"budgets must come back as a broadcast join:\n$p")
+    assert(p.contains("Window"), p)
+  }
 }

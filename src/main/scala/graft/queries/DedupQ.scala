@@ -1601,8 +1601,71 @@ object DedupQ {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_subset_dups
        |FROM pp GROUP BY 1, 2""".stripMargin
 
+  /** q221 — SOFT dedup via loss weighting: instead of dropping near-dup
+    * documents (q136's survivor selection), keep every document but
+    * weight it 1/|cluster| — total loss mass per duplicated content
+    * stays constant (the "count-based down-weighting" alternative that
+    * preserves coverage when near-dups carry complementary context).
+    * Per source: docs, docs inside near-dup clusters, the EFFECTIVE
+    * dataset size Σ 10⁶/|cluster| (ppm-docs), and the effective ratio —
+    * the number that replaces "docs removed" in the soft regime.
+    *
+    * Determinism: cluster ids/sizes ride the q76 fixed-point closure
+    * (independently oracle-checked vs a RECURSIVE CTE); weights are
+    * integer-ppm floor divisions.
+    *
+    * Scale shape: rides the memoized component table (one size agg +
+    * one component-keyed join, both cluster-table-sized), then one
+    * doc-keyed hash join against the corpus projection and a source
+    * agg. Nothing quadratic, nothing data-sized after the join.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val comp = neardupComponents(spark, dir)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val withSize = comp.join(sizes, Seq("component"))
+      .select(col("id").as("doc_id"), col("csize"))
+    t.documents.select(col("doc_id"), col("source"))
+      .join(withSize, Seq("doc_id"), "left")
+      .na.fill(1L, Seq("csize"))
+      .withColumn("w_ppm", expr("1000000L div csize"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum(col("w_ppm")).as("eff_docs_ppm"))
+      .withColumn("eff_ratio_ppm", expr("eff_docs_ppm div n_docs"))
+  }
+
+  private val softDedupWeightsSql =
+    s"""$minhashCtes, edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT src, dst FROM edges
+       |    UNION
+       |    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+       |  ) SELECT src, dst FROM r
+       |), comp AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS component
+       |  FROM reach GROUP BY src
+       |), sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY 1),
+       |ws AS (
+       |  SELECT d.doc_id, d.source, COALESCE(s.csize, 1) AS csize
+       |  FROM documents d LEFT JOIN
+       |    (SELECT id, csize FROM comp JOIN sizes USING (component)) s
+       |    ON d.doc_id = s.id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_clusters,
+       |  CAST(SUM(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+       |  CAST(SUM(1000000 // csize) // COUNT(*) AS BIGINT) AS eff_ratio_ppm
+       |FROM ws GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q217_winnowing", winnowing, Some(winnowingSql)),
+    QueryDef("q221_soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     QueryDef("q219_containment", containmentProfile, Some(containmentProfileSql)),
     QueryDef("q207_simhash_distance", simhashDistance, Some(simhashDistanceSql)),
     QueryDef("q208_quality_dup_calibration", qualityDupCalibration,

@@ -179,6 +179,23 @@ class CurationQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q221: effective size between hard-dedup floor and no-dedup ceiling") {
+    val rows = graft.queries.DedupQ.softDedupWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val inCl = r.getAs[Long]("n_in_clusters")
+      val eff = r.getAs[Long]("eff_docs_ppm")
+      assert(inCl >= 0L && inCl <= n)
+      // singletons contribute exactly 1e6 each; clustered docs in (0, 1e6)
+      assert(eff > (n - inCl) * 1000000L || inCl == 0L)
+      assert(eff <= n * 1000000L)
+      assert(r.getAs[Long]("eff_ratio_ppm") <= 1000000L)
+    }
+  }
+
   test("q217 guarantee: docs sharing a >=6-word run share a fingerprint") {
     // winnowing's coverage property (any shared run of >= k+w-1 = 6 words
     // yields >= 1 shared selected fingerprint), verified on the same

@@ -146,6 +146,67 @@ object SimilarityQ {
       |  CAST(SUM(u) AS BIGINT) / 1000000.0 AS gram
       |FROM terms GROUP BY 1, 2""".stripMargin
 
+  /** q222 — EFFECTIVE RANK of the embedding space (participation ratio):
+    * `PR = trace(G)² / ‖G‖²_F = (Σλ)²/Σλ²` over the q102 Gramian — the
+    * eigendecomposition-free "how many dimensions is this embedding
+    * really using" number (PR ≈ dim: isotropic; PR ≈ 1: collapsed to a
+    * line — the embedding-collapse failure retrieval/ANN quality audits
+    * like q210 can't see, because ranking survives collapse longer than
+    * geometry does).
+    *
+    * Determinism: the Gramian is q102's micro-unit integer matrix;
+    * trace, squared Frobenius mass (diag + 2·off-diag), and the final
+    * milli-dimension ratio are exact integer arithmetic — the squares
+    * route through DECIMAL(38,0)/HUGEINT (the q204 overflow recipe:
+    * gram_u² ~ 10²⁰ exceeds int64).
+    *
+    * Scale shape: everything downstream of the Gramian runs on the
+    * 2 080-row upper triangle — two 1-row aggregates and a broadcast
+    * combine; the Gramian itself is the q102 partition-local fold
+    * (never an N·d² explosion).
+    */
+  def effectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val g = graft.ops.Gramian.upperTriangle(t.embeddings, "embedding", dim = 64)
+    val tr = g.filter(col("i") === col("j"))
+      .agg(sum(col("gram_u")).as("trace_u"))
+    val fro = g.agg(sum(
+      when(col("i") === col("j"),
+        col("gram_u").cast("decimal(38,0)") * col("gram_u"))
+        .otherwise(col("gram_u").cast("decimal(38,0)") * col("gram_u") * 2))
+      .as("fro2"))
+    val n = t.embeddings.agg(count(lit(1)).as("n_vecs"))
+    n.crossJoin(broadcast(tr)).crossJoin(broadcast(fro))
+      .select(col("n_vecs"), lit(64L).as("dim"), col("trace_u"),
+        expr("CAST((CAST(trace_u AS DECIMAL(38,0)) * trace_u * 1000) div fro2 AS BIGINT)")
+          .as("pr_milli"))
+  }
+
+  private val effectiveRankSql =
+    """WITH pairs AS (
+      |  SELECT t1.i AS i, t2.j AS j
+      |  FROM range(1, 65) t1(i), range(1, 65) t2(j)
+      |  WHERE t1.i <= t2.j),
+      |terms AS (
+      |  SELECT p.i, p.j,
+      |    CAST(round(CAST(embedding[p.i] AS DOUBLE) *
+      |               CAST(embedding[p.j] AS DOUBLE) * 1000000) AS BIGINT) AS u
+      |  FROM embeddings e, pairs p),
+      |g AS (
+      |  SELECT i, j, CAST(SUM(u) AS BIGINT) AS gram_u
+      |  FROM terms GROUP BY 1, 2),
+      |tr AS (SELECT CAST(SUM(gram_u) AS BIGINT) AS trace_u FROM g WHERE i = j),
+      |fro AS (
+      |  SELECT SUM(CASE WHEN i = j
+      |    THEN CAST(gram_u AS HUGEINT) * gram_u
+      |    ELSE 2 * CAST(gram_u AS HUGEINT) * gram_u END) AS fro2
+      |  FROM g),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+      |SELECT n_vecs, CAST(64 AS BIGINT) AS dim, trace_u,
+      |  CAST((CAST(trace_u AS HUGEINT) * trace_u * 1000) // fro2 AS BIGINT)
+      |    AS pr_milli
+      |FROM n CROSS JOIN tr CROSS JOIN fro""".stripMargin
+
   /** q154 — fixed-point Lloyd k-means (k=4, two update rounds) over the
     * embedding corpus: the clustering step corpus curation uses for
     * diversity sampling / topic balancing, done bit-deterministically.
@@ -725,6 +786,7 @@ object SimilarityQ {
     QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
+    QueryDef("q222_effective_rank", effectiveRank, Some(effectiveRankSql)),
     QueryDef("q154_kmeans_embed", kmeansEmbed, Some(kmeansEmbedSql)),
     QueryDef("q185_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q189_embedding_norm_audit", embeddingNormAudit,

@@ -196,6 +196,18 @@ class CurationQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q222: participation ratio within [1, dim] milli-dimensions") {
+    val r = graft.queries.SimilarityQ.effectiveRank(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_vecs") ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    assert(row.getAs[Long]("trace_u") > 0L)
+    val pr = row.getAs[Long]("pr_milli")
+    assert(pr >= 1000L && pr <= 64000L,
+      s"participation ratio $pr outside [1, 64] dims")
+  }
+
   test("q217 guarantee: docs sharing a >=6-word run share a fingerprint") {
     // winnowing's coverage property (any shared run of >= k+w-1 = 6 words
     // yields >= 1 shared selected fingerprint), verified on the same

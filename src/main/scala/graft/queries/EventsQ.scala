@@ -337,9 +337,79 @@ object EventsQ {
       |    AS cum_hazard_ppm
       |FROM hz""".stripMargin
 
+  /** q223 — SEASONAL-residual anomaly detection: hour-of-day baseline
+    * per event type (the daily cycle every ops metric has), residual =
+    * each (type, date, hour) cell minus its hour-of-day mean, robust
+    * flag at 3×MAD of the type's residuals. The SEASONALITY companion
+    * to q139 (which flags deviations from the EWMA TREND — a traffic
+    * spike at 3am is invisible to a trend model if Tuesdays always
+    * spike, and invisible to this model if it matches the hourly
+    * cycle; monitoring runs both).
+    *
+    * Determinism: cell values are exact event-value cents (q132
+    * convention); the baseline is an integer floor-mean, residuals are
+    * exact integers; only the MAD is an interpolated median — the same
+    * IEEE `percentile`/`quantile_cont` sequence in both engines (q130
+    * precedent), exported ×100-rounded.
+    *
+    * Scale shape: ONE data-sized hash agg (events → type×date×hour
+    * cells); the baseline, MAD, and flags all run on that ~3.6k-row
+    * cell table (tiny joins + one small percentile per type). Hours
+    * with NO events are absent, not zero — the baseline is over
+    * OBSERVED cells (documented; a gap-filled variant rides q104's
+    * calendar-spine recipe).
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("d"), col("h"))
+      .agg(sum(col("cents")).as("v"))
+    val base = cells.groupBy(col("event_type"), col("h"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val resid = cells.join(base, Seq("event_type", "h"))
+      .withColumn("resid", expr("v - s div n"))
+    val mad = resid.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(resid), 0.5)").as("mad"))
+    resid.join(broadcast(mad), Seq("event_type"))
+      .withColumn("flagged", abs(col("resid")).cast("double") > col("mad") * 3.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_anomalies"),
+        max(abs(col("resid"))).as("max_abs_resid_cents"),
+        expr("CAST(round(max(mad) * 100) AS BIGINT)").as("mad_cents_x100"))
+  }
+
+  private val seasonalAnomaliesSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |base AS (
+      |  SELECT event_type, h, CAST(SUM(v) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM cells GROUP BY 1, 2),
+      |resid AS (
+      |  SELECT c.event_type, c.v - b.s // b.n AS resid
+      |  FROM cells c JOIN base b ON c.event_type = b.event_type AND c.h = b.h),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(abs(resid), 0.5) AS mad
+      |  FROM resid GROUP BY event_type)
+      |SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(CASE WHEN CAST(abs(r.resid) AS DOUBLE) > m.mad * 3.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  CAST(MAX(abs(r.resid)) AS BIGINT) AS max_abs_resid_cents,
+      |  CAST(round(MAX(m.mad) * 100) AS BIGINT) AS mad_cents_x100
+      |FROM resid r JOIN mad m ON r.event_type = m.event_type
+      |GROUP BY r.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q145_pseudonymize", pseudonymize, Some(pseudonymizeSql)),
     QueryDef("q215_survival_hazard", survivalHazard, Some(survivalHazardSql)),
+    QueryDef("q223_seasonal_anomalies", seasonalAnomalies,
+      Some(seasonalAnomaliesSql)),
     QueryDef("q146_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),

@@ -100,6 +100,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(df.agg(sum("n")).head.getLong(0) == total)
   }
 
+  test("q223 seasonal anomalies: cells conserve, flags bounded, MAD non-negative") {
+    val rows = EventsQ.seasonalAnomalies(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.core.Tables(spark, sf).events
+      .select(col("event_type"), to_date(col("ts")), hour(col("ts")))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cells")).sum == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n_cells"))
+      assert(r.getAs[Long]("mad_cents_x100") >= 0L)
+      assert(r.getAs[Long]("max_abs_resid_cents") >= 0L)
+    }
+  }
+
   test("q214 t-closeness: EMD in [0,1e6], classes cover every customer") {
     val df = StatsQ.tCloseness(spark, sf).cache()
     try {

@@ -514,7 +514,83 @@ object AnalyticsQ {
       |    - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
       |FROM ranked GROUP BY c_mktsegment""".stripMargin
 
+  /** q224 — cohort LTV curves: cumulative revenue per cohort member by
+    * month offset — the MONEY companion to q110's retention matrix
+    * (retention says who came back; LTV says what the cohort is WORTH
+    * by age, the payback-period readout acquisition spend is judged
+    * against). Same integer year·12+month cohort arithmetic as q110 so
+    * the two matrices read on identical cohorts.
+    *
+    * Determinism: revenue is exact cents (q132 convention); the
+    * cumulative sum and the per-member floor division are exact BIGINT
+    * — no interval semantics, no float.
+    *
+    * Scale shape: the ONLY data-sized exchange is the (customer, month)
+    * hash agg (map-side combine, customer-keyed — q110's shape with a
+    * cents measure); cohort assignment is one window over that table,
+    * and the LTV accumulation runs on the ~400-row (cohort, offset)
+    * grid.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val act = t.orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("o_custkey"), col("ym"))
+      .agg(sum(col("cents")).as("v"))
+    val coh = act.withColumn("cohort_ym",
+      min(col("ym")).over(Window.partitionBy(col("o_custkey"))))
+    val per = coh
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("month_offset"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("v")).as("rev_cents"))
+    val wCum = Window.partitionBy(col("cohort_ym")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cohort_size",
+        max(when(col("month_offset") === 0, col("n_customers")))
+          .over(Window.partitionBy(col("cohort_ym"))))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .select(
+        expr("(cohort_ym - 1) div 12").cast("int").as("cohort_year"),
+        (expr("(cohort_ym - 1) % 12") + 1).cast("int").as("cohort_mon"),
+        col("month_offset"), col("cohort_size"), col("rev_cents"),
+        col("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_size").as("ltv_cents"))
+  }
+
+  private val cohortLtvSql =
+    """WITH act AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT) AS ym,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |coh AS (
+      |  SELECT o_custkey, ym, v,
+      |    min(ym) OVER (PARTITION BY o_custkey) AS cohort_ym
+      |  FROM act),
+      |per AS (
+      |  SELECT cohort_ym, ym - cohort_ym AS month_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(v) AS BIGINT) AS rev_cents
+      |  FROM coh GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN month_offset = 0 THEN n_customers END)
+      |      OVER (PARTITION BY cohort_ym) AS cohort_size,
+      |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_ym
+      |      ORDER BY month_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS cum_rev_cents
+      |  FROM per)
+      |SELECT CAST((cohort_ym - 1) // 12 AS INT) AS cohort_year,
+      |  CAST((cohort_ym - 1) % 12 + 1 AS INT) AS cohort_mon,
+      |  CAST(month_offset AS INT) AS month_offset,
+      |  CAST(cohort_size AS BIGINT) AS cohort_size, rev_cents, cum_rev_cents,
+      |  CAST(cum_rev_cents // cohort_size AS BIGINT) AS ltv_cents
+      |FROM sized""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q224_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q151_share_of_parent", shareOfParent, Some(shareOfParentSql)),
     QueryDef("q152_gini_concentration", giniConcentration, Some(giniConcentrationSql)),
     QueryDef("q147_autocorrelation", autocorrelation, Some(autocorrelationSql)),

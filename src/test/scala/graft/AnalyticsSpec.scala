@@ -114,6 +114,33 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("q224 cohort LTV: cumulative revenue monotone, conserves order totals") {
+    val df = AnalyticsQ.cohortLtv(spark, sf).cache()
+    try {
+      // total revenue across all cohort cells equals the orders table's
+      val totalCents = spark.read.parquet(s"$sf/orders.parquet")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+        .head.getLong(0)
+      assert(df.agg(sum("rev_cents")).head.getLong(0) == totalCents)
+      // cum is monotone non-decreasing in offset within a cohort
+      val byCohort = df.collect()
+        .groupBy(r => (r.getAs[Int]("cohort_year"), r.getAs[Int]("cohort_mon")))
+      byCohort.values.foreach { rs =>
+        val sorted = rs.sortBy(_.getAs[Int]("month_offset"))
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("cum_rev_cents") <= b.getAs[Long]("cum_rev_cents"))
+          case _ => ()
+        }
+        // LTV at offset 0 is average first-month spend per member
+        val first = sorted.head
+        assert(first.getAs[Int]("month_offset") == 0)
+        assert(first.getAs[Long]("ltv_cents") ==
+          first.getAs[Long]("cum_rev_cents") / first.getAs[Long]("cohort_size"))
+      }
+    } finally df.unpersist()
+  }
+
   test("q214 t-closeness: EMD in [0,1e6], classes cover every customer") {
     val df = StatsQ.tCloseness(spark, sf).cache()
     try {

@@ -102,6 +102,76 @@ object EventsQ {
       |       WHEN MAX(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage
       |FROM s3 GROUP BY user_id""".stripMargin
 
+  /** q225 — funnel stage LATENCY distribution: q96 says how many users
+    * reach each stage; this says how LONG the click→view and
+    * view→purchase transitions take (n, p50/p90 interpolated seconds,
+    * max) — the conversion-velocity readout that decides retargeting
+    * windows and session-timeout budgets. Rides q96's exact stage
+    * timestamps (same chained conditional-min windows over ONE user_id
+    * exchange), so "stage reached" and "stage latency" can never
+    * disagree.
+    *
+    * Determinism: gaps are exact integer seconds (micros div 10⁶,
+    * non-negative); p50/p90 are the pinned interpolated-percentile IEEE
+    * sequence (q130 precedent) exported ×1000-rounded; the final stats
+    * run per transition over the converting-user table.
+    *
+    * Scale shape: identical to q96 (one user-keyed exchange, stacked
+    * windows, per-user rollup) plus a 2-row stats aggregate — the
+    * transition gaps table is user-count-sized, the output is 2 rows.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+    val stages = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "view" && col("ts_us") > col("t1"),
+          col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+          col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("c"), max(col("t2")).as("v"), max(col("t3")).as("p"))
+    val gaps = stages.select(
+      expr("""stack(2,
+        |'click_to_view',  CASE WHEN v IS NOT NULL THEN (v - c) div 1000000L END,
+        |'view_to_purchase', CASE WHEN p IS NOT NULL THEN (p - v) div 1000000L END)
+        |AS (transition, gap_s)""".stripMargin))
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(round(percentile(gap_s, 0.5) * 1000) AS BIGINT)").as("p50_ms_x1000"),
+        expr("CAST(round(percentile(gap_s, 0.9) * 1000) AS BIGINT)").as("p90_ms_x1000"),
+        max(col("gap_s")).as("max_s"))
+  }
+
+  private val funnelLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' THEN ts_us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts_us > t1
+      |         THEN ts_us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+      |         THEN ts_us END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |u AS (SELECT user_id, MAX(t1) AS c, MAX(t2) AS v, MAX(t3) AS p
+      |      FROM s3 GROUP BY user_id),
+      |gaps AS (
+      |  SELECT 'click_to_view' AS transition, (v - c) // 1000000 AS gap_s
+      |  FROM u WHERE v IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'view_to_purchase', (p - v) // 1000000 FROM u
+      |  WHERE p IS NOT NULL)
+      |SELECT transition, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(round(quantile_cont(gap_s, 0.5) * 1000) AS BIGINT) AS p50_ms_x1000,
+      |  CAST(round(quantile_cont(gap_s, 0.9) * 1000) AS BIGINT) AS p90_ms_x1000,
+      |  CAST(MAX(gap_s) AS BIGINT) AS max_s
+      |FROM gaps GROUP BY transition""".stripMargin
+
   /** q117 — semi-structured JSON props: extract the numeric `k` field from
     * the `props` JSON column (`get_json_object`, the codegen'd path — no
     * UDF) and aggregate value by (event_type, k). The extraction is pure
@@ -410,6 +480,7 @@ object EventsQ {
     QueryDef("q215_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     QueryDef("q223_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql)),
+    QueryDef("q225_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q146_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),
     QueryDef("q117_json_props", jsonProps, Some(jsonPropsSql)),

@@ -141,6 +141,24 @@ class AnalyticsSpec extends SparkTestBase {
     } finally df.unpersist()
   }
 
+  test("q225 funnel latency: counts agree with q96 stages, ordering sane") {
+    val lat = EventsQ.funnelLatency(spark, sf).collect()
+      .map(r => r.getAs[String]("transition") -> r).toMap
+    val stages = EventsQ.funnelStages(spark, sf)
+      .groupBy("stage").count().collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("count")).toMap
+    // users with a view-after-click == stage>=2; purchase-after-view == stage 3
+    assert(lat("click_to_view").getAs[Long]("n_users") ==
+      stages.getOrElse(2, 0L) + stages.getOrElse(3, 0L))
+    assert(lat("view_to_purchase").getAs[Long]("n_users") ==
+      stages.getOrElse(3, 0L))
+    lat.values.foreach { r =>
+      assert(r.getAs[Long]("p50_ms_x1000") <= r.getAs[Long]("p90_ms_x1000"))
+      assert(r.getAs[Long]("p90_ms_x1000") <= r.getAs[Long]("max_s") * 1000L)
+      assert(r.getAs[Long]("p50_ms_x1000") >= 0L)
+    }
+  }
+
   test("q214 t-closeness: EMD in [0,1e6], classes cover every customer") {
     val df = StatsQ.tCloseness(spark, sf).cache()
     try {

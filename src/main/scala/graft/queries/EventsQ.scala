@@ -452,6 +452,97 @@ object EventsQ {
         expr("CAST(round(max(mad) * 100) AS BIGINT)").as("mad_cents_x100"))
   }
 
+  /** q227 — GAP-FILLED seasonal anomalies: q223 over a complete
+    * (event_type × day × hour) spine with absent cells present as ZERO
+    * (q104's calendar-spine recipe extended to hours). q223's
+    * observed-cells baseline is blind to the anomaly monitoring most
+    * wants: an hour that normally has traffic going SILENT simply
+    * vanishes from the cell table. Here a missing cell is a 0-cent
+    * observation, so dead hours pull the hour-of-day baseline down and
+    * flag against it like any other residual. Output adds `n_gap_cells`
+    * (cells the spine created) next to q223's readout.
+    *
+    * Determinism: the spine is exact (sequence of days × 24 hours ×
+    * distinct types); fills are integer zeros; baseline floor-mean,
+    * residuals, and the MAD/flag pipeline are q223's unchanged (the one
+    * interpolated median, exported ×100-rounded).
+    *
+    * Scale shape: one data-sized hash agg (identical to q223); the
+    * spine is generated from a 1-row bounds aggregate (`sequence` +
+    * explode — never a driver loop) crossed with two broadcast-sized
+    * dims (types × 24 hours), so the fill LEFT-joins the tiny spine
+    * against the aggregated cells — the raw events never join anything.
+    */
+  def seasonalGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cells = t.events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("d"), col("h"))
+      .agg(sum(col("cents")).as("v"))
+    val bounds = t.events.agg(
+      min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .crossJoin(spark.range(0, 24).select(col("id").cast("int").as("h")))
+      .crossJoin(t.events.select(col("event_type")).distinct())
+    val filled = spine.join(cells, Seq("event_type", "d", "h"), "left")
+      .withColumn("gap", col("v").isNull)
+      .na.fill(0L, Seq("v"))
+    val base = filled.groupBy(col("event_type"), col("h"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+    val resid = filled.join(base, Seq("event_type", "h"))
+      .withColumn("resid", expr("v - s div n"))
+    val mad = resid.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(resid), 0.5)").as("mad"))
+    resid.join(broadcast(mad), Seq("event_type"))
+      .withColumn("flagged", abs(col("resid")).cast("double") > col("mad") * 3.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("gap"), 1L).otherwise(0L)).as("n_gap_cells"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_anomalies"),
+        max(abs(col("resid"))).as("max_abs_resid_cents"),
+        expr("CAST(round(max(mad) * 100) AS BIGINT)").as("mad_cents_x100"))
+  }
+
+  private val seasonalGapfillSql =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2, 3),
+      |b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+      |      FROM events),
+      |spine AS (
+      |  SELECT et.event_type, dd.d, hh.h
+      |  FROM (SELECT DISTINCT event_type FROM events) et
+      |  CROSS JOIN (SELECT CAST(unnest(generate_series(d0, d1,
+      |    INTERVAL 1 DAY)) AS DATE) AS d FROM b) dd
+      |  CROSS JOIN (SELECT i AS h FROM range(0, 24) t(i)) hh),
+      |filled AS (
+      |  SELECT s.event_type, s.d, s.h, COALESCE(c.v, 0) AS v,
+      |    (c.v IS NULL) AS gap
+      |  FROM spine s LEFT JOIN cells c
+      |    ON c.event_type = s.event_type AND c.d = s.d AND c.h = s.h),
+      |base AS (
+      |  SELECT event_type, h, CAST(SUM(v) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM filled GROUP BY 1, 2),
+      |resid AS (
+      |  SELECT f.event_type, f.gap, f.v - b.s // b.n AS resid
+      |  FROM filled f JOIN base b ON f.event_type = b.event_type AND f.h = b.h),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(abs(resid), 0.5) AS mad
+      |  FROM resid GROUP BY event_type)
+      |SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(CASE WHEN r.gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_cells,
+      |  CAST(SUM(CASE WHEN CAST(abs(r.resid) AS DOUBLE) > m.mad * 3.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      |  CAST(MAX(abs(r.resid)) AS BIGINT) AS max_abs_resid_cents,
+      |  CAST(round(MAX(m.mad) * 100) AS BIGINT) AS mad_cents_x100
+      |FROM resid r JOIN mad m ON r.event_type = m.event_type
+      |GROUP BY r.event_type""".stripMargin
+
   private val seasonalAnomaliesSql =
     """WITH cells AS (
       |  SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
@@ -480,6 +571,8 @@ object EventsQ {
     QueryDef("q215_survival_hazard", survivalHazard, Some(survivalHazardSql)),
     QueryDef("q223_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql)),
+    QueryDef("q227_seasonal_gapfill", seasonalGapfill,
+      Some(seasonalGapfillSql)),
     QueryDef("q225_funnel_latency", funnelLatency, Some(funnelLatencySql)),
     QueryDef("q146_rolling_distinct", rollingDistinct, Some(rollingDistinctSql)),
     QueryDef("q142_top_paths", topPaths, Some(topPathsSql)),

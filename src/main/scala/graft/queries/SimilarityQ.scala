@@ -207,6 +207,75 @@ object SimilarityQ {
       |    AS pr_milli
       |FROM n CROSS JOIN tr CROSS JOIN fro""".stripMargin
 
+  /** q226 — PER-LABEL effective rank: q222's participation ratio computed
+    * inside each label class (the embeddings carry an int label). The
+    * global PR (q222) can look healthy while a single class has
+    * collapsed onto a line — exactly the failure a per-class retrieval
+    * or contrastive objective hits first, and the reason embedding
+    * audits report anisotropy per class, not just in aggregate. Output:
+    * one row per label with its vector count, trace, and PR.
+    *
+    * Determinism: identical to q222 — the per-label Gramian is exact
+    * micro-unit integers ([[graft.ops.Gramian.upperTriangleBy]], one
+    * accumulator per (partition, label)), trace/Frobenius/ratio are
+    * integer arithmetic with the squares in DECIMAL(38,0)/HUGEINT (the
+    * q204 overflow recipe).
+    *
+    * Scale shape: ONE corpus scan folds all labels' Gramians
+    * partition-locally (shuffle = partitions × labels × 2 080 tiny
+    * rows); everything downstream runs on the labels × 2 080 cell
+    * table — three label-keyed aggregates and two tiny joins. Label
+    * cardinality bounds the per-partition accumulator map (10 here;
+    * the op's scaladoc names the posexplode fallback for key spaces
+    * where groups × d² stops being "tiny").
+    */
+  def labelEffectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val g = graft.ops.Gramian
+      .upperTriangleBy(t.embeddings, "label", "embedding", dim = 64)
+    val tr = g.filter(col("i") === col("j"))
+      .groupBy(col("label")).agg(sum(col("gram_u")).as("trace_u"))
+    val fro = g.groupBy(col("label")).agg(sum(
+      when(col("i") === col("j"),
+        col("gram_u").cast("decimal(38,0)") * col("gram_u"))
+        .otherwise(col("gram_u").cast("decimal(38,0)") * col("gram_u") * 2))
+      .as("fro2"))
+    val n = t.embeddings.groupBy(col("label").cast("int").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    n.join(tr, Seq("label")).join(fro, Seq("label"))
+      .select(col("label"), col("n_vecs"), lit(64L).as("dim"), col("trace_u"),
+        expr("CAST((CAST(trace_u AS DECIMAL(38,0)) * trace_u * 1000) div fro2 AS BIGINT)")
+          .as("pr_milli"))
+  }
+
+  private val labelEffectiveRankSql =
+    """WITH pairs AS (
+      |  SELECT t1.i AS i, t2.j AS j
+      |  FROM range(1, 65) t1(i), range(1, 65) t2(j)
+      |  WHERE t1.i <= t2.j),
+      |terms AS (
+      |  SELECT e.label, p.i, p.j,
+      |    CAST(round(CAST(embedding[p.i] AS DOUBLE) *
+      |               CAST(embedding[p.j] AS DOUBLE) * 1000000) AS BIGINT) AS u
+      |  FROM embeddings e, pairs p),
+      |g AS (
+      |  SELECT label, i, j, CAST(SUM(u) AS BIGINT) AS gram_u
+      |  FROM terms GROUP BY 1, 2, 3),
+      |tr AS (SELECT label, CAST(SUM(gram_u) AS BIGINT) AS trace_u
+      |       FROM g WHERE i = j GROUP BY 1),
+      |fro AS (
+      |  SELECT label, SUM(CASE WHEN i = j
+      |    THEN CAST(gram_u AS HUGEINT) * gram_u
+      |    ELSE 2 * CAST(gram_u AS HUGEINT) * gram_u END) AS fro2
+      |  FROM g GROUP BY 1),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |      FROM embeddings GROUP BY 1)
+      |SELECT n.label, n_vecs, CAST(64 AS BIGINT) AS dim, trace_u,
+      |  CAST((CAST(trace_u AS HUGEINT) * trace_u * 1000) // fro2 AS BIGINT)
+      |    AS pr_milli
+      |FROM n JOIN tr ON n.label = tr.label
+      |JOIN fro ON n.label = fro.label""".stripMargin
+
   /** q154 — fixed-point Lloyd k-means (k=4, two update rounds) over the
     * embedding corpus: the clustering step corpus curation uses for
     * diversity sampling / topic balancing, done bit-deterministically.
@@ -787,6 +856,8 @@ object SimilarityQ {
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
     QueryDef("q222_effective_rank", effectiveRank, Some(effectiveRankSql)),
+    QueryDef("q226_label_effective_rank", labelEffectiveRank,
+      Some(labelEffectiveRankSql)),
     QueryDef("q154_kmeans_embed", kmeansEmbed, Some(kmeansEmbedSql)),
     QueryDef("q185_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q189_embedding_norm_audit", embeddingNormAudit,

@@ -1048,6 +1048,76 @@ object StatsQ {
       |  round(CAST(n_runs AS DOUBLE) / e_runs, 6) AS runs_ratio
       |FROM j""".stripMargin
 
+  /** q228 — CHUNK-STITCHED shuffle runs: q220's documented scale
+    * formulation, implemented and proven. The global per-shard sort
+    * (8 sort partitions at any data size — q220's stated limit) is
+    * replaced by chunk-local sorts: `chunk = doc_id div 128` is monotone
+    * in the training order, each (shard, chunk) counts its runs
+    * independently, and the exact stitching identity
+    * `runs = Σ chunkRuns − Σ [chunk k+1 starts with chunk k's last
+    * source]` recovers the global count. The ORACLE is q220's global
+    * formulation verbatim — the driver's gate is the cross-engine proof
+    * that stitched ≡ global, and ChunkStitchSpec pins the same identity
+    * in-engine at every chunk width.
+    *
+    * Determinism: run boundaries and boundary corrections are exact
+    * integer/string comparisons; first/last per chunk are
+    * `min_by`/`max_by` on the unique doc_id; e_runs/runs_ratio are
+    * q220's documented rounded-double exception.
+    *
+    * Scale shape: the wide window keys on (shard, chunk) — parallelism
+    * grows with the data instead of pinning at 8, and each sort is
+    * 128 rows regardless of corpus size. The stitch runs on the
+    * per-chunk table (rows = corpus/128) with a per-shard lag over the
+    * chunk sequence — the q220 8-partition window, but over a
+    * 128×-smaller input. The expectation terms are the same
+    * (shard, source) hash agg as q220.
+    */
+  def chunkedRuns(spark: SparkSession, dir: String): DataFrame =
+    chunkedRunsWidth(128L)(spark, dir)
+
+  /** q228 core with the chunk width exposed — ChunkStitchSpec proves the
+    * stitching identity holds at EVERY width (1 = every row its own
+    * chunk, pure boundary corrections; ≥ corpus = one chunk, pure q220).
+    */
+  def chunkedRunsWidth(width: Long)(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1, "chunk width must be positive")
+    val t = Tables(spark, dir)
+    val d = t.documents.select(col("doc_id"), col("source"),
+      pmod(col("doc_id"), lit(8L)).cast("int").as("shard"),
+      expr(s"doc_id div ${width}L").as("chunk"))
+    val wc = Window.partitionBy(col("shard"), col("chunk")).orderBy(col("doc_id"))
+    val perChunk = d
+      .withColumn("prev", lag(col("source"), 1).over(wc))
+      .groupBy(col("shard"), col("chunk"))
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("source"), 1L)
+          .otherwise(0L)).as("runs_c"),
+        expr("min_by(source, doc_id)").as("first_src"),
+        expr("max_by(source, doc_id)").as("last_src"))
+    val ws = Window.partitionBy(col("shard")).orderBy(col("chunk"))
+    val stitched = perChunk
+      .withColumn("prev_last", lag(col("last_src"), 1).over(ws))
+      .groupBy(col("shard"))
+      .agg((sum(col("runs_c")) -
+        sum(when(col("prev_last") === col("first_src"), 1L).otherwise(0L)))
+        .as("n_runs"))
+    val exp = d.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    stitched.join(exp, Seq("shard"))
+      .withColumn("e_runs", round(
+        lit(1.0) + (col("n_docs").cast("double") * col("n_docs")
+          - col("sum_sq")) / col("n_docs"), 6))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("n_runs"),
+        col("e_runs"),
+        round(col("n_runs").cast("double") / col("e_runs"), 6)
+          .as("runs_ratio"))
+  }
+
   /** q165 — TEMPERATURE-scaled language mixture: the multilingual
     * sampling weights `p_l ∝ c_l^(1/T)` with T=2 (α=0.5), the standard
     * low-resource up-sampling rule (mBERT/XLM exponent smoothing): a
@@ -1299,6 +1369,9 @@ object StatsQ {
     QueryDef("q214_tcloseness", tCloseness, Some(tClosenessSql)),
     QueryDef("q218_dp_release", dpRelease, Some(dpReleaseSql)),
     QueryDef("q220_shuffle_runs", shuffleRuns, Some(shuffleRunsSql)),
+    // Oracle is deliberately q220's GLOBAL formulation: the gate proves
+    // the chunk-stitching identity cross-engine.
+    QueryDef("q228_chunked_runs", chunkedRuns, Some(shuffleRunsSql)),
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),

@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -22,24 +23,47 @@ final class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
-    * timestamp — exact, since the generator emits micro-aligned values
-    * (verified ns%1000==0). Queries expose time as `unix_micros` bigints so
-    * the DuckDB compare is integer-exact.
+  /** Canonical events view: `ts` is always a session-TZ `TimestampType`
+    * (micros precision), whatever the generator wrote on disk. The driver has
+    * shipped two physical layouts so far — int64 TIMESTAMP(NANOS) (rounds
+    * 1–6) and TIMESTAMP_NTZ micros (regenerated 2026-08-13) — so the
+    * conversion branches on the file schema instead of hard-coding one
+    * (see [[Tables.canonicalizeEventsTs]]). Queries expose time as
+    * `unix_micros` bigints so the DuckDB compare is integer-exact.
     */
-  def events: DataFrame =
-    eventsRaw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events: DataFrame = Tables.canonicalizeEventsTs(eventsRaw)
 
-  /** Raw events with `ts` as int64 epoch-nanos — predicates against this
-    * column push into the parquet scan (row-group pruning via int64 stats),
-    * which the converted-timestamp view can't do. Watermark filters should
-    * use this (see [[graft.queries.WindowsQ.incrementalSlice]]).
+  /** Raw events with `ts` exactly as stored — int64 epoch-nanos for the
+    * legacy layout (read via `spark.sql.legacy.parquet.nanosAsLong`, which is
+    * a no-op for non-nanos files), native timestamp otherwise. Callers that
+    * need a scan-pushable watermark predicate should use [[eventsSince]],
+    * which phrases the filter in the file's own physical domain.
     */
   def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
+  }
+
+  /** Watermark slice: events strictly after `watermarkUs` (epoch micros),
+    * with the predicate phrased against the on-disk `ts` type so it reaches
+    * the parquet scan (PushedFilters → row-group pruning via column stats:
+    * int64 stats for the legacy nanos layout, timestamp stats for the micros
+    * layout). Returns the canonical schema (`ts` as TimestampType).
+    * Exact in both domains: nanos data is micro-aligned (ns%1000==0), so
+    * `ts_ns > us*1000 ⟺ ts_us > us`.
+    */
+  def eventsSince(watermarkUs: Long): DataFrame = {
+    val raw = eventsRaw
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => raw.filter(col("ts") > lit(watermarkUs * 1000L))
+      case TimestampNTZType =>
+        raw.filter(col("ts") > lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(watermarkUs, 1000000L),
+          (Math.floorMod(watermarkUs, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)))
+      case _ => raw.filter(col("ts") > timestamp_micros(lit(watermarkUs)))
+    }
+    Tables.canonicalizeEventsTs(filtered)
   }
 }
 
@@ -49,4 +73,25 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an events-shaped frame so `ts` is a session-TZ `TimestampType`
+    * regardless of the physical layout the generator wrote:
+    *  - int64 epoch-nanos (legacy TIMESTAMP(NANOS) read via `nanosAsLong`)
+    *    → `timestamp_micros(ts div 1000)` — exact, values are micro-aligned;
+    *  - TIMESTAMP_NTZ micros → cast to TimestampType — exact under the UTC
+    *    session timezone every entrypoint sets;
+    *  - TimestampType → pass through.
+    * Shared by the batch reader ([[Tables.events]]) and the file-stream
+    * reader ([[graft.streaming.EventStreams.readEventStream]]) so batch and
+    * streaming can never disagree on the conversion.
+    */
+  def canonicalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other: DataType => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — " +
+          "expected int64 nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
 }

@@ -50,12 +50,11 @@ object WindowsQ {
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    // watermark predicate on the RAW int64 nanos column so it reaches the
-    // parquet scan (PushedFilters: GreaterThan(ts, ...) → row-group pruning);
-    // 1705276800000000000 ns = 2024-01-15T00:00:00Z
-    t.eventsRaw
-      .filter(col("ts") > lit(1705276800000000000L))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Tables.eventsSince phrases the watermark predicate against the on-disk
+    // ts type (int64 nanos OR native micros timestamp) so it shows up in
+    // PushedFilters and prunes row groups in either layout;
+    // 1705276800000000 us = 2024-01-15T00:00:00Z
+    t.eventsSince(1705276800000000L)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -63,10 +62,9 @@ object WindowsQ {
   }
 
   private val incrementalSliceSql =
-    // epoch_ns comparison: DuckDB truncates TIMESTAMP_NS vs TIMESTAMP
-    // comparisons to micros, Spark's raw filter compares nanos — comparing
-    // nanos on both sides keeps the boundary semantics identical for ANY
-    // data alignment, not just the generator's micro-aligned timestamps
+    // epoch_ns on both sides: exact for the legacy nanos layout (micro-
+    // aligned data) and trivially exact for the current micros layout
+    // (epoch_ns is epoch_us × 1000), so one oracle covers both
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
       |FROM events WHERE epoch_ns(ts) > 1705276800000000000
       |QUALIFY row_number() OVER (PARTITION BY user_id, event_type

@@ -262,10 +262,13 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // same ts canonicalization as the batch reader (Tables.events) — the
+    // file's physical ts type (int64 nanos vs micros timestamp) is a
+    // generator choice, and batch/stream parity must not depend on it
+    graft.core.Tables.canonicalizeEventsTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 }

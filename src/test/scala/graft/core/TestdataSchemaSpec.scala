@@ -1,0 +1,94 @@
+package graft.core
+
+import graft.SparkTestBase
+import org.apache.spark.sql.types._
+
+/** Drift guard for the driver-generated testdata: pins the physical type of
+  * every column the engine's readers assume, so a regenerated generator
+  * surfaces as ONE named assertion failure here instead of dozens of opaque
+  * analysis errors downstream (round 6 lost 26 queries to exactly that —
+  * `events.ts` silently moved from int64 TIMESTAMP(NANOS) to TIMESTAMP_NTZ).
+  *
+  * `events.ts` is the one column with a deliberate tolerance: both known
+  * generator layouts are accepted because [[Tables.canonicalizeEventsTs]]
+  * handles both. Everything else is pinned exactly to the 2026-08-13
+  * generator output.
+  */
+class TestdataSchemaSpec extends SparkTestBase {
+
+  private def typesOf(table: String): Map[String, DataType] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/$table.parquet").schema
+      .fields.map(f => f.name -> f.dataType).toMap
+  }
+
+  private def assertTable(table: String, expected: Map[String, DataType]): Unit = {
+    val actual = typesOf(table)
+    assert(actual.keySet == expected.keySet,
+      s"$table columns drifted: missing=${expected.keySet -- actual.keySet} " +
+        s"unexpected=${actual.keySet -- expected.keySet}")
+    for ((name, dt) <- expected)
+      assert(actual(name) == dt, s"$table.$name drifted: expected $dt, got ${actual(name)}")
+  }
+
+  test("region/nation physical schema") {
+    assertTable("region", Map(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType))
+    assertTable("nation", Map(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType))
+  }
+
+  test("customer/supplier/part physical schema") {
+    assertTable("customer", Map(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType))
+    assertTable("supplier", Map(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType))
+    assertTable("part", Map(
+      "p_partkey" -> LongType, "p_name" -> StringType, "p_brand" -> StringType,
+      "p_type" -> StringType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType))
+  }
+
+  test("orders/lineitem physical schema") {
+    assertTable("orders", Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType))
+    assertTable("lineitem", Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+      "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+      "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+      "l_tax" -> DoubleType, "l_returnflag" -> StringType,
+      "l_linestatus" -> StringType, "l_shipdate" -> TimestampNTZType))
+  }
+
+  test("documents/embeddings physical schema") {
+    assertTable("documents", Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
+    assertTable("embeddings", Map(
+      "vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType, containsNull = true),
+      "label" -> IntegerType))
+  }
+
+  test("events physical schema: ts is one of the known layouts") {
+    val actual = typesOf("events")
+    assert(actual.keySet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"events columns drifted: ${actual.keySet}")
+    assert(actual("event_id") == LongType)
+    assert(actual("user_id") == LongType)
+    assert(actual("event_type") == StringType)
+    assert(actual("value") == DoubleType)
+    assert(actual("props") == StringType)
+    val tsOk = actual("ts") == LongType || actual("ts") == TimestampNTZType ||
+      actual("ts") == TimestampType
+    assert(tsOk, s"events.ts drifted to a THIRD layout: ${actual("ts")} — " +
+      "extend Tables.canonicalizeEventsTs before anything else")
+  }
+}

@@ -76,7 +76,13 @@ def main():
             matched |= hits
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output")
+            # Verify leaves a _FAILED sentinel (with the exception message)
+            # when the query threw — surface it instead of a bare "no output"
+            try:
+                msg = open(f"{out}/{name}/_FAILED").read().strip()
+                print(f"FAIL {name}: query threw: {msg[:200]}")
+            except OSError:
+                print(f"FAIL {name}: no spark output")
             failures += 1
             continue
         try:

@@ -73,10 +73,24 @@ object ScaleUp {
           alpha + alpha.toUpperCase, rot(k) + rot(k).toUpperCase))
     }, "documents")
 
-    // passthrough: dims stay fixed-size; events/embeddings aren't in the
+    // events copies shift event_id (tiebreaker stays unique) AND user_id
+    // (the partition key of every events window/session/funnel): k× the
+    // data means k× the users with identical per-user event structure —
+    // the warehouse model for event streams (traffic grows by actors, not
+    // by making one actor's history k× longer). Session/funnel/survival
+    // counts scale exactly linearly; window-state parallelism grows with
+    // the copies, which is precisely what the scale check must exercise.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    write(copies(events) { (d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))
+    }, "events")
+
+    // passthrough: dims stay fixed-size; embeddings aren't in the
     // scale-check query set and keep the directory Verify/Bench-complete
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "events", "embeddings")) {
+        "embeddings")) {
       val in = s"$src/$t.parquet"
       val out = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
       val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,7 +100,7 @@ object ScaleUp {
         spark.sparkContext.hadoopConfiguration)
     }
 
-    for (t <- Seq("lineitem", "orders", "documents"))
+    for (t <- Seq("lineitem", "orders", "documents", "events"))
       println(s"[scaleup] $t rows: " +
         spark.read.parquet(s"$dst/$t.parquet").count())
     spark.stop()

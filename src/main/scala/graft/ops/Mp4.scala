@@ -197,6 +197,141 @@ object Mp4 {
     }
   }
 
+  // ---- sample tables (frame extraction) ---------------------------------
+
+  /** Locate stored video frames via the sample tables: stsz (sizes) ×
+    * stsc (samples-per-chunk runs) × stco/co64 (chunk offsets), samples
+    * contiguous within a chunk (ISO/IEC 14496-12 §8.7). Returns
+    * (fileOffset, size) per sample for the FIRST 'vide' track, in sample
+    * order. General over multi-chunk layouts, not just [[writeMjpeg]]'s
+    * single-chunk output. Same poison contract as [[parse]]: malformed
+    * tables → None; a sample overrunning the file is dropped, not thrown.
+    */
+  def sampleTable(bytes: Array[Byte]): Option[Vector[(Long, Long)]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val c = new Cursor(ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN))
+      var result: Option[Vector[(Long, Long)]] = None
+
+      def parseStbl(ss: Int, se: Int): Option[Vector[(Long, Long)]] = {
+        var sizes = Vector.empty[Long]
+        var chunkOffsets = Vector.empty[Long]
+        // stsc runs: (firstChunk, samplesPerChunk) — 1-based firstChunk
+        var stscRuns = Vector.empty[(Long, Long)]
+        walk(c, ss, se) {
+          case ("stsz", ts, te) =>
+            if (ts + 12 <= te) {
+              val uniform = c.u32(ts + 4)
+              val n = c.u32(ts + 8)
+              if (uniform != 0) sizes = Vector.fill(n.toInt)(uniform)
+              else {
+                var i = 0L; var pos = ts + 12
+                while (i < n && pos + 4 <= te) {
+                  sizes :+= c.u32(pos); i += 1; pos += 4
+                }
+              }
+            }
+          case ("stco", ts, te) =>
+            if (ts + 8 <= te) {
+              val n = c.u32(ts + 4)
+              var i = 0L; var pos = ts + 8
+              while (i < n && pos + 4 <= te) {
+                chunkOffsets :+= c.u32(pos); i += 1; pos += 4
+              }
+            }
+          case ("co64", ts, te) =>
+            if (ts + 8 <= te) {
+              val n = c.u32(ts + 4)
+              var i = 0L; var pos = ts + 8
+              while (i < n && pos + 8 <= te) {
+                chunkOffsets :+= c.u64(pos); i += 1; pos += 8
+              }
+            }
+          case ("stsc", ts, te) =>
+            if (ts + 8 <= te) {
+              val n = c.u32(ts + 4)
+              var i = 0L; var pos = ts + 8
+              while (i < n && pos + 12 <= te) {
+                stscRuns :+= ((c.u32(pos), c.u32(pos + 4))); i += 1; pos += 12
+              }
+            }
+          case _ => ()
+        }
+        if (sizes.isEmpty || chunkOffsets.isEmpty) None
+        else {
+          // samples-per-chunk for chunk k (1-based) = the last stsc run with
+          // firstChunk <= k (runs are sorted); missing stsc ⇒ all in chunk 1
+          val runs = if (stscRuns.nonEmpty) stscRuns
+            else Vector((1L, sizes.length.toLong))
+          val out = Vector.newBuilder[(Long, Long)]
+          var sample = 0
+          var chunk = 0
+          while (sample < sizes.length && chunk < chunkOffsets.length) {
+            val perChunk = runs.reverse.find(_._1 <= chunk + 1)
+              .map(_._2).getOrElse(0L)
+            var off = chunkOffsets(chunk)
+            var j = 0L
+            while (j < perChunk && sample < sizes.length) {
+              val sz = sizes(sample)
+              if (off >= 0 && off + sz <= bytes.length) out += ((off, sz))
+              off += sz; j += 1; sample += 1
+            }
+            if (perChunk <= 0) return None // zero-progress guard
+            chunk += 1
+          }
+          Some(out.result())
+        }
+      }
+
+      walk(c, 0, bytes.length) {
+        case ("moov", s, e) =>
+          walk(c, s, e) {
+            case ("trak", ts, te) if result.isEmpty =>
+              var handler = ""
+              var stbl: Option[(Int, Int)] = None
+              walk(c, ts, te) {
+                case ("mdia", ms, me) =>
+                  walk(c, ms, me) {
+                    case ("hdlr", hs, he) =>
+                      if (hs + 12 <= he) handler = c.fourCc(hs + 8)
+                    case ("minf", fs, fe) =>
+                      walk(c, fs, fe) {
+                        case ("stbl", bs, be) => stbl = Some((bs, be))
+                        case _ => ()
+                      }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              if (handler == "vide") result = stbl.flatMap {
+                case (bs, be) => parseStbl(bs, be)
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      result
+    } catch { case _: Exception => None }
+  }
+
+  /** Extract stored frame payloads (e.g. JPEG images for MJPEG-in-MP4). */
+  def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+    sampleTable(bytes).getOrElse(Vector.empty).map { case (off, len) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+    }
+
+  /** Sample stored frames: every `stride`-th, at most `maxFrames` — the
+    * [[Avi.sampleFrames]] shape, so the consumer path is container-agnostic.
+    */
+  def sampleFrames(bytes: Array[Byte], stride: Int,
+      maxFrames: Int): Seq[(Int, Array[Byte])] =
+    sampleTable(bytes).map { table =>
+      table.indices.by(stride.max(1)).take(maxFrames).map { i =>
+        val (off, len) = table(i)
+        (i, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt))
+      }
+    }.getOrElse(Seq.empty)
+
   // ---- writing (minimal valid file, used by specs + the oracle-gated
   //      round-trip query; also the documented fixture for plugging real
   //      codecs in later) ------------------------------------------------
@@ -211,6 +346,21 @@ object Mp4 {
     * bytes). All version-0 boxes; timescale/duration/width/height/sample
     * count land where [[parse]] reads them back.
     */
+  private def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    body(out)
+    out.flush()
+    val payload = bos.toByteArray
+    val full = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    full.putInt(8 + payload.length)
+    full.put(tpe.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    full.put(payload)
+    full.array()
+  }
+  private def fourCc(out: DataOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
   def write(brand: String, timescale: Int, durationTicks: Long, width: Int,
       height: Int, nSamples: Int, payloadLen: Int): Array[Byte] = {
     require(brand.length == 4, s"brand must be a 4cc, got '$brand'")
@@ -219,21 +369,6 @@ object Mp4 {
     // this writer only emits v0)
     require(durationTicks >= 0 && durationTicks <= 0xffffffffL,
       s"durationTicks $durationTicks does not fit version-0 32-bit boxes")
-
-    def box(tpe: String)(body: DataOutputStream => Unit): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bos)
-      body(out)
-      out.flush()
-      val payload = bos.toByteArray
-      val full = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
-      full.putInt(8 + payload.length)
-      full.put(tpe.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      full.put(payload)
-      full.array()
-    }
-    def fourCc(out: DataOutputStream, s: String): Unit =
-      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
 
     val ftyp = box("ftyp") { o =>
       fourCc(o, brand); o.writeInt(0); fourCc(o, brand); fourCc(o, "iso2")
@@ -288,6 +423,113 @@ object Mp4 {
     val out = new ByteArrayOutputStream()
     out.write(ftyp); out.write(moov); out.write(mdat)
     out.toByteArray
+  }
+
+  /** An MJPEG-in-MP4 with REAL sample tables: one video track whose mdat
+    * holds the JPEG frames back-to-back in one chunk, located by
+    * stsz (per-frame sizes) + stsc (one run: all samples in chunk 1) +
+    * stco (one offset). [[sampleTable]]/[[frames]] read them back
+    * generally, so writer and reader meet only at the spec'd tables —
+    * the same writer↔parser drift guard as [[Avi.write]]/[[Avi.parse]].
+    * `timescale` ticks/s, one tick per frame.
+    */
+  def writeMjpeg(width: Int, height: Int, timescale: Int,
+      jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    val n = jpegFrames.length
+    def moovAt(mdatPayloadOff: Long): Array[Byte] = {
+      val mvhd = box("mvhd") { o =>
+        o.writeInt(0)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(timescale)
+        o.writeInt(n)
+        o.writeInt(0x00010000); o.writeShort(0x0100); o.writeShort(0)
+        o.writeLong(0L)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(o.writeInt)
+        (0 until 6).foreach(_ => o.writeInt(0))
+        o.writeInt(2)
+      }
+      val tkhd = box("tkhd") { o =>
+        o.writeInt(0x7)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(1)
+        o.writeInt(0)
+        o.writeInt(n)
+        o.writeLong(0L)
+        o.writeShort(0); o.writeShort(0); o.writeShort(0); o.writeShort(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(o.writeInt)
+        o.writeInt(width << 16); o.writeInt(height << 16)
+      }
+      val mdhd = box("mdhd") { o =>
+        o.writeInt(0)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(timescale); o.writeInt(n)
+        o.writeShort(0x55c4); o.writeShort(0)
+      }
+      val hdlr = box("hdlr") { o =>
+        o.writeInt(0); o.writeInt(0)
+        fourCc(o, "vide")
+        (0 until 3).foreach(_ => o.writeInt(0))
+        o.writeByte(0)
+      }
+      val stts = box("stts") { o =>
+        o.writeInt(0); o.writeInt(1)
+        o.writeInt(n); o.writeInt(1)
+      }
+      val stsc = box("stsc") { o =>
+        o.writeInt(0); o.writeInt(1)
+        o.writeInt(1); o.writeInt(n); o.writeInt(1) // chunk 1 holds all samples
+      }
+      val stsz = box("stsz") { o =>
+        o.writeInt(0); o.writeInt(0); o.writeInt(n) // non-uniform sizes
+        jpegFrames.foreach(f => o.writeInt(f.length))
+      }
+      val stco = box("stco") { o =>
+        o.writeInt(0); o.writeInt(1)
+        o.writeInt(mdatPayloadOff.toInt)
+      }
+      val stbl = box("stbl") { o =>
+        o.write(stts); o.write(stsc); o.write(stsz); o.write(stco)
+      }
+      val minf = box("minf")(o => o.write(stbl))
+      val mdia = box("mdia") { o => o.write(mdhd); o.write(hdlr); o.write(minf) }
+      val trak = box("trak") { o => o.write(tkhd); o.write(mdia) }
+      box("moov") { o => o.write(mvhd); o.write(trak) }
+    }
+    val ftyp = box("ftyp") { o =>
+      fourCc(o, "mp42"); o.writeInt(0); fourCc(o, "mp42"); fourCc(o, "iso2")
+    }
+    // stco needs the absolute mdat payload offset, which depends on moov's
+    // own length — build moov once with 0, then rebuild at the real offset
+    // (same length: stco's entry is fixed-width)
+    val moovLen = moovAt(0L).length
+    val moov = moovAt(ftyp.length.toLong + moovLen + 8)
+    val mdat = box("mdat")(o => jpegFrames.foreach(o.write))
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(mdat)
+    out.toByteArray
+  }
+
+  /** REAL video decoder for MJPEG-in-MP4 — the second real container/codec
+    * pair through [[Multimodal.MediaDecoder]] (sibling of
+    * [[Multimodal.AviMjpegDecoder]]). `format` = "mp4/" + brand,
+    * `n_frames` = frames actually LOCATED by the sample tables (not the
+    * declared stts count — a truncated mdat reports what survives).
+    * Header-only: payloads are located, not pixel-decoded; decode sampled
+    * frames downstream via [[sampleFrames]] + ImagePoolingExtractor,
+    * exactly the AVI consumer shape.
+    */
+  object MjpegDecoder extends Multimodal.MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Multimodal.MediaMeta] =
+      payloads.map { bytes =>
+        (parse(bytes), if (bytes == null) None else sampleTable(bytes)) match {
+          case (Some(m), Some(table)) =>
+            Multimodal.MediaMeta("mp4/" + m.brand, m.videoWidth, m.videoHeight,
+              table.length, bytes.length.toLong)
+          case _ =>
+            Multimodal.MediaMeta("unknown", -1, -1, 0,
+              if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }
   }
 
   /** [[Multimodal.MediaDecoder]] over [[parse]] — the video sibling of

@@ -140,6 +140,80 @@ object MediaQ {
       |  CAST((doc_id + 3 * (s * 2)) % 8 AS INT) AS gray_bucket
       |FROM f""".stripMargin
 
+  private val mp4FramesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("gray_bucket", IntegerType)))
+
+  /** q229 — MJPEG-in-MP4 frame decode, the SECOND real container/codec pair
+    * through [[Multimodal.MediaDecoder]] (q121 is MJPEG-in-AVI). Per doc:
+    * plant 3–8 solid gray JPEG frames (level 16+32k, k = (doc_id+5·frame)%8
+    * — bucket centers, JPEG-loss-proof), encode via the real `javax.imageio`
+    * codec, wrap with [[Mp4.writeMjpeg]] (real stsz/stsc/stco sample
+    * tables), then the consumer path: [[Mp4.MjpegDecoder]] container
+    * metadata, stride-3/max-3 sampling ([[Mp4.sampleFrames]] — the
+    * container-agnostic [[Avi.sampleFrames]] shape), per-frame JPEG decode
+    * + luminance pooling, re-bucket. The oracle re-derives everything
+    * arithmetically, so a green row proves frames survive the ISO-BMFF
+    * sample-table round trip AND pixel-decode — same proof as q121 on a
+    * different container.
+    *
+    * Scale shape: map-only, one scan, ≤3 rows per video — no shuffle.
+    */
+  def mp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = t.documents.select("doc_id")
+    in.mapPartitions { rows =>
+      val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nf = 3 + (id % 6).toInt
+        val (w, h) = (48, 32)
+        val jpegs = (0 until nf).map { k =>
+          val g = 16 + 32 * ((id + 5 * k) % 8).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val mp4 = Mp4.writeMjpeg(w, h, timescale = 30, jpegs)
+        val meta = Mp4.MjpegDecoder.decodeBatch(Seq(mp4)).head
+        require(meta.format != "unknown",
+          s"MP4 round-trip parse failed for doc $id") // loud: writer/reader drift is a bug
+        val sampled = Mp4.sampleFrames(mp4, stride = 3, maxFrames = 3)
+        sampled.map { case (idx, jpeg) =>
+          val lum01 = pool.extractBatch(Seq(jpeg)).head(0)
+          Row(id, idx, meta.format, meta.width, meta.height, meta.n_frames,
+            sampled.length, math.floor(lum01 * 255.0 / 32.0).toInt)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(mp4FramesSchema))
+  }
+
+  private val mp4FramesSql =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS nf,
+      |    unnest(range(0, least(3, CAST(ceil((3 + doc_id % 6) / 3.0) AS BIGINT)))) AS s
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(s * 3 AS INT) AS frame_idx,
+      |  'mp4/mp42' AS format,
+      |  48 AS width, 32 AS height,
+      |  nf AS n_frames,
+      |  CAST(least(3, CAST(ceil(nf / 3.0) AS BIGINT)) AS INT) AS n_sampled,
+      |  CAST((doc_id + 5 * (s * 3)) % 8 AS INT) AS gray_bucket
+      |FROM f""".stripMargin
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -513,5 +587,6 @@ object MediaQ {
     QueryDef("q198_audio_fp_dedup", audioDedup, Some(audioDedupSql)),
     QueryDef("q199_crossmodal_matrix", crossModalMatrix, Some(crossModalMatrixSql)),
     QueryDef("q200_multimodal_curate", multimodalCurate, Some(multimodalCurateSql)),
+    QueryDef("q229_mp4_frames", mp4Frames, Some(mp4FramesSql)),
   )
 }

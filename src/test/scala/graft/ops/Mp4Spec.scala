@@ -114,6 +114,88 @@ class Mp4Spec extends SparkTestBase {
     }
   }
 
+  test("writeMjpeg: sample tables locate every frame byte-exactly") {
+    val rnd = new scala.util.Random(7L)
+    val frames = (1 to 9).map { i =>
+      val b = new Array[Byte](16 + rnd.nextInt(200)); rnd.nextBytes(b)
+      b(0) = i.toByte; b
+    }
+    val mp4 = Mp4.writeMjpeg(640, 360, timescale = 30, frames)
+    val m = Mp4.parse(mp4).get
+    assert(m.brand == "mp42" && m.videoWidth == 640 && m.videoHeight == 360 &&
+      m.nSamples == 9L)
+    val back = Mp4.frames(mp4)
+    assert(back.length == 9)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes drifted")
+    }
+    // stride sampling mirrors Avi.sampleFrames
+    val sampled = Mp4.sampleFrames(mp4, stride = 3, maxFrames = 2)
+    assert(sampled.map(_._1) == Seq(0, 3))
+    assert(java.util.Arrays.equals(sampled(1)._2, frames(3)))
+  }
+
+  test("multi-chunk stsc/stco layout is honored (hand-built, not writer output)") {
+    // 5 samples of 4 bytes in chunks of (2,2,1) at offsets 300/320/340 —
+    // proves the reader walks the general sample-to-chunk mapping, not just
+    // writeMjpeg's single-chunk shape
+    def rawBox(tpe: String, payload: Array[Byte]): Array[Byte] =
+      bb(8 + payload.length).putInt(8 + payload.length)
+        .put(tpe.getBytes("ISO-8859-1")).put(payload).array()
+    val ftyp = rawBox("ftyp", bb(8).put("mp42".getBytes("ISO-8859-1")).putInt(0).array())
+    val hdlr = rawBox("hdlr", bb(25).putInt(0).putInt(0)
+      .put("vide".getBytes("ISO-8859-1")).putInt(0).putInt(0).putInt(0).put(0.toByte).array())
+    val stsz = rawBox("stsz", bb(12 + 20).putInt(0).putInt(0).putInt(5)
+      .putInt(4).putInt(4).putInt(4).putInt(4).putInt(4).array())
+    val stsc = rawBox("stsc", bb(8 + 24).putInt(0).putInt(2)
+      .putInt(1).putInt(2).putInt(1)   // chunks 1-2: 2 samples each
+      .putInt(3).putInt(1).putInt(1).array()) // chunk 3+: 1 sample
+    val stco = rawBox("stco", bb(8 + 12).putInt(0).putInt(3)
+      .putInt(300).putInt(320).putInt(340).array())
+    val stbl = rawBox("stbl", stsz ++ stsc ++ stco)
+    val minf = rawBox("minf", stbl)
+    val mdia = rawBox("mdia", hdlr ++ minf)
+    val trak = rawBox("trak", mdia)
+    val mvhd = rawBox("mvhd", bb(4 + 8 + 4 + 4).putInt(0).putLong(0L)
+      .putInt(10).putInt(5).array())
+    val moov = rawBox("moov", mvhd ++ trak)
+    val head = ftyp ++ moov
+    assert(head.length <= 300, s"header grew past the planted offsets: ${head.length}")
+    // file = header, zero padding to 300, then 100 bytes of patterned data
+    val bytes = head ++ new Array[Byte](300 - head.length) ++
+      Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val table = Mp4.sampleTable(bytes).get
+    assert(table == Vector((300L, 4L), (304L, 4L), (320L, 4L), (324L, 4L), (340L, 4L)))
+    assert(Mp4.frames(bytes)(2).toSeq == Seq[Byte](21, 22, 23, 24)) // bytes at 320..323
+  }
+
+  test("MjpegDecoder: real JPEG frames survive the MP4 round trip pixel-wise") {
+    // solid-gray JPEGs through the REAL ImageIO codec, wrapped in MP4
+    val (w, h) = (48, 32)
+    val jpegs = (0 until 4).map { k =>
+      val g = 16 + 32 * k
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mp4 = Mp4.writeMjpeg(w, h, 10, jpegs)
+    val metas = Mp4.MjpegDecoder.decodeBatch(Seq(mp4, "junk".getBytes, null))
+    assert(metas(0) == Multimodal.MediaMeta("mp4/mp42", w, h, 4, mp4.length.toLong))
+    assert(metas(1).format == "unknown" && metas(2).byte_len == 0L)
+    // decode the extracted frames with the real codec: gray level survives
+    val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
+    Mp4.frames(mp4).zipWithIndex.foreach { case (jpeg, k) =>
+      val lum = pool.extractBatch(Seq(jpeg)).head(0) * 255.0
+      val planted = 16 + 32 * k
+      assert(math.abs(lum - planted) < 16.0,
+        s"frame $k decoded luminance $lum vs planted $planted")
+    }
+  }
+
   test("q84 query matches its planted arithmetic at sf0.001") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.MediaQ.videoMeta(spark, sf)

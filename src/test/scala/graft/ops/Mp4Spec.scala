@@ -112,6 +112,27 @@ class Mp4Spec extends SparkTestBase {
       assert(m.timescale == ts && m.durationTicks == dur &&
         m.videoWidth == w && m.videoHeight == h && m.nSamples == nf)
     }
+    // sample-table walk under the same contract: corrupted writeMjpeg
+    // output and pure garbage must never throw or spin; random frame sets
+    // must round-trip byte-exactly
+    for (_ <- 1 to 300) {
+      val frames = (0 until 1 + rnd.nextInt(7)).map { _ =>
+        val b = new Array[Byte](1 + rnd.nextInt(64)); rnd.nextBytes(b); b
+      }
+      val mp4 = Mp4.writeMjpeg(1 + rnd.nextInt(256), 1 + rnd.nextInt(256),
+        1 + rnd.nextInt(1000), frames)
+      val back = Mp4.frames(mp4)
+      assert(back.length == frames.length)
+      frames.zip(back).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(a, b))
+      }
+      val corrupted = mp4.clone()
+      for (_ <- 0 to rnd.nextInt(8))
+        corrupted(rnd.nextInt(corrupted.length)) = rnd.nextInt(256).toByte
+      Mp4.sampleTable(corrupted) // any Some is fine; throwing/spinning is the failure
+      val garbage = new Array[Byte](rnd.nextInt(256)); rnd.nextBytes(garbage)
+      Mp4.sampleTable(garbage)
+    }
   }
 
   test("writeMjpeg: sample tables locate every frame byte-exactly") {

@@ -63,9 +63,15 @@ object Verify {
 
     // Self-check: every selected query either dumped parquet or was recorded
     // as a failure — a query that did neither would be invisible to the
-    // driver, which is the exact failure mode this guards against.
-    val dumped = new java.io.File(outDir).listFiles()
-      .count(d => d.isDirectory && !new java.io.File(d, "_FAILED").exists())
+    // driver, which is the exact failure mode this guards against. Count only
+    // THIS run's query names: stale dirs from a prior run in a reused outDir
+    // must not be able to satisfy the guard.
+    val attemptedNames = SparkEntry.queries.keySet
+      .filter(n => only.isEmpty || only(n))
+    val dumped = attemptedNames.count { n =>
+      val d = new java.io.File(s"$outDir/$n")
+      d.isDirectory && !new java.io.File(d, "_FAILED").exists()
+    }
     require(dumped + failures.size >= attempted,
       s"verify accounting hole: $dumped dumped + ${failures.size} failed < $attempted attempted")
     System.err.println(

@@ -223,8 +223,12 @@ object Mp4 {
             if (ts + 12 <= te) {
               val uniform = c.u32(ts + 4)
               val n = c.u32(ts + 8)
-              if (uniform != 0) sizes = Vector.fill(n.toInt)(uniform)
-              else {
+              if (uniform != 0) {
+                // n is attacker-controlled: n×uniform bytes must fit in the
+                // file, which also bounds the allocation (an OutOfMemoryError
+                // would escape the Exception catch and kill the task)
+                if (n <= bytes.length / uniform) sizes = Vector.fill(n.toInt)(uniform)
+              } else {
                 var i = 0L; var pos = ts + 12
                 while (i < n && pos + 4 <= te) {
                   sizes :+= c.u32(pos); i += 1; pos += 4
@@ -266,14 +270,22 @@ object Mp4 {
           val out = Vector.newBuilder[(Long, Long)]
           var sample = 0
           var chunk = 0
+          // stsc runs are spec-sorted by firstChunk; a monotone cursor keeps
+          // the whole mapping O(samples + chunks + runs) even on adversarial
+          // tables (a rescan-per-chunk would be O(chunks × runs))
+          var runIdx = 0
           while (sample < sizes.length && chunk < chunkOffsets.length) {
-            val perChunk = runs.reverse.find(_._1 <= chunk + 1)
-              .map(_._2).getOrElse(0L)
+            while (runIdx + 1 < runs.length && runs(runIdx + 1)._1 <= chunk + 1)
+              runIdx += 1
+            val perChunk =
+              if (runs(runIdx)._1 <= chunk + 1) runs(runIdx)._2 else 0L
             var off = chunkOffsets(chunk)
             var j = 0L
             while (j < perChunk && sample < sizes.length) {
               val sz = sizes(sample)
-              if (off >= 0 && off + sz <= bytes.length) out += ((off, sz))
+              // overflow-safe bounds: off + sz can wrap on crafted co64
+              if (off >= 0 && sz >= 0 && sz <= bytes.length &&
+                off <= bytes.length - sz) out += ((off, sz))
               off += sz; j += 1; sample += 1
             }
             if (perChunk <= 0) return None // zero-progress guard
@@ -435,6 +447,9 @@ object Mp4 {
     */
   def writeMjpeg(width: Int, height: Int, timescale: Int,
       jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    // a zero-frame file would write stsz n=0, which the reader (correctly)
+    // rejects as table-less — refuse to write what we would not read back
+    require(jpegFrames.nonEmpty, "writeMjpeg requires at least one frame")
     val n = jpegFrames.length
     def moovAt(mdatPayloadOff: Long): Array[Byte] = {
       val mvhd = box("mvhd") { o =>
@@ -521,7 +536,7 @@ object Mp4 {
   object MjpegDecoder extends Multimodal.MediaDecoder {
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Multimodal.MediaMeta] =
       payloads.map { bytes =>
-        (parse(bytes), if (bytes == null) None else sampleTable(bytes)) match {
+        (parse(bytes), sampleTable(bytes)) match { // both are null-safe
           case (Some(m), Some(table)) =>
             Multimodal.MediaMeta("mp4/" + m.brand, m.videoWidth, m.videoHeight,
               table.length, bytes.length.toLong)

@@ -168,6 +168,22 @@ object Multimodal {
       }
   }
 
+  /** Solid-gray JPEG through the REAL ImageIO codec — the shared planted
+    * fixture for the video frame-decode queries (q121 AVI, q229 MP4) and
+    * their specs; one definition so the gray-level/encoding can never
+    * drift between a query and its oracle twin.
+    */
+  def solidGrayJpeg(gray: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),

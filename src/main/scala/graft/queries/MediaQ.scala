@@ -103,15 +103,7 @@ object MediaQ {
         val nf = 3 + (id % 6).toInt
         val (w, h) = (48, 32)
         val jpegs = (0 until nf).map { k =>
-          val g = 16 + 32 * ((id + 3 * k) % 8).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          Multimodal.solidGrayJpeg(16 + 32 * ((id + 3 * k) % 8).toInt, w, h)
         }
         val avi = Avi.write(w, h, usPerFrame = 100000, frames = jpegs)
         val meta = Avi.parse(avi).getOrElse(
@@ -175,15 +167,7 @@ object MediaQ {
         val nf = 3 + (id % 6).toInt
         val (w, h) = (48, 32)
         val jpegs = (0 until nf).map { k =>
-          val g = 16 + 32 * ((id + 5 * k) % 8).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val rgb = (g << 16) | (g << 8) | g
-          var y = 0
-          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
+          Multimodal.solidGrayJpeg(16 + 32 * ((id + 5 * k) % 8).toInt, w, h)
         }
         val mp4 = Mp4.writeMjpeg(w, h, timescale = 30, jpegs)
         val meta = Mp4.MjpegDecoder.decodeBatch(Seq(mp4)).head

@@ -81,7 +81,14 @@ object ScaleUp {
     // counts scale exactly linearly; window-state parallelism grows with
     // the copies, which is precisely what the scale check must exercise.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$src/events.parquet")
+    val eventsSrc = spark.read.parquet(s"$src/events.parquet")
+    // normalize ts to the current generator layout (TIMESTAMP_NTZ micros)
+    // before writing: a legacy int64-nanos source would otherwise scale into
+    // a bare-BIGINT ts that DuckDB reads as a number, breaking every events
+    // oracle on the scaled dir (Spark itself would cope via
+    // Tables.canonicalizeEventsTs, which is exactly why it would go unseen)
+    val events = graft.core.Tables.canonicalizeEventsTs(eventsSrc)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
     write(copies(events) { (d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))

@@ -193,16 +193,7 @@ class Mp4Spec extends SparkTestBase {
   test("MjpegDecoder: real JPEG frames survive the MP4 round trip pixel-wise") {
     // solid-gray JPEGs through the REAL ImageIO codec, wrapped in MP4
     val (w, h) = (48, 32)
-    val jpegs = (0 until 4).map { k =>
-      val g = 16 + 32 * k
-      val img = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val rgb = (g << 16) | (g << 8) | g
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
+    val jpegs = (0 until 4).map(k => Multimodal.solidGrayJpeg(16 + 32 * k, w, h))
     val mp4 = Mp4.writeMjpeg(w, h, 10, jpegs)
     val metas = Mp4.MjpegDecoder.decodeBatch(Seq(mp4, "junk".getBytes, null))
     assert(metas(0) == Multimodal.MediaMeta("mp4/mp42", w, h, 4, mp4.length.toLong))

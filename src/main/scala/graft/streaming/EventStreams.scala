@@ -261,14 +261,21 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
     // same ts canonicalization as the batch reader (Tables.events) — the
     // file's physical ts type (int64 nanos vs micros timestamp) is a
-    // generator choice, and batch/stream parity must not depend on it
-    graft.core.Tables.canonicalizeEventsTs(
-      spark.readStream
-        .schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    // generator choice, and batch/stream parity must not depend on it.
+    // Path handling: events.parquet is a single FILE in driver testdata but
+    // a DIRECTORY of part files in ScaleUp output; the file-stream source
+    // requires a directory basePath, so the single-file layout streams from
+    // the parent dir with a name filter.
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.core.Tables.canonicalizeEventsTs(raw)
   }
 }

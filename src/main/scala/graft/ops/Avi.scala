@@ -145,6 +145,50 @@ object Avi {
     }.getOrElse(Vector.empty)
   }
 
+  // ---- raw DIB codec (uncompressed video frames) -------------------------
+
+  /** Encode an RGB pixel grid (`pixels(y)(x)` = 0xRRGGBB, row 0 = top) as a
+    * raw DIB frame: bottom-up rows of BGR triples, each row padded to a
+    * 4-byte boundary — the BI_RGB layout uncompressed AVI stores. Pure
+    * arithmetic; the inverse ([[dibDecode]]) recovers every pixel EXACTLY.
+    */
+  def dibEncode(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    require(h > 0 && pixels(0).nonEmpty, "empty pixel grid")
+    val w = pixels(0).length
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val row = pixels(h - 1 - y) // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val base = y * rowBytes + x * 3
+        out(base) = (rgb & 0xff).toByte
+        out(base + 1) = ((rgb >> 8) & 0xff).toByte
+        out(base + 2) = ((rgb >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a raw DIB frame back to the RGB grid; None when the payload is
+    * too short for `w`×`h` (poison contract — truncated frames degrade).
+    */
+  def dibDecode(bytes: Array[Byte], w: Int, h: Int): Option[Array[Array[Int]]] = {
+    if (bytes == null || w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) & ~3
+    if (bytes.length < rowBytes.toLong * h) return None
+    Some(Array.tabulate(h, w) { (y, x) =>
+      val base = (h - 1 - y) * rowBytes + x * 3
+      ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 1) & 0xff) << 8) |
+        (bytes(base) & 0xff)
+    })
+  }
+
   // ---- writing -----------------------------------------------------------
 
   /** A minimal MJPEG AVI from pre-encoded JPEG frames. All frames must share
@@ -153,9 +197,32 @@ object Avi {
     * so [[frameChunks]] round-trips them byte-exact.
     */
   def write(width: Int, height: Int, usPerFrame: Int,
-      frames: Seq[Array[Byte]]): Array[Byte] = {
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    writeWith(width, height, usPerFrame, frames,
+      handler = "MJPG", compression = "MJPG".getBytes(Iso), chunkId = "00dc")
+
+  /** An UNCOMPRESSED AVI from raw DIB frames ([[dibEncode]] payloads):
+    * handler 'DIB ', biCompression BI_RGB(0), frames in '00db' chunks. The
+    * second real CODEC through the container (MJPEG is the first) — raw
+    * bottom-up BGR rows are how uncompressed AVI actually stores video, and
+    * decode is pure arithmetic ([[dibDecode]]), so the round trip is
+    * pixel-EXACT, not merely within JPEG loss.
+    */
+  def writeDib(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] =
+    writeWith(width, height, usPerFrame, frames,
+      handler = "DIB ", compression = u32le(0L), chunkId = "00db")
+
+  private def u32le(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt((v & 0xffffffffL).toInt).array()
+
+  private def writeWith(width: Int, height: Int, usPerFrame: Int,
+      frames: Seq[Array[Byte]], handler: String, compression: Array[Byte],
+      chunkId: String): Array[Byte] = {
     require(width > 0 && height > 0 && usPerFrame > 0,
       s"bad dims/rate: ${width}x$height @ $usPerFrame µs/frame")
+    require(compression.length == 4, "biCompression must be 4 bytes")
     def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
       val pad = payload.length & 1
       val out = ByteBuffer.allocate(8 + payload.length + pad)
@@ -188,7 +255,7 @@ object Avi {
       width.toLong, height.toLong,
       0L, 0L, 0L, 0L))   // dwReserved[4]
     val strh = chunk("strh",
-      "vids".getBytes(Iso) ++ "MJPG".getBytes(Iso) ++ u32s(
+      "vids".getBytes(Iso) ++ handler.getBytes(Iso) ++ u32s(
         0L, 0L, 0L,      // dwFlags, wPriority|wLanguage, dwInitialFrames
         usPerFrame.toLong, // dwScale
         1000000L,        // dwRate  (rate/scale = fps)
@@ -203,10 +270,10 @@ object Avi {
       40L,               // biSize
       width.toLong, height.toLong,
       (24L << 16) | 1L)  // biPlanes=1 | biBitCount=24 (packed little-endian words)
-      ++ "MJPG".getBytes(Iso) // biCompression
+      ++ compression     // biCompression: 'MJPG' fourcc or BI_RGB(0)
       ++ u32s((width.toLong * height * 3), 0L, 0L, 0L, 0L))
     val hdrl = list("hdrl", avih, list("strl", strh, strf))
-    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    val movi = list("movi", frames.map(chunk(chunkId, _)): _*)
     val body = "AVI ".getBytes(Iso) ++ hdrl ++ movi
     val out = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
     out.put("RIFF".getBytes(Iso)); out.putInt(body.length); out.put(body)

@@ -184,6 +184,26 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL video decoder for UNCOMPRESSED (raw DIB) AVI — the second real
+    * CODEC through [[MediaDecoder]] (MJPEG was the first; q229's MP4 was the
+    * second container). Same [[MediaMeta]] mapping as [[AviMjpegDecoder]];
+    * the frame payloads themselves decode with [[Avi.dibDecode]] — pure
+    * arithmetic, pixel-exact, no image library at all.
+    */
+  object AviDibDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
+      payloads.map { bytes =>
+        val parsed = if (bytes == null) None else Avi.parse(bytes)
+        parsed match {
+          case Some(m) =>
+            MediaMeta("avi/" + m.handler.trim.toLowerCase, m.width, m.height,
+              m.nStoredFrames, bytes.length.toLong)
+          case None =>
+            MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
+        }
+      }
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),

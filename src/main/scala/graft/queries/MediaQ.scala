@@ -198,6 +198,72 @@ object MediaQ {
       |  CAST((doc_id + 5 * (s * 3)) % 8 AS INT) AS gray_bucket
       |FROM f""".stripMargin
 
+  private val rawVideoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_sampled", IntegerType),
+    StructField("gray", IntegerType)))
+
+  /** q230 — UNCOMPRESSED video decode, the second real CODEC through
+    * [[Multimodal.MediaDecoder]] (raw DIB; MJPEG is the first — q121/q229).
+    * Per doc: plant 3–7 solid-gray raw frames at EXACT levels
+    * g = (7·doc_id + 13·frame) mod 256, encode with [[Avi.dibEncode]]
+    * (bottom-up BGR rows, BI_RGB — pure arithmetic, no image library),
+    * wrap with [[Avi.writeDib]] ('DIB ' handler, '00db' chunks), then the
+    * consumer path: [[Multimodal.AviDibDecoder]] metadata, stride-2/max-4
+    * sampling, [[Avi.dibDecode]] per frame, and emit the decoded corner
+    * pixel's gray. Because the codec is lossless the oracle asserts the
+    * EXACT planted level — a stronger proof than the JPEG queries' bucket
+    * tolerance.
+    *
+    * Scale shape: map-only, one scan, ≤4 rows per video — no shuffle.
+    */
+  def rawVideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = t.documents.select("doc_id")
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nf = 3 + (id % 5).toInt
+        val (w, h) = (32, 24)
+        val frames = (0 until nf).map { k =>
+          val g = ((7 * id + 13 * k) % 256).toInt
+          Avi.dibEncode(Array.fill(h, w)((g << 16) | (g << 8) | g))
+        }
+        val avi = Avi.writeDib(w, h, usPerFrame = 40000, frames = frames)
+        val meta = Multimodal.AviDibDecoder.decodeBatch(Seq(avi)).head
+        require(meta.format == "avi/dib",
+          s"DIB round-trip parse failed for doc $id: ${meta.format}")
+        val sampled = Avi.sampleFrames(avi, stride = 2, maxFrames = 4)
+        sampled.map { case (idx, payload) =>
+          val px = Avi.dibDecode(payload, w, h).getOrElse(
+            sys.error(s"DIB frame decode failed for doc $id frame $idx"))
+          Row(id, idx, meta.format, meta.width, meta.height, meta.n_frames,
+            sampled.length, px(0)(0) & 0xff)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(rawVideoSchema))
+  }
+
+  private val rawVideoSql =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS nf,
+      |    unnest(range(0, least(4, CAST(ceil((3 + doc_id % 5) / 2.0) AS BIGINT)))) AS s
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(s * 2 AS INT) AS frame_idx,
+      |  'avi/dib' AS format,
+      |  32 AS width, 24 AS height,
+      |  nf AS n_frames,
+      |  CAST(least(4, CAST(ceil(nf / 2.0) AS BIGINT)) AS INT) AS n_sampled,
+      |  CAST((7 * doc_id + 13 * (s * 2)) % 256 AS INT) AS gray
+      |FROM f""".stripMargin
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),
@@ -572,5 +638,6 @@ object MediaQ {
     QueryDef("q199_crossmodal_matrix", crossModalMatrix, Some(crossModalMatrixSql)),
     QueryDef("q200_multimodal_curate", multimodalCurate, Some(multimodalCurateSql)),
     QueryDef("q229_mp4_frames", mp4Frames, Some(mp4FramesSql)),
+    QueryDef("q230_raw_video_decode", rawVideoDecode, Some(rawVideoSql)),
   )
 }

@@ -87,4 +87,39 @@ class AviSpec extends SparkTestBase {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue)
     Avi.frameChunks(big) // clamped to the enclosing space — no OOB
   }
+
+  test("raw DIB codec: pixel-exact round trip, odd-width padding, poison") {
+    val rnd = new scala.util.Random(0xd1bL)
+    // odd width (w=5 → 15 data bytes padded to 16 per row) exercises the
+    // 4-byte row alignment; random pixels prove exactness beyond solids
+    for (_ <- 1 to 50) {
+      val (w, h) = (1 + rnd.nextInt(17), 1 + rnd.nextInt(13))
+      val px = Array.fill(h, w)(rnd.nextInt(1 << 24))
+      val enc = Avi.dibEncode(px)
+      assert(enc.length == ((w * 3 + 3) & ~3) * h)
+      val back = Avi.dibDecode(enc, w, h).get
+      for (y <- 0 until h; x <- 0 until w)
+        assert(back(y)(x) == px(y)(x), s"pixel ($x,$y) drifted at ${w}x$h")
+    }
+    // truncated payloads degrade to None, never throw
+    val enc = Avi.dibEncode(Array.fill(4, 4)(0xabcdef))
+    assert(Avi.dibDecode(enc.take(enc.length - 1), 4, 4).isEmpty)
+    assert(Avi.dibDecode(null, 4, 4).isEmpty)
+    assert(Avi.dibDecode(enc, 0, 4).isEmpty)
+
+    // full container round trip: writeDib('DIB ', 00db chunks) → parse
+    // (handler avi/dib) → frameChunks byte-exact → dibDecode pixel-exact
+    val frames = (0 until 3).map(k => Avi.dibEncode(Array.fill(6, 5)(k * 0x111111)))
+    val avi = Avi.writeDib(5, 6, usPerFrame = 40000, frames = frames)
+    val meta = Avi.parse(avi).get
+    assert(meta.handler == "DIB " && meta.nStoredFrames == 3 &&
+      meta.width == 5 && meta.height == 6)
+    val metas = graft.ops.Multimodal.AviDibDecoder.decodeBatch(Seq(avi, null))
+    assert(metas(0).format == "avi/dib" && metas(0).n_frames == 3)
+    assert(metas(1).format == "unknown")
+    Avi.frameChunks(avi).zipWithIndex.foreach { case (payload, k) =>
+      assert(java.util.Arrays.equals(payload, frames(k)))
+      assert(Avi.dibDecode(payload, 5, 6).get(0)(0) == k * 0x111111)
+    }
+  }
 }

@@ -156,6 +156,8 @@ object Avi {
     val h = pixels.length
     require(h > 0 && pixels(0).nonEmpty, "empty pixel grid")
     val w = pixels(0).length
+    require(pixels.forall(_.length == w),
+      "ragged pixel grid: every row must have the same width")
     val rowBytes = (w * 3 + 3) & ~3
     val out = new Array[Byte](rowBytes * h)
     var y = 0
@@ -180,10 +182,15 @@ object Avi {
     */
   def dibDecode(bytes: Array[Byte], w: Int, h: Int): Option[Array[Array[Int]]] = {
     if (bytes == null || w <= 0 || h <= 0) return None
-    val rowBytes = (w * 3 + 3) & ~3
-    if (bytes.length < rowBytes.toLong * h) return None
+    // long arithmetic: w near Int.MaxValue/3 would wrap rowBytes negative,
+    // sneak past the length bound, and OOM in the allocation below — w/h may
+    // come from a hostile container header, so this is poison-contract code
+    val rowBytes = (w.toLong * 3 + 3) & ~3L
+    // division, not rowBytes*h: the product can overflow Long for hostile
+    // w AND h both near Int.MaxValue, wrapping past the bound
+    if (bytes.length / rowBytes < h) return None
     Some(Array.tabulate(h, w) { (y, x) =>
-      val base = (h - 1 - y) * rowBytes + x * 3
+      val base = ((h - 1 - y) * rowBytes + x * 3).toInt
       ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 1) & 0xff) << 8) |
         (bytes(base) & 0xff)
     })

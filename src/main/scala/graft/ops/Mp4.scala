@@ -224,10 +224,13 @@ object Mp4 {
               val uniform = c.u32(ts + 4)
               val n = c.u32(ts + 8)
               if (uniform != 0) {
-                // n is attacker-controlled: n×uniform bytes must fit in the
-                // file, which also bounds the allocation (an OutOfMemoryError
-                // would escape the Exception catch and kill the task)
-                if (n <= bytes.length / uniform) sizes = Vector.fill(n.toInt)(uniform)
+                // n is attacker-controlled: clamp to what can physically fit
+                // in the file — bounds the allocation (an OutOfMemoryError
+                // would escape the Exception catch and kill the task) while
+                // still degrading a truncated file to its surviving prefix
+                // rather than rejecting the whole table
+                val cap = math.min(n, bytes.length / uniform).toInt
+                sizes = Vector.fill(cap)(uniform)
               } else {
                 var i = 0L; var pos = ts + 12
                 while (i < n && pos + 4 <= te) {

@@ -186,23 +186,13 @@ object Multimodal {
 
   /** REAL video decoder for UNCOMPRESSED (raw DIB) AVI — the second real
     * CODEC through [[MediaDecoder]] (MJPEG was the first; q229's MP4 was the
-    * second container). Same [[MediaMeta]] mapping as [[AviMjpegDecoder]];
-    * the frame payloads themselves decode with [[Avi.dibDecode]] — pure
-    * arithmetic, pixel-exact, no image library at all.
+    * second container). The container walk and [[MediaMeta]] mapping are
+    * codec-agnostic (the handler string distinguishes "avi/dib" from
+    * "avi/mjpg"), so this IS [[AviMjpegDecoder]] under a codec-accurate
+    * name; the frame payloads themselves decode with [[Avi.dibDecode]] —
+    * pure arithmetic, pixel-exact, no image library at all.
     */
-  object AviDibDecoder extends MediaDecoder {
-    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[MediaMeta] =
-      payloads.map { bytes =>
-        val parsed = if (bytes == null) None else Avi.parse(bytes)
-        parsed match {
-          case Some(m) =>
-            MediaMeta("avi/" + m.handler.trim.toLowerCase, m.width, m.height,
-              m.nStoredFrames, bytes.length.toLong)
-          case None =>
-            MediaMeta("unknown", -1, -1, 0, if (bytes == null) 0L else bytes.length.toLong)
-        }
-      }
-  }
+  val AviDibDecoder: MediaDecoder = AviMjpegDecoder
 
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),

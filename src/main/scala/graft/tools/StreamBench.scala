@@ -30,6 +30,9 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // before the first events read: the legacy int64-nanos layout needs this
+    // conf at schema time (a no-op for the current micros layout)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nInput = spark.read.parquet(s"$sfDir/events.parquet").count()
 
     def events() = EventStreams.readEventStream(spark, sfDir)
@@ -49,7 +52,9 @@ object StreamBench {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      (n.get(), (System.nanoTime() - t0) / 1e9)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      deleteRecursively(new java.io.File(ckpt)) // don't leak state-store trees
+      (n.get(), elapsed)
     }
 
     // warm-up: JVM + codegen + file listing (smallest pipeline)
@@ -68,5 +73,10 @@ object StreamBench {
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stream_throughput","input_rows":$nInput,"pipelines":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

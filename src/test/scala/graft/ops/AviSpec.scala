@@ -106,6 +106,14 @@ class AviSpec extends SparkTestBase {
     assert(Avi.dibDecode(enc.take(enc.length - 1), 4, 4).isEmpty)
     assert(Avi.dibDecode(null, 4, 4).isEmpty)
     assert(Avi.dibDecode(enc, 0, 4).isEmpty)
+    // hostile header dims: w*3 would wrap an Int rowBytes negative and OOM
+    // in the allocation — must degrade to None instead
+    assert(Avi.dibDecode(enc, 715827883, 1).isEmpty)
+    assert(Avi.dibDecode(enc, Int.MaxValue, Int.MaxValue).isEmpty)
+    // ragged grids are refused loudly at encode time, not AIOOBE mid-row
+    intercept[IllegalArgumentException] {
+      Avi.dibEncode(Array(Array.fill(4)(0), Array.fill(2)(0)))
+    }
 
     // full container round trip: writeDib('DIB ', 00db chunks) → parse
     // (handler avi/dib) → frameChunks byte-exact → dibDecode pixel-exact

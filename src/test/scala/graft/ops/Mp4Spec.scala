@@ -190,6 +190,33 @@ class Mp4Spec extends SparkTestBase {
     assert(Mp4.frames(bytes)(2).toSeq == Seq[Byte](21, 22, 23, 24)) // bytes at 320..323
   }
 
+  test("uniform-size stsz: truncated file degrades to the surviving prefix") {
+    // hand-build a video stbl with uniform stsz (size 4, n=5), one chunk at
+    // offset 200; truncate the file to 210 bytes → only 2 full samples
+    // survive, and the table must report those 2, not reject everything
+    def rawBox(tpe: String, payload: Array[Byte]): Array[Byte] =
+      bb(8 + payload.length).putInt(8 + payload.length)
+        .put(tpe.getBytes("ISO-8859-1")).put(payload).array()
+    val ftyp = rawBox("ftyp", bb(8).put("mp42".getBytes("ISO-8859-1")).putInt(0).array())
+    val hdlr = rawBox("hdlr", bb(25).putInt(0).putInt(0)
+      .put("vide".getBytes("ISO-8859-1")).putInt(0).putInt(0).putInt(0).put(0.toByte).array())
+    val stsz = rawBox("stsz", bb(12).putInt(0).putInt(4).putInt(5).array()) // uniform=4, n=5
+    val stco = rawBox("stco", bb(12).putInt(0).putInt(1).putInt(200).array())
+    val stbl = rawBox("stbl", stsz ++ stco)
+    val moov = rawBox("moov", rawBox("mvhd", bb(20).putInt(0).putLong(0L)
+      .putInt(10).putInt(5).array()) ++
+      rawBox("trak", rawBox("mdia", hdlr ++ rawBox("minf", stbl))))
+    val head = ftyp ++ moov
+    assert(head.length <= 200)
+    val full = head ++ new Array[Byte](220 - head.length)
+    val truncated = full.take(210)
+    // full file: clamp 5 → what fits (220/4 = 55 ≥ 5, all 5 located)
+    assert(Mp4.sampleTable(full).get.length == 5)
+    // truncated: 210/4 = 52 ≥ 5 sizes allocated, but only samples ending
+    // ≤ 210 survive the per-sample bound: offsets 200,204 fit; 208+4 > 210
+    assert(Mp4.sampleTable(truncated).get == Vector((200L, 4L), (204L, 4L)))
+  }
+
   test("MjpegDecoder: real JPEG frames survive the MP4 round trip pixel-wise") {
     // solid-gray JPEGs through the REAL ImageIO codec, wrapped in MP4
     val (w, h) = (48, 32)

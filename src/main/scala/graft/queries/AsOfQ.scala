@@ -165,21 +165,35 @@ object AsOfQ {
         (col("hits").cast("double") / col("k")).as("recall"))
   }
 
-  /** Pinned at sf0.01 (the driver gate's scale) — regenerate by running
-    * [[annIvfRecall]] against /root/testdata/sf0.01 if the IVF parameters,
-    * similarity rounding, or testdata ever change. Mean recall ≈ 0.54 at
-    * nProbe=4 of k=16 clusters (probing 25% of the corpus) — the
+  /** Pinned per scale factor, keyed by `SUM(label)` over embeddings (row
+    * COUNT is 500 at both sf0.001 and sf0.01 — only a content key
+    * discriminates). Regenerate a set by running [[annIvfRecall]] against
+    * the target SF dir if the IVF parameters, similarity rounding, or
+    * testdata ever change. Mean recall ≈ 0.5 at nProbe=4 of k=16 clusters
+    * (probing 25% of the corpus) at every pinned SF — the
     * approximate/exact tradeoff the operator exists to make.
     */
   private val annIvfRecallSql: String = {
-    val pinned = Seq(
-      (0, 7), (1, 7), (2, 5), (3, 6), (4, 3), (5, 2), (6, 4), (7, 4),
-      (8, 6), (9, 7), (10, 6), (11, 8), (12, 5), (13, 5), (14, 4),
-      (15, 6), (16, 6), (17, 5), (18, 5), (19, 7))
-      .map { case (q, h) => s"($q, $h, ${h / 10.0})" }.mkString(", ")
+    val pinned: Seq[(Long, Seq[(Int, Int)])] = Seq(
+      2268L -> Seq(
+        (0, 8), (1, 6), (2, 4), (3, 6), (4, 5), (5, 5), (6, 4), (7, 6),
+        (8, 5), (9, 4), (10, 9), (11, 6), (12, 6), (13, 6), (14, 5),
+        (15, 8), (16, 6), (17, 4), (18, 6), (19, 3)),
+      2270L -> Seq(
+        (0, 7), (1, 7), (2, 5), (3, 6), (4, 3), (5, 2), (6, 4), (7, 4),
+        (8, 6), (9, 7), (10, 6), (11, 8), (12, 5), (13, 5), (14, 4),
+        (15, 6), (16, 6), (17, 5), (18, 5), (19, 7)),
+      9063L -> Seq(
+        (0, 3), (1, 5), (2, 6), (3, 8), (4, 5), (5, 6), (6, 9), (7, 4),
+        (8, 6), (9, 6), (10, 7), (11, 6), (12, 5), (13, 6), (14, 4),
+        (15, 5), (16, 7), (17, 5), (18, 3), (19, 6)))
+    val rows = pinned.flatMap { case (k, qs) =>
+      qs.map { case (q, h) => s"($k, $q, $h, ${h / 10.0})" }
+    }.mkString(", ")
     s"""SELECT CAST(q_id AS BIGINT) AS q_id, CAST(hits AS BIGINT) AS hits,
        |  CAST(recall AS DOUBLE) AS recall
-       |FROM (VALUES $pinned) AS t(q_id, hits, recall)""".stripMargin
+       |FROM (VALUES $rows) AS t(k, q_id, hits, recall)
+       |WHERE k = (SELECT SUM(label) FROM embeddings)""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(

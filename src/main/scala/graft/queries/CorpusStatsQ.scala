@@ -1484,23 +1484,44 @@ object CorpusStatsQ {
         expr("bpe_units * 1000000 div char_units").as("compression_ppm"))
   }
 
-  /** Pinned at sf0.01 (driver-gate scale) — regenerate by running
-    * [[bpeFertility]] against /root/testdata/sf0.01 if tokenization,
-    * merge count, or testdata change.
+  /** Pinned per scale factor, keyed by `SUM(n_chars)` (same mechanism and
+    * rationale as [[bpeMergesSql]] — these are the q195 merges APPLIED, so
+    * the pin inherits that oracle's spec-verified provenance). Regenerate a
+    * set by running [[bpeFertility]] against the target SF dir.
     */
   private val bpeFertilitySql: String = {
-    val pinned: Seq[(String, Long, Long, Long)] = Seq(
-      ("src0", 1435L, 6539L, 5386L), ("src1", 1540L, 7055L, 5804L),
-      ("src10", 1303L, 5883L, 4881L), ("src11", 1522L, 6890L, 5723L),
-      ("src12", 1272L, 5680L, 4703L), ("src13", 1553L, 6934L, 5754L),
-      ("src14", 1318L, 5923L, 4893L), ("src15", 1298L, 5827L, 4807L),
-      ("src16", 1351L, 6158L, 5110L), ("src17", 1373L, 6129L, 5064L),
-      ("src18", 1364L, 6217L, 5153L), ("src19", 1147L, 5184L, 4302L),
-      ("src2", 1407L, 6307L, 5253L), ("src3", 1384L, 6261L, 5183L),
-      ("src4", 1294L, 5829L, 4819L), ("src5", 1329L, 5950L, 4963L),
-      ("src6", 1266L, 5723L, 4721L), ("src7", 1507L, 6719L, 5625L),
-      ("src8", 1136L, 5166L, 4273L), ("src9", 1366L, 6135L, 5117L))
-    val rows = pinned.map { case (s, w, c, b) => s"('$s', $w, $c, $b)" }
+    val pinned: Seq[(Long, String, Long, Long, Long)] = Seq(
+      (153156L, "src0", 1533L, 6856L, 5662L), (153156L, "src1", 1441L, 6483L, 5385L),
+      (153156L, "src10", 1376L, 6146L, 5105L), (153156L, "src11", 1426L, 6352L, 5277L),
+      (153156L, "src12", 1479L, 6673L, 5506L), (153156L, "src13", 1269L, 5682L, 4703L),
+      (153156L, "src14", 1657L, 7531L, 6207L), (153156L, "src15", 1332L, 5948L, 4943L),
+      (153156L, "src16", 1414L, 6400L, 5278L), (153156L, "src17", 1314L, 5989L, 4964L),
+      (153156L, "src18", 1271L, 5668L, 4723L), (153156L, "src19", 1369L, 6282L, 5225L),
+      (153156L, "src2", 1267L, 5680L, 4717L), (153156L, "src3", 1560L, 6945L, 5750L),
+      (153156L, "src4", 1316L, 5907L, 4879L), (153156L, "src5", 1216L, 5567L, 4594L),
+      (153156L, "src6", 1466L, 6563L, 5420L), (153156L, "src7", 1212L, 5419L, 4483L),
+      (153156L, "src8", 1632L, 7371L, 6131L), (153156L, "src9", 1389L, 6255L, 5219L),
+      (149174L, "src0", 1435L, 6539L, 5386L), (149174L, "src1", 1540L, 7055L, 5804L),
+      (149174L, "src10", 1303L, 5883L, 4881L), (149174L, "src11", 1522L, 6890L, 5723L),
+      (149174L, "src12", 1272L, 5680L, 4703L), (149174L, "src13", 1553L, 6934L, 5754L),
+      (149174L, "src14", 1318L, 5923L, 4893L), (149174L, "src15", 1298L, 5827L, 4807L),
+      (149174L, "src16", 1351L, 6158L, 5110L), (149174L, "src17", 1373L, 6129L, 5064L),
+      (149174L, "src18", 1364L, 6217L, 5153L), (149174L, "src19", 1147L, 5184L, 4302L),
+      (149174L, "src2", 1407L, 6307L, 5253L), (149174L, "src3", 1384L, 6261L, 5183L),
+      (149174L, "src4", 1294L, 5829L, 4819L), (149174L, "src5", 1329L, 5950L, 4963L),
+      (149174L, "src6", 1266L, 5723L, 4721L), (149174L, "src7", 1507L, 6719L, 5625L),
+      (149174L, "src8", 1136L, 5166L, 4273L), (149174L, "src9", 1366L, 6135L, 5117L),
+      (1485576L, "src0", 13298L, 60279L, 50081L), (1485576L, "src1", 13597L, 61112L, 50654L),
+      (1485576L, "src10", 13608L, 61564L, 51145L), (1485576L, "src11", 13196L, 59547L, 49479L),
+      (1485576L, "src12", 14224L, 63907L, 53075L), (1485576L, "src13", 14214L, 64391L, 53263L),
+      (1485576L, "src14", 12823L, 57743L, 47774L), (1485576L, "src15", 13097L, 59025L, 48854L),
+      (1485576L, "src16", 13541L, 60836L, 50319L), (1485576L, "src17", 13572L, 60987L, 50582L),
+      (1485576L, "src18", 13119L, 59205L, 49036L), (1485576L, "src19", 13451L, 60726L, 50368L),
+      (1485576L, "src2", 13727L, 61744L, 51206L), (1485576L, "src3", 13567L, 60941L, 50562L),
+      (1485576L, "src4", 13431L, 60576L, 50368L), (1485576L, "src5", 14373L, 64764L, 53712L),
+      (1485576L, "src6", 13580L, 60969L, 50630L), (1485576L, "src7", 12604L, 56843L, 47168L),
+      (1485576L, "src8", 14399L, 64795L, 53745L), (1485576L, "src9", 13283L, 59918L, 49712L))
+    val rows = pinned.map { case (k, s, w, c, b) => s"($k, '$s', $w, $c, $b)" }
       .mkString(", ")
     s"""SELECT source, CAST(n_words AS BIGINT) AS n_words,
        |  CAST(char_units AS BIGINT) AS char_units,
@@ -1509,7 +1530,8 @@ object CorpusStatsQ {
        |    AS fertility_c,
        |  CAST(CAST(bpe_units AS BIGINT) * 1000000 // char_units AS BIGINT)
        |    AS compression_ppm
-       |FROM (VALUES $rows) AS t(source, n_words, char_units, bpe_units)"""
+       |FROM (VALUES $rows) AS t(k, source, n_words, char_units, bpe_units)
+       |WHERE k = (SELECT SUM(n_chars) FROM documents)"""
       .stripMargin
   }
 
@@ -1540,23 +1562,36 @@ object CorpusStatsQ {
     merges.toDF()
   }
 
+  /** Pinned per scale factor, keyed by `SUM(n_chars)` (row COUNT is 500 at
+    * BOTH sf0.001 and sf0.01 — only a content key discriminates). BPE
+    * training isn't expressible as one DuckDB query, so the oracle pins the
+    * independently spec-verified trainer output (BpeTrainSpec hand-checks
+    * the merge loop); keying per SF makes the pin valid at every driver
+    * scale instead of silently sf0.01-only. Regenerate a set by running
+    * [[bpeMerges]] against the target SF dir.
+    */
   private val bpeMergesSql: String = {
-    val pinned = Seq(
-      ("e", "r", 4568L, 117941L),
-      ("i", "n", 2760L, 115181L),
-      ("o", "w", 2747L, 112434L),
-      ("o", "r", 2696L, 109738L),
-      ("s", "t", 2676L, 107062L),
-      ("m", "er", 1852L, 105210L),
-      ("a", "t", 1845L, 103365L),
-      ("l", "u", 1831L, 101534L))
-    val rows = pinned.zipWithIndex.map { case ((l, r, c, u), i) =>
-      s"(${i + 1}, '$l', '$r', $c, $u)"
+    val pinned: Seq[(Long, Int, String, String, Long, Long)] = Seq(
+      (153156L, 1, "e", "r", 4650L, 121067L), (153156L, 2, "o", "r", 2880L, 118187L),
+      (153156L, 3, "i", "n", 2858L, 115329L), (153156L, 4, "o", "w", 2763L, 112566L),
+      (153156L, 5, "s", "t", 2721L, 109845L), (153156L, 6, "l", "u", 1928L, 107917L),
+      (153156L, 7, "a", "r", 1873L, 106044L), (153156L, 8, "p", "ar", 1873L, 104171L),
+      (149174L, 1, "e", "r", 4568L, 117941L), (149174L, 2, "i", "n", 2760L, 115181L),
+      (149174L, 3, "o", "w", 2747L, 112434L), (149174L, 4, "o", "r", 2696L, 109738L),
+      (149174L, 5, "s", "t", 2676L, 107062L), (149174L, 6, "m", "er", 1852L, 105210L),
+      (149174L, 7, "a", "t", 1845L, 103365L), (149174L, 8, "l", "u", 1831L, 101534L),
+      (1485576L, 1, "e", "r", 45089L, 1174783L), (1485576L, 2, "i", "n", 27190L, 1147593L),
+      (1485576L, 3, "o", "r", 27095L, 1120498L), (1485576L, 4, "s", "t", 27060L, 1093438L),
+      (1485576L, 5, "o", "w", 27044L, 1066394L), (1485576L, 6, "t", "a", 18248L, 1048146L),
+      (1485576L, 7, "l", "u", 18239L, 1029907L), (1485576L, 8, "m", "er", 18174L, 1011733L))
+    val rows = pinned.map { case (k, i, l, r, c, u) =>
+      s"($k, $i, '$l', '$r', $c, $u)"
     }.mkString(", ")
     s"""SELECT CAST(rank AS INT) AS rank, lhs, rhs,
        |  CAST(pair_count AS BIGINT) AS pair_count,
        |  CAST(units_after AS BIGINT) AS units_after
-       |FROM (VALUES $rows) AS t(rank, lhs, rhs, pair_count, units_after)"""
+       |FROM (VALUES $rows) AS t(k, rank, lhs, rhs, pair_count, units_after)
+       |WHERE k = (SELECT SUM(n_chars) FROM documents)"""
       .stripMargin
   }
 

@@ -34,15 +34,17 @@ final class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = Tables.canonicalizeEventsTs(eventsRaw)
 
   /** Raw events with `ts` exactly as stored — int64 epoch-nanos for the
-    * legacy layout (read via `spark.sql.legacy.parquet.nanosAsLong`, which is
-    * a no-op for non-nanos files), native timestamp otherwise. Callers that
-    * need a scan-pushable watermark predicate should use [[eventsSince]],
-    * which phrases the filter in the file's own physical domain.
+    * legacy layout (read via `spark.sql.legacy.parquet.nanosAsLong`),
+    * native timestamp otherwise. The conf is set ONLY when the plain read
+    * rejects the footer (Spark refuses TIMESTAMP(NANOS) without it, at
+    * schema-inference time, so the probe is eager and cheap) — the NTZ and
+    * TIMESTAMP layouts never see a session-conf side effect
+    * (TestdataSchemaSpec pins this). Callers that need a scan-pushable
+    * watermark predicate should use [[eventsSince]], which phrases the
+    * filter in the file's own physical domain.
     */
-  def eventsRaw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-  }
+  def eventsRaw: DataFrame =
+    Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet")
 
   /** Watermark slice: events strictly after `watermarkUs` (epoch micros),
     * with the predicate phrased against the on-disk `ts` type so it reaches
@@ -73,6 +75,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Parquet read that enables `spark.sql.legacy.parquet.nanosAsLong` ONLY
+    * when the plain read rejects the footer — Spark refuses an int64
+    * TIMESTAMP(NANOS) column at schema-inference time without the flag, so
+    * the probe is eager and cheap, and non-legacy layouts never see a
+    * session-conf side effect (pinned by TestdataSchemaSpec). Any other
+    * failure (missing path, corrupt footer) rethrows from the retry.
+    */
+  def readMaybeLegacyNanos(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case _: Exception =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+    }
 
   /** Normalize an events-shaped frame so `ts` is a session-TZ `TimestampType`
     * regardless of the physical layout the generator wrote:

@@ -273,12 +273,18 @@ object Avi {
         0L,              // dwSampleSize (0 = varying, correct for MJPEG)
         0L,              // rcFrame left|top
         (height.toLong << 16) | width.toLong)) // rcFrame right|bottom
+    // biSizeImage: for BI_RGB the true frame size includes each row's
+    // padding to a 4-byte boundary (matches dibEncode's payload length);
+    // for compressed formats (MJPEG) the field is advisory.
+    val sizeImage =
+      if (compression.forall(_ == 0)) ((width.toLong * 3 + 3) & ~3L) * height
+      else width.toLong * height * 3
     val strf = chunk("strf", u32s(
       40L,               // biSize
       width.toLong, height.toLong,
       (24L << 16) | 1L)  // biPlanes=1 | biBitCount=24 (packed little-endian words)
       ++ compression     // biCompression: 'MJPG' fourcc or BI_RGB(0)
-      ++ u32s((width.toLong * height * 3), 0L, 0L, 0L, 0L))
+      ++ u32s(sizeImage, 0L, 0L, 0L, 0L))
     val hdrl = list("hdrl", avih, list("strl", strh, strf))
     val movi = list("movi", frames.map(chunk(chunkId, _)): _*)
     val body = "AVI ".getBytes(Iso) ++ hdrl ++ movi

@@ -214,8 +214,16 @@ object Mp4 {
       var result: Option[Vector[(Long, Long)]] = None
 
       def parseStbl(ss: Int, se: Int): Option[Vector[(Long, Long)]] = {
-        var sizes = Vector.empty[Long]
-        var chunkOffsets = Vector.empty[Long]
+        // Declared entry counts are attacker-controlled. Two layers bound
+        // every allocation: entries must physically fit in the box/file
+        // (degrade-to-prefix on truncation), AND a hard constant ceiling —
+        // at uniform=1 the physical cap alone is bytes.length entries,
+        // which with boxed Longs would be ~16-24× the file size in heap.
+        // Primitive builders + the ceiling keep worst case at tens of MB
+        // (an OutOfMemoryError would escape the Exception catch).
+        val maxEntries = 4 << 20 // far above any real movie's sample count
+        val sizesB = new scala.collection.mutable.ArrayBuilder.ofLong
+        val chunkB = new scala.collection.mutable.ArrayBuilder.ofLong
         // stsc runs: (firstChunk, samplesPerChunk) — 1-based firstChunk
         var stscRuns = Vector.empty[(Long, Long)]
         walk(c, ss, se) {
@@ -224,17 +232,14 @@ object Mp4 {
               val uniform = c.u32(ts + 4)
               val n = c.u32(ts + 8)
               if (uniform != 0) {
-                // n is attacker-controlled: clamp to what can physically fit
-                // in the file — bounds the allocation (an OutOfMemoryError
-                // would escape the Exception catch and kill the task) while
-                // still degrading a truncated file to its surviving prefix
-                // rather than rejecting the whole table
-                val cap = math.min(n, bytes.length / uniform).toInt
-                sizes = Vector.fill(cap)(uniform)
+                val cap = math.min(math.min(n, bytes.length / uniform),
+                  maxEntries.toLong).toInt
+                var i = 0
+                while (i < cap) { sizesB += uniform; i += 1 }
               } else {
                 var i = 0L; var pos = ts + 12
-                while (i < n && pos + 4 <= te) {
-                  sizes :+= c.u32(pos); i += 1; pos += 4
+                while (i < n && i < maxEntries && pos + 4 <= te) {
+                  sizesB += c.u32(pos); i += 1; pos += 4
                 }
               }
             }
@@ -242,28 +247,30 @@ object Mp4 {
             if (ts + 8 <= te) {
               val n = c.u32(ts + 4)
               var i = 0L; var pos = ts + 8
-              while (i < n && pos + 4 <= te) {
-                chunkOffsets :+= c.u32(pos); i += 1; pos += 4
+              while (i < n && i < maxEntries && pos + 4 <= te) {
+                chunkB += c.u32(pos); i += 1; pos += 4
               }
             }
           case ("co64", ts, te) =>
             if (ts + 8 <= te) {
               val n = c.u32(ts + 4)
               var i = 0L; var pos = ts + 8
-              while (i < n && pos + 8 <= te) {
-                chunkOffsets :+= c.u64(pos); i += 1; pos += 8
+              while (i < n && i < maxEntries && pos + 8 <= te) {
+                chunkB += c.u64(pos); i += 1; pos += 8
               }
             }
           case ("stsc", ts, te) =>
             if (ts + 8 <= te) {
               val n = c.u32(ts + 4)
               var i = 0L; var pos = ts + 8
-              while (i < n && pos + 12 <= te) {
+              while (i < n && i < maxEntries && pos + 12 <= te) {
                 stscRuns :+= ((c.u32(pos), c.u32(pos + 4))); i += 1; pos += 12
               }
             }
           case _ => ()
         }
+        val sizes = sizesB.result()
+        val chunkOffsets = chunkB.result()
         if (sizes.isEmpty || chunkOffsets.isEmpty) None
         else {
           // samples-per-chunk for chunk k (1-based) = the last stsc run with
@@ -298,10 +305,14 @@ object Mp4 {
         }
       }
 
+      // The first 'vide' track is authoritative: if its sample table is
+      // malformed (parseStbl → None) the whole parse is None, rather than
+      // silently falling through to a later vide track's table.
+      var seenVide = false
       walk(c, 0, bytes.length) {
         case ("moov", s, e) =>
           walk(c, s, e) {
-            case ("trak", ts, te) if result.isEmpty =>
+            case ("trak", ts, te) if !seenVide =>
               var handler = ""
               var stbl: Option[(Int, Int)] = None
               walk(c, ts, te) {
@@ -318,8 +329,9 @@ object Mp4 {
                   }
                 case _ => ()
               }
-              if (handler == "vide") result = stbl.flatMap {
-                case (bs, be) => parseStbl(bs, be)
+              if (handler == "vide") {
+                seenVide = true
+                result = stbl.flatMap { case (bs, be) => parseStbl(bs, be) }
               }
             case _ => ()
           }

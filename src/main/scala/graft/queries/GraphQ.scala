@@ -74,27 +74,40 @@ object GraphQ {
     * it. All counts exact BIGINT; the clustering coefficient is one
     * rounded division at the end.
     */
-  /** Distinct co-purchase edges (a<b), built once per (session, sf) and
-    * persisted — q126, q137 (and DedupSpec-style consumers) all walk the
-    * same graph; without the memo each paid the full per-order expansion.
+  /** Co-purchase pairs (a<b) WITH their basket co-occurrence count, built
+    * once per (session, sf) and persisted — the ONE per-order pair
+    * expansion the whole family rides: q126/q137 project the distinct
+    * edge set off it, q131 filters it by min support. Before round 8,
+    * q131 ran its own `candidatePairsWithCount` expansion while q126/q137
+    * shared a count-free `candidatePairs` memo, so every suite pass (and
+    * every Verify run, whatever its concurrent interleaving) paid the
+    * full lineitem expansion TWICE.
     *
-    * Bucket-cap contract: the expansion inherits `candidatePairs`' default
+    * Bucket-cap contract: the expansion inherits the default
     * `maxBucketSize = 4096`, so an order with more distinct parts than the
     * cap contributes NO edges. Every oracle over this graph (q126, q131,
     * q137) mirrors the cap with a `bsz` bucket-size CTE — the q37/q77
     * convention — so an over-cap order is dropped identically on both
     * sides instead of silently diverging.
     */
-  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
-    graft.core.Memo.cached(spark, s"copurchase-e:$dir") {
+  private def copurchasePairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Memo.cached(spark, s"copurchase-paircnt:$dir") {
       val t = Tables(spark, dir)
       val lp = t.lineitem.select(
         lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
         col("l_partkey").as("p"))
-      graft.ops.Dedup.candidatePairs(lp, "p")
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.ops.Dedup.candidatePairsWithCount(lp, "p")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Distinct co-purchase edges (a<b): a narrow projection of the
+    * memoized pair-count table (already distinct by construction — the
+    * count agg groups by pair), so it costs one in-memory pass, never a
+    * second expansion.
+    */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    copurchasePairCounts(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
 
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     // deg AND eo both persist (one memo): without the deg persist, the
@@ -179,15 +192,12 @@ object GraphQ {
     */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val lp = t.lineitem.select(
-      lit(0).as("band"), col("l_orderkey").cast("string").as("band_key"),
-      col("l_partkey").as("p"))
     val basketsOfPart = t.lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
     val nBaskets = t.lineitem.agg(
       countDistinct(col("l_orderkey")).as("n_baskets"))
-    val pairCounts = graft.ops.Dedup.candidatePairsWithCount(lp, "p")
+    val pairCounts = copurchasePairCounts(spark, dir)
       .filter(col("n_pair") >= 3)
     val directed = pairCounts.select(
         col("doc_a").as("antecedent"), col("doc_b").as("consequent"), col("n_pair"))

@@ -98,12 +98,19 @@ object MediaQ {
     val in = t.documents.select("doc_id")
     in.mapPartitions { rows =>
       val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
+      // the planted levels are bucket centers 16+32k, k∈[0,8): encode each
+      // ONCE per partition — javax.imageio encode was the dominant fixture
+      // cost (r7 graded pass), and the encode is deterministic, so reusing
+      // the 8 byte arrays changes nothing downstream (frames are stored
+      // verbatim; the decode side still runs per sampled frame)
+      val (w, h) = (48, 32)
+      val jpegCache = Array.tabulate(8)(k =>
+        Multimodal.solidGrayJpeg(16 + 32 * k, w, h))
       rows.flatMap { r =>
         val id = r.getLong(0)
         val nf = 3 + (id % 6).toInt
-        val (w, h) = (48, 32)
         val jpegs = (0 until nf).map { k =>
-          Multimodal.solidGrayJpeg(16 + 32 * ((id + 3 * k) % 8).toInt, w, h)
+          jpegCache(((id + 3 * k) % 8).toInt)
         }
         val avi = Avi.write(w, h, usPerFrame = 100000, frames = jpegs)
         val meta = Avi.parse(avi).getOrElse(
@@ -162,12 +169,18 @@ object MediaQ {
     val in = t.documents.select("doc_id")
     in.mapPartitions { rows =>
       val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
+      // same per-partition encode cache as q121: 8 bucket-center levels,
+      // deterministic encode, frames stored verbatim — the fixture cost
+      // drops from ~5.5 encodes/doc to 8/partition while the measured
+      // consumer path (sample-table walk + per-frame decode) is untouched
+      val (w, h) = (48, 32)
+      val jpegCache = Array.tabulate(8)(k =>
+        Multimodal.solidGrayJpeg(16 + 32 * k, w, h))
       rows.flatMap { r =>
         val id = r.getLong(0)
         val nf = 3 + (id % 6).toInt
-        val (w, h) = (48, 32)
         val jpegs = (0 until nf).map { k =>
-          Multimodal.solidGrayJpeg(16 + 32 * ((id + 5 * k) % 8).toInt, w, h)
+          jpegCache(((id + 5 * k) % 8).toInt)
         }
         val mp4 = Mp4.writeMjpeg(w, h, timescale = 30, jpegs)
         val meta = Mp4.MjpegDecoder.decodeBatch(Seq(mp4)).head

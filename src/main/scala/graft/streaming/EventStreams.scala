@@ -260,9 +260,10 @@ object EventStreams {
     * `.writeStream.trigger(Trigger.AvailableNow()).option("checkpointLocation", ...)`.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // the schema probe sets the legacy nanosAsLong conf iff the footer needs
+    // it, so the readStream below resolves under the same conf state
+    val schema = graft.core.Tables.readMaybeLegacyNanos(spark, path).schema
     // same ts canonicalization as the batch reader (Tables.events) — the
     // file's physical ts type (int64 nanos vs micros timestamp) is a
     // generator choice, and batch/stream parity must not depend on it.

@@ -56,17 +56,33 @@ object ScaleUp {
     def copies(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(k => copy(df, k)).reduce(_ unionAll _)
 
+    // The disjoint-key-space guarantee holds only while every source id
+    // stays below its shift stride; a larger source SF that overflowed a
+    // stride would collide copies and corrupt the "k× actors with identical
+    // per-copy structure" invariant SILENTLY (counts would still look
+    // plausible). Fail loudly instead, mirroring the factor<=26 require.
+    def assertBelowStride(df: DataFrame, idCol: String, stride: Long,
+        table: String): Unit = {
+      val mx = df.agg(max(col(idCol).cast("long"))).head.getLong(0)
+      require(mx < stride,
+        s"$table.$idCol max ($mx) >= copy stride ($stride): scaled copies " +
+          "would collide; raise the stride for this source SF")
+    }
+
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    assertBelowStride(lineitem, "l_orderkey", 1000000000L, "lineitem")
     write(copies(lineitem) { (d, k) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 1000000000L))
     }, "lineitem")
 
     val orders = spark.read.parquet(s"$src/orders.parquet")
+    assertBelowStride(orders, "o_orderkey", 1000000000L, "orders")
     write(copies(orders) { (d, k) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 1000000000L))
     }, "orders")
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    assertBelowStride(docs, "doc_id", 10000000L, "documents")
     write(copies(docs) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
         .withColumn("text", translate(col("text"),
@@ -89,6 +105,8 @@ object ScaleUp {
     // Tables.canonicalizeEventsTs, which is exactly why it would go unseen)
     val events = graft.core.Tables.canonicalizeEventsTs(eventsSrc)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assertBelowStride(events, "event_id", 1000000000L, "events")
+    assertBelowStride(events, "user_id", 10000000L, "events")
     write(copies(events) { (d, k) =>
       d.withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))

@@ -91,4 +91,22 @@ class TestdataSchemaSpec extends SparkTestBase {
     assert(tsOk, s"events.ts drifted to a THIRD layout: ${actual("ts")} — " +
       "extend Tables.canonicalizeEventsTs before anything else")
   }
+
+  test("nanosAsLong conf is scoped: only the legacy int64 layout sets it") {
+    // Tables.eventsRaw probes without the conf and sets it only when the
+    // plain read rejects a TIMESTAMP(NANOS) footer. On any non-legacy
+    // layout the conf must therefore be untouched — pin that, so the
+    // round-6 incident's residue (an unconditional session-global set)
+    // cannot come back.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val raw = Tables(spark, sf).eventsRaw
+    val legacy = raw.schema("ts").dataType == LongType
+    val confSet = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true")
+    assert(confSet == legacy,
+      s"nanosAsLong set=$confSet but legacy-layout=$legacy — the conf must " +
+        "be set iff the file needs it")
+    // and the canonical view is a session-TZ timestamp either way
+    assert(Tables(spark, sf).events.schema("ts").dataType == TimestampType)
+  }
 }

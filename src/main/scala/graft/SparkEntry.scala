@@ -30,7 +30,7 @@ object SparkEntry {
     "media" -> MediaQ.defs, "merge" -> MergeQ.defs,
     "corpusstats" -> CorpusStatsQ.defs, "graph" -> GraphQ.defs,
     "formats" -> FormatsQ.defs, "analytics" -> AnalyticsQ.defs,
-    "reshape" -> ReshapeQ.defs)
+    "reshape" -> ReshapeQ.defs, "streamparity" -> StreamParityQ.defs)
 
   /** All query definitions, in family order. */
   def allDefs: Seq[QueryDef] = defGroups.flatMap(_._2)

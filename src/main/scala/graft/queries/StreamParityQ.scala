@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Oracle-gated batch↔streaming parity: the production streaming shapes
+  * ([[graft.streaming.EventStreams]]) promoted into the graded query set,
+  * so a divergence between a streaming drain and its batch twin fails the
+  * driver's CORRECTNESS gate instead of only a unit test (round-7 verdict
+  * item 5 — until now the drains' evidence lived in specs + BASELINE.md's
+  * throughput table, outside the per-round gate).
+  */
+object StreamParityQ {
+
+  /** q231 — streaming SCD-1 end-state parity with the batch
+    * latest-per-key twin (q18): drain the events table through
+    * [[graft.streaming.EventStreams.readEventStream]] →
+    * [[graft.streaming.EventStreams.upsertLatest]] under
+    * `Trigger.AvailableNow` (real checkpointed micro-batches, real
+    * `mapGroupsWithState` state store), land every per-batch emission in a
+    * batch_id-partitioned update log, then reduce the log IN-PLAN to the
+    * final per-key winner. The winner never regresses across batches
+    * (an arrival wins only on strictly greater (ts, event_id)), so the
+    * max-(ts_us, event_id) emission per key IS the end state, and it must
+    * equal q18's `row_number() = 1` pick row-for-row — the oracle is
+    * exactly q18's SQL. A green row proves the whole streaming path:
+    * file-stream ingestion, ts canonicalization, state transitions, and
+    * update-mode emission semantics.
+    *
+    * Scale shape: one AvailableNow pass over the events table (state =
+    * one fixed-size row per live key), one scan of the update log with a
+    * single hash aggregate — both linear, no driver-side state.
+    */
+  def streamUpsertParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q231").toString
+    val stream = graft.streaming.EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val drain = graft.streaming.EventStreams.upsertLatest(stream).toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        // same idempotent-replay discipline as incrementalParquetSink: a
+        // replayed batchId overwrites its own partition, never appends twice
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$tmp/log")
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(drain.awaitTermination(600000),
+      "q231 streaming drain did not terminate within 10 minutes")
+    // ties across batches are byte-identical re-emissions of the same
+    // winner (batch_id is dropped), so max_by's tie-pick cannot diverge
+    spark.read.parquet(s"$tmp/log")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts_us"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("w"))
+      .select(col("w.event_id").as("event_id"), col("user_id"),
+        col("event_type"), col("w.ts_us").as("ts_us"),
+        col("w.value").as("value"))
+  }
+
+  // the oracle is the batch twin's: end-state parity means "identical to
+  // q18" is the strongest (and simplest) possible check
+  private val streamUpsertParitySql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** q232 — streaming windowed-aggregate parity with the batch hourly
+    * twin (q42): drain the events table through
+    * [[graft.streaming.EventStreams.hourlyCounts]] (watermarked tumbling
+    * window + `Exact.dsum` decimal state) in UPDATE mode under
+    * `Trigger.AvailableNow`, log each batch's updated groups, and keep
+    * each group's LAST emission (max batch_id — one emission per touched
+    * group per batch, so the max is unique). After the drain every event
+    * has entered the state store, so the last emission per group is the
+    * full aggregate and must equal q42 bit-for-bit — decimal accumulation
+    * in the state store casts to double only on emission, the same
+    * discipline as the batch plan.
+    *
+    * The watermark is pushed out to 3650 days so NO row can be
+    * late-dropped whatever the file split: this query gates aggregate
+    * parity; drop semantics are spec territory (EventStreamsSpec).
+    *
+    * Scale shape: one AvailableNow pass, state = one row per
+    * (hour, event_type) — bounded cardinality; one log scan + hash agg.
+    */
+  def streamHourlyParity(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q232").toString
+    val events = graft.streaming.EventStreams.readEventStream(spark, dir)
+    val drain = graft.streaming.EventStreams
+      .hourlyCounts(events, watermark = "3650 days")
+      .select(unix_micros(col("hour_start")).as("hour_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(s"$tmp/log")
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(drain.awaitTermination(600000),
+      "q232 streaming drain did not terminate within 10 minutes")
+    spark.read.parquet(s"$tmp/log")
+      .groupBy(col("hour_start_us"), col("event_type"))
+      .agg(max_by(struct(col("n_events"), col("total_value")),
+        col("batch_id")).as("w"))
+      .select(col("hour_start_us"), col("event_type"),
+        col("w.n_events").as("n_events"), col("w.total_value").as("total_value"))
+  }
+
+  private val streamHourlyParitySql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q231_stream_upsert_parity", streamUpsertParity,
+      Some(streamUpsertParitySql)),
+    QueryDef("q232_stream_hourly_parity", streamHourlyParity,
+      Some(streamHourlyParitySql)),
+  )
+}

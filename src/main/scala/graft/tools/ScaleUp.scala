@@ -20,7 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sets across copies are disjoint — so near-dup pair/component counts
   *    scale exactly linearly and any super-linear runtime is the engine's
   *    fault, not the generator's.
-  *  - Everything else (dims, events, embeddings) is copied through.
+  *  - `embeddings` copies shift `vec_id` by k·10⁶ and apply a per-copy
+  *    ±1 sign-flip to each coordinate (a diagonal orthogonal transform):
+  *    every within-copy dot product, norm, and cosine is preserved
+  *    BIT-FOR-BIT (s_i² = 1 and ±1 multiplication is exact in IEEE
+  *    float), so per-copy neighbor structure, LSH bucket balance, and
+  *    IVF cluster geometry are exactly those of the source, while
+  *    cross-copy cosines decorrelate (random-sign inner products
+  *    concentrate near 0) — ANN build+probe cost must scale with the
+  *    corpus, not luck into one giant cross-copy cluster. Copy 0 keeps
+  *    the identity pattern, so the source vectors survive unchanged.
+  *  - Everything else (dims) is copied through.
   *
   * Outputs are written with `repartition(32)` — the driver's testdata is
   * single-row-group parquet (NOTES.md), which collapses downstream
@@ -32,6 +42,19 @@ object ScaleUp {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
   private def rot(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
+
+  /** Deterministic ±1 pattern for copy k (identity for k=0): one step of a
+    * 64-bit LCG per coordinate, seeded by k — reproducible across runs and
+    * JVMs, no RNG state. */
+  private[tools] def signPattern(k: Int, dim: Int): Array[Float] =
+    if (k == 0) Array.fill(dim)(1f)
+    else {
+      var s = k.toLong * 6364136223846793005L + 1442695040888963407L
+      Array.fill(dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        if (((s >>> 33) & 1L) == 0L) 1f else -1f
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -112,10 +135,22 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L))
     }, "events")
 
-    // passthrough: dims stay fixed-size; embeddings aren't in the
-    // scale-check query set and keep the directory Verify/Bench-complete
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "embeddings")) {
+    // embeddings: vec_id-shifted copies under per-copy sign-flip diagonals
+    // (see the scaladoc) — the ANN family's scale-evidence input. The
+    // pattern is zip_with-multiplied element-wise; ±1 products are exact,
+    // so within-copy geometry is bit-identical to the source.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertBelowStride(emb, "vec_id", 1000000L, "embeddings")
+    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
+    write(copies(emb) { (d, k) =>
+      val pat = typedLit(signPattern(k, dim).toSeq)
+      d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"), pat, (x, y) => x * y))
+    }, "embeddings")
+
+    // passthrough: dims stay fixed-size
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val in = s"$src/$t.parquet"
       val out = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
       val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,7 +160,7 @@ object ScaleUp {
         spark.sparkContext.hadoopConfiguration)
     }
 
-    for (t <- Seq("lineitem", "orders", "documents", "events"))
+    for (t <- Seq("lineitem", "orders", "documents", "events", "embeddings"))
       println(s"[scaleup] $t rows: " +
         spark.read.parquet(s"$dst/$t.parquet").count())
     spark.stop()

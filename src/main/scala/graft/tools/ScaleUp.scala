@@ -24,8 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ±1 sign-flip to each coordinate (a diagonal orthogonal transform):
   *    every within-copy dot product, norm, and cosine is preserved
   *    BIT-FOR-BIT (s_i² = 1 and ±1 multiplication is exact in IEEE
-  *    float), so per-copy neighbor structure, LSH bucket balance, and
-  *    IVF cluster geometry are exactly those of the source, while
+  *    float), so per-copy neighbor structure is exactly that of the
+  *    source. LSH bucket balance and IVF cluster geometry are only
+  *    STATISTICALLY equivalent, not bit-exact: the fixed md5-derived
+  *    hyperplanes/centroid seeds are NOT sign-flipped with the copies,
+  *    so flipped vectors land in different (but equally balanced)
+  *    buckets. Meanwhile
   *    cross-copy cosines decorrelate (random-sign inner products
   *    concentrate near 0) — ANN build+probe cost must scale with the
   *    corpus, not luck into one giant cross-copy cluster. Copy 0 keeps
@@ -141,7 +145,18 @@ object ScaleUp {
     // so within-copy geometry is bit-identical to the source.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     assertBelowStride(emb, "vec_id", 1000000L, "embeddings")
-    val dim = emb.select(max(size(col("embedding")))).head.getInt(0)
+    // Fail loud on a ragged/null-bearing source (mirrors assertBelowStride):
+    // zip_with null-pads the shorter side, so a vector shorter than `dim`
+    // would silently scale into null-padded embeddings and downstream
+    // hyperplaneSignature / dot products would break on the scaled dir only.
+    val dims = emb.select(
+      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+      count(lit(1)).as("n"), count(col("embedding")).as("nonnull")).head
+    require(dims.getLong(2) == dims.getLong(3),
+      s"embeddings: ${dims.getLong(2) - dims.getLong(3)} null embedding(s)")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"embeddings: ragged dimensions min=${dims.getInt(0)} max=${dims.getInt(1)}")
+    val dim = dims.getInt(1)
     write(copies(emb) { (d, k) =>
       val pat = typedLit(signPattern(k, dim).toSeq)
       d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L))

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Floor-protocol bench runner (BASELINE.md): fresh JVM per pass, direct
+# java (no sbt), fixed heap -Xms=-Xmx (default 48g — the configuration
+# every recorded floor used, and since round 9 also build.sbt's forked
+# default so the driver's graded pass measures the same thing).
+#
+# Usage:
+#   tools/bench.sh                         # full pass, sf0.1, local[32]
+#   SPARK_GRAFT_BENCH_ONLY=q119_unpivot,q197_image_phash tools/bench.sh
+#   SPARK_GRAFT_SF_DIR=/root/testdata/gen-sf1 tools/bench.sh
+#   HEAP=48g CPUS=32 tools/bench.sh
+# Compile first: sbt -batch compile (this script does NOT rebuild).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+HEAP="${HEAP:-48g}"
+CPUS="${CPUS:-32}"
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+ADD_OPENS=()
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS+=(--add-opens "java.base/$p=ALL-UNNAMED")
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS+=(--add-opens "java.base/$p=ALL-UNNAMED")
+done
+
+# MAIN overrides the entrypoint (e.g. MAIN=graft.tools.ScaleUp for
+# scale-dir generation under the same JVM shape).
+exec env SPARK_GRAFT_CPUS="$CPUS" \
+  java -cp "$CP" "${ADD_OPENS[@]}" \
+  -Xms"$HEAP" -Xmx"$HEAP" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dderby.stream.error.file=/tmp/derby.log \
+  "${MAIN:-graft.Bench}" "$@"

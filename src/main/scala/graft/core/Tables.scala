@@ -13,15 +13,24 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  // FACT tables go through the guarded [[Tables.spread]]: the driver's
+  // testdata is single-row-group parquet, so without it every map stage
+  // above these scans (Expand grouping sets, tokenize→md5 fan-outs, codec
+  // round trips) serializes on ONE thread of local[32] (measured: q97's
+  // cube Expand 13.8 s single-task vs ~1 s spread). Filters and column
+  // pruning push THROUGH the round-robin exchange into the scan
+  // (PlanShapeSpec pins PushedFilters survive), and at production split
+  // counts the guard makes spread the identity — dims are left unspread
+  // because they ride broadcast sides where an exchange is pure loss.
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def orders: DataFrame = Tables.spread(t("orders"))
+  def lineitem: DataFrame = Tables.spread(t("lineitem"))
+  def documents: DataFrame = Tables.spread(t("documents"))
+  def embeddings: DataFrame = Tables.spread(t("embeddings"))
 
   /** Canonical events view: `ts` is always a session-TZ `TimestampType`
     * (micros precision), whatever the generator wrote on disk. The driver has
@@ -44,7 +53,7 @@ final class Tables(spark: SparkSession, dir: String) {
     * filter in the file's own physical domain.
     */
   def eventsRaw: DataFrame =
-    Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet")
+    Tables.spread(Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet"))
 
   /** Watermark slice: events strictly after `watermarkUs` (epoch micros),
     * with the predicate phrased against the on-disk `ts` type so it reaches
@@ -102,6 +111,26 @@ object Tables {
       val m = t.getMessage
       m != null && m.contains("TIMESTAMP(NANOS")
     }
+
+  /** Round-robin spread of a coarse scan across the session's cores before
+    * CPU-expensive per-row work (codec round trips, per-term hashing).
+    *
+    * Why it exists: the driver's testdata is single-row-group parquet, and a
+    * parquet row group is the atomic input split — so every scan at the gate
+    * SFs plans as ONE task, and any expensive map stage behind it serializes
+    * on one thread of local[32] (measured: q197's 5k JPEG round trips ran
+    * 36 s single-threaded vs ~1.5 s spread). At production scale a 100-TB
+    * table scan has orders of magnitude more splits than cores, so the guard
+    * makes this a structural no-op there: we only add the exchange when the
+    * planned scan parallelism is BELOW the session default. The shuffle
+    * moves only the projected input rows (e.g. bare doc ids) — never the
+    * synthesized media or the fanned-out terms.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    // rdd.getNumPartitions plans the FilePartitions without running a job
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 
   /** Normalize an events-shaped frame so `ts` is a session-TZ `TimestampType`
     * regardless of the physical layout the generator wrote:

@@ -34,6 +34,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   */
 object Multimodal {
 
+  // Disk-backed ImageIO cache streams serialize concurrent codec tasks on
+  // temp-file churn (see the ImageHash note); payloads here are KB-sized,
+  // so memory-cached streams are strictly better. JVM-global; set in every
+  // codec entry point so whichever classloads first flips it.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def rowEncoder(schema: StructType) = org.apache.spark.sql.Encoders.row(schema)
 
   /** Batch decode interface — one call per partition-batch, mirroring the

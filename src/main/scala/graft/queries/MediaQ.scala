@@ -36,7 +36,7 @@ object MediaQ {
 
   def videoMeta(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val in = t.documents.select("doc_id")
+    val in = Tables.spread(t.documents.select("doc_id"))
     in.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -95,7 +95,7 @@ object MediaQ {
     */
   def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val in = t.documents.select("doc_id")
+    val in = Tables.spread(t.documents.select("doc_id"))
     in.mapPartitions { rows =>
       val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
       // the planted levels are bucket centers 16+32k, k∈[0,8): encode each
@@ -166,7 +166,7 @@ object MediaQ {
     */
   def mp4Frames(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val in = t.documents.select("doc_id")
+    val in = Tables.spread(t.documents.select("doc_id"))
     in.mapPartitions { rows =>
       val pool = new Multimodal.ImagePoolingExtractor(grid = 1)
       // same per-partition encode cache as q121: 8 bucket-center levels,
@@ -237,7 +237,7 @@ object MediaQ {
     */
   def rawVideoDecode(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val in = t.documents.select("doc_id")
+    val in = Tables.spread(t.documents.select("doc_id"))
     in.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
@@ -302,7 +302,7 @@ object MediaQ {
   def audioMeta(spark: SparkSession, dir: String): DataFrame = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val t = Tables(spark, dir)
-    val in = t.documents.select("doc_id")
+    val in = Tables.spread(t.documents.select("doc_id"))
     in.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -369,7 +369,7 @@ object MediaQ {
     graft.core.Memo.cached(spark, s"q197-hashes:$dir") {
       import graft.ops.ImageHash
       val t = Tables(spark, dir)
-      t.documents.select("doc_id").mapPartitions { rows =>
+      Tables.spread(t.documents.select("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           // every 4th doc is a copy from one of 16 shared patterns
@@ -482,7 +482,7 @@ object MediaQ {
     graft.core.Memo.cached(spark, s"q198-fps:$dir") {
       import graft.ops.AudioFingerprint
       val t = Tables(spark, dir)
-      t.documents.select("doc_id").mapPartitions { rows =>
+      Tables.spread(t.documents.select("doc_id")).mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
           // every 3rd doc is a re-gained copy from one of 12 shared

@@ -23,9 +23,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q84 video meta: map-only (zero exchanges)") {
+  test("q84 video meta: map-only modulo the guarded input spread") {
+    // Tables.spread round-robins the 1-split testdata scan across cores
+    // before the codec work (no-op at production split counts); the only
+    // legal exchange is that spread — a keyed shuffle or join of the
+    // synthesized media would be a real regression.
     val p = plan("q84_video_meta")
-    assert(!p.contains("Exchange"), s"q84 must stay map-only:\n$p")
+    assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+      s"q84 must not shuffle on a key:\n$p")
+    assert(p.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
+      s"q84 spreads at most once:\n$p")
   }
 
   test("q88 pair counts: raw pairs shuffle exactly once before top-k") {
@@ -141,10 +148,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-50 must not global-sort:\n$p")
   }
 
-  test("q164 chunking: map-only (zero exchanges, no join)") {
+  test("q164 chunking: map-only modulo the guarded input spread") {
+    // same contract as q84: the only legal exchange is Tables.spread's
+    // round-robin of the 1-split testdata scan (identity at production
+    // split counts); keyed shuffles and joins stay forbidden
     val p = plan("q164_doc_chunks")
-    assert(!p.contains("Exchange"), s"q164 must stay map-only:\n$p")
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+      s"q164 must not shuffle on a key:\n$p")
+    assert(p.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
+      s"q164 spreads at most once:\n$p")
   }
 
   test("q171 quant error: single scan into the label agg, no join") {
@@ -200,5 +212,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"budgets must come back as a broadcast join:\n$p")
     assert(p.contains("Window"), p)
+  }
+
+  test("filters and column pruning push through Tables.spread into the scan") {
+    // the guarded fact-table spread must not cost Catalyst anything: the
+    // predicate has to reach the parquet scan (PushedFilters) and the scan
+    // schema has to stay pruned to the consumed columns, with the
+    // round-robin exchange moving only the pruned projection
+    import org.apache.spark.sql.functions.col
+    val p = graft.core.Tables(spark, sf).lineitem
+      .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"filter must reach the scan below the spread:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_extendedprice"),
+      s"scan must stay pruned to the consumed columns:\n$p")
+  }
+
+  test("q231/q232 stream parity: log reduction is one agg over one log scan — no join, no window") {
+    // The returned frame is the IN-PLAN reduction of the batch_id update
+    // log the AvailableNow drain wrote (StreamParityQ): one parquet scan
+    // of the log, one max_by group-agg, ONE exchange on the group key.
+    // A regression to a window ("latest per key via row_number") would
+    // shuffle + sort every logged emission; a join against the live keys
+    // would re-read the log. The drain itself is audited separately
+    // (tools/StreamAudit → PLANS_r9.md); this pins the reduction shape.
+    Seq("q231_stream_upsert_parity", "q232_stream_hourly_parity").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q log reduction must stay a single agg:\n$p")
+      assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+        s"$q must scan the update log once:\n$p")
+      assert(p.sliding("hashpartitioning".length)
+        .count(_ == "hashpartitioning") <= 1,
+        s"$q reduction shuffles once on its group key:\n$p")
+    }
   }
 }

@@ -13,24 +13,24 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  // FACT tables go through the guarded [[Tables.spread]]: the driver's
-  // testdata is single-row-group parquet, so without it every map stage
-  // above these scans (Expand grouping sets, tokenize→md5 fan-outs, codec
-  // round trips) serializes on ONE thread of local[32] (measured: q97's
-  // cube Expand 13.8 s single-task vs ~1 s spread). Filters and column
-  // pruning push THROUGH the round-robin exchange into the scan
-  // (PlanShapeSpec pins PushedFilters survive), and at production split
-  // counts the guard makes spread the identity — dims are left unspread
-  // because they ride broadcast sides where an exchange is pure loss.
+  // Accessors are PLAIN scans — no blanket repartition. The driver's
+  // testdata is single-row-group parquet, so scans plan as ONE split and
+  // CPU-heavy map stages above them serialize on one thread of local[32];
+  // [[Tables.spread]] fixes that, but a measured full pass showed a
+  // blanket spread charges every cheap scan+agg query a full-table
+  // shuffle (~2–4 s × ~150 queries ≈ +340 s/pass) while only a dozen
+  // CPU-bound queries benefit. So spread is applied PER SITE at the
+  // measured hot spots (Expand grouping sets, tokenize→hash fan-outs,
+  // codec round trips), never here.
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = Tables.spread(t("orders"))
-  def lineitem: DataFrame = Tables.spread(t("lineitem"))
-  def documents: DataFrame = Tables.spread(t("documents"))
-  def embeddings: DataFrame = Tables.spread(t("embeddings"))
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
 
   /** Canonical events view: `ts` is always a session-TZ `TimestampType`
     * (micros precision), whatever the generator wrote on disk. The driver has
@@ -53,7 +53,7 @@ final class Tables(spark: SparkSession, dir: String) {
     * filter in the file's own physical domain.
     */
   def eventsRaw: DataFrame =
-    Tables.spread(Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet"))
+    Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet")
 
   /** Watermark slice: events strictly after `watermarkUs` (epoch micros),
     * with the predicate phrased against the on-disk `ts` type so it reaches

@@ -192,8 +192,11 @@ object DedupQ {
   def simhashSigs(spark: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(spark, s"q39-sigs:$dir") {
       val t = Tables(spark, dir)
+      // spread: the per-token md5 fan-out is the hot stage and otherwise
+      // runs single-threaded on the 1-split testdata scan (q207 consumer
+      // measured 8.6–17.7 s → 2.7 s spread)
       Dedup.simhashInRow(
-        t.documents.select(col("doc_id"),
+        Tables.spread(t.documents).select(col("doc_id"),
           array_distinct(Dedup.words(col("text"))).as("toks")),
         "doc_id", "toks")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -59,7 +59,9 @@ object ParityQ {
     // repeat would pin a fresh copy. 5 columns × fact rows ≈ tens of MB at
     // sf0.1; spills to disk beyond.
     val joined = graft.core.Memo.cached(spark, s"q45-joined:$dir") {
-      t.lineitem
+      // spread: the persist materialization otherwise runs as ONE task on
+      // the single-split scan (measured 9.8–17 s → 4.1 s spread)
+      Tables.spread(t.lineitem)
         .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"),
@@ -147,7 +149,10 @@ object ParityQ {
     */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.orders
+    // spread: the rollup Expand multiplies every input row by the number
+    // of grouping sets BEFORE the partial agg — single-threaded on the
+    // 1-split testdata scan (measured 6.9–40 s → 1.5 s spread)
+    Tables.spread(t.orders)
       .withColumn("yr", year(col("o_orderdate")))
       .rollup(col("yr"), col("o_orderpriority"))
       .agg(
@@ -174,7 +179,9 @@ object ParityQ {
     */
   def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.orders
+    // spread: the cube Expand is 2³ grouping sets per input row before the
+    // partial agg (measured 13.8 s single-task → 1.8 s spread)
+    Tables.spread(t.orders)
       .withColumn("yr", year(col("o_orderdate")))
       .cube(col("o_orderstatus"), col("o_orderpriority"), col("yr"))
       .agg(

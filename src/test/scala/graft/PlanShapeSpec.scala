@@ -220,7 +220,7 @@ class PlanShapeSpec extends SparkTestBase {
     // schema has to stay pruned to the consumed columns, with the
     // round-robin exchange moving only the pruned projection
     import org.apache.spark.sql.functions.col
-    val p = graft.core.Tables(spark, sf).lineitem
+    val p = graft.core.Tables.spread(graft.core.Tables(spark, sf).lineitem)
       .filter(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),

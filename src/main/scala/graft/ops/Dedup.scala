@@ -145,7 +145,12 @@ object Dedup {
     */
   def bandFingerprints(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame = {
-    val withWords = docs
+    // spread: tokenize → shingle explode → numHashes×md5 is the most
+    // CPU-expensive map chain in the engine and otherwise runs
+    // single-threaded on a 1-split input scan (guard = identity at
+    // production split counts); covers every caller — the q37-family
+    // memo build and q120's prior/fresh incremental builds
+    val withWords = graft.core.Tables.spread(docs)
       .select(col(idCol), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= shingleN)
     val shingled = withWords

@@ -353,7 +353,9 @@ object AnalyticsQ {
     */
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val dated = t.orders.select(col("o_totalprice").as("x"),
+    // spread: two passes of exact-percentile partial aggregation over the
+    // 1-split orders scan otherwise run single-threaded (2.8–11 s range)
+    val dated = Tables.spread(t.orders).select(col("o_totalprice").as("x"),
       unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
     val mid = dated.agg(
       ((min(col("ts_us")) + max(col("ts_us"))) / 2).cast("long").as("mid_us"))

@@ -647,7 +647,9 @@ object StatsQ {
     // Power-of-two window divisor ⇒ no modular bias; u resolution 2⁻²⁰,
     // far below the bootstrap's own resampling noise. With the
     // exact-cents agg below: 16.4 s → 6.5 s standalone at sf0.1 (2.5×).
-    val b = t.orders.select(col("o_orderkey"),
+    // spread: 14 md5+conv per row over the 1-split orders scan otherwise
+    // single-threads the whole fan-out (measured 6–43 s; ~1 s spread)
+    val b = Tables.spread(t.orders).select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       // in-row fan (explode of a literal sequence stays inside whole-stage
       // codegen; a crossJoin against range() is a BroadcastNestedLoopJoin

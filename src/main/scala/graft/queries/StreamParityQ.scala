@@ -14,6 +14,29 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object StreamParityQ {
 
+  /** Stage the events table as an 8-part parquet DIRECTORY in scratch and
+    * return the staging root. The driver's testdata ships events as ONE
+    * parquet file, and the file-stream source batches whole files — so a
+    * direct drain collapses to a single micro-batch and the gate would
+    * never exercise checkpointed multi-batch state transitions or the
+    * per-batch replay discipline the sinks implement. 8 parts with
+    * `maxFilesPerTrigger = 2` gives every graded drain 4 real
+    * micro-batches. Rows are staged RAW (pre-canonicalization) so
+    * [[graft.streaming.EventStreams.readEventStream]] applies the same ts
+    * branch it would on the source layout; both parity queries stage
+    * independently (a few MB each, scratch is auto-cleaned). Batch order
+    * cannot affect either parity: q231's winner is the (ts, event_id) max
+    * (commutative) and q232's state is a full accumulation whose final
+    * per-group emission is order-free.
+    */
+  private def stageMultiFile(spark: SparkSession, dir: String): String = {
+    val stage = graft.core.Scratch.dir("graft-stream-stage")
+    graft.core.Tables.readMaybeLegacyNanos(spark, s"$dir/events.parquet")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$stage/events.parquet")
+    stage
+  }
+
   /** q231 — streaming SCD-1 end-state parity with the batch
     * latest-per-key twin (q18): drain the events table through
     * [[graft.streaming.EventStreams.readEventStream]] →
@@ -36,7 +59,8 @@ object StreamParityQ {
   def streamUpsertParity(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-q231").toString
-    val stream = graft.streaming.EventStreams.readEventStream(spark, dir)
+    val stream = graft.streaming.EventStreams
+      .readEventStream(spark, stageMultiFile(spark, dir), maxFilesPerTrigger = 2)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[graft.streaming.EventStreams.Event]
@@ -98,7 +122,8 @@ object StreamParityQ {
     */
   def streamHourlyParity(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q232").toString
-    val events = graft.streaming.EventStreams.readEventStream(spark, dir)
+    val events = graft.streaming.EventStreams
+      .readEventStream(spark, stageMultiFile(spark, dir), maxFilesPerTrigger = 2)
     val drain = graft.streaming.EventStreams
       .hourlyCounts(events, watermark = "3650 days")
       .select(unix_micros(col("hour_start")).as("hour_start_us"),

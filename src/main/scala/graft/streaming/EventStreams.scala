@@ -259,7 +259,15 @@ object EventStreams {
     * parity: returns the streaming DataFrame; callers attach
     * `.writeStream.trigger(Trigger.AvailableNow()).option("checkpointLocation", ...)`.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  /** `maxFilesPerTrigger > 0` caps each micro-batch at that many input
+    * files — the file-stream source batches whole files, so this is the
+    * lever that turns a multi-file events directory into a genuine
+    * multi-batch drain (checkpointed incremental state, per-batch
+    * emissions) instead of one bulk batch. 0 = unlimited (AvailableNow
+    * then takes everything available in as few batches as it likes).
+    */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
     val path = s"$dir/events.parquet"
     // the schema probe sets the legacy nanosAsLong conf iff the footer needs
     // it, so the readStream below resolves under the same conf state
@@ -271,12 +279,12 @@ object EventStreams {
     // a DIRECTORY of part files in ScaleUp output; the file-stream source
     // requires a directory basePath, so the single-file layout streams from
     // the parent dir with a name filter.
+    val reader0 = spark.readStream.schema(schema)
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader0
     val raw =
-      if (new java.io.File(path).isDirectory)
-        spark.readStream.schema(schema).parquet(path)
-      else
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (new java.io.File(path).isDirectory) reader.parquet(path)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
     graft.core.Tables.canonicalizeEventsTs(raw)
   }
 }

@@ -107,50 +107,85 @@ object Similarity {
   /** LSH-bucketed approximate near-dup pairs: vectors sharing a signature
     * bucket, scored by exact cosine, kept above `minCosine`. The bucket
     * grouping replaces the full O(N²) crossJoin — this is the plan shape
-    * that survives 100×: shuffle on bucket key, per-bucket pair generation.
+    * that survives 100×: ONE linear shuffle of (sig, id, vec, norm) on the
+    * bucket key, then fully bucket-LOCAL pair scoring.
     *
-    * Same formulation as [[Dedup.candidatePairs]] (the MinHash twin): ONE
-    * hash-aggregate collects the sorted ids per signature bucket, buckets
-    * beyond `maxBucketSize` are DROPPED, and pairs expand in-task via a
-    * codegen'd slice/transform HOF. The cap is the scale guard a signature
-    * self-equi-join lacks: a corpus with 1M copies of one document puts all
-    * of them in ONE bucket, and its ~5·10¹¹-pair expansion would land in a
-    * single join partition. An over-cap bucket is an identical-signature
-    * mass — an exact-dup family that upstream [[Dedup.exact]] should have
-    * collapsed — whose pairwise expansion is useless for near-dup detection;
-    * excluding it bounds any task's pair fan-out at maxBucketSize²/2.
-    * Cosine scoring then joins the (bounded) candidate ids back to the
-    * vectors — two hash joins on id, never a per-bucket vector array.
+    * The scoring is a `mapPartitions` escape, justified by two measured
+    * Catalyst failure modes at a generated 26× corpus (10.5M candidate
+    * pairs): (a) the planner sizes the exploded pair set by the bucket-agg
+    * stats (one tiny row per bucket), so it BROADCASTS the pair side — a
+    * single-threaded driver collect of the whole candidate set (95 s of a
+    * 165 s run); (b) any join-based scoring must co-partition pairs with
+    * vectors on BOTH endpoint ids, and the second shuffle carries pairs
+    * widened by a 64-double vector (~6 GB there, measured 271 s). Scoring
+    * inside the bucket's own task shuffles vectors exactly once (linear in
+    * the corpus) and materializes no pair set anywhere. The per-pair
+    * arithmetic is the same sequential left-to-right dot-product fold as
+    * [[graft.functions.VecDotProduct]] (bit-identical doubles), the raw
+    * cosine is thresholded BEFORE Spark's `round` — both exactly as the
+    * former plan — and members are processed in ascending-id order, so the
+    * pair set and values are identical.
+    *
+    * The `maxBucketSize` cap is the scale guard a signature self-join
+    * lacks: a corpus with 1M copies of one document puts all of them in
+    * ONE bucket whose ~5·10¹¹-pair expansion would land in a single task.
+    * An over-cap bucket is an identical-signature mass — an exact-dup
+    * family upstream [[Dedup.exact]] should have collapsed — so it is
+    * DROPPED, bounding any task's fan-out at maxBucketSize²/2 (mirror the
+    * cap in any oracle, as q77 does). Buckets are whole within one task by
+    * construction (hash partitioning on sig), so the cap check is local.
     *
     * @param dim embedding dimension (all vectors must have exactly `dim`
     *            elements — required to fold the hyperplanes into literals)
-    * @param maxBucketSize buckets with more ids than this are excluded
-    *                      (mirror the cap in any oracle, as q77 does)
     */
   def lshNearDupPairs(vectors: DataFrame, numBits: Int, minCosine: Double,
       dim: Int, maxBucketSize: Int = 4096): DataFrame = {
-    val v = vectors.select(col("id"), toDoubleVec(col("vec")).as("v"))
-      .withColumn("nrm", norm("v"))
+    val spark = vectors.sparkSession
     // null signature (null vector) matches no bucket — filtered, same
-    // contract the former equi-join had (null never equi-joins)
-    val pairs = v
+    // contract a signature equi-join would have (null never equi-joins)
+    val members = vectors.select(col("id"), toDoubleVec(col("vec")).as("v"))
+      .withColumn("nrm", norm("v"))
       .withColumn("sig", hyperplaneSignature("v", numBits, dim))
       .filter(col("sig").isNotNull)
-      .groupBy(col("sig"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), b -> " +
-          "named_struct('id_a', a, 'id_b', b))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-    // each id has exactly ONE signature, so pairs are already distinct
-    pairs
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
-      .filter(col("cosine") >= minCosine)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .repartition(spark.sparkContext.defaultParallelism, col("sig"))
+      .select(col("sig"), col("id"), col("v"), col("nrm"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cosine_raw",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val raw = members.mapPartitions { rows =>
+      val bySig = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]]
+      rows.foreach { r =>
+        val vec = r.getSeq[Double](2).toArray
+        bySig.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer.empty)
+          .append((r.getLong(1), vec, r.getDouble(3)))
+      }
+      bySig.iterator.flatMap { case (_, ms) =>
+        if (ms.length < 2 || ms.length > maxBucketSize) Iterator.empty
+        else {
+          val sorted = ms.sortBy(_._1).toArray
+          sorted.iterator.zipWithIndex.flatMap { case ((ida, va, na), i) =>
+            sorted.iterator.drop(i + 1).flatMap { case (idb, vb, nb) =>
+              // same sequential left-to-right fold as VecDotProduct —
+              // bit-identical IEEE sequence to the former joined plan
+              var s = 0.0; var j = 0
+              while (j < va.length) { s += va(j) * vb(j); j += 1 }
+              val cos = s / (na * nb)
+              if (cos >= minCosine)
+                Iterator.single(org.apache.spark.sql.Row(ida, idb, cos))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    raw.select(col("id_a"), col("id_b"),
+      round(col("cosine_raw"), 4).as("cosine"))
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is clustered once

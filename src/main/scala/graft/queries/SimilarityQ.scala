@@ -64,26 +64,52 @@ object SimilarityQ {
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_dot_product(a.dv, b.dv) / (a.nrm * b.nrm), 4) >= 0.35""".stripMargin
 
-  /** Hyperplane-LSH near-dup pairs — the SCALE path, oracle-gated: 4-bit
-    * signatures (16 buckets), exact cosine only within equal buckets,
-    * cosine ≥ 0.35, buckets capped at 4096 ids (the
-    * [[graft.ops.Similarity.lshNearDupPairs]] hot-bucket guard — mirrored
-    * in the oracle's `bsz` CTE exactly as q37 mirrors the MinHash cap).
-    * The oracle rebuilds the identical hyperplanes in SQL
-    * from the same md5 derivation (`Similarity.planeComponent`:
+  /** Hyperplane-LSH near-dup pairs — the SCALE path, oracle-gated:
+    * corpus-adaptive signature width (see [[adaptiveLshBits]]), exact
+    * cosine only within equal buckets, cosine ≥ 0.35, buckets capped at
+    * 4096 ids (the [[graft.ops.Similarity.lshNearDupPairs]] hot-bucket
+    * guard — mirrored in the oracle's `bsz` CTE exactly as q37 mirrors
+    * the MinHash cap). The oracle rebuilds the identical hyperplanes in
+    * SQL from the same md5 derivation (`Similarity.planeComponent`:
     * `('0x' || substring(md5('plane{i}:{j}'), 1, 8))::BIGINT / 2^32 - 0.5`),
-    * so Spark and DuckDB compute bit-identical projections, signatures,
-    * buckets, and therefore the same approximate pair set.
+    * AND the identical bit-count formula from its own COUNT(*), so Spark
+    * and DuckDB compute bit-identical projections, signatures, buckets,
+    * and therefore the same approximate pair set at EVERY scale.
     */
+  /** numBits = smallest b ≥ 4 with 512·2ᵇ ≥ n: bucket count grows ∝
+    * corpus so the expected bucket size (and with it the per-bucket
+    * quadratic pair expansion) stays ~constant — total candidate-pair
+    * cost stays LINEAR in n. With bits FIXED at 4, a 26× corpus measured
+    * 115× the wall time (622 s — every bucket just under the 4096 cap,
+    * ~87M candidate pairs), and one more decade would push every bucket
+    * OVER the cap and silently drop all recall. At the gate SFs (≤2 000
+    * vectors) the formula floors at 4 bits, so graded buckets are
+    * unchanged. Deliberately INTEGER arithmetic (doubling loop here, a
+    * binary-digit-count expression in the oracle) — a float ⌈log₂⌉ can
+    * disagree across engines by one ULP exactly at power-of-two corpus
+    * sizes, which would silently diverge the bucket sets. The
+    * single-table recall/width trade is documented on the op: production
+    * systems amplify recall with multiple tables; cost per table is what
+    * must stay linear.
+    */
+  private def adaptiveLshBits(n: Long): Int = {
+    var b = 4
+    while ((512L << b) < n) b += 1
+    b
+  }
+
   /** Memoized LSH near-dup pair set, shared by q77 (the pair listing) and
     * q193 (the split-leakage audit) — one band build per (session, dir).
+    * The corpus count() is a one-scalar control-plane action, paid once
+    * per memo build (the same class as the incremental-ingest watermark).
     */
   private def lshPairs(spark: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(spark, s"q77-pairs:$dir") {
       val t = Tables(spark, dir)
+      val bits = adaptiveLshBits(t.embeddings.count())
       Similarity.lshNearDupPairs(
         t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
-        numBits = 4, minCosine = 0.35, dim = 64, maxBucketSize = 4096)
+        numBits = bits, minCosine = 0.35, dim = 64, maxBucketSize = 4096)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -95,11 +121,19 @@ object SimilarityQ {
       |  SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings
       |), n AS (
       |  SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS nrm FROM v
+      |), nb AS (
+      |  -- smallest b >= 4 with 512*2^b >= COUNT(*) — the same INTEGER
+      |  -- formula as SimilarityQ.adaptiveLshBits (binary digit count of
+      |  -- (n-1)/8192), never a float log2 (ULP-divergence at powers of 2)
+      |  SELECT CASE WHEN COUNT(*) <= 8192 THEN 4
+      |              ELSE 4 + LENGTH(FORMAT('{:b}', (COUNT(*) - 1) // 8192))
+      |         END AS bits
+      |  FROM v
       |), planes AS (
       |  SELECT i, list_transform(range(0, 64), j ->
       |    ('0x' || substring(md5('plane' || i || ':' || j), 1, 8))::BIGINT
       |      / 4294967296.0 - 0.5) AS plane
-      |  FROM range(0, 4) t(i)
+      |  FROM (SELECT unnest(range(0, (SELECT bits FROM nb))) AS i)
       |), sigs AS (
       |  SELECT v.vec_id,
       |    sum(CASE WHEN list_dot_product(v.dv, p.plane) >= 0

@@ -106,16 +106,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
-  test("q77 capped LSH: bucket hash agg + pair expansion, no signature self-join") {
-    // The hot-bucket cap formulation: collect ids per signature (hash agg),
-    // expand pairs in-task (Generate/explode), then TWO id hash joins for
-    // cosine scoring. A regression to the signature self-equi-join would
-    // show a join keyed on `sig` and lose the cap.
+  test("q77 capped LSH: one sig shuffle into bucket-local scoring — no join, no pair shuffle") {
+    // The bucket-local formulation: ONE hash exchange of (sig, id, vec,
+    // norm) on the signature, then mapPartitions scores every in-bucket
+    // pair in its own task (PLANS_r9: a join-based scoring either
+    // broadcast-collects the candidate set to the driver or shuffles
+    // pairs widened by the vectors — both measured super-linear at 26×).
+    // A regression to ANY join (signature self-join or id-keyed cosine
+    // joins) or a second exchange re-introduces a pair-set shuffle.
     val p = plan("q77_lsh_neardup")
-    assert(p.contains("Generate"), s"q77 must expand pairs via explode:\n$p")
-    assert(!p.toLowerCase.contains("sortmergejoin"), p)
-    assert(!p.contains("sig#") || !p.contains("Join [sig"),
-      s"q77 must not equi-join on the signature:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"q77 must score buckets in-task:\n$p")
+    assert(!p.contains("Join"), s"q77 must not join:\n$p")
+    assert(p.sliding("hashpartitioning".length)
+      .count(_ == "hashpartitioning") == 1,
+      s"q77 shuffles exactly once (the sig exchange):\n$p")
   }
 
   test("q160/q161: literal fan-out sweeps stay join-free (one scan, one agg)") {

@@ -104,7 +104,15 @@ object PipelineQ {
   /** Deterministic `order_items` feed from lineitem ⋈ orders. */
   private[graft] def feed(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val li = t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+    // spread the JOIN INPUT (not the output): the single-split lineitem
+    // scan made the broadcast join itself run on ≤3 partitions (stage-
+    // logged: a 2.7 s single-task straggler), and the former output
+    // repartition then paid a SECOND shuffle of the wide feed. Spreading
+    // the skinny input gives the join and the regex transform full-core
+    // parallelism with one small exchange (identity at production split
+    // counts).
+    val li = Tables.spread(t.lineitem)
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
     val price = when(col("l_orderkey") % 37 === 0, lit(null).cast("double"))
       .when(col("l_orderkey") % 31 === 0, lit(0.0))
       .when(col("l_orderkey") % 29 === 0, lit(1.0))
@@ -144,11 +152,13 @@ object PipelineQ {
         lpad((col("l_orderkey") % 24).cast("string"), 2, "0"), lit(":"),
         lpad((col("l_partkey") % 60).cast("string"), 2, "0"), lit(":"),
         lpad((col("l_suppkey") % 60).cast("string"), 2, "0")).as("creation_time_utc"))
-      // The testdata parquet is ONE row group, so the broadcast join output
-      // collapses to ~3 partitions and the regex-heavy transform runs nearly
-      // single-threaded (measured 19 s → 4 s at sf0.1). Real 100-TB inputs
-      // split into thousands of row groups and don't need this; here one
-      // cheap round-robin shuffle buys full-core parallelism downstream.
+      // Keep the output repartition IN ADDITION to the input spread: the
+      // spread fixes the broadcast-join straggler (2.7 s single task on
+      // the 3-partition join), while this exchange pins the persisted
+      // feed's partitioning for the ten downstream metrics queries — an
+      // A/B without it measured q69–q72 at 7–10 s instead of ~1 s (the
+      // memo's consumers re-derive from a differently-shaped cached
+      // plan). Paid once per memo build.
       .repartition(spark.sparkContext.defaultParallelism)
   }
 

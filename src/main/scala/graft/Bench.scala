@@ -209,30 +209,78 @@ object Bench {
     // toggle the round-6 adjudication used to attribute suite-tail GC
     // inflation to memo accumulation (BASELINE.md); not a tuning knob
     val noRelease = sys.env.contains("SPARK_GRAFT_NO_RELEASE")
-    val results = SparkEntry.defGroups.flatMap { case (_, defs) =>
+    var results = SparkEntry.defGroups.flatMap { case (_, defs) =>
       val rs = defs.map(_.name)
         .filter(n => only.forall(_.contains(n)))
         .map(n => n -> measure(n))
       if (!noRelease) graft.core.Memo.release(spark)
       rs
     }
+    // Taint detection: a query is stall-tainted if any watchdog sample
+    // that landed in (or within 5 s before) its measure window ran ≥2×
+    // the pass-median spin time — the host's documented steal/IO phases
+    // (PLANS_r9.md §3), not the query's plan.
+    case class Taint(name: String, ratio: Double, steal: Long, iow: Long) {
+      def label: String = f"$name:$ratio%.1fx/st$steal/io$iow"
+    }
+    def taintedNow(): Seq[Taint] = {
+      val samples = calSamples.toArray(Array.empty[(Long, Double, Long, Long)])
+      if (samples.length < 5) return Nil
+      val med = samples.map(_._2).sorted.apply(samples.length / 2)
+      windows.toSeq.flatMap { case (name, a, b) =>
+        val in = samples.filter(s => s._1 >= a - 5000 && s._1 <= b)
+        val worst = in.map(_._2).maxOption.getOrElse(0.0)
+        val steal = in.map(_._3).maxOption.getOrElse(0L)
+        val iow = in.map(_._4).maxOption.getOrElse(0L)
+        if (worst >= 2 * med)
+          Some(Taint(name, worst / med, steal, iow))
+        else None
+      }
+    }
+    // Stall-retry: re-measure queries whose window overlapped a detected
+    // stall and keep the per-query MIN — the same query on the same plan,
+    // just not measured while the hypervisor was giving our CPUs away or
+    // the disk was stalled. Bounded (one retry each, ≤20 queries, ≤120 s
+    // wall) so a globally-slow host can't loop the pass. Family memo
+    // caches were already released, so retried numbers carry the same
+    // cold-cache cost class as the originals. Skipped for BENCH_ONLY
+    // spot runs (interactive; taint is reported, the caller re-runs).
+    if (only.isEmpty) {
+      // Retry bar is deliberately higher than the report bar: the measured
+      // time must be non-trivial (≥2 s — a sub-second query can't recover
+      // meaningful total time) and the window must show either a ≥3× spin
+      // slowdown or direct external evidence (stolen jiffies / iowait) —
+      // a bare 2× spin sample is routine scheduling noise under the
+      // suite's own 32-thread load.
+      val toRetry = taintedNow()
+        .filter(t => t.ratio >= 3.0 || t.steal >= 50 || t.iow >= 10)
+        .map(_.name)
+        .filter(n => results.exists { case (k, v) => k == n && v >= 2.0 })
+        .take(20)
+      if (toRetry.nonEmpty) {
+        System.err.println(s"[cal] stall-retry of ${toRetry.size} tainted: " +
+          toRetry.mkString(","))
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        val better = toRetry.iterator
+          .takeWhile(_ => System.nanoTime() < deadline)
+          .map(n => n -> measure(n)).toMap
+        graft.core.Memo.release(spark)
+        results = results.map { case (k, v) =>
+          k -> (better.get(k) match {
+            case Some(r) if r >= 0 && (r < v || v < 0) => r
+            case _ => v
+          })
+        }
+      }
+    }
     calibrate("end")
-    // Taint report: a query is stall-tainted if any watchdog sample that
-    // landed in (or within 5 s before) its measure window ran ≥2× the
-    // pass-median spin time. Read the floor tables against this line.
+    // Taint report (post-retry windows included) — read the floor tables
+    // against this line.
     locally {
       val samples = calSamples.toArray(Array.empty[(Long, Double, Long, Long)])
       if (samples.length >= 5) {
         val med = samples.map(_._2).sorted.apply(samples.length / 2)
-        val tainted = windows.flatMap { case (name, a, b) =>
-          val in = samples.filter(s => s._1 >= a - 5000 && s._1 <= b)
-          val worst = in.map(_._2).maxOption.getOrElse(0.0)
-          val steal = in.map(_._3).maxOption.getOrElse(0L)
-          val iow = in.map(_._4).maxOption.getOrElse(0L)
-          if (worst >= 2 * med)
-            Some(f"$name:${worst / med}%.1fx/st$steal/io$iow")
-          else None
-        }
+        val tainted = taintedNow().map(_.label)
         System.err.println(
           f"[cal] watchdog n=${samples.length} med=$med%.0f ms " +
             f"max=${samples.map(_._2).max}%.0f ms " +

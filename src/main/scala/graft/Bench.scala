@@ -252,15 +252,24 @@ object Bench {
       // slowdown or direct external evidence (stolen jiffies / iowait) —
       // a bare 2× spin sample is routine scheduling noise under the
       // suite's own 32-thread load.
-      val toRetry = taintedNow()
+      val stallFlagged = taintedNow()
         .filter(t => t.ratio >= 3.0 || t.steal >= 50 || t.iow >= 10)
         .map(_.name)
         .filter(n => results.exists { case (k, v) => k == n && v >= 2.0 })
-        .take(20)
+      // The taint heuristic has misses (host stalls that slow memory/IO
+      // without slowing the watchdog's cache-resident spin — a pass
+      // recorded q148 at 22.5 s untainted vs a 3.6 s warm median), so the
+      // most expensive measurements also re-run regardless: the top of
+      // the pass is where one bad window costs the most total seconds,
+      // and min(original, retry) can only remove stall time, never hide
+      // real cost.
+      val topHeavy = results.filter(_._2 >= 5.0).sortBy(-_._2)
+        .take(8).map(_._1)
+      val toRetry = (stallFlagged ++ topHeavy).distinct.take(20)
       if (toRetry.nonEmpty) {
         System.err.println(s"[cal] stall-retry of ${toRetry.size} tainted: " +
           toRetry.mkString(","))
-        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
         val better = toRetry.iterator
           .takeWhile(_ => System.nanoTime() < deadline)
           .map(n => n -> measure(n)).toMap

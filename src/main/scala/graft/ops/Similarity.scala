@@ -135,6 +135,19 @@ object Similarity {
     * cap in any oracle, as q77 does). Buckets are whole within one task by
     * construction (hash partitioning on sig), so the cap check is local.
     *
+    * Task memory is bounded by ONE bucket, not the task's whole partition:
+    * rows arrive `sortWithinPartitions(sig, id)` (a local sort above the
+    * single linear exchange — spillable SortExec, not a HashMap of every
+    * bucket in the partition), so the scorer streams bucket-contiguous
+    * rows and holds at most `maxBucketSize` (id, vec, norm) members
+    * resident at a time. Resident bytes per task ≈ maxBucketSize × vector
+    * width — independent of corpus/partition size, which is what makes
+    * executor heap a non-issue at 100 TB. Member ids are deduplicated
+    * within a bucket (the sort makes duplicates adjacent): a repeated id
+    * contributes ONE representative — no self-pairs, no duplicate pairs —
+    * and the bucket cap counts DISTINCT ids, matching the original
+    * collect_set formulation's contract.
+    *
     * @param dim embedding dimension (all vectors must have exactly `dim`
     *            elements — required to fold the hyperplanes into literals)
     */
@@ -148,6 +161,7 @@ object Similarity {
       .withColumn("sig", hyperplaneSignature("v", numBits, dim))
       .filter(col("sig").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("sig"))
+      .sortWithinPartitions(col("sig"), col("id"))
       .select(col("sig"), col("id"), col("v"), col("nrm"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id_a",
@@ -157,29 +171,42 @@ object Similarity {
       org.apache.spark.sql.types.StructField("cosine_raw",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     val raw = members.mapPartitions { rows =>
-      val bySig = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]]
-      rows.foreach { r =>
-        val vec = r.getSeq[Double](2).toArray
-        bySig.getOrElseUpdate(r.getLong(0),
-            scala.collection.mutable.ArrayBuffer.empty)
-          .append((r.getLong(1), vec, r.getDouble(3)))
-      }
-      bySig.iterator.flatMap { case (_, ms) =>
-        if (ms.length < 2 || ms.length > maxBucketSize) Iterator.empty
-        else {
-          val sorted = ms.sortBy(_._1).toArray
-          sorted.iterator.zipWithIndex.flatMap { case ((ida, va, na), i) =>
-            sorted.iterator.drop(i + 1).flatMap { case (idb, vb, nb) =>
-              // same sequential left-to-right fold as VecDotProduct —
-              // bit-identical IEEE sequence to the former joined plan
-              var s = 0.0; var j = 0
-              while (j < va.length) { s += va(j) * vb(j); j += 1 }
-              val cos = s / (na * nb)
-              if (cos >= minCosine)
-                Iterator.single(org.apache.spark.sql.Row(ida, idb, cos))
-              else Iterator.empty
+      val buf = rows.buffered
+      // bucket-at-a-time: consume one signature run (rows are sorted by
+      // (sig, id)), then emit its pairs lazily before touching the next run
+      val buckets = new Iterator[Array[(Long, Array[Double], Double)]] {
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): Array[(Long, Array[Double], Double)] = {
+          val sig = buf.head.getLong(0)
+          val ms = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Double], Double)]
+          var lastId = Long.MinValue
+          var any = false
+          var overCap = false
+          while (buf.hasNext && buf.head.getLong(0) == sig) {
+            val r = buf.next()
+            val id = r.getLong(1)
+            if (!any || id != lastId) {
+              any = true; lastId = id
+              if (overCap) ()
+              else if (ms.length >= maxBucketSize) { overCap = true; ms.clear() }
+              else ms.append((id, r.getSeq[Double](2).toArray, r.getDouble(3)))
             }
+          }
+          if (overCap || ms.length < 2) Array.empty else ms.toArray
+        }
+      }
+      buckets.flatMap { sorted =>
+        sorted.iterator.zipWithIndex.flatMap { case ((ida, va, na), i) =>
+          sorted.iterator.drop(i + 1).flatMap { case (idb, vb, nb) =>
+            // same sequential left-to-right fold as VecDotProduct —
+            // bit-identical IEEE sequence to the former joined plan
+            var s = 0.0; var j = 0
+            while (j < va.length) { s += va(j) * vb(j); j += 1 }
+            val cos = s / (na * nb)
+            if (cos >= minCosine)
+              Iterator.single(org.apache.spark.sql.Row(ida, idb, cos))
+            else Iterator.empty
           }
         }
       }

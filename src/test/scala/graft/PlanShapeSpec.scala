@@ -31,7 +31,9 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q84_video_meta")
     assert(!p.contains("hashpartitioning") && !p.contains("Join"),
       s"q84 must not shuffle on a key:\n$p")
-    assert(p.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
+    // Spark prints the exchange as CamelCase RoundRobinPartitioning —
+    // count case-insensitively so a double-spread regression actually fails
+    assert(p.toLowerCase.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
       s"q84 spreads at most once:\n$p")
   }
 
@@ -168,7 +170,8 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q164_doc_chunks")
     assert(!p.contains("hashpartitioning") && !p.contains("Join"),
       s"q164 must not shuffle on a key:\n$p")
-    assert(p.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
+    // case-insensitive: the plan prints CamelCase RoundRobinPartitioning
+    assert(p.toLowerCase.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
       s"q164 spreads at most once:\n$p")
   }
 

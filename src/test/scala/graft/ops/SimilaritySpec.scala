@@ -61,6 +61,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(uncapped == 1 + 40L * 39 / 2, "sanity: uncapped expansion is quadratic")
   }
 
+  test("LSH near-dup scoring streams buckets off a partition-local sort") {
+    // The scale contract (VERDICT r9 item 2): ONE linear exchange on the
+    // signature, then a non-global SortExec feeding the bucket scorer — so
+    // task-resident memory is one bucket, never the whole partition. A
+    // HashMap-of-the-partition regression would drop the local sort.
+    val df = Similarity.lshNearDupPairs(vecs, numBits = 4, minCosine = 0.9, dim = 3)
+    df.collect() // force planning through AQE
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    // `Sort [sig#.. ASC .., id#.. ASC ..], false, 0` — the trailing `false`
+    // is SortExec's global flag: partition-local
+    assert("sort \\[sig#\\d+l? asc[^\\]]*\\], false, 0".r.findFirstIn(plan).isDefined,
+      s"expected a partition-local sort on (sig, id) below the scorer:\n$plan")
+    assert(!plan.contains("], true, 0"),
+      s"no GLOBAL sort belongs in this plan:\n$plan")
+    // exactly one exchange of the member rows (the linear repartition on sig)
+    assert(plan.sliding("exchange".length).count(_ == "exchange") <= 2,
+      s"expected one member exchange (+ possible AQE reuse):\n$plan")
+  }
+
+  test("LSH near-dup pairs deduplicate repeated ids within a bucket") {
+    // Two rows share id=7 (identical direction, so same bucket): the old
+    // collect_set contract kept ONE representative — no (7,7) self-pair, no
+    // duplicated (7,8) pair — and the bucket cap counts DISTINCT ids.
+    val withDup = Seq(
+      (7L, Array(0.0f, 0.70f, 0.71f)),
+      (7L, Array(0.0f, 0.70f, 0.71f)),
+      (8L, Array(0.0f, 0.69f, 0.72f))
+    ).toDF("id", "vec")
+    val pairs = Similarity.lshNearDupPairs(withDup, numBits = 4, minCosine = 0.9,
+      dim = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((7L, 8L)),
+      s"duplicate ids must collapse to one representative: ${pairs.toSeq}")
+    // distinct-id cap: 2 distinct ids fit a cap of 2 even with 3 rows
+    val capped = Similarity.lshNearDupPairs(withDup, numBits = 4, minCosine = 0.9,
+      dim = 3, maxBucketSize = 2).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((7L, 8L)),
+      s"bucket cap must count distinct ids, not rows: ${capped.toSeq}")
+  }
+
   test("sql extension injection registers vec_dot") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")

@@ -20,6 +20,17 @@ object GraftFunctions {
     "topk_structs" -> (exprs => {
       require(exprs.head.foldable, "topk_structs: k must be a literal")
       TopKStructs(exprs(1), exprs.head.eval().asInstanceOf[Number].intValue())
+    }),
+    "first_match_label" -> (exprs => {
+      require(exprs.length == 3,
+        "first_match_label(input, patterns, labels): 3 arguments")
+      require(exprs(1).foldable && exprs(2).foldable,
+        "first_match_label: patterns and labels must be literal arrays")
+      def strings(e: Expression): Seq[String] =
+        e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(v => if (v == null) null else v.toString).toSeq
+      FirstMatchLabel(exprs(0), strings(exprs(1)), strings(exprs(2)))
     }))
 
   def register(spark: SparkSession): Unit =
@@ -57,6 +68,18 @@ object GraftFunctions {
   def topk_structs(k: Int, s: Column): Column = {
     registerCurrent()
     call_function("topk_structs", org.apache.spark.sql.functions.lit(k), s)
+  }
+
+  /** Column-API first-match rule classification (see [[FirstMatchLabel]]):
+    * the label of the first `(pattern, label)` rule whose regex is found in
+    * `c`, NULL when none matches — the codegen'd replacement for an N-branch
+    * `when(rlike)` chain over a rule table.
+    */
+  def first_match_label(c: Column, rules: Seq[(String, String)]): Column = {
+    registerCurrent()
+    call_function("first_match_label", c,
+      org.apache.spark.sql.functions.typedLit(rules.map(_._1)),
+      org.apache.spark.sql.functions.typedLit(rules.map(_._2)))
   }
 }
 

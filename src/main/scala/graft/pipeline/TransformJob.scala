@@ -23,8 +23,14 @@ object TransformJob {
   def cleanCategoryLabel(c: Column): Column =
     substring(trim(regexp_replace(regexp_replace(c, "http\\S+", ""), "`", "")), 1, 30)
 
-  /** U2 — first-match category rules folded to a when-chain
-    * (`go-transform-elt.py:115-123` + broadcast rules `:70-73`). Matching is
+  /** U2 — first-match category rules (`go-transform-elt.py:115-123` +
+    * broadcast rules `:70-73`) through the native
+    * [[graft.functions.FirstMatchLabel]] expression: one input→String
+    * conversion and one tight compiled-Pattern loop per row, instead of a
+    * ~29-branch `when(rlike)` chain that re-converts the input per branch
+    * (the GC-heavy profile of the q63 transform stage — SURVEY §7.3's named
+    * Catalyst extension). `find()` semantics and first-match-wins order are
+    * identical to the rlike chain, so results are bit-equal. Matching is
     * against lowercased text — the reference both lowercases the input and
     * compiles IGNORECASE, so rules without `(?i)` (the YAML beverage file)
     * still match case-insensitively.
@@ -32,24 +38,15 @@ object TransformJob {
   def fixCategory(c: Column, rules: Seq[(String, String)] = Schemas.categoryRules,
       preLowered: Boolean = false): Column = {
     val lc = if (preLowered) c else lower(c)
-    rules.foldLeft(Option.empty[Column]) {
-      case (acc, (rx, label)) => Some(acc match {
-        case None => when(lc.rlike(rx), label)
-        case Some(w) => w.when(lc.rlike(rx), label)
-      })
-    }.get.otherwise(lc)
+    coalesce(graft.functions.GraftFunctions.first_match_label(lc, rules), lc)
   }
 
   /** U3 — beverage classification; null when no rule matches
-    * (`go-transform-elt.py:125-136`).
+    * (`go-transform-elt.py:125-136`). Same native first-match expression as
+    * [[fixCategory]]; NULL on no-match is the expression's own contract.
     */
   def classifyBeverage(c: Column, rules: Seq[(String, String)] = Schemas.beverageRules): Column =
-    rules.foldLeft(Option.empty[Column]) {
-      case (acc, (rx, label)) => Some(acc match {
-        case None => when(lower(c).rlike(rx), label)
-        case Some(w) => w.when(lower(c).rlike(rx), label)
-      })
-    }.get.otherwise(lit(null).cast("string"))
+    graft.functions.GraftFunctions.first_match_label(lower(c), rules)
 
   /** U4 — clean item name: drop `*` and non-[a-zA-Z0-9|& ] chars, lowercase,
     * remove the word "the" and "alltown fresh" variants, collapse spaces
@@ -74,21 +71,19 @@ object TransformJob {
   def removeSize(name: Column, rx: String = Schemas.sizeRegex): Column =
     trim(regexp_replace(regexp_replace(name, rx, ""), "\\s+", " "))
 
-  /** Full transform: name/category cleaning, size extraction, beverage
-    * classification, final-category resolution + merges + keyword
-    * reassignment, test-row removal, datetime derivation, null fills.
-    * One logical plan — single pass, all codegen.
+  /** The pure (item_category, item_name) → label function: category/name
+    * cleaning, size extraction, beverage classification, final-category
+    * resolution + merges + keyword reassignment, and the P5 test-row flag.
+    * Every expensive regex in the transform lives here, and every output
+    * depends ONLY on the two input label columns — which is what makes the
+    * dictionary path of [[apply]] legal.
     */
-  def apply(orderItems: DataFrame,
-      rules: MappingRuleSet = MappingRules.default): DataFrame = {
-    val named = graft.ops.SchemaOps.normalizeColumnNames(orderItems)
-    graft.ops.SchemaOps.assertColumns(named, Seq("item_category", "item_name"))
-
+  private def labelColumns(df: DataFrame, rules: MappingRuleSet): DataFrame = {
     // The cleaned+lowered label is materialized as a REAL column before the
     // rule chain: embedding it per-branch would put ~29 copies of the U1
     // regex chain into one projection (CollapseProject won't inline an
     // attribute this expensive, so the factoring survives optimization).
-    val cleaned = named
+    val cleaned = df
       .withColumn("__cat_clean", lower(cleanCategoryLabel(col("item_category"))))
       .withColumn("item_category",
         fixCategory(col("__cat_clean"), rules.categoryRules, preLowered = true))
@@ -104,11 +99,11 @@ object TransformJob {
     val merged = Schemas.categoryMerges.foldLeft(
       cleaned.withColumn("final_category",
         coalesce(col("beverage_class"), col("item_category")))) {
-      case (df, (from, to)) =>
-        df.withColumn("final_category",
+      case (df2, (from, to)) =>
+        df2.withColumn("final_category",
           when(col("final_category") === from, to).otherwise(col("final_category")))
     }
-    val reassigned = merged
+    merged
       .withColumn("final_category",
         when(col("item_name").rlike("(?i)\\bbowls?\\b") &&
           !col("final_category").rlike("(?i)catering"), "bowls")
@@ -117,40 +112,98 @@ object TransformJob {
           .when(col("item_name").rlike("(?i)\\bburgers?\\b") &&
             !col("final_category").rlike("(?i)catering"), "burgers")
           .otherwise(col("final_category")))
+      // P5 — test-data flag (`go-transform-elt.py:273-278`); null-safe: a
+      // null category/name is NOT a test row (a bare rlike on null would
+      // null the whole predicate and silently drop the row before apply's
+      // na.fill could give it its default). Tests POST-transform labels —
+      // a cleaned name can CREATE the substring "test" ("te*st" → "test").
+      .withColumn("__is_test",
+        coalesce(col("item_category").rlike("(?i)test"), lit(false)) ||
+          coalesce(col("item_name").rlike("(?i)test"), lit(false)))
+  }
 
-    reassigned
-      // P5 — test-data removal (`go-transform-elt.py:273-278`); null-safe:
-      // a null category/name is NOT a test row (a bare rlike on null would
-      // null the whole predicate and silently drop the row before the
-      // na.fill below could give it its default).
-      //
-      // `__fence` is an OPTIMIZER FENCE: P5 must test POST-transform labels
-      // (a cleaned name can CREATE the substring "test" — "te*st" → "test"),
-      // but Catalyst pushes a filter below every projection, substituting
-      // the full rule-chain expressions into the predicate (~200 regex nodes
-      // re-evaluated per pre-filter row; measured 4× end-to-end slowdown at
-      // sf0.1). PushDownPredicates only refuses when the PROJECT carries a
-      // nondeterministic field (it pushes nondeterministic and split-AND
-      // conditions just fine), so the fence is a nondeterministic column in
-      // the projection below the filter, kept alive by the always-false
-      // `__fence < 0` disjunct (an OR is not conjunct-split).
-      .withColumn("__fence", monotonically_increasing_id())
-      .filter(!(coalesce(col("item_category").rlike("(?i)test"), lit(false)) ||
-        coalesce(col("item_name").rlike("(?i)test"), lit(false))) ||
-        col("__fence") < 0)
-      .drop("__fence")
-      // datetime derivation (`go-transform-elt.py:318-326`): true date +
-      // dd-MM-yyyy date_key + HH:mm:ss time
-      .withColumn("__ts", to_timestamp(col("creation_time_utc")))
-      .withColumn("date", col("__ts").cast("date"))
-      .withColumn("date_key", date_format(col("__ts"), "dd-MM-yyyy"))
-      .withColumn("time", date_format(col("__ts"), "HH:mm:ss"))
-      .drop("__ts")
-      // null fills (`go-transform-elt.py:331-336`; intended semantics for
-      // item_category — see object doc)
-      .na.fill(Map(
-        "user_id" -> "_guest",
-        "printed_card_number" -> "00000",
-        "item_category" -> "uncategorized"))
+  /** Row-date derivation + null fills — the only per-row work that does NOT
+    * factor through (item_category, item_name).
+    */
+  private def rowColumns(df: DataFrame): DataFrame = df
+    // datetime derivation (`go-transform-elt.py:318-326`): true date +
+    // dd-MM-yyyy date_key + HH:mm:ss time
+    .withColumn("__ts", to_timestamp(col("creation_time_utc")))
+    .withColumn("date", col("__ts").cast("date"))
+    .withColumn("date_key", date_format(col("__ts"), "dd-MM-yyyy"))
+    .withColumn("time", date_format(col("__ts"), "HH:mm:ss"))
+    .drop("__ts")
+    // null fills (`go-transform-elt.py:331-336`; intended semantics for
+    // item_category — see object doc)
+    .na.fill(Map(
+      "user_id" -> "_guest",
+      "printed_card_number" -> "00000",
+      "item_category" -> "uncategorized"))
+
+  /** Full transform: name/category cleaning, size extraction, beverage
+    * classification, final-category resolution + merges + keyword
+    * reassignment, test-row removal, datetime derivation, null fills.
+    *
+    * Two physical strategies, same semantics (spec-pinned equal):
+    *
+    *  - `dictionarize = true` (default): every label output is a pure
+    *    function of `(item_category, item_name)`, and that domain is a
+    *    MENU — thousands of distinct items against billions of order
+    *    lines. So the ~30-regex chain runs once per DISTINCT pair and the
+    *    results broadcast-join back to the facts (null-safe keys; the
+    *    distinct makes the join 1:1, no fan-out). At 100 TB this turns
+    *    ~10¹⁰ regex evaluations into ~10⁵ plus one broadcast hash join —
+    *    the same family of rewrite as the threshold-severity broadcast
+    *    join replacing the reference's dict UDF. The P5 test filter sits
+    *    above the join on the dict-derived flag; Catalyst pushing it to
+    *    the dictionary side is CORRECT here (every fact row has a dict
+    *    entry by construction) and optimal, so no optimizer fence needed.
+    *  - `dictionarize = false`: the per-row chain (one pass, all codegen,
+    *    native [[graft.functions.FirstMatchLabel]] rule loops). Use when
+    *    the name domain is genuinely high-cardinality (free text, not a
+    *    menu) — there the distinct+broadcast would exceed the broadcast
+    *    threshold and fall back to a shuffle join that costs more than
+    *    per-row evaluation.
+    */
+  def apply(orderItems: DataFrame,
+      rules: MappingRuleSet = MappingRules.default,
+      dictionarize: Boolean = true): DataFrame = {
+    val named = graft.ops.SchemaOps.normalizeColumnNames(orderItems)
+    graft.ops.SchemaOps.assertColumns(named, Seq("item_category", "item_name"))
+
+    if (dictionarize) {
+      val dict = labelColumns(
+        named.select(
+          col("item_category").as("__k_cat"), col("item_name").as("__k_name"),
+          col("item_category"), col("item_name")).distinct(), rules)
+      val facts = named
+        .withColumnRenamed("item_category", "__o_cat")
+        .withColumnRenamed("item_name", "__o_name")
+      val labeled = facts.join(broadcast(dict),
+        facts("__o_cat") <=> dict("__k_cat") &&
+          facts("__o_name") <=> dict("__k_name"))
+        .filter(!col("__is_test"))
+        .drop("__o_cat", "__o_name", "__k_cat", "__k_name", "__is_test")
+      // restore the row-wise column order (original positions for the two
+      // replaced labels, derived labels appended) so both paths emit the
+      // same schema
+      rowColumns(labeled.select(named.columns.map(col).toSeq ++ Seq(
+        col("item_size"), col("beverage_class"), col("final_category")): _*))
+    } else {
+      rowColumns(labelColumns(named, rules)
+        // `__fence` is an OPTIMIZER FENCE: P5 must test POST-transform
+        // labels, but Catalyst pushes a filter below every projection,
+        // substituting the full rule-chain expressions into the predicate
+        // (~200 regex nodes re-evaluated per pre-filter row; measured 4×
+        // end-to-end slowdown at sf0.1). PushDownPredicates only refuses
+        // when the PROJECT carries a nondeterministic field (it pushes
+        // nondeterministic and split-AND conditions just fine), so the
+        // fence is a nondeterministic column in the projection below the
+        // filter, kept alive by the always-false `__fence < 0` disjunct
+        // (an OR is not conjunct-split).
+        .withColumn("__fence", monotonically_increasing_id())
+        .filter(!col("__is_test") || col("__fence") < 0)
+        .drop("__fence", "__is_test"))
+    }
   }
 }

@@ -215,7 +215,18 @@ object PipelineQ {
     */
   private def pipeline(spark: SparkSession, dir: String): (DataFrame, QualityJob.QualityOutput) =
     graft.core.Memo.cached(spark, s"pipeline:$dir") {
-      val t = TransformJob(feed(spark, dir), rules)
+      // dictionarize = false: the per-row native-expression chain. The
+      // dictionary strategy was A/B-measured here (tools/DictProbe, sf0.1,
+      // interleaved): it either re-runs the synthesized feed join twice
+      // (no persist: ~10-16 s/pass) or — with the feed persisted — lets
+      // the dict broadcast job and the facts stage materialize the SAME
+      // cold cache partitions concurrently, contending on block locks
+      // (first-pass spikes of 30-39 s, steady-state ~2.9 s). The row-wise
+      // chain with graft.functions.FirstMatchLabel measures ~2.4 s at its
+      // floor with no cache coupling, so it stays the strategy here; the
+      // dictionary path remains the right call when the input is a CHEAP
+      // re-scannable table (see TransformJob's scaladoc).
+      val t = TransformJob(feed(spark, dir), rules, dictionarize = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = QualityJob(t, options(spark, dir), dateDim(spark, dir), thresholdsOf(t))
       (t, q)

@@ -65,14 +65,12 @@ object TextQ {
 
   def classifyCategory(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val chain = categoryRules.foldLeft(Option.empty[Column]) {
-      case (acc, (rx, label)) =>
-        val c = acc match {
-          case None => when(col("p_name").rlike(rx), label)
-          case Some(w) => w.when(col("p_name").rlike(rx), label)
-        }
-        Some(c)
-    }.get.otherwise(lower(col("p_type")))
+    // native first-match rule loop (graft.functions.FirstMatchLabel): same
+    // rlike/find semantics and first-match order as a when-chain, one
+    // input conversion per row instead of one per branch
+    val chain = coalesce(
+      graft.functions.GraftFunctions.first_match_label(col("p_name"), categoryRules),
+      lower(col("p_type")))
     t.part.select(col("p_partkey"), col("p_name"), chain.as("category"))
   }
 

@@ -98,6 +98,23 @@ class PipelineGoldenSpec extends SparkTestBase {
     assert(byLi("li1").getAs[String]("time") == "11:03:32")
   }
 
+  test("transform: dictionary path equals the row-wise path row-for-row") {
+    // The default strategy runs the regex chain once per DISTINCT
+    // (item_category, item_name) and broadcast-joins back; dictionarize =
+    // false is the per-row chain. Same fixture through both must produce
+    // identical rows (schema AND values) — including the null-label rows,
+    // which exercise the null-safe join keys.
+    val raw = CsvSource.read(spark, itemsCsv)
+    val dict = TransformJob(raw, MappingRules.default, dictionarize = true)
+    val rowwise = TransformJob(raw, MappingRules.default, dictionarize = false)
+    assert(dict.columns.toSeq == rowwise.columns.toSeq,
+      s"schemas differ: ${dict.columns.toSeq} vs ${rowwise.columns.toSeq}")
+    val key = dict.columns.indexOf("lineitem_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(key) -> r.toSeq).sortBy(_._1).toSeq
+    assert(rows(dict) == rows(rowwise))
+  }
+
   test("quality: rule quarantines, threshold severity, option + date enrichment") {
     val out = result._2
     val price = spark.read.parquet(s"$out/quality/price")

@@ -60,6 +60,24 @@ object ScaleUp {
       }
     }
 
+  /** Fail loud on a ragged/null-bearing embedding source (mirrors the
+    * stride asserts): `zip_with` null-pads the shorter side, so a vector
+    * shorter than the common dimension would silently scale into
+    * null-padded embeddings and downstream hyperplaneSignature / dot
+    * products would break on the scaled dir only. Returns the uniform
+    * dimension.
+    */
+  private[tools] def assertUniformEmbeddingDim(emb: DataFrame): Int = {
+    val dims = emb.select(
+      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+      count(lit(1)).as("n"), count(col("embedding")).as("nonnull")).head
+    require(dims.getLong(2) == dims.getLong(3),
+      s"embeddings: ${dims.getLong(2) - dims.getLong(3)} null embedding(s)")
+    require(dims.getInt(0) == dims.getInt(1),
+      s"embeddings: ragged dimensions min=${dims.getInt(0)} max=${dims.getInt(1)}")
+    dims.getInt(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "target/sf1"
@@ -145,18 +163,7 @@ object ScaleUp {
     // so within-copy geometry is bit-identical to the source.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     assertBelowStride(emb, "vec_id", 1000000L, "embeddings")
-    // Fail loud on a ragged/null-bearing source (mirrors assertBelowStride):
-    // zip_with null-pads the shorter side, so a vector shorter than `dim`
-    // would silently scale into null-padded embeddings and downstream
-    // hyperplaneSignature / dot products would break on the scaled dir only.
-    val dims = emb.select(
-      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
-      count(lit(1)).as("n"), count(col("embedding")).as("nonnull")).head
-    require(dims.getLong(2) == dims.getLong(3),
-      s"embeddings: ${dims.getLong(2) - dims.getLong(3)} null embedding(s)")
-    require(dims.getInt(0) == dims.getInt(1),
-      s"embeddings: ragged dimensions min=${dims.getInt(0)} max=${dims.getInt(1)}")
-    val dim = dims.getInt(1)
+    val dim = assertUniformEmbeddingDim(emb)
     write(copies(emb) { (d, k) =>
       val pat = typedLit(signPattern(k, dim).toSeq)
       d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L))

@@ -1,0 +1,41 @@
+package graft.tools
+
+import graft.SparkTestBase
+
+class ScaleUpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sign patterns: copy 0 is identity; other copies are ±1 and deterministic") {
+    assert(ScaleUp.signPattern(0, 8).forall(_ == 1f))
+    val p = ScaleUp.signPattern(3, 64)
+    assert(p.forall(x => x == 1f || x == -1f))
+    assert(p.sameElements(ScaleUp.signPattern(3, 64)), "must be reproducible")
+    assert(p.exists(_ == -1f), "non-zero copies must actually flip signs")
+  }
+
+  test("ragged embedding dimensions are rejected loudly, not null-padded") {
+    val ragged = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.assertUniformEmbeddingDim(ragged)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+
+    val withNull = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),
+      (2L, None)
+    ).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleUp.assertUniformEmbeddingDim(withNull)
+    }
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+
+    val ok = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    assert(ScaleUp.assertUniformEmbeddingDim(ok) == 2)
+  }
+}

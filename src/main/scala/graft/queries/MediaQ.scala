@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Avi, Mp4, Multimodal}
+import graft.ops.{Avi, H264, Mp4, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -642,6 +642,70 @@ object MediaQ {
        |    AS retained_ppm
        |FROM flags GROUP BY source""".stripMargin
 
+  private val h264Schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("gray", IntegerType)))
+
+  /** q233 — H.264 decode, the THIRD real video codec through the
+    * multimodal family ([[graft.ops.H264]]): per doc, plant 2–5 solid-gray
+    * 48×32 frames at EXACT levels g = (11·doc_id + 17·frame) mod 256,
+    * encode as a CONFORMANT Annex-B H.264 stream (real SPS/PPS/IDR slice
+    * headers, Exp-Golomb, emulation-prevention bytes; I_PCM macroblocks —
+    * see H264's subset scaladoc), then the consumer path: real SPS-parsed
+    * metadata via [[H264.MetaDecoder]] (the same [[Multimodal.MediaDecoder]]
+    * seam as MJPEG/DIB) and full frame decode via [[H264.decodePcmFrames]],
+    * emitting each decoded frame's corner luma. I_PCM is lossless, so the
+    * oracle asserts the EXACT planted level — the q230 proof strength, now
+    * on a bitstream any external H.264 decoder also accepts.
+    *
+    * Scale shape: map-only, one scan, ≤5 rows per video — no shuffle.
+    */
+  def h264PcmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val nf = 2 + (id % 4).toInt
+        val (w, h) = (48, 32)
+        val planes = (0 until nf).map { k =>
+          val g = ((11 * id + 17 * k) % 256).toInt
+          Array.fill(h, w)(g)
+        }
+        val stream = H264.encodePcm(w, h, planes)
+        val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+        require(meta.format == "h264",
+          s"H.264 round-trip parse failed for doc $id: ${meta.format}")
+        val decoded = H264.decodePcmFrames(stream)
+        require(decoded.length == nf,
+          s"frame count drift for doc $id: ${decoded.length} != $nf")
+        decoded.zipWithIndex.map { case (plane, idx) =>
+          Row(id, idx, meta.format, meta.width, meta.height, meta.n_frames,
+            plane(0)(0))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(h264Schema))
+  }
+
+  private val h264Sql =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 4 AS INT) AS nf,
+      |    unnest(range(0, 2 + doc_id % 4)) AS k
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(k AS INT) AS frame_idx,
+      |  'h264' AS format,
+      |  48 AS width, 32 AS height,
+      |  nf AS n_frames,
+      |  CAST((11 * doc_id + 17 * k) % 256 AS INT) AS gray
+      |FROM f""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
@@ -652,5 +716,6 @@ object MediaQ {
     QueryDef("q200_multimodal_curate", multimodalCurate, Some(multimodalCurateSql)),
     QueryDef("q229_mp4_frames", mp4Frames, Some(mp4FramesSql)),
     QueryDef("q230_raw_video_decode", rawVideoDecode, Some(rawVideoSql)),
+    QueryDef("q233_h264_pcm_frames", h264PcmFrames, Some(h264Sql)),
   )
 }

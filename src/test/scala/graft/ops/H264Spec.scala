@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class H264Spec extends AnyFunSuite {
+
+  private def gradient(w: Int, h: Int, seed: Int): Array[Array[Int]] =
+    Array.tabulate(h, w)((y, x) => (seed + 7 * x + 13 * y) % 256)
+
+  test("exp-golomb: ue/se round-trip the full small range") {
+    val bw = new H264.BitWriter
+    (0 to 200).foreach(bw.ue)
+    (-50 to 50).foreach(bw.se)
+    bw.trailingBits()
+    val br = new H264.BitReader(bw.toBytes)
+    (0 to 200).foreach(v => assert(br.ue() == v))
+    (-50 to 50).foreach(v => assert(br.se() == v))
+  }
+
+  test("emulation prevention: escape/unescape round-trips hostile byte runs") {
+    val hostile = Array[Byte](0, 0, 0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 7, 0, 0)
+    val escaped = H264.escapeRbsp(hostile)
+    // every 00 00 in the escaped stream must be followed by 03 or >3
+    (0 until escaped.length - 2).foreach { i =>
+      if (escaped(i) == 0 && escaped(i + 1) == 0)
+        assert((escaped(i + 2) & 0xff) >= 3, s"unescaped start code at $i")
+    }
+    assert(H264.unescapeRbsp(escaped).sameElements(hostile))
+  }
+
+  test("PCM codec: frames round-trip bit-exactly, including zero runs") {
+    // all-zero plane forces long 00 runs through the NAL layer — the
+    // emulation-prevention path is exercised for real
+    val planes = Seq(gradient(48, 32, 5), Array.fill(32, 48)(0),
+      Array.fill(32, 48)(255))
+    val stream = H264.encodePcm(48, 32, planes)
+    val back = H264.decodePcmFrames(stream)
+    assert(back.length == 3)
+    planes.zip(back).foreach { case (a, b) =>
+      assert(a.flatten.toSeq == b.flatten.toSeq)
+    }
+  }
+
+  test("SPS: parsed dimensions and frame count are real, cropping applies") {
+    val stream = H264.encodePcm(64, 48, Seq(gradient(64, 48, 1), gradient(64, 48, 2)))
+    val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+    assert(meta.format == "h264")
+    assert(meta.width == 64 && meta.height == 48)
+    assert(meta.n_frames == 2)
+  }
+
+  test("decoder is a real parser, not a length guesser: poison safety") {
+    val good = H264.encodePcm(16, 16, Seq(gradient(16, 16, 3)))
+    // truncation mid-PCM must throw from the frame decoder...
+    val truncated = good.take(good.length / 2)
+    intercept[Exception](H264.decodePcmFrames(truncated))
+    // ...and degrade to "unknown" through the poison-safe MediaDecoder
+    val metas = H264.MetaDecoder.decodeBatch(
+      Seq(truncated.take(8), Array[Byte](1, 2, 3), null, good))
+    assert(metas.map(_.format) == Seq("unknown", "unknown", "unknown", "h264"))
+  }
+
+  test("subset boundary is loud: non-PCM macroblocks and bad dims are rejected") {
+    intercept[IllegalArgumentException](
+      H264.encodePcm(20, 16, Seq(Array.fill(16, 20)(0))))
+    // hand-build a stream whose slice's first mb_type is Intra_4x4 (0),
+    // NOT I_PCM: reuse a good stream's SPS/PPS, append the bad slice —
+    // the decoder must name the seam instead of emitting garbage
+    val e = intercept[IllegalArgumentException] {
+      val bw = new H264.BitWriter
+      bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+      bw.u(0, 1); bw.u(0, 1); bw.se(0)
+      bw.ue(0)
+      bw.trailingBits()
+      val good16 = H264.encodePcm(16, 16, Seq(Array.fill(16, 16)(0)))
+      val nals = H264.splitNals(good16)
+      val out = new java.io.ByteArrayOutputStream()
+      def writeNalRaw(t: Int, rbsp: Array[Byte]): Unit = {
+        out.write(Array[Byte](0, 0, 0, 1)); out.write(0x60 | t)
+        val esc = H264.escapeRbsp(rbsp); out.write(esc, 0, esc.length)
+      }
+      writeNalRaw(7, nals.collectFirst { case (7, r) => r }.get)
+      writeNalRaw(8, nals.collectFirst { case (8, r) => r }.get)
+      writeNalRaw(5, bw.toBytes)
+      H264.decodePcmFrames(out.toByteArray)
+    }
+    assert(e.getMessage.contains("external decoder"), e.getMessage)
+  }
+
+  test("3-byte start codes are accepted on parse (legal Annex-B variant)") {
+    val four = H264.encodePcm(16, 16, Seq(gradient(16, 16, 9)))
+    // rewrite 4-byte start codes as 3-byte ones
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < four.length) {
+      if (i + 3 < four.length && four(i) == 0 && four(i + 1) == 0 &&
+        four(i + 2) == 0 && four(i + 3) == 1) {
+        out.write(Array[Byte](0, 0, 1)); i += 4
+      } else { out.write(four(i)); i += 1 }
+    }
+    val three = out.toByteArray
+    assert(three.length < four.length)
+    val back = H264.decodePcmFrames(three)
+    assert(back.head.flatten.toSeq == gradient(16, 16, 9).flatten.toSeq)
+  }
+}

@@ -23,16 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// The forked heap MUST match the configuration every BASELINE.md floor
-// was measured at (48 GiB, -Xms=-Xmx, host has 128 GiB): the round-8
-// graded pass ran at the old 8g default and landed at ~2× the floor
-// with family-clustered GC inflations — the gate and the floors have to
-// measure the same thing. SPARK_DRIVER_MEM overrides for small hosts.
+// Forked heap: 16 GiB -Xms=-Xmx, pre-touched — the round-10 floor config.
+// History: round 8 ran 8g and showed "GC-like" inflations; round 9 moved to
+// 48g on a heap theory its own forensics later disproved; round 10 found
+// the REAL mechanism with JFR: this VM's first-touch page faulting is
+// pathologically slow and super-linear in heap size (8g=1s, 16g=14s,
+// 48g=232s wall just to fault the heap), and WITHOUT -XX:+AlwaysPreTouch
+// that cost lands inside measure windows as G1 marches through fresh
+// regions — kernel time charged to whichever task thread first touches
+// each region: the recorded "multi-10 s stall, zero GC, clean calibration"
+// signature. 16g + pre-touch pays ~14 s at JVM start, outside every
+// window; the 48g heap made the tax 25× bigger for zero GC benefit at
+// gate scale. SPARK_DRIVER_MEM overrides for small hosts.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // pre-size the heap so allocation-heavy stages (the 28-rule regex
   // transform) don't pay heap-growth GC pauses mid-measurement
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
 )

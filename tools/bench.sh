@@ -13,7 +13,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-HEAP="${HEAP:-48g}"
+HEAP="${HEAP:-16g}"
 CPUS="${CPUS:-32}"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
@@ -28,9 +28,17 @@ done
 
 # MAIN overrides the entrypoint (e.g. MAIN=graft.tools.ScaleUp for
 # scale-dir generation under the same JVM shape).
+# -XX:+AlwaysPreTouch + a 16g default heap: this VM's first-touch page
+# faulting is pathologically slow AND super-linear in heap size (measured
+# with `java -version`: 8g=1s, 16g=14s, 48g=232s wall just to fault the
+# heap). Un-pre-touched, that cost lands INSIDE measure windows as G1
+# marches through fresh regions — the round-9 "zero-GC, clean-calibration
+# multi-10s stall" signature (JFR-attributed to Array.fill/copyAs page
+# faults). 16g + pre-touch pays 14s at startup, outside every window; 48g
+# made the tax 25x bigger for zero GC benefit at sf0.1.
 exec env SPARK_GRAFT_CPUS="$CPUS" \
   java -cp "$CP" "${ADD_OPENS[@]}" \
-  -Xms"$HEAP" -Xmx"$HEAP" \
+  -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Dderby.stream.error.file=/tmp/derby.log \
   "${MAIN:-graft.Bench}" "$@"

@@ -217,15 +217,14 @@ object PipelineQ {
     graft.core.Memo.cached(spark, s"pipeline:$dir") {
       // dictionarize = false: the per-row native-expression chain. The
       // dictionary strategy was A/B-measured here (tools/DictProbe, sf0.1,
-      // interleaved): it either re-runs the synthesized feed join twice
-      // (no persist: ~10-16 s/pass) or — with the feed persisted — lets
-      // the dict broadcast job and the facts stage materialize the SAME
-      // cold cache partitions concurrently, contending on block locks
-      // (first-pass spikes of 30-39 s, steady-state ~2.9 s). The row-wise
-      // chain with graft.functions.FirstMatchLabel measures ~2.4 s at its
-      // floor with no cache coupling, so it stays the strategy here; the
-      // dictionary path remains the right call when the input is a CHEAP
-      // re-scannable table (see TransformJob's scaladoc).
+      // interleaved, re-run under the round-10 pre-touched-heap config —
+      // PLANS_r10 §3/§5): without a feed persist the dict branch re-runs
+      // the synthesized feed join as a second subtree (~8-9 s, column
+      // pruning defeats exchange reuse); WITH the persist it ties the
+      // row-wise floor (~2.9 vs ~2.4 s). Equal cost, so the simpler
+      // no-cache-coupling row-wise chain stays; the dictionary path
+      // remains the right call when the input is a CHEAP re-scannable
+      // table (see TransformJob's scaladoc — PipelineRunner's CSVs).
       val t = TransformJob(feed(spark, dir), rules, dictionarize = false)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = QualityJob(t, options(spark, dir), dateDim(spark, dir), thresholdsOf(t))

@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — driver contract: ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+/** Benchmark main — driver contract: exactly ONE stdout line carries
+  * `"metric":"total"` — on full runs it is the LAST line, compact enough
+  * (~0.8 KB: total + top-20 queries + artifact pointers) to survive a
+  * ~2 KB stdout-tail capture; the complete per-query map is printed just
+  * before it under `"metric":"total_full"` AND persisted to
+  * target/bench.json (host forensics to target/bench_host.json).
+  * BENCH_ONLY spot runs print a single `"metric":"total"` line with the
+  * full (small) map, as before.
   *
   * Each query is forced through a `noop` sink so the FULL plan materializes —
   * `count()` would let Spark prune projection-only work and under-report.
@@ -330,7 +336,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // On full runs the complete map goes out as "total_full" so exactly ONE
+    // line carries "metric":"total" (the tail-sized compact line below) — a
+    // harness parsing every "total" line must never see two records with
+    // DIFFERENT queries payloads for one pass. Spot runs print no compact
+    // line, so they keep the plain "total" metric.
+    val fullMetric = if (only.isEmpty) "total_full" else "total"
+    val line = s"""{"metric":"$fullMetric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Persist the full result AND the host forensics to files: the driver's
     // stdout tail keeps only the last ~2 KB, which truncated every round's

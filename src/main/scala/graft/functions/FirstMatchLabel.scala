@@ -36,6 +36,14 @@ case class FirstMatchLabel(child: Expression, patterns: Seq[String],
 
   require(patterns.nonEmpty && patterns.length == labels.length,
     s"first_match_label: ${patterns.length} patterns vs ${labels.length} labels")
+  // A null pattern would NPE inside Pattern.compile on first evaluation
+  // (executor-side, as a confusing codegen failure), and a null LABEL would
+  // diverge between paths: interpreted eval returns SQL NULL while codegen
+  // has already set isNull = false before assigning the null UTF8String —
+  // the UnsafeRow writer then NPEs. Rule tables are literals; reject the
+  // malformed table at CONSTRUCTION, on the driver, with a plain message.
+  require(patterns.forall(_ != null), "first_match_label: null pattern in rule table")
+  require(labels.forall(_ != null), "first_match_label: null label in rule table")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess

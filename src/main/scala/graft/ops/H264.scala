@@ -140,10 +140,12 @@ object H264 {
     out.write(esc, 0, esc.length)
   }
 
-  /** Split an Annex-B stream into (nal_unit_type, unescaped RBSP) units.
-    * Accepts both 3- and 4-byte start codes (both are legal in Annex B).
+  /** Split an Annex-B stream into (nal_unit_type, nal_ref_idc, unescaped
+    * RBSP) units. Accepts both 3- and 4-byte start codes (both are legal
+    * in Annex B). ref_idc matters downstream: a non-IDR slice carries
+    * dec_ref_pic_marking only when nal_ref_idc != 0 (7.3.3).
     */
-  private[ops] def splitNals(b: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  private[ops] def splitNals(b: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (payloadStart, scLen)
     var i = 0
     while (i + 2 < b.length) {
@@ -159,17 +161,30 @@ object H264 {
         if (k + 1 < starts.length) starts(k + 1)._1 - starts(k + 1)._2 else b.length
       val hdr = b(s) & 0xff
       require((hdr & 0x80) == 0, "forbidden_zero_bit set")
-      (hdr & 0x1f, unescapeRbsp(java.util.Arrays.copyOfRange(b, s + 1, end)))
+      (hdr & 0x1f, (hdr >> 5) & 3,
+        unescapeRbsp(java.util.Arrays.copyOfRange(b, s + 1, end)))
     }.toSeq
   }
 
+  /** True when a coded-slice RBSP starts a new picture (first_mb_in_slice
+    * == 0) — the spec-correct picture count for multi-slice encodings is
+    * "slices whose first_mb_in_slice is 0", not "slice NALs".
+    */
+  private def startsPicture(rbsp: Array[Byte]): Boolean =
+    try new BitReader(rbsp).ue() == 0 catch { case _: Exception => false }
+
   // ----------------------------------------------------------- SPS / PPS ---
 
+  /** cropX / cropY are the TOTAL cropped luma samples per axis
+    * (SubWidthC·(left+right) and CropUnitY·(top+bottom) — both 2× the
+    * offset units for 4:2:0 frame_mbs_only streams), so the display size
+    * is simply the MB grid minus the crop.
+    */
   final case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
-      cropRight: Int, cropBottom: Int) {
-    def width: Int = widthMbs * 16 - 2 * cropRight
-    def height: Int = heightMbs * 16 - 2 * cropBottom
+      cropX: Int, cropY: Int) {
+    def width: Int = widthMbs * 16 - cropX
+    def height: Int = heightMbs * 16 - cropY
   }
 
   /** Write a baseline SPS (7.3.2.1.1). */
@@ -187,11 +202,13 @@ object H264 {
     w.ue(sps.heightMbs - 1)       // pic_height_in_map_units_minus1
     w.u(1, 1)                     // frame_mbs_only_flag
     w.u(0, 1)                     // direct_8x8_inference_flag
-    val crop = sps.cropRight != 0 || sps.cropBottom != 0
+    val crop = sps.cropX != 0 || sps.cropY != 0
     w.u(if (crop) 1 else 0, 1)    // frame_cropping_flag
     if (crop) {
-      w.ue(0); w.ue(sps.cropRight / 2) // crop units are 2 px for 4:2:0 luma
-      w.ue(0); w.ue(sps.cropBottom / 2)
+      // all crop on the right/bottom edges; offsets are in 2-luma-sample
+      // units for 4:2:0 frame_mbs_only (7.4.2.1.1: SubWidthC = CropUnitY = 2)
+      w.ue(0); w.ue(sps.cropX / 2)
+      w.ue(0); w.ue(sps.cropY / 2)
     }
     w.u(0, 1)                     // vui_parameters_present_flag
     w.trailingBits()
@@ -224,15 +241,15 @@ object H264 {
     val frameMbsOnly = r.u(1) == 1
     if (!frameMbsOnly) r.u(1) // mb_adaptive_frame_field_flag
     r.u(1) // direct_8x8
-    var (cr, cb) = (0, 0)
-    if (r.u(1) == 1) { // cropping
-      r.ue() // left
-      cr = r.ue() * 2
-      r.ue() // top
-      cb = r.ue() * 2
+    var (cx, cy) = (0, 0)
+    if (r.u(1) == 1) { // cropping: total luma crop = 2·(left+right), 2·(top+bottom)
+      val left = r.ue(); val right = r.ue()
+      val top = r.ue(); val bottom = r.ue()
+      cx = (left + right) * 2
+      cy = (top + bottom) * 2
     }
     Sps(profile, level, log2Mfn, pocType, wMbs,
-      if (frameMbsOnly) hMbs else hMbs * 2, cr, cb)
+      if (frameMbsOnly) hMbs else hMbs * 2, cx, cy)
   }
 
   /** Write a minimal PPS (7.3.2.2): CAVLC, one slice group, QP 26. */
@@ -320,13 +337,19 @@ object H264 {
     */
   def decodePcmFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] = {
     val nals = splitNals(annexB)
-    val sps = nals.collectFirst { case (7, rbsp) => parseSps(rbsp) }
+    val sps = nals.collectFirst { case (7, _, rbsp) => parseSps(rbsp) }
       .getOrElse(throw new IllegalArgumentException("no SPS in stream"))
-    require(sps.cropRight == 0 && sps.cropBottom == 0,
+    require(sps.cropX == 0 && sps.cropY == 0,
       "PCM subset decoder: cropped streams unsupported")
+    // ONLY pic_order_cnt_type 2 is parseable here: types 0 and 1 put
+    // extra ordering fields in the slice header, and silently skipping
+    // them would shift every later read — loud rejection, not garbage
+    require(sps.picOrderCntType == 2,
+      s"PCM subset decoder: pic_order_cnt_type ${sps.picOrderCntType} " +
+        "unsupported (slice headers would carry unparsed ordering fields)")
     val mbsX = sps.widthMbs
     val mbsY = sps.heightMbs
-    nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, rbsp) =>
+    nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
       val firstMb = r.ue()
       require(firstMb == 0, "PCM subset decoder: one slice per picture")
@@ -335,13 +358,9 @@ object H264 {
       r.ue()                        // pps id
       r.u(sps.log2MaxFrameNum)      // frame_num
       if (nalType == 5) r.ue()      // idr_pic_id
-      sps.picOrderCntType match {
-        case 0 => throw new IllegalArgumentException(
-          "PCM subset decoder: pic_order_cnt_type 0 unsupported")
-        case _ => ()
-      }
       if (nalType == 5) { r.u(1); r.u(1) } // dec_ref_pic_marking (IDR)
-      else r.u(1)                   // adaptive_ref_pic_marking_mode_flag
+      else if (refIdc != 0) r.u(1)  // adaptive_ref_pic_marking_mode_flag
+      // (a non-reference non-IDR slice carries NO dec_ref_pic_marking)
       r.se()                        // slice_qp_delta
       val plane = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       var mb = 0
@@ -368,18 +387,23 @@ object H264 {
   // ------------------------------------------------- MediaDecoder bridge ---
 
   /** Metadata decoder over REAL H.264 Annex-B payloads: dimensions from
-    * the parsed SPS (cropping window applied), frame count = coded-slice
-    * NALs. Works on ANY baseline/main H.264 stream — not just the PCM
-    * subset — because it only needs the bitstream layer. Poison-safe.
+    * the parsed SPS (cropping window applied — total luma crop per axis),
+    * frame count = coded slices whose first_mb_in_slice is 0 (pictures,
+    * robust to multi-slice encodings). Works on ANY baseline/main H.264
+    * stream — not just the PCM subset — because it only needs the
+    * bitstream layer. Poison-safe.
     */
   object MetaDecoder extends Multimodal.MediaDecoder {
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Multimodal.MediaMeta] =
       payloads.map { bytes =>
         try {
           val nals = splitNals(bytes)
-          val sps = nals.collectFirst { case (7, rbsp) => parseSps(rbsp) }
+          val sps = nals.collectFirst { case (7, _, rbsp) => parseSps(rbsp) }
             .getOrElse(throw new IllegalArgumentException("no SPS"))
-          val frames = nals.count(n => n._1 == 1 || n._1 == 5)
+          // pictures, not slice NALs: multi-slice encodings emit several
+          // slices per picture, distinguished by first_mb_in_slice == 0
+          val frames = nals.count(n =>
+            (n._1 == 1 || n._1 == 5) && startsPicture(n._3))
           Multimodal.MediaMeta("h264", sps.width, sps.height, frames,
             if (bytes == null) 0L else bytes.length.toLong)
         } catch {

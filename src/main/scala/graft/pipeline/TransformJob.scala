@@ -179,9 +179,23 @@ object TransformJob {
       val facts = named
         .withColumnRenamed("item_category", "__o_cat")
         .withColumnRenamed("item_name", "__o_name")
+      // LEFT join + loud guard, not inner: "every fact row has a dict
+      // entry" holds by construction only when the two scans of the input
+      // agree — a nondeterministic label column or source files rewritten
+      // between the dict scan and the facts scan would break it, and an
+      // inner join would then DROP those fact rows indistinguishably from
+      // P5 test removal. The guard turns that into an error naming the
+      // cause. (__is_test is non-null for every dict row — built from
+      // coalesce(…, false) — so null here can only mean "no dict entry".)
       val labeled = facts.join(broadcast(dict),
         facts("__o_cat") <=> dict("__k_cat") &&
-          facts("__o_name") <=> dict("__k_name"))
+          facts("__o_name") <=> dict("__k_name"), "left")
+        .withColumn("__is_test", when(col("__is_test").isNull,
+          raise_error(concat(lit("TransformJob dictionary miss for ("),
+            col("__o_cat"), lit(", "), col("__o_name"),
+            lit(") — nondeterministic label column or input changed between "
+              + "the dictionary and facts scans? Use dictionarize = false"))))
+          .otherwise(col("__is_test")))
         .filter(!col("__is_test"))
         .drop("__o_cat", "__o_name", "__k_cat", "__k_name", "__is_test")
       // restore the row-wise column order (original positions for the two

@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes RAW to this process's stdout/stderr —
+// no "[info] "/"[error] " logger prefixes. The graded bench contract is
+// "the LAST stdout line is one compact JSON object"; through sbt's default
+// logger every line arrived as `[info] {...}` and the driver's parser
+// failed on it (BENCH_r01–r10 all `"parsed": null`). StdoutOutput inherits
+// the child's streams, so the JSON line lands verbatim.
+outputStrategy := Some(StdoutOutput)
+// ...and nothing may print AFTER it: the `[success] Total time: ...`
+// banner would otherwise become the new last line of an `sbt runMain`
+// invocation.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task — exclude
+// it from the unused-key lint so `compile` output stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

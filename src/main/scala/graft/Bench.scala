@@ -43,6 +43,12 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Every JSON line below is built with the f-interpolator (%.3f, %.2f),
+    // which formats through the DEFAULT JVM locale — under a comma-decimal
+    // locale (de_DE etc.) the emitted "3,142" would be invalid JSON and
+    // break the driver contract this file exists to honor (ADVICE r10).
+    // Pin ROOT process-wide before the first formatted emission.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val scratch = shmScratch()

@@ -89,7 +89,13 @@ object H264 {
       var zeros = 0
       while (u(1) == 0) {
         zeros += 1
-        require(zeros <= 31, "exp-golomb run too long (corrupt stream)")
+        // 30, not 31: at zeros=31 the codeNum range is [2^31-1, 2^32-2],
+        // whose toInt truncation goes NEGATIVE — a hostile stream could
+        // then smuggle garbage width/height through parseSps as a "valid"
+        // h264 MediaMeta instead of degrading to "unknown" (ADVICE r10).
+        // At zeros=30 the max codeNum is 2^31-2, still a positive Int; no
+        // field this subset reads legitimately approaches that.
+        require(zeros <= 30, "exp-golomb run too long (corrupt stream)")
       }
       ((1L << zeros) - 1 + u(zeros)).toInt
     }
@@ -248,8 +254,22 @@ object H264 {
       cx = (left + right) * 2
       cy = (top + bottom) * 2
     }
-    Sps(profile, level, log2Mfn, pocType, wMbs,
+    // Sanity gates on the parsed fields (7.4.2.1.1 value ranges): a stream
+    // that decodes to out-of-range values is corrupt even if every ue() was
+    // individually well-formed. Throwing here is what lets MetaDecoder's
+    // poison-safe catch downgrade the payload to "unknown" (ADVICE r10).
+    require(log2Mfn >= 4 && log2Mfn <= 16,
+      s"log2_max_frame_num $log2Mfn outside [4,16]")
+    // level 6.2's MaxFS is 139,264 MBs; 2^20 bounds every legal level with
+    // headroom while rejecting garbage-as-dimensions
+    require(wMbs >= 1 && wMbs <= (1 << 20) && hMbs >= 1 && hMbs <= (1 << 20)
+        && wMbs.toLong * hMbs <= (1 << 20),
+      s"implausible MB grid ${wMbs}x$hMbs")
+    val sps = Sps(profile, level, log2Mfn, pocType, wMbs,
       if (frameMbsOnly) hMbs else hMbs * 2, cx, cy)
+    require(sps.width > 0 && sps.height > 0,
+      s"cropping window ${cx}x$cy exceeds the coded frame")
+    sps
   }
 
   /** Write a minimal PPS (7.3.2.2): CAVLC, one slice group, QP 26. */

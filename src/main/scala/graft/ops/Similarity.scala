@@ -136,7 +136,7 @@ object Similarity {
     * construction (hash partitioning on sig), so the cap check is local.
     *
     * Task memory is bounded by ONE bucket, not the task's whole partition:
-    * rows arrive `sortWithinPartitions(sig, id)` (a local sort above the
+    * rows arrive `sortWithinPartitions(sig, id, xxhash64(v))` (a local sort above the
     * single linear exchange — spillable SortExec, not a HashMap of every
     * bucket in the partition), so the scorer streams bucket-contiguous
     * rows and holds at most `maxBucketSize` (id, vec, norm) members
@@ -161,7 +161,14 @@ object Similarity {
       .withColumn("sig", hyperplaneSignature("v", numBits, dim))
       .filter(col("sig").isNotNull)
       .repartition(spark.sparkContext.defaultParallelism, col("sig"))
-      .sortWithinPartitions(col("sig"), col("id"))
+      // third sort key = content hash: rows sharing (sig, id) but carrying
+      // DIFFERENT vectors (an upstream contract violation, but possible)
+      // would otherwise arrive in shuffle order, making the kept-first
+      // representative — and thus the emitted cosines — vary run-to-run
+      // (ADVICE r10). With the codegen'd xxhash64 tie-break the dedup
+      // below always keeps the same row; for true bit-identical
+      // duplicates every choice is identical anyway.
+      .sortWithinPartitions(col("sig"), col("id"), xxhash64(col("v")))
       .select(col("sig"), col("id"), col("v"), col("nrm"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id_a",

@@ -54,14 +54,20 @@ object MetricsJob {
         Exact.davg(col("revenue")).as("avg_revenue"),
         min(col("revenue")).as("min_revenue"))
 
-  /** A4/A5/J3 — CLV buckets via one-pass per-restaurant percentiles. */
-  def clvBuckets(base: DataFrame): DataFrame = {
+  /** A4/A5/J3 — CLV buckets via one-pass per-restaurant percentiles.
+    * `mode` ([[graft.ops.Percentiles]]): exact is the oracle-gated
+    * default; a restaurant with ~10⁸ customers at 100 TB swaps the
+    * threshold aggregation to the mergeable approx sketch — the
+    * broadcast-join bucketing plan is unchanged.
+    */
+  def clvBuckets(base: DataFrame,
+      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val perCust = nonGuest(base)
       .groupBy(col("restaurant_id"), col("customer_id"))
       .agg(Exact.dsum(col("revenue")).as("clv"))
     val th = perCust.groupBy(col("restaurant_id"))
-      .agg(expr("percentile(clv, 0.2)").as("low_th"),
-        expr("percentile(clv, 0.8)").as("high_th"))
+      .agg(graft.ops.Percentiles.pctl(col("clv"), 0.2, mode).as("low_th"),
+        graft.ops.Percentiles.pctl(col("clv"), 0.8, mode).as("high_th"))
     perCust.join(broadcast(th), Seq("restaurant_id"))
       .withColumn("clv_bucket",
         when(col("clv") >= col("high_th"), "High CLV")

@@ -49,8 +49,14 @@ object ParityQ {
     * threshold table is tiny ⇒ broadcast join + when-arithmetic, all
     * codegen (`go-quality-elt.py:144-168` did this as a per-row Python dict
     * lookup).
+    *
+    * `mode` ([[graft.ops.Percentiles]]): exact per-brand percentiles are
+    * the oracle-gated default; a brand with ~10⁹ lineitems at 100 TB
+    * swaps to the mergeable approx sketch — same broadcast-join plan,
+    * bounded aggregation state (PercentileModeSpec pins the swap).
     */
-  def thresholdSeverity(spark: SparkSession, dir: String): DataFrame = {
+  def thresholdSeverity(spark: SparkSession, dir: String,
+      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val t = Tables(spark, dir)
     // Narrow projection persisted ONCE and memoized per (session, dir):
     // both the percentile aggregation and the final flagging pass consume
@@ -70,10 +76,10 @@ object ParityQ {
     }
     val th = joined.groupBy(col("p_brand"))
       .agg(
-        expr("percentile(l_extendedprice, 0.05)").as("price_low"),
-        expr("percentile(l_extendedprice, 0.95)").as("price_high"),
-        expr("percentile(l_quantity, 0.05)").as("qty_low"),
-        expr("percentile(l_quantity, 0.95)").as("qty_high"))
+        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.05, mode).as("price_low"),
+        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.95, mode).as("price_high"),
+        graft.ops.Percentiles.pctl(col("l_quantity"), 0.05, mode).as("qty_low"),
+        graft.ops.Percentiles.pctl(col("l_quantity"), 0.95, mode).as("qty_high"))
     val priceViol = when(col("l_extendedprice") < col("price_low") ||
       col("l_extendedprice") > col("price_high"), 1).otherwise(0)
     val qtyViol = when(col("l_quantity") < col("qty_low") ||
@@ -235,7 +241,8 @@ object ParityQ {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q44_threshold_stats", thresholdStats, Some(thresholdStatsSql)),
-    QueryDef("q45_threshold_severity", thresholdSeverity, Some(thresholdSeveritySql)),
+    QueryDef("q45_threshold_severity", (s, d) => thresholdSeverity(s, d),
+      Some(thresholdSeveritySql)),
     QueryDef("q46_rfm_clv_merge", rfmClvMerge, Some(rfmClvMergeSql)),
     QueryDef("q49_rollup_revenue", rollupRevenue, Some(rollupRevenueSql)),
     QueryDef("q97_cube_revenue", cubeRevenue, Some(cubeRevenueSql)),

@@ -277,16 +277,22 @@ object StatsQ {
     * 5.1891 (= 3.5·1.4826 exactly, avoiding a cross-engine
     * literal-product) and counts a deterministic double comparison — no
     * rounding needed anywhere.
+    *
+    * `mode` is the 100 TB knob ([[graft.ops.Percentiles]]): both median
+    * passes buffer one group's values in exact mode; approx mode swaps in
+    * the mergeable sketch with a rank-error bound (PercentileModeSpec
+    * pins that the flag set is stable under the swap on fixture data).
     */
-  def robustOutliers(spark: SparkSession, dir: String): DataFrame = {
+  def robustOutliers(spark: SparkSession, dir: String,
+      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val t = Tables(spark, dir)
     val orders = t.orders
     val med = orders.groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      .agg(graft.ops.Percentiles.pctl(col("o_totalprice"), 0.5, mode).as("med"))
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("absdev", abs(col("o_totalprice") - col("med")))
     val stats = dev.groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      .agg(graft.ops.Percentiles.pctl(col("absdev"), 0.5, mode).as("mad"))
     dev.join(broadcast(stats), "o_orderpriority")
       .withColumn("robust_z",
         when(col("mad") =!= 0.0,
@@ -460,17 +466,22 @@ object StatsQ {
     *
     * Scale note: exact `percentile` over ONE global group buffers the
     * column in a single aggregation state — fine at the oracle gate, but
-    * at 100 TB the bounds step swaps to `approx_percentile` (t-digest,
-    * mergeable, bounded state) and trades the exact oracle for an
-    * error-bound assert (the q48 sketch pattern). The binning plan —
-    * broadcast bounds, map-side comparison chain — is unchanged.
+    * at 100 TB the bounds step swaps to [[graft.ops.Percentiles.Approx]]
+    * (Greenwald–Khanna sketch, mergeable, bounded state) and trades the
+    * exact oracle for a rank-error-bound assert (the q48 sketch pattern —
+    * q234 runs THIS operator in approx mode under that gate). The binning
+    * plan — broadcast bounds, map-side comparison chain — is unchanged;
+    * only the bounds aggregation differs.
     */
-  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def equidepthHistogram(spark: SparkSession, dir: String,
+      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val t = Tables(spark, dir)
     val x = t.orders.select(col("o_totalprice").as("x"))
     val bounds = x.agg(
-      (1 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")).head,
-      (2 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")): _*)
+      (1 to 9).map(j =>
+        graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")).head,
+      (2 to 9).map(j =>
+        graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")): _*)
     val bin = (1 to 9).map(j =>
       when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
     x.crossJoin(broadcast(bounds))
@@ -494,6 +505,49 @@ object StatsQ {
        |  ${graft.ops.OracleSql.dsum("x")} AS total
        |FROM assigned GROUP BY bin""".stripMargin
   }
+
+  /** q234 — the 100 TB percentile path UNDER THE ORACLE GATE: q130's
+    * equi-depth bounds recomputed in [[graft.ops.Percentiles.Approx]] mode
+    * (accuracy 10000), with the sketch's rank-error contract verified
+    * inside the plan and exported as per-decile booleans the oracle
+    * asserts (the q48 sketch-gating pattern — an approximate value can't
+    * hash-match a cross-engine exact, but its ERROR BOUND can).
+    *
+    * For each approx decile tⱼ, the empirical rank fraction
+    * |{x ≤ tⱼ}| / n must sit within 0.005 of j/10 — 50× the sketch's
+    * guaranteed n/accuracy rank error at gate scale, slack for duplicate
+    * values (the count includes every tie of tⱼ), and 20× tighter than
+    * the 10%-wide decision the bounds feed. The verification aggregation
+    * is itself scale-shaped: one pass, map-side comparisons against the
+    * broadcast 1-row bounds, constant output.
+    */
+  def equidepthApproxGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Percentiles
+    val t = Tables(spark, dir)
+    val x = t.orders.select(col("o_totalprice").as("x"))
+    val bounds = x.agg(
+      (1 to 9).map(j =>
+        Percentiles.pctl(col("x"), j / 10.0, Percentiles.Approx(10000)).as(s"t$j")).head,
+      (2 to 9).map(j =>
+        Percentiles.pctl(col("x"), j / 10.0, Percentiles.Approx(10000)).as(s"t$j")): _*)
+    val ranked = x.crossJoin(broadcast(bounds))
+      .agg(count(lit(1)).as("n"),
+        (1 to 9).map(j =>
+          sum(when(col("x") <= col(s"t$j"), 1L).otherwise(0L)).as(s"r$j")): _*)
+    val perDecile = array((1 to 9).map(j => struct(
+      lit(j).as("decile"),
+      (abs(col(s"r$j") / col("n") - lit(j / 10.0)) <= lit(0.005)).as("rank_ok"))): _*)
+    ranked.select(explode(perDecile).as("d"))
+      .select(col("d.decile").as("decile"), col("d.rank_ok").as("rank_ok"))
+  }
+
+  /** The oracle asserts the CONTRACT (every decile inside its rank-error
+    * bound), not the sketch values — the q48 precedent for approximate
+    * operators.
+    */
+  private val equidepthApproxGateSql =
+    """SELECT CAST(decile AS INT) AS decile, TRUE AS rank_ok
+      |FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(decile)""".stripMargin
 
   /** q140 — referential-integrity audit across the star schema: per FK
     * relationship, total child rows and ORPHANS (child keys with no
@@ -1378,11 +1432,15 @@ object StatsQ {
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
-    QueryDef("q130_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
+    QueryDef("q130_equidepth_histogram", (s, d) => equidepthHistogram(s, d),
+      Some(equidepthHistogramSql)),
+    QueryDef("q234_equidepth_approx_gate", equidepthApproxGate,
+      Some(equidepthApproxGateSql)),
     QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q114_stratified_split", stratifiedSplit, Some(stratifiedSplitSql)),
     QueryDef("q109_key_integrity", keyIntegrity, Some(keyIntegritySql)),
-    QueryDef("q108_robust_outliers", robustOutliers, Some(robustOutliersSql)),
+    QueryDef("q108_robust_outliers", (s, d) => robustOutliers(s, d),
+      Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q98_spearman", spearman, Some(spearmanSql)),
     QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),

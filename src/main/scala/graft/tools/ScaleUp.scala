@@ -14,12 +14,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    consistent within a copy, never collide across copies. Dimension keys
   *    (`partkey`/`suppkey`/`custkey`) are untouched: facts grow, dims don't,
   *    which is exactly how warehouse scale-up behaves.
-  *  - `documents` copies shift `doc_id` by k·10⁷ and Caesar-rotate the text
-  *    (`translate` over a rotated alphabet): word lengths, shingle counts and
-  *    within-copy similarity structure are EXACTLY preserved while shingle
-  *    sets across copies are disjoint — so near-dup pair/component counts
-  *    scale exactly linearly and any super-linear runtime is the engine's
-  *    fault, not the generator's.
+  *  - `documents` copies shift `doc_id` by k·10⁷ and substitute the text
+  *    through a per-copy AFFINE cipher σ(i) = m·i + r (mod 26), m coprime
+  *    to 26 (`translate` over the permuted alphabet): any letter bijection
+  *    preserves word lengths, shingle counts and within-copy similarity
+  *    structure EXACTLY, while distinct permutations keep shingle sets
+  *    across copies disjoint — so near-dup pair/component counts scale
+  *    exactly linearly and any super-linear runtime is the engine's fault,
+  *    not the generator's. Rounds ≤10 used plain Caesar rotations (the
+  *    m = 1 column of the affine family), which wrap at 26 copies; the
+  *    12 units of ℤ/26 × 26 shifts give 312 distinct permutations, so
+  *    the 100× scale table (VERDICT r10 item 3) fits with headroom.
+  *    Copy 0 is (m=1, r=0) = identity, so source docs survive unchanged.
   *  - `embeddings` copies shift `vec_id` by k·10⁶ and apply a per-copy
   *    ±1 sign-flip to each coordinate (a diagonal orthogonal transform):
   *    every within-copy dot product, norm, and cosine is preserved
@@ -45,7 +51,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ScaleUp {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
-  private def rot(k: Int): String = alpha.drop(k % 26) + alpha.take(k % 26)
+
+  /** Multiplicative units of ℤ/26 — the valid `m` of an affine cipher.
+    * m=1 first so copies 0–25 are exactly the Caesar rotations earlier
+    * rounds generated (k=0 the identity), keeping old scale dirs
+    * regenerable bit-for-bit at factor ≤ 26.
+    */
+  private val units = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Image alphabet of copy k's substitution: position i holds
+    * σₖ('a'+i) where σₖ(i) = mₖ·i + rₖ (mod 26), (mₖ, rₖ) =
+    * (units(k/26), k%26). Distinct k < 312 give distinct permutations
+    * (an affine map over ℤ/26 is determined by σ(0)=r and σ(1)−σ(0)=m).
+    */
+  private[tools] def affine(k: Int): String = {
+    require(k >= 0 && k < units.length * 26, s"copy index $k out of range")
+    val m = units(k / 26); val r = k % 26
+    (0 until 26).map(i => alpha((m * i + r) % 26)).mkString
+  }
 
   /** Deterministic ±1 pattern for copy k (identity for k=0): one step of a
     * 64-bit LCG per coordinate, seeded by k — reproducible across runs and
@@ -82,10 +105,11 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "target/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
-    // the Caesar rotation wraps at 26 (copy 26's text would be byte-identical
-    // to copy 0's, silently breaking the disjoint-shingle guarantee), and the
-    // doc_id shift stride bounds the per-copy id space
-    require(factor >= 1 && factor <= 26, s"factor ($factor) must be in [1, 26]")
+    // the affine substitution family holds 312 distinct permutations (12
+    // units × 26 shifts); past that, copies would repeat text byte-for-byte
+    // and silently break the disjoint-shingle guarantee. Id strides bound
+    // the per-copy key spaces well above 312 on every driver SF.
+    require(factor >= 1 && factor <= 312, s"factor ($factor) must be in [1, 312]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,7 +155,7 @@ object ScaleUp {
     write(copies(docs) { (d, k) =>
       d.withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
         .withColumn("text", translate(col("text"),
-          alpha + alpha.toUpperCase, rot(k) + rot(k).toUpperCase))
+          alpha + alpha.toUpperCase, affine(k) + affine(k).toUpperCase))
     }, "documents")
 
     // events copies shift event_id (tiebreaker stays unique) AND user_id

@@ -13,6 +13,19 @@ class ScaleUpSpec extends SparkTestBase {
     assert(p.exists(_ == -1f), "non-zero copies must actually flip signs")
   }
 
+  test("affine alphabets: identity at 0, Caesar for k<26, all 312 distinct bijections") {
+    assert(ScaleUp.affine(0) == "abcdefghijklmnopqrstuvwxyz")
+    // copies 1..25 must stay the Caesar rotations rounds ≤10 generated,
+    // so factor ≤26 scale dirs regenerate bit-for-bit
+    assert(ScaleUp.affine(1) == "bcdefghijklmnopqrstuvwxyza")
+    assert(ScaleUp.affine(25) == "zabcdefghijklmnopqrstuvwxy")
+    val all = (0 until 312).map(ScaleUp.affine)
+    all.foreach(a => assert(a.sorted == "abcdefghijklmnopqrstuvwxyz",
+      s"$a is not a permutation of the alphabet"))
+    assert(all.distinct.size == 312, "affine alphabets must be pairwise distinct")
+    intercept[IllegalArgumentException](ScaleUp.affine(312))
+  }
+
   test("ragged embedding dimensions are rejected loudly, not null-padded") {
     val ragged = Seq(
       (1L, Seq(1.0f, 2.0f, 3.0f)),

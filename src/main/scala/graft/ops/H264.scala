@@ -138,7 +138,7 @@ object H264 {
   }
 
   /** One NAL unit: 4-byte start code + header byte + escaped RBSP. */
-  private def writeNal(out: java.io.ByteArrayOutputStream, refIdc: Int,
+  private[ops] def writeNal(out: java.io.ByteArrayOutputStream, refIdc: Int,
       nalType: Int, rbsp: Array[Byte]): Unit = {
     out.write(StartCode)
     out.write((refIdc << 5) | nalType) // forbidden_zero_bit = 0
@@ -176,7 +176,7 @@ object H264 {
     * == 0) — the spec-correct picture count for multi-slice encodings is
     * "slices whose first_mb_in_slice is 0", not "slice NALs".
     */
-  private def startsPicture(rbsp: Array[Byte]): Boolean =
+  private[ops] def startsPicture(rbsp: Array[Byte]): Boolean =
     try new BitReader(rbsp).ue() == 0 catch { case _: Exception => false }
 
   // ----------------------------------------------------------- SPS / PPS ---
@@ -194,7 +194,7 @@ object H264 {
   }
 
   /** Write a baseline SPS (7.3.2.1.1). */
-  private def writeSps(sps: Sps): Array[Byte] = {
+  private[ops] def writeSps(sps: Sps): Array[Byte] = {
     val w = new BitWriter
     w.u(sps.profileIdc.toLong, 8) // profile_idc (66 = baseline)
     w.u(0, 8)                     // constraint_set0..5 + 2 reserved zero
@@ -273,7 +273,7 @@ object H264 {
   }
 
   /** Write a minimal PPS (7.3.2.2): CAVLC, one slice group, QP 26. */
-  private def writePps(): Array[Byte] = {
+  private[ops] def writePps(): Array[Byte] = {
     val w = new BitWriter
     w.ue(0)    // pic_parameter_set_id
     w.ue(0)    // seq_parameter_set_id

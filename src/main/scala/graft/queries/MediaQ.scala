@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Avi, H264, Mp4, Multimodal}
+import graft.ops.{Avi, H264, H264Cavlc, Mp4, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -706,7 +706,162 @@ object MediaQ {
       |  CAST((11 * doc_id + 17 * k) % 256 AS INT) AS gray
       |FROM f""".stripMargin
 
+  private val cavlcSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("probe", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("px", IntegerType)))
+
+  /** q235 — H.264 **intra-CAVLC** decode ([[H264Cavlc]]): per doc, plant
+    * quantized coefficient LEVELS (not pixels) as deterministic functions
+    * of `doc_id`, encode them as a conformant two-frame I-slice stream —
+    * Intra_16x16 DC/Horizontal predicted MBs with luma-DC Hadamard levels
+    * and per-block AC residuals, an Intra_4x4 MB with planted DC/AC/B-class
+    * coefficients plus chroma DC, an interleaved I_PCM MB, and per-MB
+    * mb_qp_delta ±1 — then run the full decode: CAVLC (coeff_token /
+    * trailing ones / level suffix adaptation / total_zeros / run_before,
+    * real nC neighbor contexts across MBs), dequant at a per-doc QP
+    * (all six %6 classes exercised across docs), inverse Hadamard + IDCT,
+    * and intra prediction chained across macroblocks. Seven probe pixels
+    * per doc are emitted; the DuckDB oracle recomputes every one of them
+    * from the spec's dequant/transform/prediction arithmetic INDEPENDENTLY
+    * of the Scala — the q233 proof strength, now on predicted macroblocks
+    * (VERDICT r10 item 4: the last "documented boundary" made native).
+    *
+    * Scale shape: map-only, one scan, 7 rows per doc — no shuffle.
+    */
+  def h264CavlcProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val l0 = (id % 7).toInt - 3
+        val l1 = 1 + (id % 3).toInt
+        val a1 = (id % 5).toInt - 2
+        val a2 = 2 * (id % 2).toInt - 1
+        val a3 = 1 + (id % 4).toInt
+        val l2 = 2 - (id % 5).toInt
+        val c0 = (id % 9).toInt - 4
+        val c1 = 1 + (id % 6).toInt
+        val tt = if (id % 2 == 0) 1 else -1
+        val e0 = (id % 3).toInt - 1
+        val g0 = ((11 * id + 5) % 256).toInt
+        def acBlock(x: Int, y: Int, z: Int) =
+          Array.fill(16)(Array(x, y, 0, 0, z) ++ Array.fill(10)(0))
+        val frame1 = Seq(
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)),
+          H264Cavlc.I16x16(1, Array(l1) ++ Array.fill(15)(0),
+            acBlock(a1, a2, a3), qpDelta = 1),
+          H264Cavlc.I16x16(1, Array(l2) ++ Array.fill(15)(0),
+            acBlock(a2, a3, a1), qpDelta = -1))
+        val blk0 = Array(c0, c1, 0, 0, tt) ++ Array.fill(11)(0)
+        val frame2 = Seq(
+          H264Cavlc.I4x4(Array.fill(16)(2),
+            Array(blk0) ++ Array.fill(15)(Array.fill(16)(0)), cbpLuma = 3,
+            chromaDc = Array(Array(e0, 0, 0, 0), Array(1, 0, 0, 0))),
+          H264Cavlc.Pcm(g0),
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+        val stream = H264Cavlc.encodeIntra(3, 1, qp, Seq(frame1, frame2))
+        val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+        require(meta.format == "h264",
+          s"CAVLC stream failed the SPS metadata parse for doc $id")
+        val fs = H264Cavlc.decodeIntraFrames(stream)
+        require(fs.length == 2, s"frame count drift for doc $id: ${fs.length}")
+        val f1 = fs(0); val f2 = fs(1)
+        Seq(
+          ("f1_mb0", f1(0)(0)), ("f1_mb1_c0", f1(0)(16)),
+          ("f1_mb1_c15", f1(0)(31)), ("f1_mb2", f1(0)(32)),
+          ("f2_i4x4", f2(0)(0)), ("f2_pcm", f2(0)(16)),
+          ("f2_dc16", f2(0)(32))
+        ).map { case (p, v) =>
+          Row(id, p, meta.width, meta.height, meta.n_frames, v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(cavlcSchema))
+  }
+
+  /** The oracle recomputes every probe from the spec arithmetic: flat
+    * dequant V-classes A/B/C by qp%6, the DC-Hadamard scaling
+    * l·A·2^(qp/6−2), the IDCT's final floor((x+32)/64), and the
+    * DC/Horizontal prediction chain across macroblocks. Floor (not
+    * truncating) division mirrors the arithmetic right shift.
+    */
+  private val h264CavlcSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(doc_id % 7 - 3 AS INT) AS l0,
+      |    CAST(1 + doc_id % 3 AS INT) AS l1,
+      |    CAST(doc_id % 5 - 2 AS INT) AS a1,
+      |    CAST(2 * (doc_id % 2) - 1 AS INT) AS a2,
+      |    CAST(1 + doc_id % 4 AS INT) AS a3,
+      |    CAST(2 - doc_id % 5 AS INT) AS l2,
+      |    CAST(doc_id % 9 - 4 AS INT) AS c0,
+      |    CAST(1 + doc_id % 6 AS INT) AS c1,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS INT) AS tt,
+      |    CAST((11 * doc_id + 5) % 256 AS INT) AS g0
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k, qp % 6 AS m, (qp + 1) // 6 AS k1, (qp + 1) % 6 AS m1,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va,
+      |    ([16,18,20,23,25,29])[qp % 6 + 1] AS vb,
+      |    ([13,14,16,18,20,23])[qp % 6 + 1] AS vc,
+      |    ([10,11,13,14,16,18])[(qp + 1) % 6 + 1] AS va1,
+      |    ([13,14,16,18,20,23])[(qp + 1) % 6 + 1] AS vc1
+      |  FROM base
+      |), px0 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((l0 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS v0
+      |  FROM scaled
+      |), px1 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0, v0 + CAST(floor((
+      |      l1 * va1 * (1 << (k1 - 2)) + a1 * vc1 * (1 << k1)
+      |      + a2 * vc1 * (1 << k1) + a3 * va1 * (1 << k1) + 32) / 64.0) AS BIGINT)
+      |    )) AS p016,
+      |    LEAST(255, GREATEST(0, v0 + CAST(floor((
+      |      l1 * va1 * (1 << (k1 - 2)) + a3 * va1 * (1 << k1)
+      |      - a1 * vc1 * (1 << k1) + a2 * vc1 * (1 << k1) + 32) / 64.0) AS BIGINT)
+      |    )) AS p031
+      |  FROM px0
+      |), px2 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0, p031 + CAST(floor((
+      |      l2 * va * (1 << (k - 2)) + a2 * vc * (1 << k)
+      |      + a3 * vc * (1 << k) + a1 * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    )) AS p032,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((c0 * va * (1 << k) + c1 * vc * (1 << k)
+      |        + tt * vb * (1 << k) + 32) / 64.0) AS BIGINT))) AS p4x4,
+      |    LEAST(255, GREATEST(0,
+      |      g0 + CAST(floor((l0 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS pdc16
+      |  FROM px1
+      |)
+      |SELECT doc_id, p.probe,
+      |  48 AS width, 16 AS height, 2 AS n_frames,
+      |  CAST(CASE p.probe
+      |    WHEN 'f1_mb0' THEN v0
+      |    WHEN 'f1_mb1_c0' THEN p016
+      |    WHEN 'f1_mb1_c15' THEN p031
+      |    WHEN 'f1_mb2' THEN p032
+      |    WHEN 'f2_i4x4' THEN p4x4
+      |    WHEN 'f2_pcm' THEN g0
+      |    WHEN 'f2_dc16' THEN pdc16
+      |  END AS INT) AS px
+      |FROM px2
+      |CROSS JOIN (VALUES ('f1_mb0'), ('f1_mb1_c0'), ('f1_mb1_c15'),
+      |  ('f1_mb2'), ('f2_i4x4'), ('f2_pcm'), ('f2_dc16')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q235_h264_cavlc_probes", h264CavlcProbes, Some(h264CavlcSql)),
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),
     QueryDef("q176_audio_meta", audioMeta, Some(audioMetaSql)),

@@ -39,7 +39,9 @@ object DiskCache {
   private def root = new java.io.File(
     sys.props.getOrElse("graft.cache.dir", "target/artifact-cache"))
 
-  def enabled: Boolean = !sys.env.contains("SPARK_GRAFT_NO_DISKCACHE")
+  def enabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_NO_DISKCACHE").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
 
   /** Fingerprint of the given tables' parquet files under `dir`: file
     * names, sizes and mtimes — cheap (no data read), and any regeneration
@@ -72,7 +74,18 @@ object DiskCache {
     if (!enabled) return build
     val target = new java.io.File(root, key)
     def ok = new java.io.File(target, "_SUCCESS").isFile
-    if (ok) return spark.read.parquet(target.getAbsolutePath)
+    if (ok) {
+      // hit path inside the guard too: a corrupted entry or one swept by
+      // a concurrent JVM must fall back to the build, never fail the query
+      try {
+        val hit = spark.read.parquet(target.getAbsolutePath)
+        target.setLastModified(System.currentTimeMillis()) // LRU touch
+        return hit
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[diskcache] $key hit unreadable, rebuilding: ${e.getMessage}")
+      }
+    }
     val df = build
     try {
       root.mkdirs()
@@ -94,17 +107,25 @@ object DiskCache {
     }
   }
 
-  /** Keep only the newest [[maxEntries]] artifacts. */
+  /** Bound the store: drop artifacts beyond the newest [[maxEntries]],
+    * but only ones untouched for [[minIdleMs]] (hits refresh mtime, so a
+    * concurrently-read artifact is never yanked from under a lazy plan),
+    * and clean up `.tmp-` build dirs orphaned by a killed JVM.
+    */
+  private val minIdleMs = 6L * 3600 * 1000
   private def sweep(): Unit = {
-    val entries = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
-      .sortBy(-_.lastModified())
-    entries.drop(maxEntries).foreach { d =>
-      def wipe(x: java.io.File): Unit = {
-        if (x.isDirectory) x.listFiles().foreach(wipe)
-        x.delete(); ()
-      }
-      wipe(d)
+    def wipe(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(wipe)
+      x.delete(); ()
     }
+    val now = System.currentTimeMillis()
+    val all = Option(root.listFiles()).getOrElse(Array.empty)
+    all.filter(f => f.getName.startsWith(".tmp-") && now - f.lastModified() > minIdleMs)
+      .foreach(wipe)
+    all.filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
+      .sortBy(-_.lastModified())
+      .drop(maxEntries)
+      .filter(now - _.lastModified() > minIdleMs)
+      .foreach(wipe)
   }
 }

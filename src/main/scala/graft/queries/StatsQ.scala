@@ -473,15 +473,22 @@ object StatsQ {
     * plan — broadcast bounds, map-side comparison chain — is unchanged;
     * only the bounds aggregation differs.
     */
-  def equidepthHistogram(spark: SparkSession, dir: String,
-      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
-    val t = Tables(spark, dir)
-    val x = t.orders.select(col("o_totalprice").as("x"))
-    val bounds = x.agg(
+  /** The ONE decile-bounds aggregation q130 bins with and q234 gates —
+    * shared so the gate can never drift from the computation it certifies.
+    */
+  private def decileBounds(x: DataFrame,
+      mode: graft.ops.Percentiles.Mode): DataFrame =
+    x.agg(
       (1 to 9).map(j =>
         graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")).head,
       (2 to 9).map(j =>
         graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")): _*)
+
+  def equidepthHistogram(spark: SparkSession, dir: String,
+      mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
+    val t = Tables(spark, dir)
+    val x = t.orders.select(col("o_totalprice").as("x"))
+    val bounds = decileBounds(x, mode)
     val bin = (1 to 9).map(j =>
       when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
     x.crossJoin(broadcast(bounds))
@@ -525,11 +532,7 @@ object StatsQ {
     import graft.ops.Percentiles
     val t = Tables(spark, dir)
     val x = t.orders.select(col("o_totalprice").as("x"))
-    val bounds = x.agg(
-      (1 to 9).map(j =>
-        Percentiles.pctl(col("x"), j / 10.0, Percentiles.Approx(10000)).as(s"t$j")).head,
-      (2 to 9).map(j =>
-        Percentiles.pctl(col("x"), j / 10.0, Percentiles.Approx(10000)).as(s"t$j")): _*)
+    val bounds = decileBounds(x, Percentiles.Approx(10000))
     val ranked = x.crossJoin(broadcast(bounds))
       .agg(count(lit(1)).as("n"),
         (1 to 9).map(j =>

@@ -18,13 +18,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    through a per-copy AFFINE cipher σ(i) = m·i + r (mod 26), m coprime
   *    to 26 (`translate` over the permuted alphabet): any letter bijection
   *    preserves word lengths, shingle counts and within-copy similarity
-  *    structure EXACTLY, while distinct permutations keep shingle sets
-  *    across copies disjoint — so near-dup pair/component counts scale
-  *    exactly linearly and any super-linear runtime is the engine's fault,
-  *    not the generator's. Rounds ≤10 used plain Caesar rotations (the
-  *    m = 1 column of the affine family), which wrap at 26 copies; the
-  *    12 units of ℤ/26 × 26 shifts give 312 distinct permutations, so
-  *    the 100× scale table (VERDICT r10 item 3) fits with headroom.
+  *    structure EXACTLY. Cross-copy disjointness is EXACT within one
+  *    m-family (same multiplier, different shift: zero agreeing letters —
+  *    the old Caesar guarantee, factors ≤ 26) and STATISTICAL across
+  *    families: two copies with different multipliers agree on at most 2
+  *    letters (the congruence (m₁−m₂)i ≡ r₂−r₁ has gcd(Δm,26) ≤ 2
+  *    solutions), and non-letter characters are identity in every copy —
+  *    so a cross-copy shingle collision requires text drawn entirely from
+  *    the ≤2 shared letters plus digits/punctuation, which the generated
+  *    English-like corpus never produces (verified empirically at factor
+  *    100: ZERO cross-copy q37 pairs. Per-copy pair counts are
+  *    statistically — not bit — identical to the source's, 102.5× total
+  *    at 100 copies: true Jaccard is bijection-invariant, but minhash
+  *    ESTIMATES hash the substituted shingle strings, so each copy draws
+  *    an independent estimator sample; BASELINE round-11). Rounds ≤10 used plain
+  *    Caesar rotations (the m = 1 column); 12 units × 26 shifts give 312
+  *    distinct permutations, so the 100× table fits with headroom.
   *    Copy 0 is (m=1, r=0) = identity, so source docs survive unchanged.
   *  - `embeddings` copies shift `vec_id` by k·10⁶ and apply a per-copy
   *    ±1 sign-flip to each coordinate (a diagonal orthogonal transform):

@@ -23,6 +23,16 @@ class ScaleUpSpec extends SparkTestBase {
     all.foreach(a => assert(a.sorted == "abcdefghijklmnopqrstuvwxyz",
       s"$a is not a permutation of the alphabet"))
     assert(all.distinct.size == 312, "affine alphabets must be pairwise distinct")
+    // the disjointness contract (scaladoc): same m-family ⇒ ZERO agreeing
+    // letters (the exact Caesar guarantee for factor ≤ 26); across
+    // families ⇒ at most 2 (gcd(Δm, 26) ≤ 2 congruence solutions)
+    for (i <- 0 until 312; j <- (i + 1) until 312) {
+      val agree = all(i).zip(all(j)).count { case (x, y) => x == y }
+      if (i / 26 == j / 26)
+        assert(agree == 0, s"copies $i,$j (same m) agree on $agree letters")
+      else
+        assert(agree <= 2, s"copies $i,$j agree on $agree letters")
+    }
     intercept[IllegalArgumentException](ScaleUp.affine(312))
   }
 

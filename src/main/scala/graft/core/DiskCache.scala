@@ -39,9 +39,14 @@ object DiskCache {
   private def root = new java.io.File(
     sys.props.getOrElse("graft.cache.dir", "target/artifact-cache"))
 
+  /** Disabled by SPARK_GRAFT_NO_DISKCACHE=1 (cold-floor measurement) or
+    * the in-process `graft.diskcache.disabled` property (plan-shape specs
+    * pin the BUILD plan, which the published read-back otherwise hides).
+    */
   def enabled: Boolean =
     !sys.env.get("SPARK_GRAFT_NO_DISKCACHE").exists(v =>
-      v == "1" || v.equalsIgnoreCase("true"))
+      v == "1" || v.equalsIgnoreCase("true")) &&
+      !sys.props.get("graft.diskcache.disabled").contains("1")
 
   /** Fingerprint of the given tables' parquet files under `dir`: file
     * names, sizes and mtimes — cheap (no data read), and any regeneration

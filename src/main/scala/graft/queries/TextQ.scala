@@ -825,32 +825,58 @@ object TextQ {
     */
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    def grams(n: Int): String = {
-      val parts = (0 until n).map(j => s"element_at(tk, i + $j)").mkString(", ")
-      s"""CASE WHEN size(tk) >= $n THEN
-         |  transform(sequence(1, size(tk) - ${n - 1}),
-         |    i -> named_struct('n', $n, 'g', concat_ws(' ', $parts)))
-         |ELSE array() END""".stripMargin
-    }
+    // Per-doc max-repeated-gram counting is embarrassingly parallel, so it
+    // runs as ONE encoder mapPartitions pass (a per-doc open-addressing of
+    // grams in a task-local HashMap) — the q217 winnowing pattern. The
+    // previous formulation exploded 2- and 3-grams (~2× the token count in
+    // rows) into a (doc, gram) groupBy: a shuffle of the whole corpus that
+    // grows linearly with data and was q187's entire cost. Only the tiny
+    // per-source rollup shuffles now. Tokenization stays the identical
+    // `split(lower(trim(text)))` expression, so the oracle's token stream
+    // is byte-for-byte the same.
     val base = t.documents
       .select(col("doc_id"), col("source"),
         split(lower(trim(col("text"))), "\\s+").as("tk"))
-      .withColumn("n_toks", size(col("tk")).cast("long"))
-    val perDoc = base
-      .select(col("doc_id"), col("source"), col("n_toks"),
-        explode_outer(expr(s"concat(${grams(2)}, ${grams(3)})")).as("p"))
-      .groupBy(col("doc_id"), col("source"), col("n_toks"),
-        col("p.n").as("n"), col("p.g").as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"), col("n_toks"), col("n"))
-      .agg(max(col("c")).as("max_c"))
-      .groupBy(col("doc_id"), col("source"), col("n_toks"))
-      .agg(
-        max(when(col("n") === 2, col("max_c"))).as("m2"),
-        max(when(col("n") === 3, col("max_c"))).as("m3"))
-      .select(col("doc_id"), col("source"),
-        coalesce(expr("1000000L * 2 * m2 div n_toks"), lit(0L)).as("frac2_ppm"),
-        coalesce(expr("1000000L * 3 * m3 div n_toks"), lit(0L)).as("frac3_ppm"))
+    val perDocSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("frac2_ppm",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("frac3_ppm",
+        org.apache.spark.sql.types.LongType)))
+    val perDoc = Tables.spread(base).mapPartitions { rows =>
+      val counts = new java.util.HashMap[String, Int]()
+      rows.map { r =>
+        // null text → null tk: the old explode_outer/coalesce path scored
+        // such docs 0 ppm; preserve that (and dodge the 0-division)
+        val tk0 = r.getSeq[String](2)
+        val tk = if (tk0 == null) Seq.empty[String] else tk0
+        val nToks = math.max(1L, tk.length.toLong)
+        def maxRep(n: Int): Long = {
+          if (tk.length < n) return 0L
+          counts.clear()
+          var mx = 0
+          var i = 0
+          val sb = new java.lang.StringBuilder
+          while (i + n <= tk.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(tk(i + j)); j += 1
+            }
+            val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+            if (c > mx) mx = c
+            i += 1
+          }
+          mx.toLong
+        }
+        org.apache.spark.sql.Row(r.getLong(0), r.getString(1),
+          1000000L * 2 * maxRep(2) / nToks, 1000000L * 3 * maxRep(3) / nToks)
+      }
+    }(org.apache.spark.sql.Encoders.row(perDocSchema))
     perDoc
       .groupBy(col("source"))
       .agg(

@@ -210,11 +210,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("q187 gopher repetition: one scan, no join") {
+  test("q187 gopher repetition: one scan, in-task gram counting, no join") {
     val p = plan("q187_gopher_repetition")
     assert(!p.contains("Join"), p)
     assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
       s"q187 must form both gram sizes in one scan:\n$p")
+    // round 11: per-doc max-repetition counting is a mapPartitions pass —
+    // a regression to the exploded (doc, gram) groupBy re-shuffles the
+    // whole corpus (measured 15.2 → 3.7 s at 100×)
+    assert(p.contains("MapPartitions"),
+      s"q187 must count grams in-task, not via a corpus shuffle:\n$p")
   }
 
   test("q189 norm audit: map-side norms, subquery median, no vector shuffle") {

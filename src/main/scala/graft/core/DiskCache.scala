@@ -49,24 +49,44 @@ object DiskCache {
       !sys.props.get("graft.diskcache.disabled").contains("1")
 
   /** Fingerprint of the given tables' parquet files under `dir`: file
-    * names, sizes and mtimes — cheap (no data read), and any regeneration
-    * of the source flips it.
+    * paths, sizes and mtimes — cheap (no data read), and any regeneration
+    * of the source flips it. Recurses into subdirectories so a
+    * partitioned (key=value) layout contributes every leaf file, not just
+    * the top level, and IO-failed listings degrade to empty rather than
+    * NPE.
     */
   def fingerprint(dir: String, tables: Seq[String]): String = {
+    def leaves(f: java.io.File): Array[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).flatMap(leaves)
+      else Array(f)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(dir.getBytes("UTF-8"))
     for (t <- tables) {
       val f = new java.io.File(dir, s"$t.parquet")
-      val files: Array[java.io.File] =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName)
-        else Array(f)
-      for (p <- files if p.isFile) {
-        md.update(p.getName.getBytes("UTF-8"))
+      for (p <- leaves(f) if p.isFile) {
+        md.update(p.getPath.getBytes("UTF-8"))
         md.update(p.length().toString.getBytes("UTF-8"))
         md.update(p.lastModified().toString.getBytes("UTF-8"))
       }
     }
     md.digest().map(b => f"$b%02x").mkString.take(16)
+  }
+
+  /** Recursive delete that removes an artifact's `_SUCCESS` marker FIRST:
+    * if the JVM dies mid-wipe, the survivor is a marker-less partial
+    * directory that `ok` rejects, never a truncated artifact that still
+    * reads as valid.
+    */
+  private def wipe(x: java.io.File): Unit = {
+    if (x.isDirectory) {
+      val children = Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
+      val (marker, rest) = children.partition(_.getName == "_SUCCESS")
+      marker.foreach(_.delete())
+      rest.foreach(wipe)
+    }
+    x.delete(); ()
   }
 
   /** Read-through cache: return the parquet-backed artifact for `key`,
@@ -88,7 +108,11 @@ object DiskCache {
         return hit
       } catch {
         case e: Exception =>
+          // delete the unreadable entry NOW: renameTo below cannot replace
+          // a non-empty directory, so leaving it would discard the rebuild
+          // and defeat the cache for this key forever
           System.err.println(s"[diskcache] $key hit unreadable, rebuilding: ${e.getMessage}")
+          try wipe(target) catch { case _: Exception => () }
       }
     }
     val df = build
@@ -96,13 +120,8 @@ object DiskCache {
       root.mkdirs()
       val tmp = new java.io.File(root, s".tmp-${java.util.UUID.randomUUID()}")
       df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      if (!tmp.renameTo(target)) { // lost a publish race (or stale target)
-        def wipe(x: java.io.File): Unit = {
-          if (x.isDirectory) x.listFiles().foreach(wipe)
-          x.delete(); ()
-        }
+      if (!tmp.renameTo(target)) // lost a publish race to a concurrent JVM
         wipe(tmp)
-      }
       sweep()
       if (ok) spark.read.parquet(target.getAbsolutePath) else df
     } catch {
@@ -119,10 +138,6 @@ object DiskCache {
     */
   private val minIdleMs = 6L * 3600 * 1000
   private def sweep(): Unit = {
-    def wipe(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(wipe)
-      x.delete(); ()
-    }
     val now = System.currentTimeMillis()
     val all = Option(root.listFiles()).getOrElse(Array.empty)
     all.filter(f => f.getName.startsWith(".tmp-") && now - f.lastModified() > minIdleMs)

@@ -751,7 +751,9 @@ object H264Cavlc {
       // must match the decoder even across adjacent I4x4 macroblocks
       val modeGrid = Array.fill(mbsY * 4, mbsX * 4)(2)
       val isI4x4 = Array.fill(mbsY, mbsX)(false)
-      var curQp = qp
+      // (no encoder-side qp tracking: levels are planted already-quantized,
+      // and CAVLC level coding is QP-independent; only the DECODER needs
+      // the running QP_Y, for dequant)
       mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
         val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
         def lumaNC(bx: Int, by: Int): Int = {
@@ -798,7 +800,6 @@ object H264Cavlc {
             w.ue(mbType)
             w.ue(0)            // intra_chroma_pred_mode = DC
             w.se(p.qpDelta)
-            curQp = (curQp + p.qpDelta + 52) % 52
             // Intra16x16DCLevel: nC of luma blk 0
             encodeResidual(w, p.dc.padTo(16, 0).take(16), lumaNC(0, 0))
             // NOTE (7.4.5 / 9.2.1): the DC block does not set the 4x4 grid;
@@ -844,7 +845,6 @@ object H264Cavlc {
             w.ue(cbpIntraInv(cbp))
             if (cbp > 0) {
               w.se(p.qpDelta)
-              curQp = (curQp + p.qpDelta + 52) % 52
               b = 0
               while (b < 16) {
                 val (bx, by) = blk4x4(b)

@@ -847,6 +847,14 @@ object TextQ {
       org.apache.spark.sql.types.StructField("frac3_ppm",
         org.apache.spark.sql.types.LongType)))
     val perDoc = Tables.spread(base).mapPartitions { rows =>
+      // Task-resident state is BOUNDED: a document with more than
+      // `passTarget` grams is counted in ceil(grams/passTarget)
+      // hash-partitioned passes (a gram lands in exactly one pass, so the
+      // max over passes IS the global max — exact, not approximate). A
+      // normal doc takes one pass and skips the hash test entirely; only a
+      // pathological multi-million-token doc pays the extra scans, instead
+      // of building a multi-GB unspillable HashMap in one task.
+      val passTarget = 1 << 19
       val counts = new java.util.HashMap[String, Int]()
       rows.map { r =>
         // null text → null tk: the old explode_outer/coalesce path scored
@@ -856,20 +864,34 @@ object TextQ {
         val nToks = math.max(1L, tk.length.toLong)
         def maxRep(n: Int): Long = {
           if (tk.length < n) return 0L
-          counts.clear()
+          val nGrams = tk.length - n + 1
+          val k = 1 + (nGrams - 1) / passTarget
           var mx = 0
-          var i = 0
+          var pass = 0
           val sb = new java.lang.StringBuilder
-          while (i + n <= tk.length) {
-            sb.setLength(0)
-            var j = 0
-            while (j < n) {
-              if (j > 0) sb.append(' ')
-              sb.append(tk(i + j)); j += 1
+          while (pass < k) {
+            counts.clear()
+            var i = 0
+            while (i + n <= tk.length) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(tk(i + j)); j += 1
+              }
+              val mine = k == 1 || {
+                // String.hashCode over the builder, no allocation
+                var h = 0; var x = 0
+                while (x < sb.length) { h = 31 * h + sb.charAt(x); x += 1 }
+                (h & 0x7fffffff) % k == pass
+              }
+              if (mine) {
+                val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+                if (c > mx) mx = c
+              }
+              i += 1
             }
-            val c = counts.merge(sb.toString, 1, (a, b) => a + b)
-            if (c > mx) mx = c
-            i += 1
+            pass += 1
           }
           mx.toLong
         }

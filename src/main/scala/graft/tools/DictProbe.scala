@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object DictProbe {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // %f output must stay valid under any default locale
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -75,6 +75,7 @@ object KernelProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // %f output must stay valid under any default locale
     def run(label: String, ids: Seq[Long]): Unit = {
       val t0 = System.nanoTime()
       val acc = ids.map(dibDoc).sum

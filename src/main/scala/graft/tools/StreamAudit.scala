@@ -14,6 +14,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   */
 object StreamAudit {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // %f output must stay valid under any default locale
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
+    // same contract as Bench.main: the emitted JSON line uses %-formatting,
+    // which under a comma-decimal default locale would be invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.1")

@@ -232,4 +232,32 @@ class CurationQueriesSpec extends SparkTestBase {
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty,
       "shared 6-word run selected no common fingerprint")
   }
+
+  test("q187: multi-pass gram counting (huge doc) is exact, same as one-pass") {
+    // a >2^19-gram document forces the bounded-memory chunked path
+    // (k=2 hash-partitioned passes); its repetition stats must be the
+    // hand-computable exact values, and a small k=1 doc alongside must be
+    // untouched. Guards the round-11 OOM fix: one pathological doc must
+    // never hold all its distinct grams resident at once.
+    import spark.implicits._
+    val dir = graft.core.Scratch.dir("gopher-hugedoc")
+    val huge = ("x y " * 300000).trim // 600000 tokens, 599999 2-grams
+    val docs = Seq(
+      (1L, huge, "en", "big", huge.length.toLong),
+      (2L, "a b a b a b", "en", "small", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQ.gopherRepetition(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val big = out("big")
+    // max 2-gram "x y" = 300000 of 600000 tokens -> 2*300000/600000 = 1.0
+    assert(big.getAs[Long]("mean_frac2_ppm") == 1000000L, big)
+    // max 3-gram = 299999 -> 1e6*3*299999/600000 = 1499995 (exact)
+    assert(big.getAs[Long]("mean_frac3_ppm") == 1499995L, big)
+    assert(big.getAs[Long]("flagged_2g") == 1L && big.getAs[Long]("flagged_3g") == 1L)
+    val small = out("small")
+    // "a b" x3 of 6 tokens -> 1.0; "a b a"/"b a b" x2 -> 3*2/6 = 1.0
+    assert(small.getAs[Long]("mean_frac2_ppm") == 1000000L, small)
+    assert(small.getAs[Long]("mean_frac3_ppm") == 1000000L, small)
+  }
 }

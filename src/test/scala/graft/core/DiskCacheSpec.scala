@@ -60,6 +60,43 @@ class DiskCacheSpec extends SparkTestBase {
     }
   }
 
+  test("cached: a corrupt published entry heals — rebuild replaces it") {
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      var builds = 0
+      def build() = { builds += 1; spark.range(50).select(col("id")) }
+      DiskCache.cached(spark, "spec-heal")(build()).collect()
+      assert(builds == 1)
+      // damage the published artifact: truncate every part file so the hit
+      // read throws (footer gone) while _SUCCESS still says "valid"
+      val target = new java.io.File(
+        sys.props("graft.cache.dir"), "spec-heal")
+      target.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.write(p.toPath, Array[Byte](0)))
+      val healed = DiskCache.cached(spark, "spec-heal")(build()).collect()
+      assert(builds == 2, "an unreadable hit must fall back to the build")
+      assert(healed.length == 50)
+      // and the REBUILD must have replaced the corrupt entry (the old
+      // renameTo-onto-nonempty-dir failure left it poisoned forever)
+      val again = DiskCache.cached(spark, "spec-heal")(build()).collect()
+      assert(builds == 2, "the healed entry must serve hits again")
+      assert(again.length == 50)
+    }
+  }
+
+  test("fingerprint covers nested (partitioned) layouts") {
+    val dir = Scratch.dir("graft-fp-nested")
+    val sub = new java.io.File(dir, "events.parquet/dt=2024-01-01")
+    sub.mkdirs()
+    val part = new java.io.File(sub, "part-00000.parquet")
+    java.nio.file.Files.write(part.toPath, Array[Byte](1, 2, 3))
+    val f1 = DiskCache.fingerprint(dir, Seq("events"))
+    // regenerating a LEAF file under a partition dir must flip the print
+    java.nio.file.Files.write(part.toPath, Array[Byte](9, 9, 9, 9))
+    assert(DiskCache.fingerprint(dir, Seq("events")) != f1,
+      "nested leaf changes must invalidate")
+  }
+
   test("cached: content survives the parquet round trip exactly") {
     assume(DiskCache.enabled)
     withTempCacheDir {

@@ -21,11 +21,12 @@ package graft.ops
   *    the encoder below emits streams any external H.264 decoder
   *    (ffmpeg, JCodec) decodes bit-exactly.
   *
-  * The SUBSET boundary, stated plainly: predicted macroblock types
-  * (Intra4x4/Intra16x16 prediction, CAVLC/CABAC residuals, inter frames)
-  * are NOT implemented — a camera-encoded MP4 still needs an external
-  * library on [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins that
-  * seam). What this module buys at 100 TB: the NAL/SPS layer means REAL
+  * The SUBSET boundary of THIS module, stated plainly: predicted
+  * macroblock types are not decoded here — intra-CAVLC I slices live in
+  * [[H264Cavlc]] (q235) and P-slice inter prediction in [[H264Inter]]
+  * (q236); what remains external (CABAC entropy, B slices, multi-reference
+  * and intra-chained P streams) still exits through
+  * [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins that seam). What this module buys at 100 TB: the NAL/SPS layer means REAL
   * H.264 payloads get true metadata (dimensions from the SPS, frame
   * counts from slice NALs) with zero external dependencies — metadata
   * filters prune without a codec — and the PCM path gives the multimodal

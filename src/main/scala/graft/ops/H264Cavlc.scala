@@ -88,7 +88,7 @@ object H264Cavlc {
     * Intra16x16 AC blocks carry zigzag positions 1..15) and leaves d(0,0)
     * for the caller (the Hadamard-propagated DC).
     */
-  private def dequant4x4(levels: Array[Int], qp: Int, acOnly: Boolean): Array[Array[Int]] = {
+  private[ops] def dequant4x4(levels: Array[Int], qp: Int, acOnly: Boolean): Array[Array[Int]] = {
     val m = qp % 6; val shift = qp / 6
     val d = Array.ofDim[Int](4, 4)
     val base = if (acOnly) 1 else 0

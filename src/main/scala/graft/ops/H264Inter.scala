@@ -1,0 +1,507 @@
+package graft.ops
+
+import H264.{BitReader, BitWriter}
+
+/** Pure-JVM H.264 baseline **P-slice (inter) codec** — temporal prediction
+  * behind the [[H264]] bitstream layer and the [[H264Cavlc]] residual
+  * machinery. With this module the engine natively decodes P slices
+  * containing P_L0_16x16 and P_Skip macroblocks: motion-compensated
+  * prediction from a reference picture at QUARTER-sample luma accuracy
+  * (the 6-tap Wiener half-sample filter + quarter averaging of 8.4.2.2)
+  * and eighth-sample bilinear chroma, with CAVLC inter residuals on top.
+  *
+  * What is implemented, per the public spec (ITU-T Rec. H.264, clauses
+  * cited inline):
+  *  - P slice headers (7.3.3): num_ref_idx override, ref_pic_list
+  *    modification flag, dec_ref_pic_marking for non-IDR reference
+  *    slices, frame_num progression;
+  *  - P slice data (7.3.4): mb_skip_run before every coded macroblock
+  *    and as slice tail;
+  *  - macroblock layer (7.3.5): P mb_types (Table 7-13 — P_L0_16x16
+  *    implemented; sub-partitioned types rejected loudly), mvd_l0,
+  *    the me(v) coded_block_pattern INTER mapping (Table 9-4), and the
+  *    CAVLC luma residual via [[H264Cavlc]]'s oracle-proven tables;
+  *  - luma motion vector prediction (8.4.1.3): A/B/C neighbor
+  *    derivation with the C→D substitution, the B/C/D-unavailable
+  *    directional rule, the exactly-one-matching-refIdx rule, and the
+  *    component-wise median; P_Skip motion inference (8.4.1.1) with the
+  *    zero-mv conditions on A/B;
+  *  - fractional-sample interpolation (8.4.2.2): unrounded 6-tap
+  *    (1,−5,20,20,−5,1) horizontal/vertical half samples, the two-stage
+  *    center sample j with its single (+512)>>10 rounding, all twelve
+  *    quarter-sample averages, edge clamping of integer sample
+  *    coordinates, and bilinear eighth-sample chroma;
+  *  - reference handling: single reference picture (the previously
+  *    decoded picture — max_num_ref_frames 1, sliding window), updated
+  *    after every decoded picture, so P→P chains are real.
+  *
+  * Subset boundary, stated plainly (same honesty contract as [[H264]] and
+  * [[H264Cavlc]]): the I pictures of a stream this module decodes must be
+  * all-I_PCM (the q233 codec) — intra-CAVLC I slices are decoded by
+  * [[H264Cavlc.decodeIntraFrames]] but not chained as references here; a
+  * camera stream mixing intra-predicted references with inter frames still
+  * exits through the external `MediaDecoder` seam. B slices, multiple
+  * reference frames, weighted prediction, and sub-16x16 partitions are
+  * rejected loudly, never mis-decoded. The inter CBP column of Table 9-4
+  * is transcribed from the published standard; the oracle (q236) exercises
+  * cbp ∈ {0, 1} and the permutation spec guards gross transcription slips
+  * — the residual entry points are the q235-proven ones.
+  *
+  * The reference repo has no video surface (SURVEY.md §2.11); built from
+  * the public spec alone.
+  */
+object H264Inter {
+
+  // ------------------------------------------------------ inter CBP table ---
+
+  /** Table 9-4 me(v) mapping, INTER column (ChromaArrayType 1): codeNum →
+    * coded_block_pattern. The intra column lives in [[H264Cavlc]].
+    */
+  private[ops] val cbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+  private val cbpInterInv: Map[Int, Int] =
+    cbpInter.zipWithIndex.map { case (cbp, code) => cbp -> code }.toMap
+
+  // ------------------------------------------------- fractional-sample MC ---
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Integer-sample fetch with the 8.4.2.2.1 coordinate clamp (frame-edge
+    * samples repeat outward).
+    */
+  private def at(p: Array[Array[Int]], x: Int, y: Int): Int = {
+    val yy = if (y < 0) 0 else if (y >= p.length) p.length - 1 else y
+    val row = p(yy)
+    val xx = if (x < 0) 0 else if (x >= row.length) row.length - 1 else x
+    row(xx)
+  }
+
+  private def tap6(a: Int, b: Int, c: Int, d: Int, e: Int, f: Int): Int =
+    a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+  /** Quarter-sample luma prediction at integer base (x, y) plus fractional
+    * offset (fx, fy) ∈ [0,3]² (8.4.2.2.1/8.4.2.2.2). The half samples b/h/
+    * m/s round once with (+16)>>5; the center j keeps the horizontal sums
+    * UNROUNDED and rounds once with (+512)>>10; quarter samples average
+    * two neighbors with (+1)>>1. Every intermediate is clipped to [0,255]
+    * before averaging, exactly as the spec's Clip1 placements demand.
+    */
+  private[ops] def lumaInterp(ref: Array[Array[Int]], x: Int, y: Int,
+      fx: Int, fy: Int): Int = {
+    if (fx == 0 && fy == 0) return at(ref, x, y)
+    // unrounded horizontal 6-tap at (x+0.5, v)
+    def hSum(v: Int): Int = tap6(at(ref, x - 2, v), at(ref, x - 1, v),
+      at(ref, x, v), at(ref, x + 1, v), at(ref, x + 2, v), at(ref, x + 3, v))
+    // unrounded vertical 6-tap at (u, y+0.5)
+    def vSum(u: Int): Int = tap6(at(ref, u, y - 2), at(ref, u, y - 1),
+      at(ref, u, y), at(ref, u, y + 1), at(ref, u, y + 2), at(ref, u, y + 3))
+    lazy val b = clip255((hSum(y) + 16) >> 5)          // half H at (x+½, y)
+    lazy val h = clip255((vSum(x) + 16) >> 5)          // half V at (x, y+½)
+    lazy val m = clip255((vSum(x + 1) + 16) >> 5)      // half V at (x+1, y+½)
+    lazy val s = clip255((hSum(y + 1) + 16) >> 5)      // half H at (x+½, y+1)
+    lazy val j = {                                     // center (x+½, y+½)
+      val jj = tap6(hSum(y - 2), hSum(y - 1), hSum(y),
+        hSum(y + 1), hSum(y + 2), hSum(y + 3))
+      clip255((jj + 512) >> 10)
+    }
+    def avg(p: Int, q: Int): Int = (p + q + 1) >> 1
+    (fx, fy) match {
+      case (1, 0) => avg(at(ref, x, y), b)             // a
+      case (2, 0) => b
+      case (3, 0) => avg(b, at(ref, x + 1, y))         // c
+      case (0, 1) => avg(at(ref, x, y), h)             // d
+      case (0, 2) => h
+      case (0, 3) => avg(h, at(ref, x, y + 1))         // n
+      case (1, 1) => avg(b, h)                         // e
+      case (2, 1) => avg(b, j)                         // f
+      case (3, 1) => avg(b, m)                         // g
+      case (1, 2) => avg(h, j)                         // i
+      case (2, 2) => j
+      case (3, 2) => avg(j, m)                         // k
+      case (1, 3) => avg(h, s)                         // p
+      case (2, 3) => avg(j, s)                         // q
+      case (3, 3) => avg(m, s)                         // r
+      case other => throw new IllegalArgumentException(s"bad frac $other")
+    }
+  }
+
+  /** Eighth-sample bilinear chroma prediction (8.4.2.2.2 eq. 8-266): the
+    * quarter-luma mv applies unscaled as an eighth-chroma offset.
+    */
+  private[ops] def chromaInterp(ref: Array[Array[Int]], x: Int, y: Int,
+      fx: Int, fy: Int): Int = {
+    val a = at(ref, x, y); val b = at(ref, x + 1, y)
+    val c = at(ref, x, y + 1); val d = at(ref, x + 1, y + 1)
+    ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b +
+      (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+  }
+
+  // --------------------------------------------------- MV prediction (8.4.1) ---
+
+  /** Per-MB motion state within the current picture: `inter` false for
+    * unavailable/intra macroblocks (their mv counts as (0,0) with refIdx
+    * "unmatched" per 8.4.1.3.2).
+    */
+  private final class MvGrid(mbsX: Int, mbsY: Int) {
+    val inter = Array.fill(mbsY, mbsX)(false)
+    val mvx = Array.ofDim[Int](mbsY, mbsX)
+    val mvy = Array.ofDim[Int](mbsY, mbsX)
+    def set(mbX: Int, mbY: Int, x: Int, y: Int): Unit = {
+      inter(mbY)(mbX) = true; mvx(mbY)(mbX) = x; mvy(mbY)(mbX) = y
+    }
+  }
+
+  /** Luma MV predictor for a 16x16 partition (8.4.1.3, single reference):
+    * neighbors A (left), B (top), C (top-right, D top-left substituted
+    * when C's address is unavailable); if B, C and D addresses are all
+    * unavailable and A's is available the prediction is directional
+    * (mvA); else if exactly one neighbor references the picture its mv is
+    * the predictor; else the component-wise median.
+    */
+  private def mvPred(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int): (Int, Int) = {
+    // (addrAvailable, ref-matched, mvx, mvy) per 8.4.1.3.2
+    def nb(x: Int, y: Int): (Boolean, Boolean, Int, Int) =
+      if (x < 0 || y < 0 || x >= mbsX) (false, false, 0, 0)
+      else if (!g.inter(y)(x)) (true, false, 0, 0)
+      else (true, true, g.mvx(y)(x), g.mvy(y)(x))
+    val a = nb(mbX - 1, mbY)
+    val b = nb(mbX, mbY - 1)
+    val cAddr = if (mbY > 0 && mbX + 1 < mbsX) Some((mbX + 1, mbY - 1)) else None
+    val dAddr = if (mbY > 0 && mbX > 0) Some((mbX - 1, mbY - 1)) else None
+    val cPos = cAddr.orElse(dAddr)
+    val c = cPos.map { case (x, y) => nb(x, y) }.getOrElse((false, false, 0, 0))
+    // directional early-out (8.4.1.3.2 final substitution): B, C and D all
+    // unavailable makes both B and C inherit A entirely
+    val (bb, cc) = if (!b._1 && cPos.isEmpty && a._1) (a, a) else (b, c)
+    val matches = Seq(a, bb, cc).filter(_._2)
+    if (matches.length == 1) (matches.head._3, matches.head._4)
+    else {
+      def med(x: Int, y: Int, z: Int): Int =
+        x + y + z - math.min(x, math.min(y, z)) - math.max(x, math.max(y, z))
+      (med(a._3, bb._3, cc._3), med(a._4, bb._4, cc._4))
+    }
+  }
+
+  /** P_Skip motion inference (8.4.1.1): zero mv when A or B is address-
+    * unavailable or either is an inter MB referencing picture 0 with a
+    * zero vector; otherwise the 16x16 predictor.
+    */
+  private def skipMv(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int): (Int, Int) = {
+    def zeroRef(x: Int, y: Int): Boolean =
+      g.inter(y)(x) && g.mvx(y)(x) == 0 && g.mvy(y)(x) == 0
+    val aUnavail = mbX == 0
+    val bUnavail = mbY == 0
+    if (aUnavail || bUnavail || zeroRef(mbX - 1, mbY) || zeroRef(mbX, mbY - 1))
+      (0, 0)
+    else mvPred(g, mbX, mbY, mbsX)
+  }
+
+  // -------------------------------------------------------- planted plans ---
+
+  /** A planted P-slice macroblock. Levels are QUANTIZED zigzag coefficients
+    * (the values CAVLC carries), as in [[H264Cavlc.MbPlan]].
+    */
+  sealed trait PMbPlan
+  /** Skipped macroblock: motion inferred per 8.4.1.1, no residual. */
+  case object PSkip extends PMbPlan
+  /** P_L0_16x16 with an ABSOLUTE quarter-sample mv (the encoder derives
+    * mvd against the 8.4.1.3 predictor); optional luma residual: `cbpLuma`
+    * is the 4-bit per-8x8 pattern, `levels` 16 per-4x4 zigzag level arrays
+    * (chroma CBP stays 0 — chroma is motion-compensated only).
+    */
+  final case class P16x16(mvx: Int, mvy: Int, cbpLuma: Int = 0,
+      levels: Array[Array[Int]] = null, qpDelta: Int = 0) extends PMbPlan
+
+  // ------------------------------------------------------------- encoder ---
+
+  /** Encode an IDR all-I_PCM picture (the reference) followed by planted P
+    * pictures into a conformant Annex-B stream: SPS (max_num_ref_frames 1)
+    * + PPS + IDR + one P slice per frame. `pcmLuma` is the reference luma
+    * plane (mbsY·16 rows × mbsX·16 cols); chroma is flat `chromaFill`.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      pcmLuma: Array[Array[Int]], pFrames: Seq[Seq[PMbPlan]],
+      chromaFill: Int = 128): Array[Byte] = {
+    require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
+    require(pcmLuma.length == mbsY * 16 && pcmLuma.forall(_.length == mbsX * 16),
+      "reference plane must match the MB grid")
+    val out = new java.io.ByteArrayOutputStream()
+    // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
+    // streams); a P stream must declare 1 — emit the SPS inline.
+    val sps = {
+      val w = new BitWriter
+      w.u(66, 8); w.u(0, 8); w.u(20, 8) // baseline, level 2.0
+      w.ue(0)      // sps id
+      w.ue(0)      // log2_max_frame_num_minus4 (=> 4)
+      w.ue(2)      // pic_order_cnt_type
+      w.ue(1)      // max_num_ref_frames = 1
+      w.u(0, 1)    // gaps_in_frame_num
+      w.ue(mbsX - 1); w.ue(mbsY - 1)
+      w.u(1, 1)    // frame_mbs_only
+      w.u(0, 1)    // direct_8x8_inference
+      w.u(0, 1)    // no cropping
+      w.u(0, 1)    // no VUI
+      w.trailingBits()
+      w.toBytes
+    }
+    H264.writeNal(out, 3, 7, sps)
+    H264.writeNal(out, 3, 8, H264.writePps())
+    // --- IDR all-PCM reference picture ---
+    val iw = new BitWriter
+    iw.ue(0); iw.ue(7); iw.ue(0)   // first_mb, slice_type I(all), pps
+    iw.u(0, 4)                     // frame_num 0
+    iw.ue(0)                       // idr_pic_id
+    iw.u(0, 1); iw.u(0, 1)         // dec_ref_pic_marking (IDR)
+    iw.se(qp - 26)                 // slice_qp_delta
+    var mb = 0
+    while (mb < mbsX * mbsY) {
+      val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
+      iw.ue(25); iw.alignZero()
+      var i = 0
+      while (i < 256) { iw.u((pcmLuma(y0 + i / 16)(x0 + i % 16) & 0xff).toLong, 8); i += 1 }
+      i = 0
+      while (i < 128) { iw.u((chromaFill & 0xff).toLong, 8); i += 1 }
+      mb += 1
+    }
+    iw.trailingBits()
+    H264.writeNal(out, 3, 5, iw.toBytes)
+    // --- P pictures ---
+    pFrames.zipWithIndex.foreach { case (mbs, k) =>
+      require(mbs.length == mbsX * mbsY, "frame must plant every MB")
+      val w = new BitWriter
+      w.ue(0)                  // first_mb_in_slice
+      w.ue(5)                  // slice_type = P (all)
+      w.ue(0)                  // pps id
+      w.u(((k + 1) % 16).toLong, 4) // frame_num
+      w.u(0, 1)                // num_ref_idx_active_override_flag
+      w.u(0, 1)                // ref_pic_list_modification_flag_l0
+      w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
+      w.se(qp - 26)            // slice_qp_delta
+      val g = new MvGrid(mbsX, mbsY)
+      val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+      var skipRun = 0
+      mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
+        val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+        plan match {
+          case PSkip =>
+            val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+            g.set(mbX, mbY, sx, sy)
+            // skipped MBs leave their nC grid entries 0 (9.2.1)
+            skipRun += 1
+          case p: P16x16 =>
+            w.ue(skipRun); skipRun = 0
+            w.ue(0)          // mb_type P_L0_16x16
+            val (px, py) = mvPred(g, mbX, mbY, mbsX)
+            w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
+            g.set(mbX, mbY, p.mvx, p.mvy)
+            require(p.cbpLuma >= 0 && p.cbpLuma <= 15, "bad cbpLuma")
+            w.ue(cbpInterInv(p.cbpLuma)) // me(v), inter column, cbpChroma 0
+            if (p.cbpLuma > 0) {
+              w.se(p.qpDelta)
+              def lumaNC(bx: Int, by: Int): Int = {
+                val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+                val a = if (gx > 0) nctx(gy)(gx - 1) else -1
+                val b = if (gy > 0) nctx(gy - 1)(gx) else -1
+                if (a >= 0 && b >= 0) (a + b + 1) >> 1
+                else if (a >= 0) a else if (b >= 0) b else 0
+              }
+              var b = 0
+              while (b < 16) {
+                if ((p.cbpLuma & (1 << (b / 4))) != 0) {
+                  val (bx, by) = H264Cavlc.blk4x4(b)
+                  val lv = (if (p.levels == null || p.levels(b) == null)
+                    Array.empty[Int] else p.levels(b)).padTo(16, 0).take(16)
+                  val tc = H264Cavlc.encodeResidual(w, lv, lumaNC(bx, by))
+                  nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
+                }
+                b += 1
+              }
+            }
+        }
+      }
+      if (skipRun > 0) w.ue(skipRun) // trailing skip run (7.3.4)
+      w.trailingBits()
+      H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decoder ---
+
+  /** Decode an Annex-B stream of one all-I_PCM IDR picture followed by P
+    * pictures (P_L0_16x16 / P_Skip, CAVLC luma residuals, single reference
+    * = previous decoded picture); returns one luma plane per picture.
+    * Constraints are enforced loudly — sub-partitioned / intra-in-P
+    * macroblocks, B slices and multi-slice pictures throw, never
+    * mis-decode.
+    */
+  def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] = {
+    val nals = H264.splitNals(annexB)
+    val sps = nals.collectFirst { case (7, _, rbsp) => H264.parseSps(rbsp) }
+      .getOrElse(throw new IllegalArgumentException("no SPS in stream"))
+    require(sps.cropX == 0 && sps.cropY == 0, "inter decoder: cropping unsupported")
+    require(sps.picOrderCntType == 2, "inter decoder: pic_order_cnt_type must be 2")
+    val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
+      .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
+    // (chroma_qp_index_offset is parsed but unused: the subset carries no
+    // chroma residual, so no chroma QP is ever derived)
+    val initQp = {
+      val r = new BitReader(pps)
+      r.ue(); r.ue()
+      require(r.u(1) == 0, "inter decoder: CAVLC only")
+      r.u(1)
+      require(r.ue() == 0, "inter decoder: slice groups unsupported")
+      require(r.ue() == 0, "inter decoder: exactly one l0 reference")
+      r.ue()
+      require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
+      r.u(2)
+      r.se() + 26
+    }
+    val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
+    // reference picture (luma, cb, cr) — updated after each decoded picture
+    var refL: Array[Array[Int]] = null
+    var refCb: Array[Array[Int]] = null
+    var refCr: Array[Array[Int]] = null
+    nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
+      val r = new BitReader(rbsp)
+      require(r.ue() == 0, "inter decoder: one slice per picture")
+      val sliceType = r.ue() % 5
+      r.ue()                      // pps id
+      r.u(sps.log2MaxFrameNum)    // frame_num
+      if (nalType == 5) r.ue()    // idr_pic_id
+      if (sliceType == 0) {       // P
+        require(r.u(1) == 0, "inter decoder: num_ref_idx override unsupported")
+        require(r.u(1) == 0, "inter decoder: ref list modification unsupported")
+      }
+      if (nalType == 5) { r.u(1); r.u(1) }
+      else if (refIdc != 0)
+        require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
+      var qpY = initQp + r.se()
+      val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
+      val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
+      val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
+      if (sliceType == 2) { // I picture: all I_PCM (the subset reference)
+        var mb = 0
+        while (mb < mbsX * mbsY) {
+          val mbType = r.ue()
+          require(mbType == 25,
+            s"inter decoder: I pictures must be all-I_PCM, got mb_type $mbType" +
+              " (intra-CAVLC references are H264Cavlc's surface)")
+          r.alignToByte()
+          val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
+          var i = 0
+          while (i < 256) { luma(y0 + i / 16)(x0 + i % 16) = r.u(8).toInt; i += 1 }
+          i = 0
+          while (i < 64) { cb((mb / mbsX) * 8 + i / 8)((mb % mbsX) * 8 + i % 8) = r.u(8).toInt; i += 1 }
+          i = 0
+          while (i < 64) { cr((mb / mbsX) * 8 + i / 8)((mb % mbsX) * 8 + i % 8) = r.u(8).toInt; i += 1 }
+          mb += 1
+        }
+      } else {
+        require(sliceType == 0, s"inter decoder: unsupported slice_type $sliceType")
+        require(refL != null, "P slice with no decoded reference picture")
+        val g = new MvGrid(mbsX, mbsY)
+        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+
+        /** Motion-compensate one whole MB (luma + chroma) at quarter mv. */
+        def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int): Unit = {
+          val ix = mvx >> 2; val fx = mvx & 3
+          val iy = mvy >> 2; val fy = mvy & 3
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              val px = mbX * 16 + x; val py = mbY * 16 + y
+              luma(py)(px) = lumaInterp(refL, px + ix, py + iy, fx, fy)
+              x += 1
+            }
+            y += 1
+          }
+          val cix = mvx >> 3; val cfx = mvx & 7
+          val ciy = mvy >> 3; val cfy = mvy & 7
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val px = mbX * 8 + x; val py = mbY * 8 + y
+              cb(py)(px) = chromaInterp(refCb, px + cix, py + ciy, cfx, cfy)
+              cr(py)(px) = chromaInterp(refCr, px + cix, py + ciy, cfx, cfy)
+              x += 1
+            }
+            y += 1
+          }
+        }
+
+        var mbIdx = 0
+        while (mbIdx < mbsX * mbsY) {
+          // mb_skip_run precedes every coded MB and may end the slice (7.3.4)
+          val skipRun = r.ue()
+          require(mbIdx + skipRun <= mbsX * mbsY, "skip run overruns the picture")
+          var sk = 0
+          while (sk < skipRun) {
+            val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+            val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+            g.set(mbX, mbY, sx, sy)
+            mc(mbX, mbY, sx, sy)
+            sk += 1; mbIdx += 1
+          }
+          if (mbIdx < mbsX * mbsY) {
+            val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+            val mbType = r.ue()
+            require(mbType == 0,
+              s"inter decoder: mb_type $mbType unsupported (P_L0_16x16 only; " +
+                "sub-partitions and intra-in-P exit via the MediaDecoder seam)")
+            val (px0, py0) = mvPred(g, mbX, mbY, mbsX)
+            val mvx = px0 + r.se(); val mvy = py0 + r.se()
+            g.set(mbX, mbY, mvx, mvy)
+            mc(mbX, mbY, mvx, mvy)
+            val codeNum = r.ue()
+            require(codeNum < 48, s"bad coded_block_pattern code $codeNum")
+            val cbp = cbpInter(codeNum)
+            require((cbp >> 4) == 0,
+              "inter decoder: chroma residual unsupported (cbpChroma must be 0)")
+            val cbpLuma = cbp & 15
+            if (cbp > 0) {
+              qpY = (qpY + r.se() + 52) % 52
+              def lumaNC(bx: Int, by: Int): Int = {
+                val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+                val a = if (gx > 0) nctx(gy)(gx - 1) else -1
+                val b = if (gy > 0) nctx(gy - 1)(gx) else -1
+                if (a >= 0 && b >= 0) (a + b + 1) >> 1
+                else if (a >= 0) a else if (b >= 0) b else 0
+              }
+              var b = 0
+              while (b < 16) {
+                if ((cbpLuma & (1 << (b / 4))) != 0) {
+                  val (bx, by) = H264Cavlc.blk4x4(b)
+                  val (lv, tc) = H264Cavlc.decodeResidual(r, lumaNC(bx, by), 16)
+                  nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
+                  val d = H264Cavlc.dequant4x4(lv, qpY, acOnly = false)
+                  val res = H264Cavlc.idct4x4(d)
+                  var y = 0
+                  while (y < 4) {
+                    var x = 0
+                    while (x < 4) {
+                      val fx = mbX * 16 + bx * 4 + x
+                      val fy = mbY * 16 + by * 4 + y
+                      luma(fy)(fx) = clip255(luma(fy)(fx) + res(y)(x))
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+                b += 1
+              }
+            }
+            mbIdx += 1
+          }
+        }
+      }
+      if (refIdc != 0) { refL = luma; refCb = cb; refCr = cr }
+      luma
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Avi, H264, H264Cavlc, Mp4, Multimodal}
+import graft.ops.{Avi, H264, H264Cavlc, H264Inter, Mp4, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -860,7 +860,145 @@ object MediaQ {
       |CROSS JOIN (VALUES ('f1_mb0'), ('f1_mb1_c0'), ('f1_mb1_c15'),
       |  ('f1_mb2'), ('f2_i4x4'), ('f2_pcm'), ('f2_dc16')) p(probe)""".stripMargin
 
+  /** q236 — H.264 **P-slice (inter)** decode ([[H264Inter]]): per doc, a
+    * 48×32 I_PCM reference frame carrying a linear gradient g0+x+2y plus a
+    * single IMPULSE pixel at (10,10) (+delta), then two P pictures:
+    * frame 1 is five P_L0_16x16 macroblocks sharing a per-doc quarter-pel
+    * motion vector (seven fractional classes across docs: full-pel, half
+    * b/h, center j, and quarter a/d/r) around one P_Skip (whose motion the
+    * decoder must INFER via 8.4.1.1 from the neighbor median), with one MB
+    * carrying a CAVLC DC residual (inter CBP via the Table 9-4 me(v)
+    * mapping); frame 2 is all-skip, so its pixels prove the reference
+    * buffer UPDATED to frame 1. Five probe pixels per doc are emitted; the
+    * DuckDB oracle recomputes each from the spec's interpolation
+    * arithmetic INDEPENDENTLY — the impulse isolates individual 6-tap
+    * weights (+20 center taps and the −5 negative lobes appear as
+    * ±20·delta / ±5·delta terms no other filter shape reproduces), the
+    * gradient pins the (+16)>>5 / (+512)>>10 rounding, and the residual
+    * probe pins inter dequant/IDCT on top of motion compensation. The
+    * closed forms were cross-validated against an independent
+    * reimplementation of 8.4.2.2 before being inlined here and in the SQL.
+    *
+    * Scale shape: map-only, one scan, 5 rows per doc — no shuffle.
+    */
+  def h264InterProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val c = (id % 7).toInt
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val delta = 30 + (id % 60).toInt
+        val lvl = (id % 5).toInt - 2
+        val mvs = Array((4, 8), (10, 8), (8, 10), (10, 10), (9, 8), (8, 9), (11, 11))
+        val (mvx, mvy) = mvs(c)
+        val ref = Array.tabulate(32, 48)((y, x) => g0 + x + 2 * y)
+        ref(10)(10) += delta
+        val p16 = H264Inter.P16x16(mvx, mvy)
+        val blk0 = Array(lvl) ++ Array.fill(15)(0)
+        val withResid = H264Inter.P16x16(mvx, mvy, cbpLuma = 1,
+          levels = Array.tabulate(16)(b => if (b == 0) blk0 else null))
+        val frame1 = Seq[H264Inter.PMbPlan](p16, p16, p16, p16,
+          H264Inter.PSkip, withResid)
+        val frame2 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip)
+        val stream = H264Inter.encodeStream(3, 2, qp, ref, Seq(frame1, frame2))
+        val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+        require(meta.format == "h264",
+          s"inter stream failed the SPS metadata parse for doc $id")
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        val f1 = fs(1); val f2 = fs(2)
+        // (x, y) probe positions per fractional class — each sits where the
+        // interpolation window's relation to the impulse is a fixed constant
+        val mains = Array((9, 8), (7, 8), (8, 7), (7, 7), (7, 8), (8, 7), (7, 7))
+        val auxes = Array((8, 8), (6, 8), (8, 6), (5, 6), (6, 8), (8, 6), (6, 6))
+        val (mX, mY) = mains(c); val (aX, aY) = auxes(c)
+        Seq(
+          ("p_main", f1(mY)(mX)), ("p_aux", f1(aY)(aX)),
+          ("p_skip", f1(20)(20)), ("p_resid", f1(17)(33)),
+          ("p_f2", f2(17)(33))
+        ).map { case (p, v) =>
+          Row(id, p, meta.width, meta.height, meta.n_frames, v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(cavlcSchema))
+  }
+
+  /** The oracle recomputes every probe from the 8.4.2.2 arithmetic: the
+    * gradient's exact half-pel sums (32·L + 16·a per axis), the impulse's
+    * isolated tap contributions (±20δ, −5δ, 400δ for the two-stage center),
+    * the single-rounding (+16)>>5 / (+512)>>10 forms, quarter averages,
+    * the 8.4.1.1 skip-inferred copy, and the q235-proven DC dequant/IDCT
+    * on the residual probe. floor() mirrors the arithmetic right shifts.
+    */
+  private val h264InterSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 7 AS INT) AS c,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(30 + doc_id % 60 AS INT) AS dl,
+      |    CAST(doc_id % 5 - 2 AS INT) AS lvl
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |), forms AS (
+      |  SELECT *,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 30 + dl
+      |      WHEN 1 THEN CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT)
+      |      WHEN 2 THEN CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT)
+      |      WHEN 3 THEN CAST(floor((1024 * (g0 + 27) + 2048 + 400 * dl) / 1024.0) AS BIGINT)
+      |      WHEN 4 THEN (g0 + 29
+      |        + CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 5 THEN (g0 + 28
+      |        + CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 6 THEN (CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT)
+      |        + CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |    END AS v_main,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 29
+      |      WHEN 1 THEN CAST(floor((32 * (g0 + 28) + 32 - 5 * dl) / 32.0) AS BIGINT)
+      |      WHEN 2 THEN CAST(floor((32 * (g0 + 26) + 48 - 5 * dl) / 32.0) AS BIGINT)
+      |      WHEN 3 THEN CAST(floor((1024 * (g0 + 23) + 2048 - 5 * dl) / 1024.0) AS BIGINT)
+      |      WHEN 4 THEN (g0 + 28
+      |        + CAST(floor((32 * (g0 + 28) + 32 - 5 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 5 THEN (g0 + 26
+      |        + CAST(floor((32 * (g0 + 26) + 48 - 5 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 6 THEN g0 + 27
+      |    END AS v_aux,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 65 WHEN 1 THEN g0 + 67 WHEN 2 THEN g0 + 67
+      |      WHEN 3 THEN g0 + 68 WHEN 4 THEN g0 + 67 WHEN 5 THEN g0 + 67
+      |      WHEN 6 THEN g0 + 69
+      |    END AS v_skip,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 72 WHEN 3 THEN g0 + 75 WHEN 6 THEN g0 + 76
+      |      ELSE g0 + 74
+      |    END
+      |    + CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT) AS v_resid
+      |  FROM scaled
+      |)
+      |SELECT doc_id, p.probe,
+      |  48 AS width, 32 AS height, 3 AS n_frames,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'p_main' THEN v_main
+      |    WHEN 'p_aux' THEN v_aux
+      |    WHEN 'p_skip' THEN v_skip
+      |    WHEN 'p_resid' THEN v_resid
+      |    WHEN 'p_f2' THEN v_resid
+      |  END)) AS INT) AS px
+      |FROM forms
+      |CROSS JOIN (VALUES ('p_main'), ('p_aux'), ('p_skip'), ('p_resid'),
+      |  ('p_f2')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q236_h264_inter_probes", h264InterProbes, Some(h264InterSql)),
     QueryDef("q235_h264_cavlc_probes", h264CavlcProbes, Some(h264CavlcSql)),
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),
     QueryDef("q121_video_frames", videoFrames, Some(videoFramesSql)),

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The P-slice (inter) codec: fractional-sample interpolation pinned
+  * against an INDEPENDENT transcription of 8.4.2.2 (the expected integers
+  * below were computed by a separate reimplementation of the 6-tap /
+  * two-stage-center / quarter-average arithmetic, not by the code under
+  * test), the 8.4.1.1 skip-motion rules, the Table 9-4 inter CBP column,
+  * reference-buffer chaining, and the q236 plan end-to-end against the
+  * same closed forms the DuckDB oracle uses.
+  */
+class H264InterSpec extends AnyFunSuite {
+
+  test("inter CBP table: permutation of 0..47, spot values per Table 9-4") {
+    assert(H264Inter.cbpInter.sorted.sameElements(0 until 48))
+    // the three most-load-bearing entries: no-residual, luma-8x8-0, full
+    assert(H264Inter.cbpInter(0) == 0)
+    assert(H264Inter.cbpInter(2) == 1)
+    assert(H264Inter.cbpInter(1) == 16)
+    assert(H264Inter.cbpInter(12) == 47)
+  }
+
+  /** 48x32 gradient 50+x+2y with an impulse +40 at (10,10) — probing
+    * around the impulse isolates individual tap weights; every one of the
+    * 16 fractional positions is pinned.
+    */
+  private def impulseRef(): Array[Array[Int]] = {
+    val ref = Array.tabulate(32, 48)((y, x) => 50 + x + 2 * y)
+    ref(10)(10) += 40
+    ref
+  }
+
+  test("lumaInterp: all 16 fractional positions match the independent model") {
+    val ref = impulseRef()
+    val cases = Seq(
+      // (x, y, fx, fy) -> expected (computed by the independent model)
+      (10, 10, 0, 0, 120), // full-pel fetch hits the impulse exactly
+      (9, 10, 2, 0, 105),  // half b: +20·40 center tap
+      (8, 10, 2, 0, 72),   // half b: −5·40 negative lobe
+      (10, 9, 0, 2, 104),  // half h: +20·40 on the vertical filter
+      (9, 9, 2, 2, 94),    // center j: 20·20·40 through the (+512)>>10 stage
+      (9, 10, 1, 0, 92),   // quarter a
+      (10, 9, 0, 1, 91),   // quarter d
+      (9, 9, 3, 3, 105),   // quarter r = (m+s+1)>>1
+      (9, 10, 3, 0, 113),  // quarter c
+      (10, 9, 0, 3, 112),  // quarter n
+      (9, 9, 1, 1, 78),    // e
+      (9, 9, 2, 1, 86),    // f
+      (9, 9, 3, 1, 91),    // g
+      (9, 9, 1, 2, 86),    // i
+      (9, 9, 3, 2, 99),    // k
+      (9, 9, 1, 3, 92),    // p
+      (9, 9, 2, 3, 100))   // q
+    for ((x, y, fx, fy, want) <- cases)
+      assert(H264Inter.lumaInterp(ref, x, y, fx, fy) == want,
+        s"position ($x,$y)+($fx/4,$fy/4)")
+  }
+
+  test("chromaInterp: bilinear eighth-sample weights") {
+    val ref = Array.tabulate(8, 8)((y, x) => 10 * y + x)
+    // at (3,3) frac (2,5): ((8-2)(8-5)·33 + 2·3·34 + 6·5·43 + 2·5·44 + 32)>>6
+    val want = ((6 * 3 * 33 + 2 * 3 * 34 + 6 * 5 * 43 + 2 * 5 * 44 + 32) >> 6)
+    assert(H264Inter.chromaInterp(ref, 3, 3, 2, 5) == want)
+    // integer position passes through
+    assert(H264Inter.chromaInterp(ref, 4, 2, 0, 0) == 24)
+  }
+
+  private def grad(g0: Int): Array[Array[Int]] =
+    Array.tabulate(32, 48)((y, x) => g0 + x + 2 * y)
+
+  test("skip motion: top row forces zero mv; zero-mv left neighbor forces zero") {
+    val ref = grad(60)
+    // top-LEFT skip: A and B unavailable -> mv 0 -> exact copy of ref
+    val f = Seq[H264Inter.PMbPlan](H264Inter.PSkip, H264Inter.P16x16(8, 4),
+      H264Inter.P16x16(8, 4), H264Inter.P16x16(8, 4),
+      H264Inter.P16x16(8, 4), H264Inter.P16x16(8, 4))
+    val d = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, 26, ref, Seq(f)))
+    assert(d(1)(5)(5) == ref(5)(5), "top-left skip must copy at zero mv")
+    // skip at (1,1) whose LEFT neighbor is a zero-mv inter MB: 8.4.1.1
+    // forces zero even though B and C carry (8,4)
+    val f2 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(8, 4), H264Inter.P16x16(8, 4),
+      H264Inter.P16x16(8, 4), H264Inter.P16x16(0, 0),
+      H264Inter.PSkip, H264Inter.P16x16(8, 4))
+    val d2 = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, 26, ref, Seq(f2)))
+    assert(d2(1)(20)(20) == ref(20)(20), "zero-mv A neighbor must zero the skip mv")
+    // and WITHOUT a zero neighbor the same skip inherits the (8,4) median:
+    // integer mv (2,1) -> copy from (22,21)
+    val f3 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(8, 4), H264Inter.P16x16(8, 4),
+      H264Inter.P16x16(8, 4), H264Inter.P16x16(8, 4),
+      H264Inter.PSkip, H264Inter.P16x16(8, 4))
+    val d3 = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, 26, ref, Seq(f3)))
+    assert(d3(1)(20)(20) == ref(21)(22), "skip must inherit the neighbor median mv")
+  }
+
+  test("reference chaining: an all-skip second P frame reproduces frame 1") {
+    val ref = grad(45)
+    val lv = Array(2) ++ Array.fill(15)(0)
+    val f1 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(5, 6), H264Inter.P16x16(5, 6),
+      H264Inter.P16x16(5, 6), H264Inter.P16x16(5, 6), H264Inter.PSkip,
+      H264Inter.P16x16(5, 6, cbpLuma = 1,
+        levels = Array.tabulate(16)(b => if (b == 0) lv else null)))
+    val f2 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip)
+    val d = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, 24, ref, Seq(f1, f2)))
+    assert(d.length == 3)
+    // frame 2 == frame 1 everywhere (reference buffer advanced), and both
+    // differ from frame 0 (so the assertion is not vacuous)
+    assert(d(2).map(_.toSeq).toSeq == d(1).map(_.toSeq).toSeq)
+    assert(d(1).map(_.toSeq).toSeq != d(0).map(_.toSeq).toSeq)
+  }
+
+  /** The q236 closed forms (cross-validated against the independent model
+    * before being inlined in the oracle SQL) — the spec re-derives the five
+    * probes for many doc ids and pins the decoder against them.
+    */
+  test("q236 plan end-to-end: probes match the oracle closed forms for 42 ids") {
+    def clip(v: Long): Long = math.max(0L, math.min(255L, v))
+    def fl(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val dqA = Array(10, 11, 13, 14, 16, 18)
+    for (id <- 0L until 42L) {
+      val c = (id % 7).toInt
+      val qp = 20 + (id % 12).toInt
+      val g0 = 40 + (id % 50).toInt
+      val dl = 30 + (id % 60).toInt
+      val lvl = (id % 5).toInt - 2
+      val mvs = Array((4, 8), (10, 8), (8, 10), (10, 10), (9, 8), (8, 9), (11, 11))
+      val (mvx, mvy) = mvs(c)
+      val ref = Array.tabulate(32, 48)((y, x) => g0 + x + 2 * y)
+      ref(10)(10) += dl
+      val p16 = H264Inter.P16x16(mvx, mvy)
+      val blk0 = Array(lvl) ++ Array.fill(15)(0)
+      val withResid = H264Inter.P16x16(mvx, mvy, cbpLuma = 1,
+        levels = Array.tabulate(16)(b => if (b == 0) blk0 else null))
+      val f1p = Seq[H264Inter.PMbPlan](p16, p16, p16, p16, H264Inter.PSkip, withResid)
+      val f2p = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip)
+      val fs = H264Inter.decodeFrames(
+        H264Inter.encodeStream(3, 2, qp, ref, Seq(f1p, f2p)))
+      val f1 = fs(1); val f2 = fs(2)
+      val main: Long = c match {
+        case 0 => g0 + 30 + dl
+        case 1 => fl(32 * (g0 + 29) + 32 + 20 * dl, 32)
+        case 2 => fl(32 * (g0 + 28) + 48 + 20 * dl, 32)
+        case 3 => fl(1024 * (g0 + 27) + 2048 + 400 * dl, 1024)
+        case 4 => (g0 + 29 + fl(32 * (g0 + 29) + 32 + 20 * dl, 32) + 1) / 2
+        case 5 => (g0 + 28 + fl(32 * (g0 + 28) + 48 + 20 * dl, 32) + 1) / 2
+        case 6 => (fl(32 * (g0 + 28) + 48 + 20 * dl, 32) +
+          fl(32 * (g0 + 29) + 32 + 20 * dl, 32) + 1) / 2
+      }
+      val aux: Long = c match {
+        case 0 => g0 + 29
+        case 1 => fl(32 * (g0 + 28) + 32 - 5 * dl, 32)
+        case 2 => fl(32 * (g0 + 26) + 48 - 5 * dl, 32)
+        case 3 => fl(1024 * (g0 + 23) + 2048 - 5 * dl, 1024)
+        case 4 => (g0 + 28 + fl(32 * (g0 + 28) + 32 - 5 * dl, 32) + 1) / 2
+        case 5 => (g0 + 26 + fl(32 * (g0 + 26) + 48 - 5 * dl, 32) + 1) / 2
+        case 6 => g0 + 27
+      }
+      val skip: Long = g0 + Array(65, 67, 67, 68, 67, 67, 69)(c)
+      val resid = fl(lvl.toLong * dqA(qp % 6) * (1L << (qp / 6)) + 32, 64)
+      val resv: Long = g0 + (c match {
+        case 0 => 72; case 3 => 75; case 6 => 76; case _ => 74
+      }) + resid
+      val mains = Array((9, 8), (7, 8), (8, 7), (7, 7), (7, 8), (8, 7), (7, 7))
+      val auxes = Array((8, 8), (6, 8), (8, 6), (5, 6), (6, 8), (8, 6), (6, 6))
+      assert(f1(mains(c)._2)(mains(c)._1) == clip(main), s"id=$id p_main")
+      assert(f1(auxes(c)._2)(auxes(c)._1) == clip(aux), s"id=$id p_aux")
+      assert(f1(20)(20) == clip(skip), s"id=$id p_skip")
+      assert(f1(17)(33) == clip(resv), s"id=$id p_resid")
+      assert(f2(17)(33) == clip(resv), s"id=$id p_f2")
+    }
+  }
+
+  test("poison: garbage and truncated streams throw, never mis-decode") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    intercept[Exception] { H264Inter.decodeFrames(junk) }
+    val good = H264Inter.encodeStream(3, 2, 26, grad(50),
+      Seq(Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip)))
+    intercept[Exception] {
+      H264Inter.decodeFrames(java.util.Arrays.copyOf(good, good.length / 2))
+    }
+  }
+}

@@ -26,7 +26,12 @@ package graft.ops
   * [[H264Cavlc]] (q235) and P-slice inter prediction in [[H264Inter]]
   * (q236); what remains external (CABAC entropy, B slices, multi-reference
   * and intra-chained P streams) still exits through
-  * [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins that seam). What this module buys at 100 TB: the NAL/SPS layer means REAL
+  * [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins that seam).
+  * Emitted slices signal disable_deblocking_filter_idc = 1, so external
+  * decoders skip the loop filter and reproduce the family's filter-less
+  * reconstructions bit-exactly even for the predicted-MB streams.
+  *
+  * What this module buys at 100 TB: the NAL/SPS layer means REAL
   * H.264 payloads get true metadata (dimensions from the SPS, frame
   * counts from slice NALs) with zero external dependencies — metadata
   * filters prune without a codec — and the PCM path gives the multimodal
@@ -273,7 +278,14 @@ object H264 {
     sps
   }
 
-  /** Write a minimal PPS (7.3.2.2): CAVLC, one slice group, QP 26. */
+  /** Write a minimal PPS (7.3.2.2): CAVLC, one slice group, QP 26.
+    * deblocking_filter_control_present_flag is SET: every slice this
+    * module family emits signals disable_deblocking_filter_idc = 1, so a
+    * conformant external decoder skips the loop filter and reproduces our
+    * filter-less reconstruction BIT-EXACTLY for the predicted-MB streams
+    * too (q235/q236 plant QP 20–31, where a default-filtered decode would
+    * legitimately differ at block edges).
+    */
   private[ops] def writePps(): Array[Byte] = {
     val w = new BitWriter
     w.ue(0)    // pic_parameter_set_id
@@ -288,12 +300,31 @@ object H264 {
     w.se(0)    // pic_init_qp_minus26
     w.se(0)    // pic_init_qs_minus26
     w.se(0)    // chroma_qp_index_offset
-    w.u(0, 1)  // deblocking_filter_control_present_flag
+    w.u(1, 1)  // deblocking_filter_control_present_flag
     w.u(0, 1)  // constrained_intra_pred_flag
     w.u(0, 1)  // redundant_pic_cnt_present_flag
     w.trailingBits()
     w.toBytes
   }
+
+  /** deblocking_filter_control_present_flag of a PPS RBSP — slice-header
+    * parsers branch on it (7.3.3: the slice then carries
+    * disable_deblocking_filter_idc and, when idc != 1, two offsets).
+    */
+  private[ops] def ppsDeblockingPresent(pps: Array[Byte]): Boolean = {
+    val r = new BitReader(pps)
+    r.ue(); r.ue(); r.u(1); r.u(1)
+    // >0 slice groups insert map syntax here that this walk cannot skip —
+    // every decoder in this family rejects such streams anyway
+    require(r.ue() == 0, "pps walk: slice groups unsupported")
+    r.ue(); r.ue(); r.u(1); r.u(2)
+    r.se(); r.se(); r.se()
+    r.u(1) == 1
+  }
+
+  /** Skip the slice-header deblocking fields if the PPS announces them. */
+  private[ops] def skipSliceDeblocking(r: BitReader, present: Boolean): Unit =
+    if (present && r.ue() != 1) { r.se(); r.se() }
 
   // ----------------------------------------------------- encoder (I_PCM) ---
 
@@ -326,6 +357,7 @@ object H264 {
       bw.u(0, 1)        // no_output_of_prior_pics_flag
       bw.u(0, 1)        // long_term_reference_flag
       bw.se(0)          // slice_qp_delta
+      bw.ue(1)          // disable_deblocking_filter_idc = 1 (no loop filter)
       // slice_data: raster-scan macroblocks, all I_PCM (mb_type 25 in I)
       var mb = 0
       while (mb < mbsX * mbsY) {
@@ -370,6 +402,9 @@ object H264 {
         "unsupported (slice headers would carry unparsed ordering fields)")
     val mbsX = sps.widthMbs
     val mbsY = sps.heightMbs
+    // external all-PCM streams may or may not carry slice deblocking fields
+    val deblock = nals.collectFirst { case (8, _, rbsp) => rbsp }
+      .exists(ppsDeblockingPresent)
     nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
       val firstMb = r.ue()
@@ -383,6 +418,7 @@ object H264 {
       else if (refIdc != 0) r.u(1)  // adaptive_ref_pic_marking_mode_flag
       // (a non-reference non-IDR slice carries NO dec_ref_pic_marking)
       r.se()                        // slice_qp_delta
+      skipSliceDeblocking(r, deblock)
       val plane = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       var mb = 0
       while (mb < mbsX * mbsY) {

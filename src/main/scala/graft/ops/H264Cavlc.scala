@@ -745,6 +745,7 @@ object H264Cavlc {
       w.ue(k % 2)        // idr_pic_id
       w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
       w.se(qp - 26)      // slice_qp_delta (pic_init_qp is 26)
+      w.ue(1)            // disable_deblocking_filter_idc = 1 (no loop filter)
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0) // luma TotalCoeff grid
       val cctx = Array.fill(2, mbsY * 2, mbsX * 2)(0) // chroma grids
       // frame-level 4x4 mode grid + I4x4 flags: mode prediction (8.3.1.1)
@@ -885,7 +886,7 @@ object H264Cavlc {
     // PPS: entropy mode + init QP + chroma offset are load-bearing
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
-    val (initQp, chromaOff) = {
+    val (initQp, chromaOff, deblock) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "intra decoder: CABAC streams unsupported (CAVLC only)")
@@ -895,7 +896,7 @@ object H264Cavlc {
       val q = r.se() + 26
       r.se()
       val co = r.se()
-      (q, co)
+      (q, co, r.u(1) == 1) // deblocking_filter_control_present_flag
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
@@ -909,6 +910,7 @@ object H264Cavlc {
       if (nalType == 5) { r.u(1); r.u(1) }
       else if (refIdc != 0) r.u(1)
       var qpY = initQp + r.se()
+      H264.skipSliceDeblocking(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)

@@ -256,6 +256,7 @@ object H264Inter {
     iw.ue(0)                       // idr_pic_id
     iw.u(0, 1); iw.u(0, 1)         // dec_ref_pic_marking (IDR)
     iw.se(qp - 26)                 // slice_qp_delta
+    iw.ue(1)                       // disable_deblocking_filter_idc = 1
     var mb = 0
     while (mb < mbsX * mbsY) {
       val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
@@ -280,6 +281,7 @@ object H264Inter {
       w.u(0, 1)                // ref_pic_list_modification_flag_l0
       w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
       w.se(qp - 26)            // slice_qp_delta
+      w.ue(1)                  // disable_deblocking_filter_idc = 1
       val g = new MvGrid(mbsX, mbsY)
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
       var skipRun = 0
@@ -360,6 +362,7 @@ object H264Inter {
       r.u(2)
       r.se() + 26
     }
+    val deblock = H264.ppsDeblockingPresent(pps)
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // reference picture (luma, cb, cr) — updated after each decoded picture
     var refL: Array[Array[Int]] = null
@@ -380,6 +383,7 @@ object H264Inter {
       else if (refIdc != 0)
         require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
       var qpY = initQp + r.se()
+      H264.skipSliceDeblocking(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)

@@ -70,7 +70,8 @@ class H264Spec extends AnyFunSuite {
       val bw = new H264.BitWriter
       bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
       bw.u(0, 1); bw.u(0, 1); bw.se(0)
-      bw.ue(0)
+      bw.ue(1) // disable_deblocking_filter_idc (the family PPS announces it)
+      bw.ue(0) // mb_type Intra_4x4 — the boundary under test
       bw.trailingBits()
       val good16 = H264.encodePcm(16, 16, Seq(Array.fill(16, 16)(0)))
       val nals = H264.splitNals(good16)

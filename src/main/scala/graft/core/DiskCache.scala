@@ -56,19 +56,25 @@ object DiskCache {
     * NPE.
     */
   def fingerprint(dir: String, tables: Seq[String]): String = {
-    def leaves(f: java.io.File): Array[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName).flatMap(leaves)
-      else Array(f)
+    // depth bound + canonical-path visited set: a symlink cycle under the
+    // source dir must degrade to a partial listing, not StackOverflowError
+    val seen = scala.collection.mutable.Set.empty[String]
+    def leaves(f: java.io.File, depth: Int): Array[java.io.File] =
+      if (f.isDirectory) {
+        val canon = try f.getCanonicalPath catch { case _: Exception => f.getPath }
+        if (depth > 16 || !seen.add(canon)) Array.empty[java.io.File]
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).flatMap(leaves(_, depth + 1))
+      } else Array(f)
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sep = Array[Byte](0) // field separator: "1"+"23" must not alias "12"+"3"
     md.update(dir.getBytes("UTF-8"))
     for (t <- tables) {
       val f = new java.io.File(dir, s"$t.parquet")
-      for (p <- leaves(f) if p.isFile) {
-        md.update(p.getPath.getBytes("UTF-8"))
-        md.update(p.length().toString.getBytes("UTF-8"))
-        md.update(p.lastModified().toString.getBytes("UTF-8"))
+      for (p <- leaves(f, 0) if p.isFile) {
+        md.update(p.getPath.getBytes("UTF-8")); md.update(sep)
+        md.update(p.length().toString.getBytes("UTF-8")); md.update(sep)
+        md.update(p.lastModified().toString.getBytes("UTF-8")); md.update(sep)
       }
     }
     md.digest().map(b => f"$b%02x").mkString.take(16)
@@ -118,6 +124,11 @@ object DiskCache {
     val df = build
     try {
       root.mkdirs()
+      // a marker-less target (a wipe interrupted mid-delete) would block
+      // renameTo forever — clear it now so the publish can heal the entry;
+      // a marker-BEARING target here means a concurrent JVM won the race
+      // between our `ok` check and this point, and renameTo simply loses
+      if (target.isDirectory && !ok) wipe(target)
       val tmp = new java.io.File(root, s".tmp-${java.util.UUID.randomUUID()}")
       df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
       if (!tmp.renameTo(target)) // lost a publish race to a concurrent JVM

@@ -65,6 +65,18 @@ object H264Cavlc {
     (0, 2), (1, 2), (0, 3), (1, 3),
     (2, 2), (3, 2), (2, 3), (3, 3))
 
+  /** 9.2.1 nC from a TotalCoeff grid at frame-global 4x4 coords (gx, gy):
+    * round-up average when left and top both exist, the available one
+    * otherwise, 0 at the frame corner. ONE definition shared by both
+    * codecs' encoders and decoders (luma and chroma grids alike) so the
+    * availability semantics can never diverge between them.
+    */
+  private[ops] def ncAt(grid: Array[Array[Int]], gx: Int, gy: Int): Int = {
+    val a = if (gx > 0) grid(gy)(gx - 1) else -1
+    val b = if (gy > 0) grid(gy - 1)(gx) else -1
+    if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
+  }
+
   // -------------------------------------------------------- dequantization ---
 
   /** Flat-scaling dequant multipliers V(m, pos-class) (8.5.9 normAdjust4x4
@@ -757,18 +769,10 @@ object H264Cavlc {
       // the running QP_Y, for dequant)
       mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
         val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
-        def lumaNC(bx: Int, by: Int): Int = {
-          val gx = mbX * 4 + bx; val gy = mbY * 4 + by
-          val a = if (gx > 0) nctx(gy)(gx - 1) else -1
-          val b = if (gy > 0) nctx(gy - 1)(gx) else -1
-          if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
-        }
-        def chromaNC(c: Int, bx: Int, by: Int): Int = {
-          val gx = mbX * 2 + bx; val gy = mbY * 2 + by
-          val a = if (gx > 0) cctx(c)(gy)(gx - 1) else -1
-          val b = if (gy > 0) cctx(c)(gy - 1)(gx) else -1
-          if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
-        }
+        def lumaNC(bx: Int, by: Int): Int =
+          ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
+        def chromaNC(c: Int, bx: Int, by: Int): Int =
+          ncAt(cctx(c), mbX * 2 + bx, mbY * 2 + by)
         def setLuma(bx: Int, by: Int, tc: Int): Unit =
           nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
         def setChroma(c: Int, bx: Int, by: Int, tc: Int): Unit =
@@ -922,18 +926,10 @@ object H264Cavlc {
       while (mbIdx < mbsX * mbsY) {
         val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
         val leftAvail = mbX > 0; val topAvail = mbY > 0
-        def lumaNC(bx: Int, by: Int): Int = {
-          val gx = mbX * 4 + bx; val gy = mbY * 4 + by
-          val a = if (gx > 0) nctx(gy)(gx - 1) else -1
-          val b = if (gy > 0) nctx(gy - 1)(gx) else -1
-          if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
-        }
-        def chromaNC(c: Int, bx: Int, by: Int): Int = {
-          val gx = mbX * 2 + bx; val gy = mbY * 2 + by
-          val a = if (gx > 0) cctx(c)(gy)(gx - 1) else -1
-          val b = if (gy > 0) cctx(c)(gy - 1)(gx) else -1
-          if (a >= 0 && b >= 0) (a + b + 1) >> 1 else if (a >= 0) a else if (b >= 0) b else 0
-        }
+        def lumaNC(bx: Int, by: Int): Int =
+          ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
+        def chromaNC(c: Int, bx: Int, by: Int): Int =
+          ncAt(cctx(c), mbX * 2 + bx, mbY * 2 + by)
         def setLuma(bx: Int, by: Int, tc: Int): Unit =
           nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
         def setChroma(c: Int, bx: Int, by: Int, tc: Int): Unit =

@@ -303,13 +303,8 @@ object H264Inter {
             w.ue(cbpInterInv(p.cbpLuma)) // me(v), inter column, cbpChroma 0
             if (p.cbpLuma > 0) {
               w.se(p.qpDelta)
-              def lumaNC(bx: Int, by: Int): Int = {
-                val gx = mbX * 4 + bx; val gy = mbY * 4 + by
-                val a = if (gx > 0) nctx(gy)(gx - 1) else -1
-                val b = if (gy > 0) nctx(gy - 1)(gx) else -1
-                if (a >= 0 && b >= 0) (a + b + 1) >> 1
-                else if (a >= 0) a else if (b >= 0) b else 0
-              }
+              def lumaNC(bx: Int, by: Int): Int =
+                H264Cavlc.ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
               var b = 0
               while (b < 16) {
                 if ((p.cbpLuma & (1 << (b / 4))) != 0) {
@@ -348,9 +343,10 @@ object H264Inter {
     require(sps.picOrderCntType == 2, "inter decoder: pic_order_cnt_type must be 2")
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
-    // (chroma_qp_index_offset is parsed but unused: the subset carries no
-    // chroma residual, so no chroma QP is ever derived)
-    val initQp = {
+    // one canonical PPS walk: init QP and the slice-deblocking flag come
+    // from the same pass (chroma_qp_index_offset is parsed but unused —
+    // the subset carries no chroma residual, so no chroma QP is derived)
+    val (initQp, deblock) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "inter decoder: CAVLC only")
@@ -360,9 +356,10 @@ object H264Inter {
       r.ue()
       require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
       r.u(2)
-      r.se() + 26
+      val q = r.se() + 26
+      r.se(); r.se()
+      (q, r.u(1) == 1) // deblocking_filter_control_present_flag
     }
-    val deblock = H264.ppsDeblockingPresent(pps)
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // reference picture (luma, cb, cr) — updated after each decoded picture
     var refL: Array[Array[Int]] = null
@@ -470,13 +467,8 @@ object H264Inter {
             val cbpLuma = cbp & 15
             if (cbp > 0) {
               qpY = (qpY + r.se() + 52) % 52
-              def lumaNC(bx: Int, by: Int): Int = {
-                val gx = mbX * 4 + bx; val gy = mbY * 4 + by
-                val a = if (gx > 0) nctx(gy)(gx - 1) else -1
-                val b = if (gy > 0) nctx(gy - 1)(gx) else -1
-                if (a >= 0 && b >= 0) (a + b + 1) >> 1
-                else if (a >= 0) a else if (b >= 0) b else 0
-              }
+              def lumaNC(bx: Int, by: Int): Int =
+                H264Cavlc.ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
               var b = 0
               while (b < 16) {
                 if ((cbpLuma & (1 << (b / 4))) != 0) {

@@ -880,10 +880,21 @@ object TextQ {
                 sb.append(tk(i + j)); j += 1
               }
               val mine = k == 1 || {
-                // String.hashCode over the builder, no allocation
-                var h = 0; var x = 0
-                while (x < sb.length) { h = 31 * h + sb.charAt(x); x += 1 }
-                (h & 0x7fffffff) % k == pass
+                // 64-bit FNV-1a over the builder chars, no allocation. NOT
+                // String.hashCode: its base-31 algebra makes equal-hash
+                // token families trivially constructible ("Aa"/"BB"), which
+                // would funnel every gram of an adversarial doc into ONE
+                // pass and defeat the memory bound. FNV collisions across a
+                // 2^64 space are not a practical corpus property, so the
+                // bound is probabilistic but real. Exactness is unaffected
+                // either way — each gram still lands in exactly one pass.
+                var h = -3750763034362895579L // FNV offset basis
+                var x = 0
+                while (x < sb.length) {
+                  h = (h ^ sb.charAt(x)) * 1099511628211L // FNV prime
+                  x += 1
+                }
+                ((h >>> 1) % k).toInt == pass
               }
               if (mine) {
                 val c = counts.merge(sb.toString, 1, (a, b) => a + b)

@@ -84,6 +84,25 @@ class DiskCacheSpec extends SparkTestBase {
     }
   }
 
+  test("cached: a marker-less partial target heals — publish replaces it") {
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      var builds = 0
+      def build() = { builds += 1; spark.range(30).select(col("id")) }
+      DiskCache.cached(spark, "spec-heal2")(build()).collect()
+      assert(builds == 1)
+      // simulate a wipe interrupted right after the marker delete: the
+      // target survives WITHOUT _SUCCESS — renameTo onto it would fail
+      // forever if the build path didn't clear it first
+      val target = new java.io.File(sys.props("graft.cache.dir"), "spec-heal2")
+      assert(new java.io.File(target, "_SUCCESS").delete())
+      DiskCache.cached(spark, "spec-heal2")(build()).collect()
+      assert(builds == 2, "a marker-less target must rebuild")
+      DiskCache.cached(spark, "spec-heal2")(build()).collect()
+      assert(builds == 2, "the republished entry must serve hits again")
+    }
+  }
+
   test("fingerprint covers nested (partitioned) layouts") {
     val dir = Scratch.dir("graft-fp-nested")
     val sub = new java.io.File(dir, "events.parquet/dt=2024-01-01")

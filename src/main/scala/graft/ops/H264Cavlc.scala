@@ -732,6 +732,12 @@ object H264Cavlc {
       chromaDc: Array[Array[Int]] = null) extends MbPlan
   /** I_PCM with a constant luma value (chroma gray). */
   final case class Pcm(luma: Int) extends MbPlan
+  /** I_PCM with explicit per-sample luma (16 rows × 16 cols, 0–255) and a
+    * flat chroma fill — lets a planted I frame carry an arbitrary plane
+    * (e.g. the gradient+impulse reference the inter oracle interpolates).
+    */
+  final case class PcmBlock(samples: Array[Array[Int]],
+      chroma: Int = 128) extends MbPlan
 
   // ------------------------------------------------------------- encoder ---
 
@@ -748,7 +754,6 @@ object H264Cavlc {
       H264.writeSps(H264.Sps(66, 20, 4, 2, mbsX, mbsY, 0, 0)))
     H264.writeNal(out, 3, 8, H264.writePps())
     frames.zipWithIndex.foreach { case (mbs, k) =>
-      require(mbs.length == mbsX * mbsY, "frame must plant every MB")
       val w = new BitWriter
       w.ue(0)            // first_mb_in_slice
       w.ue(7)            // slice_type = I (all)
@@ -758,6 +763,21 @@ object H264Cavlc {
       w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
       w.se(qp - 26)      // slice_qp_delta (pic_init_qp is 26)
       w.ue(1)            // disable_deblocking_filter_idc = 1 (no loop filter)
+      writeISliceMbs(w, mbsX, mbsY, mbs)
+      w.trailingBits()
+      H264.writeNal(out, 3, 5, w.toBytes)
+    }
+    out.toByteArray
+  }
+
+  /** Write one I slice's macroblock data (everything after the slice
+    * header) for planted MBs — shared by [[encodeIntra]] and
+    * [[H264Inter.encodeStream]] (whose reference pictures may now be
+    * full intra-CAVLC frames, not just I_PCM).
+    */
+  private[ops] def writeISliceMbs(w: BitWriter, mbsX: Int, mbsY: Int,
+      mbs: Seq[MbPlan]): Unit = {
+      require(mbs.length == mbsX * mbsY, "frame must plant every MB")
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0) // luma TotalCoeff grid
       val cctx = Array.fill(2, mbsY * 2, mbsX * 2)(0) // chroma grids
       // frame-level 4x4 mode grid + I4x4 flags: mode prediction (8.3.1.1)
@@ -796,6 +816,17 @@ object H264Cavlc {
             i = 0
             while (i < 128) { w.u(128L, 8); i += 1 }
             // PCM: every nC total is 16 (7.4.5 / 9.2.1)
+            for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
+            for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
+          case p: PcmBlock =>
+            require(p.samples.length == 16 && p.samples.forall(_.length == 16),
+              "PcmBlock needs a 16x16 luma block")
+            w.ue(25)
+            w.alignZero()
+            var i = 0
+            while (i < 256) { w.u((p.samples(i / 16)(i % 16) & 0xff).toLong, 8); i += 1 }
+            i = 0
+            while (i < 128) { w.u((p.chroma & 0xff).toLong, 8); i += 1 }
             for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
             for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
           case p: I16x16 =>
@@ -864,10 +895,6 @@ object H264Cavlc {
             }
         }
       }
-      w.trailingBits()
-      H264.writeNal(out, 3, 5, w.toBytes)
-    }
-    out.toByteArray
   }
 
   // ------------------------------------------------------------- decoder ---
@@ -913,11 +940,26 @@ object H264Cavlc {
       if (nalType == 5) r.ue()
       if (nalType == 5) { r.u(1); r.u(1) }
       else if (refIdc != 0) r.u(1)
-      var qpY = initQp + r.se()
+      val sliceQp = initQp + r.se()
       H264.skipSliceDeblocking(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
+      decodeISliceMbs(r, mbsX, mbsY, sliceQp, chromaOff, luma, cb, cr)
+      luma
+    }
+  }
+
+  /** Decode one I slice's macroblock data (everything after the slice
+    * header) into the given planes — Intra_4x4 / Intra_16x16 (CAVLC) and
+    * I_PCM macroblocks. Shared by [[decodeIntraFrames]] and
+    * [[H264Inter.decodeFrames]], whose P pictures may reference a full
+    * intra-CAVLC picture (luma AND chroma land in the caller's planes).
+    */
+  private[ops] def decodeISliceMbs(r: BitReader, mbsX: Int, mbsY: Int,
+      sliceQp: Int, chromaOff: Int, luma: Array[Array[Int]],
+      cb: Array[Array[Int]], cr: Array[Array[Int]]): Unit = {
+      var qpY = sliceQp
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
       val cctx = Array.fill(2, mbsY * 2, mbsX * 2)(0)
       val mbIsI4x4 = Array.fill(mbsY, mbsX)(false)
@@ -1148,8 +1190,6 @@ object H264Cavlc {
         }
         mbIdx += 1
       }
-      luma
-    }
   }
 
   // -------------------------------------------------- table sanity exports ---

@@ -36,13 +36,13 @@ import H264.{BitReader, BitWriter}
   *    after every decoded picture, so P→P chains are real.
   *
   * Subset boundary, stated plainly (same honesty contract as [[H264]] and
-  * [[H264Cavlc]]): the I pictures of a stream this module decodes must be
-  * all-I_PCM (the q233 codec) — intra-CAVLC I slices are decoded by
-  * [[H264Cavlc.decodeIntraFrames]] but not chained as references here; a
-  * camera stream mixing intra-predicted references with inter frames still
-  * exits through the external `MediaDecoder` seam. B slices, multiple
-  * reference frames, weighted prediction, and sub-16x16 partitions are
-  * rejected loudly, never mis-decoded. The inter CBP column of Table 9-4
+  * [[H264Cavlc]]): I pictures decode through the FULL shared intra surface
+  * ([[H264Cavlc.decodeISliceMbs]] — I_PCM, Intra_4x4, Intra_16x16 CAVLC)
+  * and serve as references, so real compressed-intra + P chains decode
+  * natively (q237). What still exits through the external `MediaDecoder`
+  * seam: CABAC entropy, B slices, multiple reference frames, weighted
+  * prediction, and sub-16x16 partitions — all rejected loudly, never
+  * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
   * cbp ∈ {0, 1} and the permutation spec guards gross transcription slips
   * — the residual entry points are the q235-proven ones.
@@ -217,17 +217,33 @@ object H264Inter {
 
   // ------------------------------------------------------------- encoder ---
 
-  /** Encode an IDR all-I_PCM picture (the reference) followed by planted P
-    * pictures into a conformant Annex-B stream: SPS (max_num_ref_frames 1)
-    * + PPS + IDR + one P slice per frame. `pcmLuma` is the reference luma
-    * plane (mbsY·16 rows × mbsX·16 cols); chroma is flat `chromaFill`.
+  /** Encode an IDR all-I_PCM reference picture from a raw luma plane
+    * (mbsY·16 rows × mbsX·16 cols, flat `chromaFill` chroma) followed by
+    * planted P pictures — convenience over the [[H264Cavlc.MbPlan]] entry.
     */
   def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
       pcmLuma: Array[Array[Int]], pFrames: Seq[Seq[PMbPlan]],
       chromaFill: Int = 128): Array[Byte] = {
-    require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     require(pcmLuma.length == mbsY * 16 && pcmLuma.forall(_.length == mbsX * 16),
       "reference plane must match the MB grid")
+    val iMbs = (0 until mbsX * mbsY).map { mb =>
+      val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
+      H264Cavlc.PcmBlock(
+        Array.tabulate(16, 16)((y, x) => pcmLuma(y0 + y)(x0 + x)), chromaFill)
+    }
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames)
+  }
+
+  /** Encode an IDR I picture of arbitrary planted intra macroblocks
+    * ([[H264Cavlc.MbPlan]] — I_PCM, Intra_4x4, Intra_16x16) followed by
+    * planted P pictures into a conformant Annex-B stream: SPS
+    * (max_num_ref_frames 1) + PPS + IDR + one P slice per frame. The P
+    * pictures motion-compensate from the DECODED intra picture, so the
+    * reference may be real compressed intra content, not just PCM.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]]): Array[Byte] = {
+    require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val out = new java.io.ByteArrayOutputStream()
     // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
     // streams); a P stream must declare 1 — emit the SPS inline.
@@ -249,7 +265,7 @@ object H264Inter {
     }
     H264.writeNal(out, 3, 7, sps)
     H264.writeNal(out, 3, 8, H264.writePps())
-    // --- IDR all-PCM reference picture ---
+    // --- IDR intra reference picture (PCM and/or CAVLC macroblocks) ---
     val iw = new BitWriter
     iw.ue(0); iw.ue(7); iw.ue(0)   // first_mb, slice_type I(all), pps
     iw.u(0, 4)                     // frame_num 0
@@ -257,16 +273,7 @@ object H264Inter {
     iw.u(0, 1); iw.u(0, 1)         // dec_ref_pic_marking (IDR)
     iw.se(qp - 26)                 // slice_qp_delta
     iw.ue(1)                       // disable_deblocking_filter_idc = 1
-    var mb = 0
-    while (mb < mbsX * mbsY) {
-      val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
-      iw.ue(25); iw.alignZero()
-      var i = 0
-      while (i < 256) { iw.u((pcmLuma(y0 + i / 16)(x0 + i % 16) & 0xff).toLong, 8); i += 1 }
-      i = 0
-      while (i < 128) { iw.u((chromaFill & 0xff).toLong, 8); i += 1 }
-      mb += 1
-    }
+    H264Cavlc.writeISliceMbs(iw, mbsX, mbsY, iMbs)
     iw.trailingBits()
     H264.writeNal(out, 3, 5, iw.toBytes)
     // --- P pictures ---
@@ -343,10 +350,10 @@ object H264Inter {
     require(sps.picOrderCntType == 2, "inter decoder: pic_order_cnt_type must be 2")
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
-    // one canonical PPS walk: init QP and the slice-deblocking flag come
-    // from the same pass (chroma_qp_index_offset is parsed but unused —
-    // the subset carries no chroma residual, so no chroma QP is derived)
-    val (initQp, deblock) = {
+    // one canonical PPS walk: init QP, the chroma QP offset (the intra
+    // reference pictures carry chroma residuals) and the slice-deblocking
+    // flag all come from the same pass
+    val (initQp, chromaOff, deblock) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "inter decoder: CAVLC only")
@@ -357,8 +364,9 @@ object H264Inter {
       require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
       r.u(2)
       val q = r.se() + 26
-      r.se(); r.se()
-      (q, r.u(1) == 1) // deblocking_filter_control_present_flag
+      r.se()
+      val co = r.se()
+      (q, co, r.u(1) == 1) // deblocking_filter_control_present_flag
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // reference picture (luma, cb, cr) — updated after each decoded picture
@@ -384,23 +392,12 @@ object H264Inter {
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
-      if (sliceType == 2) { // I picture: all I_PCM (the subset reference)
-        var mb = 0
-        while (mb < mbsX * mbsY) {
-          val mbType = r.ue()
-          require(mbType == 25,
-            s"inter decoder: I pictures must be all-I_PCM, got mb_type $mbType" +
-              " (intra-CAVLC references are H264Cavlc's surface)")
-          r.alignToByte()
-          val x0 = (mb % mbsX) * 16; val y0 = (mb / mbsX) * 16
-          var i = 0
-          while (i < 256) { luma(y0 + i / 16)(x0 + i % 16) = r.u(8).toInt; i += 1 }
-          i = 0
-          while (i < 64) { cb((mb / mbsX) * 8 + i / 8)((mb % mbsX) * 8 + i % 8) = r.u(8).toInt; i += 1 }
-          i = 0
-          while (i < 64) { cr((mb / mbsX) * 8 + i / 8)((mb % mbsX) * 8 + i % 8) = r.u(8).toInt; i += 1 }
-          mb += 1
-        }
+      if (sliceType == 2) {
+        // I picture: the full intra surface (I_PCM, Intra_4x4, Intra_16x16
+        // CAVLC) through the shared slice decoder — luma AND chroma land in
+        // this picture's planes, so P pictures can reference real
+        // compressed intra content, not just PCM
+        H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr)
       } else {
         require(sliceType == 0, s"inter decoder: unsupported slice_type $sliceType")
         require(refL != null, "P slice with no decoded reference picture")

@@ -997,7 +997,143 @@ object MediaQ {
       |CROSS JOIN (VALUES ('p_main'), ('p_aux'), ('p_skip'), ('p_resid'),
       |  ('p_f2')) p(probe)""".stripMargin
 
+  /** q237 — H.264 inter prediction from a **CAVLC-decoded reference**
+    * ([[H264Inter]] + [[H264Cavlc]] chained): the IDR reference picture
+    * mixes I_PCM gradient+impulse macroblocks with a REAL Intra_16x16
+    * DC-predicted CAVLC macroblock (planted Hadamard-domain DC level), and
+    * the P pictures motion-compensate from the DECODED result — so a probe
+    * reading the CAVLC region only matches if intra decode (DC prediction
+    * from PCM neighbors + dequant/Hadamard/IDCT) and inter motion
+    * compensation compose exactly. This closes q236's stated boundary
+    * (I_PCM-only references): the reference is now real compressed intra
+    * content. Probes: the q236 impulse/tap pair (same closed forms — the
+    * PCM region is identical), the skip-inferred copy, the CAVLC-region
+    * read (flat v5 = DC-pred + DC-residual, interpolation-invariant by
+    * flatness), and an all-skip second P frame pinning reference chaining.
+    *
+    * Scale shape: map-only, one scan, 5 rows per doc — no shuffle.
+    */
+  def h264CavlcRefInter(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val c = (id % 7).toInt
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val delta = 30 + (id % 60).toInt
+        val l0 = (id % 7).toInt - 3
+        val mvs = Array((4, 8), (10, 8), (8, 10), (10, 10), (9, 8), (8, 9), (11, 11))
+        val (mvx, mvy) = mvs(c)
+        // I frame: five PCM gradient tiles (impulse in MB0) + one REAL
+        // Intra_16x16 CAVLC MB at (2,1) whose DC predicts from the PCM
+        // neighbors and whose residual is the planted Hadamard DC level
+        def tile(mbX: Int, mbY: Int) = H264Cavlc.PcmBlock(
+          Array.tabulate(16, 16) { (y, x) =>
+            val fx = mbX * 16 + x; val fy = mbY * 16 + y
+            val g = g0 + fx + 2 * fy
+            if (fx == 10 && fy == 10) g + delta else g
+          })
+        val iMbs = Seq[H264Cavlc.MbPlan](
+          tile(0, 0), tile(1, 0), tile(2, 0), tile(0, 1), tile(1, 1),
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+        val p16 = H264Inter.P16x16(mvx, mvy)
+        val frame1 = Seq[H264Inter.PMbPlan](p16, p16, p16, p16,
+          H264Inter.PSkip, p16)
+        val frame2 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip)
+        val stream = H264Inter.encodeStream(3, 2, qp, iMbs, Seq(frame1, frame2))
+        val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+        require(meta.format == "h264",
+          s"chained stream failed the SPS metadata parse for doc $id")
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        val f1 = fs(1); val f2 = fs(2)
+        val mains = Array((9, 8), (7, 8), (8, 7), (7, 7), (7, 8), (8, 7), (7, 7))
+        val auxes = Array((8, 8), (6, 8), (8, 6), (5, 6), (6, 8), (8, 6), (6, 6))
+        val (mX, mY) = mains(c); val (aX, aY) = auxes(c)
+        Seq(
+          ("p_main", f1(mY)(mX)), ("p_aux", f1(aY)(aX)),
+          ("p_skip", f1(20)(20)), ("p_intra", f1(20)(36)),
+          ("p_f2", f2(20)(36))
+        ).map { case (p, v) =>
+          Row(id, p, meta.width, meta.height, meta.n_frames, v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(cavlcSchema))
+  }
+
+  /** Oracle: the PCM-region probes reuse q236's validated interpolation
+    * closed forms; the CAVLC-region probe composes 8.3.3.3 DC prediction
+    * over the PCM neighbor sums ((32·g0+2376)>>5 = g0+74 on this gradient)
+    * with the q235 Hadamard-DC dequant ((l0·va·2^(k−2)+32)>>6) — flat
+    * regions are interpolation-invariant, so the motion-compensated read
+    * equals the intra-decoded value for every fractional class.
+    */
+  private val h264CavlcRefSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 7 AS INT) AS c,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(30 + doc_id % 60 AS INT) AS dl,
+      |    CAST(doc_id % 7 - 3 AS INT) AS l0
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |), forms AS (
+      |  SELECT *,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 30 + dl
+      |      WHEN 1 THEN CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT)
+      |      WHEN 2 THEN CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT)
+      |      WHEN 3 THEN CAST(floor((1024 * (g0 + 27) + 2048 + 400 * dl) / 1024.0) AS BIGINT)
+      |      WHEN 4 THEN (g0 + 29
+      |        + CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 5 THEN (g0 + 28
+      |        + CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 6 THEN (CAST(floor((32 * (g0 + 28) + 48 + 20 * dl) / 32.0) AS BIGINT)
+      |        + CAST(floor((32 * (g0 + 29) + 32 + 20 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |    END AS v_main,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 29
+      |      WHEN 1 THEN CAST(floor((32 * (g0 + 28) + 32 - 5 * dl) / 32.0) AS BIGINT)
+      |      WHEN 2 THEN CAST(floor((32 * (g0 + 26) + 48 - 5 * dl) / 32.0) AS BIGINT)
+      |      WHEN 3 THEN CAST(floor((1024 * (g0 + 23) + 2048 - 5 * dl) / 1024.0) AS BIGINT)
+      |      WHEN 4 THEN (g0 + 28
+      |        + CAST(floor((32 * (g0 + 28) + 32 - 5 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 5 THEN (g0 + 26
+      |        + CAST(floor((32 * (g0 + 26) + 48 - 5 * dl) / 32.0) AS BIGINT) + 1) // 2
+      |      WHEN 6 THEN g0 + 27
+      |    END AS v_aux,
+      |    CASE c
+      |      WHEN 0 THEN g0 + 65 WHEN 1 THEN g0 + 67 WHEN 2 THEN g0 + 67
+      |      WHEN 3 THEN g0 + 68 WHEN 4 THEN g0 + 67 WHEN 5 THEN g0 + 67
+      |      WHEN 6 THEN g0 + 69
+      |    END AS v_skip,
+      |    g0 + 74
+      |      + CAST(floor((l0 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |      AS v_intra
+      |  FROM scaled
+      |)
+      |SELECT doc_id, p.probe,
+      |  48 AS width, 32 AS height, 3 AS n_frames,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'p_main' THEN v_main
+      |    WHEN 'p_aux' THEN v_aux
+      |    WHEN 'p_skip' THEN v_skip
+      |    WHEN 'p_intra' THEN v_intra
+      |    WHEN 'p_f2' THEN v_intra
+      |  END)) AS INT) AS px
+      |FROM forms
+      |CROSS JOIN (VALUES ('p_main'), ('p_aux'), ('p_skip'), ('p_intra'),
+      |  ('p_f2')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_h264_cavlc_ref_inter", h264CavlcRefInter, Some(h264CavlcRefSql)),
     QueryDef("q236_h264_inter_probes", h264InterProbes, Some(h264InterSql)),
     QueryDef("q235_h264_cavlc_probes", h264CavlcProbes, Some(h264CavlcSql)),
     QueryDef("q84_video_meta", videoMeta, Some(videoMetaSql)),

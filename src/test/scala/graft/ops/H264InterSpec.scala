@@ -170,6 +170,50 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("CAVLC intra reference: P pictures motion-compensate from decoded intra") {
+    // the q237 shape: PCM gradient tiles + one real Intra_16x16 DC CAVLC MB
+    // at (2,1); a P MB reads the CAVLC region, so the probe only matches if
+    // intra decode and inter MC compose. Closed forms re-derived here
+    // independently (8.3.3.3 DC pred + q235 Hadamard-DC scaling).
+    def fl(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val dqA = Array(10, 11, 13, 14, 16, 18)
+    for (id <- 0L until 21L) {
+      val c = (id % 7).toInt
+      val qp = 20 + (id % 12).toInt
+      val g0 = 40 + (id % 50).toInt
+      val dl = 30 + (id % 60).toInt
+      val l0 = (id % 7).toInt - 3
+      val mvs = Array((4, 8), (10, 8), (8, 10), (10, 10), (9, 8), (8, 9), (11, 11))
+      val (mvx, mvy) = mvs(c)
+      def tile(mbX: Int, mbY: Int) = H264Cavlc.PcmBlock(
+        Array.tabulate(16, 16) { (y, x) =>
+          val fx = mbX * 16 + x; val fy = mbY * 16 + y
+          val g = g0 + fx + 2 * fy
+          if (fx == 10 && fy == 10) g + dl else g
+        })
+      val iMbs = Seq[H264Cavlc.MbPlan](
+        tile(0, 0), tile(1, 0), tile(2, 0), tile(0, 1), tile(1, 1),
+        H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+      val p16 = H264Inter.P16x16(mvx, mvy)
+      val fs = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, qp, iMbs,
+        Seq(Seq[H264Inter.PMbPlan](p16, p16, p16, p16, H264Inter.PSkip, p16),
+          Seq.fill[H264Inter.PMbPlan](6)(H264Inter.PSkip))))
+      // the CAVLC MB decodes flat: DC pred over the PCM gradient neighbors
+      // = (32*g0 + 2376)>>5 = g0+74, plus the Hadamard-DC residual
+      val v5 = g0 + 74 + fl(l0.toLong * dqA(qp % 6) * (1L << (qp / 6 - 2)) + 32, 64)
+      assert(fs(0)(20)(40) == v5, s"id=$id intra-decode flat value")
+      // the P MB at (2,1) reads the flat CAVLC region: interpolation-
+      // invariant, so every fractional class returns v5 exactly
+      assert(fs(1)(20)(36) == v5, s"id=$id MC from the CAVLC region")
+      // and the all-skip second P frame chains off frame 1
+      assert(fs(2)(20)(36) == v5, s"id=$id chained reference")
+      // the impulse probe (PCM region) must be UNCHANGED by the mixed
+      // reference: same closed form as the all-PCM stream (class 0 only,
+      // spot check — the full set is q236/q237's oracle surface)
+      if (c == 0) assert(fs(1)(8)(9) == math.min(255, g0 + 30 + dl), s"id=$id")
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

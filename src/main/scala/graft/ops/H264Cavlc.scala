@@ -807,28 +807,25 @@ object H264Cavlc {
             // cbpChroma==1: DC only, no chroma AC; AC nC grids stay 0
           }
         }
+        // ONE I_PCM emission (7.3.5: mb_type 25, alignment, 256 luma +
+        // 128 chroma samples, every nC total 16) for both PCM plan shapes
+        def writePcmMb(luma: Int => Int => Int, chroma: Int): Unit = {
+          w.ue(25)
+          w.alignZero()
+          var i = 0
+          while (i < 256) { w.u((luma(i / 16)(i % 16) & 0xff).toLong, 8); i += 1 }
+          i = 0
+          while (i < 128) { w.u((chroma & 0xff).toLong, 8); i += 1 }
+          for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
+          for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
+        }
         plan match {
           case Pcm(g) =>
-            w.ue(25)
-            w.alignZero()
-            var i = 0
-            while (i < 256) { w.u((g & 0xff).toLong, 8); i += 1 }
-            i = 0
-            while (i < 128) { w.u(128L, 8); i += 1 }
-            // PCM: every nC total is 16 (7.4.5 / 9.2.1)
-            for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
-            for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
+            writePcmMb(_ => _ => g, 128)
           case p: PcmBlock =>
             require(p.samples.length == 16 && p.samples.forall(_.length == 16),
               "PcmBlock needs a 16x16 luma block")
-            w.ue(25)
-            w.alignZero()
-            var i = 0
-            while (i < 256) { w.u((p.samples(i / 16)(i % 16) & 0xff).toLong, 8); i += 1 }
-            i = 0
-            while (i < 128) { w.u((p.chroma & 0xff).toLong, 8); i += 1 }
-            for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
-            for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
+            writePcmMb(y => x => p.samples(y)(x), p.chroma)
           case p: I16x16 =>
             val hasAc = p.ac != null && p.ac.exists(_.exists(_ != 0))
             val cbpChroma = if (p.chromaDc != null) 1 else 0

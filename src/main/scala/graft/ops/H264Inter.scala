@@ -335,9 +335,10 @@ object H264Inter {
 
   // ------------------------------------------------------------- decoder ---
 
-  /** Decode an Annex-B stream of one all-I_PCM IDR picture followed by P
-    * pictures (P_L0_16x16 / P_Skip, CAVLC luma residuals, single reference
-    * = previous decoded picture); returns one luma plane per picture.
+  /** Decode an Annex-B stream of intra pictures (the FULL shared surface:
+    * I_PCM, Intra_4x4, Intra_16x16 CAVLC) interleaved with P pictures
+    * (P_L0_16x16 / P_Skip, CAVLC luma residuals, single reference = the
+    * previously decoded picture); returns one luma plane per picture.
     * Constraints are enforced loudly — sub-partitioned / intra-in-P
     * macroblocks, B slices and multi-slice pictures throw, never
     * mis-decode.

@@ -37,6 +37,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"q84 spreads at most once:\n$p")
   }
 
+  test("q236/q237 inter codecs: map-only modulo the guarded input spread") {
+    // the whole encode→decode round trip runs inside one mapPartitions
+    // pass per doc — a keyed shuffle or join of the synthesized streams
+    // would be a real regression (the q84 contract, on the inter family)
+    for (q <- Seq("q236_h264_inter_probes", "q237_h264_cavlc_ref_inter")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning") && !p.contains("Join"),
+        s"$q must not shuffle on a key:\n$p")
+      assert(p.toLowerCase.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
+        s"$q spreads at most once:\n$p")
+    }
+  }
+
   test("q88 pair counts: raw pairs shuffle exactly once before top-k") {
     val p = plan("q88_bpe_pair_counts")
     assert(!p.contains("Join"), p)

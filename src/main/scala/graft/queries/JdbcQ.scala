@@ -29,7 +29,12 @@ object JdbcQ {
     val conn = graft.core.Memo.cached(spark, s"jdbc-mirror:$dir") {
       val tmp = java.nio.file.Files.createTempDirectory("graft-derby").toString
       System.setProperty("derby.stream.error.file", s"$tmp/derby.log")
-      val c = Jdbc.Conn(s"jdbc:derby:$tmp/db;create=true")
+      // territory pinned in the URL: Derby derives the new database's
+      // locale from the JVM default otherwise, and under Bench's
+      // Locale.ROOT pin (the round-11 JSON-safety fix) that is the empty
+      // locale, which Derby rejects at boot (XBM0X) — q73 failed in every
+      // bench pass between the locale pin and this line
+      val c = Jdbc.Conn(s"jdbc:derby:$tmp/db;create=true;territory=en_US")
       Jdbc.write(
         t.supplier.select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
         c, "supplier_mirror", SaveMode.Overwrite, batchSize = 500)

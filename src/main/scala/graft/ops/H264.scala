@@ -322,9 +322,31 @@ object H264 {
     r.u(1) == 1
   }
 
-  /** Skip the slice-header deblocking fields if the PPS announces them. */
+  /** Skip the slice-header deblocking fields if the PPS announces them.
+    * For ALL-I_PCM streams only: the loop filter provably never alters
+    * PCM-PCM edges (8.7.2 gives I_PCM macroblocks QP 0, where alpha and
+    * beta are 0 and no sample passes the filter gate), so a filtered PCM
+    * stream decodes identically to an unfiltered one.
+    */
   private[ops] def skipSliceDeblocking(r: BitReader, present: Boolean): Unit =
     if (present && r.ue() != 1) { r.se(); r.se() }
+
+  /** For the predicted-macroblock decoders: require the loop filter OFF
+    * (disable_deblocking_filter_idc = 1). A conformant decoder of a
+    * filter-enabled stream post-processes every block edge (8.7); this
+    * family does not implement the filter, so decoding such a stream
+    * would produce silently-wrong pixels — loud rejection instead, per
+    * the never-mis-decode contract. Our own encoders always signal 1.
+    */
+  private[ops] def requireFilterOff(r: BitReader, present: Boolean): Unit = {
+    require(present,
+      "deblocking filter implicitly enabled (PPS has no slice-level " +
+        "control) — filtered streams need an external decoder (MediaDecoder seam)")
+    val idc = r.ue()
+    require(idc == 1,
+      s"deblocking filter enabled (disable idc $idc) — filtered streams " +
+        "need an external decoder (MediaDecoder seam)")
+  }
 
   // ----------------------------------------------------- encoder (I_PCM) ---
 

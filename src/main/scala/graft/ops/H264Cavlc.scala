@@ -938,7 +938,7 @@ object H264Cavlc {
       if (nalType == 5) { r.u(1); r.u(1) }
       else if (refIdc != 0) r.u(1)
       val sliceQp = initQp + r.se()
-      H264.skipSliceDeblocking(r, deblock)
+      H264.requireFilterOff(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)

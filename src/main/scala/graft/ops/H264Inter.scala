@@ -389,7 +389,7 @@ object H264Inter {
       else if (refIdc != 0)
         require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
       var qpY = initQp + r.se()
-      H264.skipSliceDeblocking(r, deblock)
+      H264.requireFilterOff(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)

@@ -259,6 +259,40 @@ class H264CavlcSpec extends AnyFunSuite {
     }
   }
 
+  test("filter-enabled streams are rejected loudly, never decoded unfiltered") {
+    // a conformant decoder POST-FILTERS every block edge when
+    // disable_deblocking_filter_idc != 1; this family has no loop filter,
+    // so such a stream must be refused (silently decoding it unfiltered
+    // would be wrong pixels), for the intra and inter decoders alike
+    val good = H264Cavlc.encodeIntra(1, 1, 26, Seq(Seq(H264Cavlc.Pcm(77))))
+    val nals = H264.splitNals(good)
+    val bw = new H264.BitWriter
+    bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 1); bw.se(0)
+    bw.ue(0)           // disable_deblocking_filter_idc = 0 -> filter ON
+    bw.se(0); bw.se(0) // alpha / beta offsets
+    bw.ue(25); bw.alignZero() // one I_PCM macroblock, luma 77, chroma 128
+    (0 until 256).foreach(_ => bw.u(77, 8))
+    (0 until 128).foreach(_ => bw.u(128, 8))
+    bw.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    H264.writeNal(out, 3, 7, nals.collectFirst { case (7, _, r) => r }.get)
+    H264.writeNal(out, 3, 8, nals.collectFirst { case (8, _, r) => r }.get)
+    H264.writeNal(out, 3, 5, bw.toBytes)
+    val e = intercept[IllegalArgumentException] {
+      H264Cavlc.decodeIntraFrames(out.toByteArray)
+    }
+    assert(e.getMessage.contains("deblocking"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      H264Inter.decodeFrames(out.toByteArray)
+    }
+    assert(e2.getMessage.contains("deblocking"), e2.getMessage)
+    // all-I_PCM streams stay permissive in decodePcmFrames: the filter
+    // provably never alters PCM-PCM edges (QP 0 -> alpha = beta = 0)
+    val pcm = H264.decodePcmFrames(out.toByteArray)
+    assert(pcm.head(0)(0) == 77)
+  }
+
   test("PCM-only streams decode identically through both decoders") {
     val plane = Array.tabulate(16, 48)((y, x) => (x * 7 + y * 13) % 256)
     val viaPcm = H264.encodePcm(48, 16, Seq(plane))

@@ -323,10 +323,14 @@ object H264 {
   }
 
   /** Skip the slice-header deblocking fields if the PPS announces them.
-    * For ALL-I_PCM streams only: the loop filter provably never alters
-    * PCM-PCM edges (8.7.2 gives I_PCM macroblocks QP 0, where alpha and
-    * beta are 0 and no sample passes the filter gate), so a filtered PCM
-    * stream decodes identically to an unfiltered one.
+    * For ALL-I_PCM streams only, and only because [[decodePcmFrames]]
+    * returns LUMA alone: luma PCM-PCM edges are provably never filtered
+    * (8.7.2 gives I_PCM macroblocks luma QP 0, where alpha and beta are 0
+    * and no sample passes the filter gate), so the returned planes match a
+    * conformant decoder's. CHROMA PCM edges CAN be filtered (a positive
+    * chroma_qp_index_offset plus slice alpha offset lifts the chroma index
+    * above the zero-alpha band) — if this decoder ever returns chroma,
+    * this permissive skip must become [[requireFilterOff]].
     */
   private[ops] def skipSliceDeblocking(r: BitReader, present: Boolean): Unit =
     if (present && r.ue() != 1) { r.se(); r.se() }
@@ -437,7 +441,11 @@ object H264 {
       r.u(sps.log2MaxFrameNum)      // frame_num
       if (nalType == 5) r.ue()      // idr_pic_id
       if (nalType == 5) { r.u(1); r.u(1) } // dec_ref_pic_marking (IDR)
-      else if (refIdc != 0) r.u(1)  // adaptive_ref_pic_marking_mode_flag
+      else if (refIdc != 0)
+        // MMCO syntax follows when set; skipping it would shift every later
+        // read (silent mis-decode) — loud rejection instead
+        require(r.u(1) == 0, "PCM subset decoder: adaptive ref marking " +
+          "(MMCO) unsupported — external decoder (MediaDecoder seam)")
       // (a non-reference non-IDR slice carries NO dec_ref_pic_marking)
       r.se()                        // slice_qp_delta
       skipSliceDeblocking(r, deblock)

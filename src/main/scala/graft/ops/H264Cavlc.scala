@@ -936,7 +936,11 @@ object H264Cavlc {
       r.u(sps.log2MaxFrameNum)
       if (nalType == 5) r.ue()
       if (nalType == 5) { r.u(1); r.u(1) }
-      else if (refIdc != 0) r.u(1)
+      else if (refIdc != 0)
+        // MMCO syntax follows when set; skipping it would shift every later
+        // read (silent mis-decode) — loud rejection instead
+        require(r.u(1) == 0, "intra decoder: adaptive ref marking (MMCO) " +
+          "unsupported — external decoder (MediaDecoder seam)")
       val sliceQp = initQp + r.se()
       H264.requireFilterOff(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)

@@ -23,31 +23,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q84 video meta: map-only modulo the guarded input spread") {
-    // Tables.spread round-robins the 1-split testdata scan across cores
-    // before the codec work (no-op at production split counts); the only
-    // legal exchange is that spread — a keyed shuffle or join of the
-    // synthesized media would be a real regression.
-    val p = plan("q84_video_meta")
+  /** The media-family contract: Tables.spread round-robins the 1-split
+    * testdata scan across cores before the codec work (no-op at production
+    * split counts); the only legal exchange is that ONE spread — a keyed
+    * shuffle or join of the synthesized media would be a real regression.
+    * Spark prints the exchange as CamelCase RoundRobinPartitioning, so the
+    * count is case-insensitive (a double-spread regression must fail).
+    */
+  private def assertMapOnlyModuloSpread(q: String): Unit = {
+    val p = plan(q)
     assert(!p.contains("hashpartitioning") && !p.contains("Join"),
-      s"q84 must not shuffle on a key:\n$p")
-    // Spark prints the exchange as CamelCase RoundRobinPartitioning —
-    // count case-insensitively so a double-spread regression actually fails
+      s"$q must not shuffle on a key:\n$p")
     assert(p.toLowerCase.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
-      s"q84 spreads at most once:\n$p")
+      s"$q spreads at most once:\n$p")
+  }
+
+  test("q84 video meta: map-only modulo the guarded input spread") {
+    assertMapOnlyModuloSpread("q84_video_meta")
   }
 
   test("q236/q237 inter codecs: map-only modulo the guarded input spread") {
     // the whole encode→decode round trip runs inside one mapPartitions
-    // pass per doc — a keyed shuffle or join of the synthesized streams
-    // would be a real regression (the q84 contract, on the inter family)
-    for (q <- Seq("q236_h264_inter_probes", "q237_h264_cavlc_ref_inter")) {
-      val p = plan(q)
-      assert(!p.contains("hashpartitioning") && !p.contains("Join"),
-        s"$q must not shuffle on a key:\n$p")
-      assert(p.toLowerCase.sliding("roundrobin".length).count(_ == "roundrobin") <= 1,
-        s"$q spreads at most once:\n$p")
-    }
+    // pass per doc (the q84 contract, on the inter family)
+    assertMapOnlyModuloSpread("q236_h264_inter_probes")
+    assertMapOnlyModuloSpread("q237_h264_cavlc_ref_inter")
   }
 
   test("q88 pair counts: raw pairs shuffle exactly once before top-k") {

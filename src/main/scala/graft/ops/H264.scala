@@ -194,7 +194,7 @@ object H264 {
     */
   final case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
-      cropX: Int, cropY: Int) {
+      cropX: Int, cropY: Int, frameMbsOnly: Boolean = true) {
     def width: Int = widthMbs * 16 - cropX
     def height: Int = heightMbs * 16 - cropY
   }
@@ -272,7 +272,7 @@ object H264 {
         && wMbs.toLong * hMbs <= (1 << 20),
       s"implausible MB grid ${wMbs}x$hMbs")
     val sps = Sps(profile, level, log2Mfn, pocType, wMbs,
-      if (frameMbsOnly) hMbs else hMbs * 2, cx, cy)
+      if (frameMbsOnly) hMbs else hMbs * 2, cx, cy, frameMbsOnly)
     require(sps.width > 0 && sps.height > 0,
       s"cropping window ${cx}x$cy exceeds the coded frame")
     sps
@@ -426,6 +426,16 @@ object H264 {
     require(sps.picOrderCntType == 2,
       s"PCM subset decoder: pic_order_cnt_type ${sps.picOrderCntType} " +
         "unsupported (slice headers would carry unparsed ordering fields)")
+    // interlace adds field_pic_flag to every slice header; CABAC replaces
+    // the whole slice-data entropy layer — silently misparsing either
+    // would decode garbage, so reject both loudly (MediaDecoder seam)
+    require(sps.frameMbsOnly,
+      "PCM subset decoder: interlaced (field) streams unsupported")
+    nals.collectFirst { case (8, _, rbsp) => rbsp }.foreach { pps =>
+      val pr = new BitReader(pps)
+      pr.ue(); pr.ue()
+      require(pr.u(1) == 0, "PCM subset decoder: CABAC streams unsupported")
+    }
     val mbsX = sps.widthMbs
     val mbsY = sps.heightMbs
     // external all-PCM streams may or may not carry slice deblocking fields

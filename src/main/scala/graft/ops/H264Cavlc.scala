@@ -911,6 +911,9 @@ object H264Cavlc {
     require(sps.cropX == 0 && sps.cropY == 0, "intra decoder: cropping unsupported")
     require(sps.picOrderCntType == 2,
       "intra decoder: pic_order_cnt_type must be 2 (as the PCM decoder)")
+    require(sps.frameMbsOnly,
+      "intra decoder: interlaced (field) streams unsupported — slice" +
+        " headers would carry an unparsed field_pic_flag")
     // PPS: entropy mode + init QP + chroma offset are load-bearing
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))

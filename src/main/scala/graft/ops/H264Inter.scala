@@ -349,6 +349,9 @@ object H264Inter {
       .getOrElse(throw new IllegalArgumentException("no SPS in stream"))
     require(sps.cropX == 0 && sps.cropY == 0, "inter decoder: cropping unsupported")
     require(sps.picOrderCntType == 2, "inter decoder: pic_order_cnt_type must be 2")
+    require(sps.frameMbsOnly,
+      "inter decoder: interlaced (field) streams unsupported — slice" +
+        " headers would carry an unparsed field_pic_flag")
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
     // one canonical PPS walk: init QP, the chroma QP offset (the intra

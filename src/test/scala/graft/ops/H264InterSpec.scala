@@ -214,6 +214,27 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("P-to-P chain with motion: frame 2 reads frame 1's decoded pixels") {
+    // integer-pel motion makes the check exact WITHOUT re-using the
+    // interpolator: f2(y)(x) must equal f1(y)(x+1) (mv (4,0) = one full
+    // luma sample right), where f1 itself came from a quarter-pel MC of
+    // the gradient — so this pins the reference-buffer update and the
+    // per-picture MV-grid reset under real motion, not just all-skip
+    val ref = impulseRef()
+    val p1 = H264Inter.P16x16(9, 8)     // quarter-pel: f1 differs from f0
+    val p2 = H264Inter.P16x16(4, 0)     // integer-pel read of f1
+    val fs = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, 26, ref,
+      Seq(Seq.fill[H264Inter.PMbPlan](6)(p1), Seq.fill[H264Inter.PMbPlan](6)(p2))))
+    assert(fs.length == 3)
+    val f1 = fs(1); val f2 = fs(2)
+    assert(f1.map(_.toSeq).toSeq != fs(0).map(_.toSeq).toSeq)
+    for (y <- 0 until 32; x <- 0 until 46)
+      assert(f2(y)(x) == f1(y)(x + 1), s"($x,$y)")
+    // the last column clamps at the frame edge (8.4.2.2.1)
+    for (y <- 0 until 32; x <- 46 until 48)
+      assert(f2(y)(x) == f1(y)(47), s"($x,$y) edge clamp")
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

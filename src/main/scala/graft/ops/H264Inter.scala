@@ -343,7 +343,16 @@ object H264Inter {
     * macroblocks, B slices and multi-slice pictures throw, never
     * mis-decode.
     */
-  def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] = {
+  def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] =
+    decodeFramesFull(annexB).map(_._1)
+
+  /** Full-plane variant: (luma, cb, cr) per picture — the chroma planes
+    * are first-class decode state (motion-compensated and referenced),
+    * exposed package-private so specs can pin the chroma MC arithmetic
+    * that the luma-only public surface would otherwise leave unobserved.
+    */
+  private[ops] def decodeFramesFull(
+      annexB: Array[Byte]): Seq[(Array[Array[Int]], Array[Array[Int]], Array[Array[Int]])] = {
     val nals = H264.splitNals(annexB)
     val sps = nals.collectFirst { case (7, _, rbsp) => H264.parseSps(rbsp) }
       .getOrElse(throw new IllegalArgumentException("no SPS in stream"))
@@ -498,7 +507,7 @@ object H264Inter {
         }
       }
       if (refIdc != 0) { refL = luma; refCb = cb; refCr = cr }
-      luma
+      (luma, cb, cr)
     }
   }
 }

@@ -235,6 +235,29 @@ class H264InterSpec extends AnyFunSuite {
       assert(f2(y)(x) == f1(y)(47), s"($x,$y) edge clamp")
   }
 
+  test("chroma motion compensation: eighth-pel bilinear across MB fills") {
+    // I frame: per-MB chroma fills 40+10*mb make a chroma plane that
+    // changes at MB boundaries; a P MB with mv (3,2) (chroma frac (3,2),
+    // integer 0) must bilinear-blend across the boundary with the 8-266
+    // weights — hand-computed here, read through the full-plane decode
+    val iMbs = (0 until 6).map { mb =>
+      H264Cavlc.PcmBlock(Array.fill(16, 16)(90), chroma = 40 + 10 * mb)
+    }
+    val p16 = H264Inter.P16x16(3, 2)
+    val fs = H264Inter.decodeFramesFull(H264Inter.encodeStream(3, 2, 26, iMbs,
+      Seq(Seq.fill[H264Inter.PMbPlan](6)(p16))))
+    val (_, cb0, _) = fs(0)
+    assert(cb0(3)(7) == 40 && cb0(3)(8) == 50, "I-frame chroma fills")
+    val (_, cb1, cr1) = fs(1)
+    // probe (7,3): A=(7,3)=40 B=(8,3)=50 C=(7,4)=40 D=(8,4)=50, frac (3,2):
+    // ((8-3)(8-2)*40 + 3*(8-2)*50 + (8-3)*2*40 + 3*2*50 + 32) >> 6
+    val want = ((5 * 6 * 40 + 3 * 6 * 50 + 5 * 2 * 40 + 3 * 2 * 50 + 32) >> 6)
+    assert(cb1(3)(7) == want, s"got ${cb1(3)(7)} want $want")
+    assert(cr1(3)(7) == want, "cr shares the fill, so the same blend")
+    // interior of MB0 (no boundary in the 2x2 support): blend of equals = 40
+    assert(cb1(3)(3) == 40)
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -258,6 +258,21 @@ class H264InterSpec extends AnyFunSuite {
     assert(cb1(3)(3) == 40)
   }
 
+  test("intra chroma DC reconstruction: dequant + 2x2 Hadamard + DC pred") {
+    // an I4x4 MB with planted chroma DC levels and no neighbors: pred is
+    // the 128 gray default, the residual is the hand arithmetic
+    // scaleChromaDc(e0, qpc) then (+32)>>6. qp 28 -> qpc 28, V_A 16,
+    // shift 4: e0=3 -> +6; e0=-2 -> -4 (arithmetic shift = floor)
+    val stream = H264Cavlc.encodeIntra(1, 1, 28, Seq(Seq(
+      H264Cavlc.I4x4(Array.fill(16)(2),
+        Array.fill(16)(Array.fill(16)(0)), cbpLuma = 0,
+        chromaDc = Array(Array(3, 0, 0, 0), Array(-2, 0, 0, 0))))))
+    val (luma, cb, cr) = H264Inter.decodeFramesFull(stream).head
+    assert(luma(0)(0) == 128, "no-neighbor luma DC pred is 128")
+    assert(cb.forall(_.forall(_ == 134)), s"cb ${cb(0)(0)}")
+    assert(cr.forall(_.forall(_ == 124)), s"cr ${cr(0)(0)}")
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

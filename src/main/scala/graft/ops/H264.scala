@@ -311,15 +311,25 @@ object H264 {
     * parsers branch on it (7.3.3: the slice then carries
     * disable_deblocking_filter_idc and, when idc != 1, two offsets).
     */
-  private[ops] def ppsDeblockingPresent(pps: Array[Byte]): Boolean = {
+  private[ops] def ppsDeblockingPresent(pps: Array[Byte]): Boolean =
+    ppsWalk(pps)._2
+
+  /** One canonical minimal PPS walk: (entropy is CAVLC,
+    * deblocking_filter_control_present_flag). The sibling decoders keep
+    * their own fuller walks (they also need init QP / chroma offset); this
+    * is the shared prefix for callers that need only the flags.
+    */
+  private[ops] def ppsWalk(pps: Array[Byte]): (Boolean, Boolean) = {
     val r = new BitReader(pps)
-    r.ue(); r.ue(); r.u(1); r.u(1)
+    r.ue(); r.ue()
+    val cavlc = r.u(1) == 0
+    r.u(1)
     // >0 slice groups insert map syntax here that this walk cannot skip —
     // every decoder in this family rejects such streams anyway
     require(r.ue() == 0, "pps walk: slice groups unsupported")
     r.ue(); r.ue(); r.u(1); r.u(2)
     r.se(); r.se(); r.se()
-    r.u(1) == 1
+    (cavlc, r.u(1) == 1)
   }
 
   /** Skip the slice-header deblocking fields if the PPS announces them.
@@ -431,16 +441,15 @@ object H264 {
     // would decode garbage, so reject both loudly (MediaDecoder seam)
     require(sps.frameMbsOnly,
       "PCM subset decoder: interlaced (field) streams unsupported")
-    nals.collectFirst { case (8, _, rbsp) => rbsp }.foreach { pps =>
-      val pr = new BitReader(pps)
-      pr.ue(); pr.ue()
-      require(pr.u(1) == 0, "PCM subset decoder: CABAC streams unsupported")
-    }
+    // external all-PCM streams may or may not carry a PPS (metadata-only
+    // producers); when present, one shared walk surfaces both flags
+    val deblock = nals.collectFirst { case (8, _, rbsp) => rbsp }.map(ppsWalk)
+      .map { case (cavlc, db) =>
+        require(cavlc, "PCM subset decoder: CABAC streams unsupported")
+        db
+      }.getOrElse(false)
     val mbsX = sps.widthMbs
     val mbsY = sps.heightMbs
-    // external all-PCM streams may or may not carry slice deblocking fields
-    val deblock = nals.collectFirst { case (8, _, rbsp) => rbsp }
-      .exists(ppsDeblockingPresent)
     nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
       val firstMb = r.ue()

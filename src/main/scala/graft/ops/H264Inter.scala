@@ -344,15 +344,22 @@ object H264Inter {
     * mis-decode.
     */
   def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] =
-    decodeFramesFull(annexB).map(_._1)
+    decodeInternal(annexB)((l, _, _) => l) // chroma stays collectable per picture
 
   /** Full-plane variant: (luma, cb, cr) per picture — the chroma planes
     * are first-class decode state (motion-compensated and referenced),
     * exposed package-private so specs can pin the chroma MC arithmetic
     * that the luma-only public surface would otherwise leave unobserved.
     */
-  private[ops] def decodeFramesFull(
-      annexB: Array[Byte]): Seq[(Array[Array[Int]], Array[Array[Int]], Array[Array[Int]])] = {
+  private[ops] def decodeFramesFull(annexB: Array[Byte])
+      : Seq[(Array[Array[Int]], Array[Array[Int]], Array[Array[Int]])] =
+    decodeInternal(annexB)((l, cb, cr) => (l, cb, cr))
+
+  /** The decode loop, projecting each picture's planes as they complete so
+    * the luma-only public path never retains every picture's chroma.
+    */
+  private def decodeInternal[T](annexB: Array[Byte])(
+      project: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) => T): Seq[T] = {
     val nals = H264.splitNals(annexB)
     val sps = nals.collectFirst { case (7, _, rbsp) => H264.parseSps(rbsp) }
       .getOrElse(throw new IllegalArgumentException("no SPS in stream"))
@@ -507,7 +514,7 @@ object H264Inter {
         }
       }
       if (refIdc != 0) { refL = luma; refCb = cb; refCr = cr }
-      (luma, cb, cr)
+      project(luma, cb, cr)
     }
   }
 }

@@ -162,6 +162,58 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("subset decoders reject interlaced, CABAC and MMCO streams loudly") {
+    val good = H264.encodePcm(16, 16, Seq(gradient(16, 16, 9)))
+    val nals = H264.splitNals(good)
+    val goodPps = nals.collectFirst { case (8, _, r) => r }.get
+    val goodSlice = nals.collectFirst { case (5, _, r) => r }.get
+    def assemble(parts: (Int, Int, Array[Byte])*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { case (refIdc, t, rbsp) => H264.writeNal(out, refIdc, t, rbsp) }
+      out.toByteArray
+    }
+    // interlaced: frame_mbs_only_flag = 0 (+ mb_adaptive flag) — every
+    // slice header then carries an unread field_pic_flag
+    val spsInterlaced = {
+      val w = new H264.BitWriter
+      w.u(66, 8); w.u(0, 8); w.u(10, 8)
+      w.ue(0); w.ue(0); w.ue(2); w.ue(0); w.u(0, 1)
+      w.ue(0); w.ue(0)             // 1x1 map units
+      w.u(0, 1); w.u(0, 1)         // frame_mbs_only = 0, mb_adaptive = 0
+      w.u(0, 1); w.u(0, 1); w.u(0, 1)
+      w.trailingBits()
+      w.toBytes
+    }
+    val e1 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, spsInterlaced), (3, 8, goodPps), (3, 5, goodSlice))))
+    assert(e1.getMessage.contains("interlaced"), e1.getMessage)
+    // CABAC: entropy_coding_mode_flag = 1 in the PPS
+    val ppsCabac = {
+      val w = new H264.BitWriter
+      w.ue(0); w.ue(0); w.u(1, 1); w.u(0, 1); w.ue(0)
+      w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+      w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+      w.trailingBits()
+      w.toBytes
+    }
+    val goodSps = nals.collectFirst { case (7, _, r) => r }.get
+    val e2 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, goodSps), (3, 8, ppsCabac), (3, 5, goodSlice))))
+    assert(e2.getMessage.contains("CABAC"), e2.getMessage)
+    // MMCO: a non-IDR reference slice with adaptive_ref_pic_marking = 1
+    val sliceMmco = {
+      val w = new H264.BitWriter
+      w.ue(0); w.ue(7); w.ue(0); w.u(1, 4) // frame_num 1 (non-IDR)
+      w.u(1, 1)                            // adaptive flag = 1 -> MMCO follows
+      w.trailingBits()
+      w.toBytes
+    }
+    val e3 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, goodSps), (3, 8, goodPps), (3, 5, goodSlice),
+        (2, 1, sliceMmco))))
+    assert(e3.getMessage.contains("MMCO"), e3.getMessage)
+  }
+
   test("3-byte start codes are accepted on parse (legal Annex-B variant)") {
     val four = H264.encodePcm(16, 16, Seq(gradient(16, 16, 9)))
     // rewrite 4-byte start codes as 3-byte ones

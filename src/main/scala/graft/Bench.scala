@@ -43,12 +43,14 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    // Every JSON line below is built with the f-interpolator (%.3f, %.2f),
-    // which formats through the DEFAULT JVM locale — under a comma-decimal
-    // locale (de_DE etc.) the emitted "3,142" would be invalid JSON and
-    // break the driver contract this file exists to honor (ADVICE r10).
-    // Pin ROOT process-wide before the first formatted emission.
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // Every JSON fragment below is built by BenchJson, which formats each
+    // number with an explicit Locale.ROOT — under a comma-decimal default
+    // locale (de_DE etc.) a default-locale "%.3f" would emit "3,142",
+    // invalid JSON (ADVICE r10). Round 11's global Locale.setDefault pin
+    // fixed that but broke Derby (XBM0X — BASELINE round-11 tail);
+    // per-site formatting removes the side-effect class (VERDICT r11
+    // item 7). Stderr [cal]/[stage] diagnostics keep the f-interpolator:
+    // human-facing, not part of any parse contract.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val scratch = shmScratch()
@@ -157,9 +159,8 @@ object Bench {
       System.err.println(
         f"[cal] $tag st=$st%.0f ms mt($n)=$mt%.0f ms eff=${st * n / mt}%.1fx " +
           f"disk32mb=$ioMs%.0f ms")
-      calRecords += f"""{"tag":"$tag","ts_ms":${System.currentTimeMillis()},""" +
-        f""""st_ms":$st%.1f,"threads":$n,"mt_ms":$mt%.1f,""" +
-        f""""eff":${st * n / mt}%.2f,"disk32mb_ms":$ioMs%.1f}"""
+      calRecords += BenchJson.calRecord(tag, System.currentTimeMillis(),
+        st, n, mt, st * n / mt, ioMs)
     }
     calibrate("start")
 
@@ -265,7 +266,28 @@ object Bench {
     // BENCH_ONLY spot runs (interactive; taint is reported, the caller
     // re-runs). Every retry archives (original, retry, kept, reason) to
     // bench_host.json so the substitution is auditable, never silent.
+    //
+    // Floor outliers (VERDICT r11 item 1): the taint heuristic and the
+    // top-8 net both missed round-11's q47 (4.18 s graded vs its 0.71 s
+    // recorded floor — untainted, under the 5 s top-heavy bar). The pass
+    // now also retries any UNTAINTED query measuring >3× its recorded
+    // per-query floor (tools/floors.json, per-query min over recorded
+    // full passes), under the same <0.6× stall-signature acceptance, so
+    // an inflated mid-cost measurement is adjudicated instead of shipped.
     val retryLog = new scala.collection.mutable.ArrayBuffer[String]()
+    val floors: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "tools/floors.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
+        pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[cal] no floor table ($path): ${e.getMessage}")
+          Map.empty[String, Double]
+      }
+    }
     if (only.isEmpty) {
       // Retry bar is deliberately higher than the report bar: the measured
       // time must be non-trivial (≥2 s — a sub-second query can't recover
@@ -278,6 +300,16 @@ object Bench {
         .map(_.name)
         .filter(n => results.exists { case (k, v) => k == n && v >= 2.0 })
         .toSet
+      // Untainted queries >3× their recorded floor (and non-trivial ≥2 s):
+      // the q47 class. Ordered worst-ratio-first so the cap spends its
+      // budget on the most inflated measurements.
+      val floorOutliers = results
+        .filter { case (k, v) =>
+          !stallFlagged.contains(k) && v >= 2.0 &&
+            floors.get(k).exists(f => f > 0 && v > 3.0 * f)
+        }
+        .sortBy { case (k, v) => -(v / floors(k)) }
+        .map(_._1)
       // The taint heuristic has misses (host stalls that slow memory/IO
       // without slowing the watchdog's cache-resident spin — a pass
       // recorded q148 at 22.5 s untainted vs a 3.6 s warm median), so the
@@ -289,10 +321,16 @@ object Bench {
       // garden-variety jitter; taint-flagged retries keep the plain min.
       val topHeavy = results.filter(_._2 >= 5.0).sortBy(-_._2)
         .take(8).map(_._1)
-      val toRetry = (stallFlagged.toSeq ++ topHeavy).distinct.take(20)
+      val reason = scala.collection.mutable.Map.empty[String, String]
+      for (n <- topHeavy) reason(n) = "top_heavy"
+      for (n <- floorOutliers) reason(n) = "floor_outlier"
+      for (n <- stallFlagged) reason(n) = "stall_taint"
+      val toRetry =
+        (stallFlagged.toSeq ++ floorOutliers ++ topHeavy).distinct.take(20)
       if (toRetry.nonEmpty) {
-        System.err.println(s"[cal] stall-retry of ${toRetry.size} tainted: " +
-          toRetry.mkString(","))
+        System.err.println(s"[cal] stall-retry of ${toRetry.size} " +
+          s"(taint/floor/top-heavy): " +
+          toRetry.map(n => s"$n[${reason(n)}]").mkString(","))
         val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
         val better = toRetry.iterator
           .takeWhile(_ => System.nanoTime() < deadline)
@@ -312,12 +350,12 @@ object Bench {
               val tainted = stallFlagged.contains(k)
               val keep = tainted || v < 0 || r < 0.6 * v
               val kept = if (keep) r else v
-              retryLog += f"""{"q":"$k","original":$v%.3f,"retry":$r%.3f,""" +
-                f""""kept":$kept%.3f,"taint_evidence":$tainted}"""
+              retryLog += BenchJson.retryRecord(k, v, r, kept, tainted,
+                reason.getOrElse(k, "top_heavy"))
               k -> kept
             case Some(r) =>
-              retryLog += f"""{"q":"$k","original":$v%.3f,"retry":$r%.3f,""" +
-                f""""kept":$v%.3f,"taint_evidence":${stallFlagged.contains(k)}}"""
+              retryLog += BenchJson.retryRecord(k, v, r, v, stallFlagged.contains(k),
+                reason.getOrElse(k, "top_heavy"))
               k -> v
             case None => k -> v
           }
@@ -376,12 +414,20 @@ object Bench {
       val med = if (samples.length >= 5)
         samples.map(_._2).sorted.apply(samples.length / 2) else -1.0
       val taintJson = taintedNow().map(t =>
-        f"""{"q":"${t.name}","spin_ratio":${t.ratio}%.2f,""" +
-          f""""steal_jiffies":${t.steal},"iowait_jiffies":${t.iow}}""")
+        BenchJson.taintRecord(t.name, t.ratio, t.steal, t.iow))
       val windowJson = windows.map { case (n, a, b) =>
         s"""["$n",$a,$b]""" }
       val sampleJson = samples.map { case (ts, ms, st, io) =>
-        f"""[$ts,$ms%.1f,$st,$io]""" }
+        BenchJson.sample(ts, ms, st, io) }
+      // Post-retry floor audit (VERDICT r11 item 1's "done" bar): any
+      // query still >3× its recorded floor after the retry pass is named
+      // here, so a reader can check each one carries taint/retry evidence
+      // above instead of diffing the full map against tools/floors.json.
+      val floorOutliersPost = results
+        .filter { case (k, v) =>
+          v >= 0 && floors.get(k).exists(f => f > 0 && v > 3.0 * f) }
+        .map { case (k, v) =>
+          s"""{"q":"$k","sec":$v,"floor":${floors(k)}}""" }
       val host =
         s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","cpus":$cpus,
            |"heap_max_mb":${Runtime.getRuntime.maxMemory() >> 20},
@@ -394,6 +440,7 @@ object Bench {
            |"samples_ts_spinms_steal_iowait":[${sampleJson.mkString(",")}]},
            |"windows_name_start_end_ms":[${windowJson.mkString(",")}],
            |"tainted":[${taintJson.mkString(",")}],
+           |"floor_outliers_post_retry":[${floorOutliersPost.mkString(",")}],
            |"retries":[${retryLog.mkString(",")}]}""".stripMargin
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_host.json").toAbsolutePath, host + "\n")
@@ -410,11 +457,7 @@ object Bench {
     // JSON object no matter what.
     if (only.isEmpty) {
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-        .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-        f""""queries":$top,"sf":"$sfDir","n_queries":${results.size},""" +
-        """"queries_note":"top-20 of the full set by cost; complete map in """ +
-        """target/bench.json, host forensics in target/bench_host.json"}""")
+      println(BenchJson.compactTotal(total, top, sfDir, results.size))
     }
     spark.stop()
   }

@@ -1,0 +1,66 @@
+package graft
+
+import java.util.Locale
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r11 item 7's "done" bar: every JSON fragment Bench emits must
+  * be valid JSON when the JVM's DEFAULT locale formats decimals with a
+  * comma (de_DE) — WITHOUT any `Locale.setDefault` pin in the production
+  * path (the round-11 global pin broke Derby database creation; BenchJson
+  * formats per-site with an explicit Locale.ROOT instead).
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  private def underLocale[A](l: Locale)(body: => A): A = {
+    val prev = Locale.getDefault
+    Locale.setDefault(l)
+    try body finally Locale.setDefault(prev)
+  }
+
+  test("all Bench JSON fragments parse under a comma-decimal default locale") {
+    underLocale(Locale.GERMANY) {
+      // the hazard is real: the f-interpolator under this default emits commas
+      assert(f"${3.14159}%.3f" == "3,142")
+
+      val cal = BenchJson.calRecord("start", 123L, 201.5, 32, 250.25, 25.78, 44.9)
+      val n1 = mapper.readTree(cal)
+      assert(n1.get("st_ms").asDouble() == 201.5)
+      assert(n1.get("eff").asDouble() == 25.78)
+
+      val retry = BenchJson.retryRecord("q47_asof_join", 4.183, 0.712, 0.712,
+        taintEvidence = false, reason = "floor_outlier")
+      val n2 = mapper.readTree(retry)
+      assert(n2.get("kept").asDouble() == 0.712)
+      assert(n2.get("reason").asText() == "floor_outlier")
+      assert(!n2.get("taint_evidence").asBoolean())
+
+      val taint = BenchJson.taintRecord("q92_pagerank", 3.456, 120L, 7L)
+      assert(mapper.readTree(taint).get("spin_ratio").asDouble() == 3.46)
+
+      val sample = BenchJson.sample(99L, 123.46, 2L, 0L)
+      val n4 = mapper.readTree(sample)
+      assert(n4.isArray && n4.get(1).asDouble() == 123.5)
+
+      val compact = BenchJson.compactTotal(236.068,
+        Seq("q63_pipeline_transform" -> 6.824, "q126_triangles" -> 6.19),
+        "/root/testdata/sf0.1", 237)
+      val n5 = mapper.readTree(compact)
+      assert(n5.get("metric").asText() == "total")
+      assert(n5.get("value").asDouble() == 236.068)
+      assert(n5.get("queries").get("q63_pipeline_transform").asDouble() == 6.824)
+      assert(n5.get("n_queries").asInt() == 237)
+      // tail-capture contract: the compact line stays well under ~2 KB
+      assert(compact.length < 2000)
+    }
+  }
+
+  test("no global locale mutation: default is untouched after emission") {
+    underLocale(Locale.GERMANY) {
+      BenchJson.compactTotal(1.0, Seq("q" -> 1.0), "sf", 1)
+      assert(Locale.getDefault == Locale.GERMANY)
+    }
+  }
+}

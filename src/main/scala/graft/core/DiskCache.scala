@@ -3,14 +3,14 @@ package graft.core
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Cross-JVM materialized-artifact cache (VERDICT r10 item 7): heavy
-  * derived tables the whole query family shares — today the graph
-  * family's co-purchase pair expansion and its degree-oriented edge
-  * table — are written ONCE as parquet under `target/artifact-cache/`,
-  * keyed by a FINGERPRINT of the source parquet files (names + sizes +
-  * mtimes). A later JVM (the next bench pass, a Verify run) reads the
-  * artifact instead of re-running the expansion; a regenerated source
-  * directory changes the fingerprint and invalidates the entry
-  * (DiskCacheSpec pins both directions).
+  * derived tables a whole query family shares — the graph family's
+  * co-purchase pair expansion and degree-oriented edge table, the dedup
+  * family's band-pair and component stores, the LSH near-dup pairs —
+  * are written ONCE as parquet under `target/artifact-cache/`, keyed by
+  * a FINGERPRINT of the source parquet files. A later JVM (the next
+  * bench pass, a Verify run) reads the artifact instead of re-running
+  * the expansion; a regenerated source directory changes the fingerprint
+  * and invalidates the entry (DiskCacheSpec pins both directions).
   *
   * This is the 100 TB pattern, not a benchmark trick: a production
   * warehouse materializes shared intermediates (edge lists, dedup
@@ -21,16 +21,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SPARK_GRAFT_NO_DISKCACHE=1` disables the layer (used to measure
   * cold-build floors honestly).
   *
+  * Staleness (VERDICT r11 item 2 + ADVICE r11): THREE signals key every
+  * entry —
+  *  1. the input fingerprint: per leaf file, path + size + mtime + a
+  *     content sample (first 8 and last 16 bytes — for parquet the
+  *     header magic and the footer length + magic), so a file restored
+  *     with preserved timestamps or regenerated inside the filesystem's
+  *     mtime granularity still flips the key unless it is bit-identical
+  *     at both ends;
+  *  2. the BUILD fingerprint: a digest of the graft code location (the
+  *     classes dir / jar this class loaded from — names, sizes, mtimes),
+  *     appended to every key by [[cached]] itself, so a semantics change
+  *     in any builder invalidates the store with NO manual token bump
+  *     (the round-11 `-v1-` contract stays in caller keys as a free
+  *     extra handle, but nothing depends on remembering it);
+  *  3. the caller's explicit key (artifact name + input fingerprint).
+  *
   * Concurrency: writers build into a UUID temp dir and publish with an
   * atomic rename; a lost race deletes its temp and reads the winner.
   * The store is bounded to the newest [[maxEntries]] artifacts (mtime
-  * sweep on publish).
-  *
-  * Staleness contract: the fingerprint tracks the INPUT files, not the
-  * build code — every caller key embeds an explicit version token
-  * (`...-v1-<fp>`) that MUST be bumped when the artifact's semantics
-  * change, and the test JVM points `graft.cache.dir` at a fresh temp dir
-  * so suites always exercise the cold build.
+  * sweep on publish). A served hit is LRU-touched; if the filesystem
+  * refuses both the mtime touch and the `.touch` marker fallback
+  * (ADVICE r11), the hit is NOT served — the entry could be swept by a
+  * concurrent JVM while this one's lazy plan still references it, so
+  * the caller gets the freshly-built frame instead ("cache trouble must
+  * never fail a query" covers execution time, not just the read call).
   */
 object DiskCache {
 
@@ -48,36 +63,95 @@ object DiskCache {
       v == "1" || v.equalsIgnoreCase("true")) &&
       !sys.props.get("graft.diskcache.disabled").contains("1")
 
-  /** Fingerprint of the given tables' parquet files under `dir`: file
-    * paths, sizes and mtimes — cheap (no data read), and any regeneration
-    * of the source flips it. Recurses into subdirectories so a
-    * partitioned (key=value) layout contributes every leaf file, not just
-    * the top level, and IO-failed listings degrade to empty rather than
-    * NPE.
+  /** Depth-bounded, symlink-cycle-safe leaf listing (sorted for a
+    * deterministic digest order).
+    */
+  private def leafFiles(f: java.io.File): Array[java.io.File] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    def walk(x: java.io.File, depth: Int): Array[java.io.File] =
+      if (x.isDirectory) {
+        val canon = try x.getCanonicalPath catch { case _: Exception => x.getPath }
+        if (depth > 16 || !seen.add(canon)) Array.empty[java.io.File]
+        else Option(x.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).flatMap(walk(_, depth + 1))
+      } else Array(x)
+    walk(f, 0)
+  }
+
+  private val sep = Array[Byte](0) // field separator: "1"+"23" must not alias "12"+"3"
+
+  private def updateMeta(md: java.security.MessageDigest, p: java.io.File): Unit = {
+    md.update(p.getPath.getBytes("UTF-8")); md.update(sep)
+    md.update(p.length().toString.getBytes("UTF-8")); md.update(sep)
+    md.update(p.lastModified().toString.getBytes("UTF-8")); md.update(sep)
+  }
+
+  /** Fingerprint of the given tables' parquet files under `dir`: per
+    * leaf file the path, size, mtime AND a head/tail content sample
+    * (first 8 + last 16 bytes — the parquet header magic and the footer
+    * length + trailing magic), so a source regenerated with identical
+    * names/sizes inside the filesystem's timestamp granularity, or
+    * restored with preserved mtimes, still flips the print unless both
+    * sampled regions are bit-identical (ADVICE r11). Still cheap: two
+    * reads of ≤16 bytes per file, no full-content scan. Recurses into
+    * subdirectories so a partitioned (key=value) layout contributes
+    * every leaf, and IO failures degrade to a tagged miss rather than
+    * an NPE or a silent stale hit.
     */
   def fingerprint(dir: String, tables: Seq[String]): String = {
-    // depth bound + canonical-path visited set: a symlink cycle under the
-    // source dir must degrade to a partial listing, not StackOverflowError
-    val seen = scala.collection.mutable.Set.empty[String]
-    def leaves(f: java.io.File, depth: Int): Array[java.io.File] =
-      if (f.isDirectory) {
-        val canon = try f.getCanonicalPath catch { case _: Exception => f.getPath }
-        if (depth > 16 || !seen.add(canon)) Array.empty[java.io.File]
-        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .sortBy(_.getName).flatMap(leaves(_, depth + 1))
-      } else Array(f)
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val sep = Array[Byte](0) // field separator: "1"+"23" must not alias "12"+"3"
     md.update(dir.getBytes("UTF-8"))
     for (t <- tables) {
       val f = new java.io.File(dir, s"$t.parquet")
-      for (p <- leaves(f, 0) if p.isFile) {
-        md.update(p.getPath.getBytes("UTF-8")); md.update(sep)
-        md.update(p.length().toString.getBytes("UTF-8")); md.update(sep)
-        md.update(p.lastModified().toString.getBytes("UTF-8")); md.update(sep)
+      for (p <- leafFiles(f) if p.isFile) {
+        updateMeta(md, p)
+        try {
+          val raf = new java.io.RandomAccessFile(p, "r")
+          try {
+            val n = raf.length()
+            val head = new Array[Byte](math.min(8L, n).toInt)
+            raf.readFully(head); md.update(head); md.update(sep)
+            val tn = math.min(16L, n).toInt
+            val tail = new Array[Byte](tn)
+            raf.seek(n - tn); raf.readFully(tail); md.update(tail); md.update(sep)
+          } finally raf.close()
+        } catch {
+          // an unreadable leaf hashes as a unique-ish token (its path is
+          // already in the digest); the build will fail loudly later if
+          // the file is genuinely broken — fingerprinting must not throw
+          case _: Exception => md.update("ioerr".getBytes("UTF-8")); md.update(sep)
+        }
       }
     }
     md.digest().map(b => f"$b%02x").mkString.take(16)
+  }
+
+  /** Digest of the code this JVM is running: the graft classpath entry
+    * (classes directory or jar) this class loaded from — every class
+    * file's name, size and mtime. Folded into every store key by
+    * [[cached]], so ANY rebuild of the library invalidates the store
+    * without a manual version-token bump (VERDICT r11 item 2 — the
+    * `-v1-` contract was the one path to silently-stale cross-JVM
+    * artifacts). Recomputed per call (a classes-dir listing walk,
+    * single-digit ms; `cached` runs a handful of times per JVM) so the
+    * `graft.cache.codepath` test override takes effect immediately.
+    * A loader without a file code source degrades to a constant token:
+    * the input fingerprint and caller key still apply.
+    */
+  private[core] def buildFingerprint: String = {
+    val path = sys.props.get("graft.cache.codepath").orElse {
+      try Option(getClass.getProtectionDomain.getCodeSource)
+        .map(_.getLocation.toURI).map(new java.io.File(_).getAbsolutePath)
+      catch { case _: Exception => None }
+    }
+    path match {
+      case None => "nocode"
+      case Some(p) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(p.getBytes("UTF-8"))
+        for (f <- leafFiles(new java.io.File(p)) if f.isFile) updateMeta(md, f)
+        md.digest().map(b => f"$b%02x").mkString.take(12)
+    }
   }
 
   /** Recursive delete that removes an artifact's `_SUCCESS` marker FIRST:
@@ -95,23 +169,48 @@ object DiskCache {
     x.delete(); ()
   }
 
-  /** Read-through cache: return the parquet-backed artifact for `key`,
-    * building and publishing it if absent. The returned frame reads from
-    * the store (short lineage) — callers layer their own `persist`/Memo
-    * for in-session reuse. Falls back to the built frame on any IO
-    * failure (cache trouble must never fail a query).
+  /** LRU touch. Primary: the directory mtime. Fallback when the
+    * filesystem refuses `setLastModified` (ADVICE r11 — the old code
+    * ignored the boolean): refresh a `.touch` marker inside the entry
+    * (dot-prefixed, so Spark's file index ignores it); [[effectiveMtime]]
+    * takes the max of both. Returns false only when NEITHER signal could
+    * be recorded — the caller then must not serve the hit, because a
+    * concurrent JVM's sweep could wipe it mid-plan.
+    */
+  private[core] def touch(target: java.io.File): Boolean = {
+    if (target.setLastModified(System.currentTimeMillis())) true
+    else try {
+      java.nio.file.Files.write(new java.io.File(target, ".touch").toPath,
+        System.currentTimeMillis().toString.getBytes("UTF-8"))
+      true
+    } catch { case _: Exception => false }
+  }
+
+  /** Sweep-eligibility clock: max(dir mtime, `.touch` marker mtime). */
+  private[core] def effectiveMtime(f: java.io.File): Long =
+    math.max(f.lastModified(), new java.io.File(f, ".touch").lastModified())
+
+  /** Read-through cache: return the parquet-backed artifact for `key`
+    * (suffixed with the build fingerprint), building and publishing it
+    * if absent. The returned frame reads from the store (short lineage) —
+    * callers layer their own `persist`/Memo for in-session reuse. Falls
+    * back to the built frame on any IO failure (cache trouble must never
+    * fail a query).
     */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val target = new java.io.File(root, key)
+    val target = new java.io.File(root, s"$key-b$buildFingerprint")
     def ok = new java.io.File(target, "_SUCCESS").isFile
     if (ok) {
       // hit path inside the guard too: a corrupted entry or one swept by
       // a concurrent JVM must fall back to the build, never fail the query
       try {
         val hit = spark.read.parquet(target.getAbsolutePath)
-        target.setLastModified(System.currentTimeMillis()) // LRU touch
-        return hit
+        if (touch(target)) return hit
+        // untouchable entry: leave it for JVMs that CAN touch it, but
+        // don't hand out a frame a concurrent sweep may yank mid-plan
+        System.err.println(
+          s"[diskcache] $key hit not LRU-touchable, using cold build")
       } catch {
         case e: Exception =>
           // delete the unreadable entry NOW: renameTo below cannot replace
@@ -143,9 +242,10 @@ object DiskCache {
   }
 
   /** Bound the store: drop artifacts beyond the newest [[maxEntries]],
-    * but only ones untouched for [[minIdleMs]] (hits refresh mtime, so a
-    * concurrently-read artifact is never yanked from under a lazy plan),
-    * and clean up `.tmp-` build dirs orphaned by a killed JVM.
+    * but only ones untouched for [[minIdleMs]] (hits refresh the
+    * effective mtime, so a concurrently-read artifact is never yanked
+    * from under a lazy plan), and clean up `.tmp-` build dirs orphaned
+    * by a killed JVM.
     */
   private val minIdleMs = 6L * 3600 * 1000
   private def sweep(): Unit = {
@@ -154,9 +254,9 @@ object DiskCache {
     all.filter(f => f.getName.startsWith(".tmp-") && now - f.lastModified() > minIdleMs)
       .foreach(wipe)
     all.filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
-      .sortBy(-_.lastModified())
+      .sortBy(f => -effectiveMtime(f))
       .drop(maxEntries)
-      .filter(now - _.lastModified() > minIdleMs)
+      .filter(now - effectiveMtime(_) > minIdleMs)
       .foreach(wipe)
   }
 }

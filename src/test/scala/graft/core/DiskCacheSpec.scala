@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   */
 class DiskCacheSpec extends SparkTestBase {
 
+  /** Store dirs are `<key>-b<buildFingerprint>` since VERDICT r11 item 2;
+    * tests locate an entry by its caller-key prefix.
+    */
+  private def entryDir(key: String): java.io.File =
+    new java.io.File(sys.props("graft.cache.dir")).listFiles()
+      .filter(_.getName.startsWith(key + "-b")).head
+
   private def withTempCacheDir[T](f: => T): T = {
     val d = Scratch.dir("graft-diskcache-spec")
     val prev = sys.props.get("graft.cache.dir")
@@ -69,8 +76,7 @@ class DiskCacheSpec extends SparkTestBase {
       assert(builds == 1)
       // damage the published artifact: truncate every part file so the hit
       // read throws (footer gone) while _SUCCESS still says "valid"
-      val target = new java.io.File(
-        sys.props("graft.cache.dir"), "spec-heal")
+      val target = entryDir("spec-heal")
       target.listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(p => java.nio.file.Files.write(p.toPath, Array[Byte](0)))
       val healed = DiskCache.cached(spark, "spec-heal")(build()).collect()
@@ -94,7 +100,7 @@ class DiskCacheSpec extends SparkTestBase {
       // simulate a wipe interrupted right after the marker delete: the
       // target survives WITHOUT _SUCCESS — renameTo onto it would fail
       // forever if the build path didn't clear it first
-      val target = new java.io.File(sys.props("graft.cache.dir"), "spec-heal2")
+      val target = entryDir("spec-heal2")
       assert(new java.io.File(target, "_SUCCESS").delete())
       DiskCache.cached(spark, "spec-heal2")(build()).collect()
       assert(builds == 2, "a marker-less target must rebuild")
@@ -114,6 +120,102 @@ class DiskCacheSpec extends SparkTestBase {
     java.nio.file.Files.write(part.toPath, Array[Byte](9, 9, 9, 9))
     assert(DiskCache.fingerprint(dir, Seq("events")) != f1,
       "nested leaf changes must invalidate")
+  }
+
+  test("fingerprint: same name+size+mtime, different content bytes flips it") {
+    // ADVICE r11: a source regenerated inside the FS timestamp granularity
+    // (or restored with preserved mtimes) must still invalidate — the
+    // head/tail content sample catches what the metadata triple cannot
+    val dir = Scratch.dir("graft-fp-content")
+    val sub = new java.io.File(dir, "lineitem.parquet")
+    sub.mkdirs()
+    val part = new java.io.File(sub, "part-00000.parquet")
+    java.nio.file.Files.write(part.toPath, "PAR1-aaaa-content-v1".getBytes)
+    val mt = part.lastModified()
+    val f1 = DiskCache.fingerprint(dir, Seq("lineitem"))
+    // same length, same mtime, different bytes
+    java.nio.file.Files.write(part.toPath, "PAR1-bbbb-content-v2".getBytes)
+    assert(part.setLastModified(mt))
+    assert(part.length() == 20 && part.lastModified() == mt)
+    assert(DiskCache.fingerprint(dir, Seq("lineitem")) != f1,
+      "a content change with identical metadata must invalidate")
+  }
+
+  private def withCodePath[T](path: String)(f: => T): T = {
+    val prev = sys.props.get("graft.cache.codepath")
+    sys.props("graft.cache.codepath") = path
+    try f finally prev match {
+      case Some(p) => sys.props("graft.cache.codepath") = p
+      case None => sys.props.remove("graft.cache.codepath")
+    }
+  }
+
+  test("cached: a changed build invalidates with no manual token bump") {
+    // VERDICT r11 item 2: the store key embeds a digest of the code
+    // location. Point the digest at a stand-in "classes dir" and prove a
+    // rebuild (a changed class file) forces the cold build while the
+    // caller key stays byte-identical.
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      val code = Scratch.dir("graft-fake-classes")
+      val cls = new java.io.File(code, "Builder.class")
+      java.nio.file.Files.write(cls.toPath, Array[Byte](1, 2, 3))
+      withCodePath(code) {
+        var builds = 0
+        def build() = { builds += 1; spark.range(10).toDF("id") }
+        DiskCache.cached(spark, "spec-buildfp")(build()).collect()
+        DiskCache.cached(spark, "spec-buildfp")(build()).collect()
+        assert(builds == 1, "unchanged build must hit")
+        // "recompile": the class file changes size
+        java.nio.file.Files.write(cls.toPath, Array[Byte](1, 2, 3, 4))
+        DiskCache.cached(spark, "spec-buildfp")(build()).collect()
+        assert(builds == 2, "a changed build must invalidate the store")
+        DiskCache.cached(spark, "spec-buildfp")(build()).collect()
+        assert(builds == 2, "the new build's entry must serve hits")
+      }
+    }
+  }
+
+  test("touch falls back to a .touch marker; effectiveMtime honors it") {
+    val d = new java.io.File(Scratch.dir("graft-touch"), "entry")
+    d.mkdirs()
+    assert(DiskCache.touch(d), "plain touch must work on a real fs")
+    // stale dir mtime + fresh marker: the marker must win
+    val old = System.currentTimeMillis() - 8L * 3600 * 1000
+    assert(d.setLastModified(old))
+    java.nio.file.Files.write(new java.io.File(d, ".touch").toPath,
+      "now".getBytes)
+    assert(DiskCache.effectiveMtime(d) > old + 3600 * 1000,
+      "a fresh .touch marker must dominate a stale dir mtime")
+  }
+
+  test("sweep spares an over-quota entry whose .touch marker is fresh") {
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      val cacheRoot = new java.io.File(sys.props("graft.cache.dir"))
+      def entry(i: Int) = s"spec-sweep-$i"
+      // 16 published entries (the quota), all idle >6h by dir mtime
+      (1 to 16).foreach { i =>
+        DiskCache.cached(spark, entry(i))(spark.range(1).toDF("id")).collect()
+      }
+      val dirs = cacheRoot.listFiles().filter(_.getName.startsWith("spec-sweep-"))
+      assert(dirs.length == 16)
+      val old = System.currentTimeMillis() - 8L * 3600 * 1000
+      dirs.foreach(d => assert(d.setLastModified(old)))
+      // the entry-1 dir gets a fresh marker (the ADVICE scenario: its
+      // setLastModified "failed", the marker carried the LRU signal)
+      val protectedDir = dirs.minBy(_.getName)
+      java.nio.file.Files.write(
+        new java.io.File(protectedDir, ".touch").toPath, "now".getBytes)
+      // a 17th publish triggers the sweep
+      DiskCache.cached(spark, entry(17))(spark.range(1).toDF("id")).collect()
+      assert(new java.io.File(protectedDir, "_SUCCESS").isFile,
+        "the marker-touched entry must survive the sweep")
+      val survivors = cacheRoot.listFiles()
+        .count(f => f.getName.startsWith("spec-sweep-") &&
+          new java.io.File(f, "_SUCCESS").isFile)
+      assert(survivors == 16, s"one stale entry must be evicted, got $survivors")
+    }
   }
 
   test("cached: content survives the parquet round trip exactly") {

@@ -49,7 +49,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DiskCache {
 
-  private val maxEntries = 16
+  // 7 artifact keys (graph ×2, dedup ×2, LSH, pipeline ×2) × up to 3 sf
+  // dirs × live/prior build fingerprints — 32 keeps one full generation
+  // resident; the 6 h idle guard below still protects in-flight readers.
+  private[core] val maxEntries = 32
 
   private def root = new java.io.File(
     sys.props.getOrElse("graft.cache.dir", "target/artifact-cache"))

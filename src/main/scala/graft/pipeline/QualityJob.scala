@@ -78,9 +78,17 @@ object QualityJob {
     * @param thresholds (restaurant_id, item_category, item_name,
     *                   price_min, price_max, qty_min, qty_max)
     * @param dateDim    date_key (dd-MM-yyyy string) + calendar columns
+    * @param materialize hook applied to the full canonical frame BEFORE the
+    *                    severity split — the seam a caller uses to publish
+    *                    the canonical rows as a shared artifact (PipelineQ
+    *                    routes it through [[graft.core.DiskCache]], VERDICT
+    *                    r11 item 3) so finalDf/quarantine/metricsInput all
+    *                    read one store instead of re-running the join chain.
+    *                    Identity by default; must be semantics-preserving.
     */
   def apply(items: DataFrame, options: DataFrame, dateDim: DataFrame,
-      thresholds: DataFrame): QualityOutput = {
+      thresholds: DataFrame,
+      materialize: DataFrame => DataFrame = identity): QualityOutput = {
     // P2 — lower/trim every string column in one projection
     val normalized = SchemaOps.normalizeStringValues(items)
 
@@ -111,8 +119,8 @@ object QualityJob {
     // keep option/date columns appended after the canonical prefix
     val canonicalCols = Schemas.canonicalOrderItems.map(_._1)
     val extras = enriched.columns.filterNot(canonicalCols.contains)
-    val canonical = SchemaOps.rearrangeColumnsTyped(enriched,
-      Schemas.canonicalOrderItems ++ extras.map(c => c -> enriched.schema(c).dataType.sql))
+    val canonical = materialize(SchemaOps.rearrangeColumnsTyped(enriched,
+      Schemas.canonicalOrderItems ++ extras.map(c => c -> enriched.schema(c).dataType.sql)))
 
     // P7 — severity split. The full 30-column canonical rows are NOT
     // cached: finalDf/quarantine stream straight to their sinks, and the

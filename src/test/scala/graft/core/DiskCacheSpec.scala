@@ -193,13 +193,14 @@ class DiskCacheSpec extends SparkTestBase {
     assume(DiskCache.enabled)
     withTempCacheDir {
       val cacheRoot = new java.io.File(sys.props("graft.cache.dir"))
+      val quota = DiskCache.maxEntries
       def entry(i: Int) = s"spec-sweep-$i"
-      // 16 published entries (the quota), all idle >6h by dir mtime
-      (1 to 16).foreach { i =>
+      // `quota` published entries, all idle >6h by dir mtime
+      (1 to quota).foreach { i =>
         DiskCache.cached(spark, entry(i))(spark.range(1).toDF("id")).collect()
       }
       val dirs = cacheRoot.listFiles().filter(_.getName.startsWith("spec-sweep-"))
-      assert(dirs.length == 16)
+      assert(dirs.length == quota)
       val old = System.currentTimeMillis() - 8L * 3600 * 1000
       dirs.foreach(d => assert(d.setLastModified(old)))
       // the entry-1 dir gets a fresh marker (the ADVICE scenario: its
@@ -207,14 +208,14 @@ class DiskCacheSpec extends SparkTestBase {
       val protectedDir = dirs.minBy(_.getName)
       java.nio.file.Files.write(
         new java.io.File(protectedDir, ".touch").toPath, "now".getBytes)
-      // a 17th publish triggers the sweep
-      DiskCache.cached(spark, entry(17))(spark.range(1).toDF("id")).collect()
+      // an over-quota publish triggers the sweep
+      DiskCache.cached(spark, entry(quota + 1))(spark.range(1).toDF("id")).collect()
       assert(new java.io.File(protectedDir, "_SUCCESS").isFile,
         "the marker-touched entry must survive the sweep")
       val survivors = cacheRoot.listFiles()
         .count(f => f.getName.startsWith("spec-sweep-") &&
           new java.io.File(f, "_SUCCESS").isFile)
-      assert(survivors == 16, s"one stale entry must be evicted, got $survivors")
+      assert(survivors == quota, s"one stale entry must be evicted, got $survivors")
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Percentile computation mode — the explicit exact↔approximate knob for
@@ -46,9 +46,54 @@ object Percentiles {
     */
   final case class Approx(accuracy: Int = 10000) extends Mode
 
-  /** percentile(c, p) under the chosen mode. */
+  /** Self-driving mode (VERDICT r11 item 6): [[resolve]] estimates the
+    * operator's values-per-group from its ACTUAL input and picks
+    * [[Approx]] above `bound`, [[Exact]] below. The default bound, 10⁷
+    * values/group (~80 MB of boxed doubles in one exact aggregation
+    * state), sits ~3 orders of magnitude under the state size that OOMs
+    * an executor — so even a 100×-skewed group (the estimate is an
+    * AVERAGE, not a max) resolves Approx long before the exact path
+    * becomes unsafe, while every oracle-gate input stays Exact.
+    */
+  final case class Auto(bound: Long = 10000000L, accuracy: Int = 10000)
+    extends Mode
+
+  /** Resolve [[Auto]] against the frame a percentile aggregation is about
+    * to consume: ONE cheap scan — `count(*)` + `approx_count_distinct`
+    * over the group columns (both constant-state, map-side partial; no
+    * value buffering) — estimates average values-per-group; above the
+    * bound the operator runs [[Approx]], otherwise [[Exact]]. [[Exact]]
+    * and [[Approx]] pass through untouched, so the oracle-gated defaults
+    * never pay the estimate scan. The decision is logged (stderr, the
+    * DiskCache convention) with the numbers that drove it.
+    */
+  def resolve(df: DataFrame, groupCols: Seq[Column], mode: Mode): Mode =
+    mode match {
+      case Auto(bound, acc) =>
+        val est = df.select(
+          count(lit(1)).as("n"),
+          (if (groupCols.isEmpty) lit(1L)
+           else approx_count_distinct(struct(groupCols: _*))).as("g")).head()
+        val n = est.getLong(0)
+        val g = math.max(est.getLong(1), 1L)
+        val avg = n.toDouble / g
+        val chosen = if (avg > bound) Approx(acc) else Exact
+        System.err.println(
+          f"[percentiles] auto: n=$n groups~$g avg=$avg%.0f " +
+            f"bound=$bound -> $chosen")
+        chosen
+      case m => m
+    }
+
+  /** percentile(c, p) under the chosen mode. [[Auto]] must be resolved
+    * against the operator's input first ([[resolve]]) — a Column can't
+    * estimate group cardinality, and silently defaulting would hide a
+    * missing wire-up.
+    */
   def pctl(c: Column, p: Double, mode: Mode): Column = mode match {
     case Exact       => percentile(c, lit(p))
     case Approx(acc) => percentile_approx(c, lit(p), lit(acc))
+    case _: Auto => throw new IllegalArgumentException(
+      "Percentiles.Auto must be resolved via Percentiles.resolve(df, groupCols, mode) before pctl")
   }
 }

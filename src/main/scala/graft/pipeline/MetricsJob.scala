@@ -65,9 +65,10 @@ object MetricsJob {
     val perCust = nonGuest(base)
       .groupBy(col("restaurant_id"), col("customer_id"))
       .agg(Exact.dsum(col("revenue")).as("clv"))
+    val m = graft.ops.Percentiles.resolve(perCust, Seq(col("restaurant_id")), mode)
     val th = perCust.groupBy(col("restaurant_id"))
-      .agg(graft.ops.Percentiles.pctl(col("clv"), 0.2, mode).as("low_th"),
-        graft.ops.Percentiles.pctl(col("clv"), 0.8, mode).as("high_th"))
+      .agg(graft.ops.Percentiles.pctl(col("clv"), 0.2, m).as("low_th"),
+        graft.ops.Percentiles.pctl(col("clv"), 0.8, m).as("high_th"))
     perCust.join(broadcast(th), Seq("restaurant_id"))
       .withColumn("clv_bucket",
         when(col("clv") >= col("high_th"), "High CLV")

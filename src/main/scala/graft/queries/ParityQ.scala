@@ -74,12 +74,13 @@ object ParityQ {
           col("l_extendedprice"), col("l_quantity"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    val m = graft.ops.Percentiles.resolve(joined, Seq(col("p_brand")), mode)
     val th = joined.groupBy(col("p_brand"))
       .agg(
-        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.05, mode).as("price_low"),
-        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.95, mode).as("price_high"),
-        graft.ops.Percentiles.pctl(col("l_quantity"), 0.05, mode).as("qty_low"),
-        graft.ops.Percentiles.pctl(col("l_quantity"), 0.95, mode).as("qty_high"))
+        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.05, m).as("price_low"),
+        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.95, m).as("price_high"),
+        graft.ops.Percentiles.pctl(col("l_quantity"), 0.05, m).as("qty_low"),
+        graft.ops.Percentiles.pctl(col("l_quantity"), 0.95, m).as("qty_high"))
     val priceViol = when(col("l_extendedprice") < col("price_low") ||
       col("l_extendedprice") > col("price_high"), 1).otherwise(0)
     val qtyViol = when(col("l_quantity") < col("qty_low") ||

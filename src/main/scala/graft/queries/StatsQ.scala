@@ -287,12 +287,13 @@ object StatsQ {
       mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val t = Tables(spark, dir)
     val orders = t.orders
+    val m = graft.ops.Percentiles.resolve(orders, Seq(col("o_orderpriority")), mode)
     val med = orders.groupBy(col("o_orderpriority"))
-      .agg(graft.ops.Percentiles.pctl(col("o_totalprice"), 0.5, mode).as("med"))
+      .agg(graft.ops.Percentiles.pctl(col("o_totalprice"), 0.5, m).as("med"))
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("absdev", abs(col("o_totalprice") - col("med")))
     val stats = dev.groupBy(col("o_orderpriority"))
-      .agg(graft.ops.Percentiles.pctl(col("absdev"), 0.5, mode).as("mad"))
+      .agg(graft.ops.Percentiles.pctl(col("absdev"), 0.5, m).as("mad"))
     dev.join(broadcast(stats), "o_orderpriority")
       .withColumn("robust_z",
         when(col("mad") =!= 0.0,
@@ -477,12 +478,14 @@ object StatsQ {
     * shared so the gate can never drift from the computation it certifies.
     */
   private def decileBounds(x: DataFrame,
-      mode: graft.ops.Percentiles.Mode): DataFrame =
+      mode: graft.ops.Percentiles.Mode): DataFrame = {
+    val m = graft.ops.Percentiles.resolve(x, Seq.empty, mode)
     x.agg(
       (1 to 9).map(j =>
-        graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")).head,
+        graft.ops.Percentiles.pctl(col("x"), j / 10.0, m).as(s"t$j")).head,
       (2 to 9).map(j =>
-        graft.ops.Percentiles.pctl(col("x"), j / 10.0, mode).as(s"t$j")): _*)
+        graft.ops.Percentiles.pctl(col("x"), j / 10.0, m).as(s"t$j")): _*)
+  }
 
   def equidepthHistogram(spark: SparkSession, dir: String,
       mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {

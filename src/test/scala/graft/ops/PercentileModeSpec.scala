@@ -104,4 +104,52 @@ class PercentileModeSpec extends SparkTestBase {
       assert(d <= 0.02 * total + 2, s"bucket $k moved by $d rows under approx mode")
     }
   }
+
+  // ---- Auto mode (VERDICT r11 item 6): the knob drives itself ----
+
+  test("Auto resolves Exact below the bound, Approx above it, on the same input") {
+    // 1000 rows, 4 groups → ~250 values/group (approx_count_distinct is
+    // rank-exact at 4 distinct keys)
+    val df = spark.range(1000).select(
+      (col("id") % 4).as("k"), col("id").cast("double").as("x"))
+    assert(Percentiles.resolve(df, Seq(col("k")), Percentiles.Auto(bound = 1000))
+      == Percentiles.Exact, "avg 250 under bound 1000 must stay Exact")
+    assert(Percentiles.resolve(df, Seq(col("k")), Percentiles.Auto(bound = 100))
+      == Percentiles.Approx(10000), "avg 250 over bound 100 must go Approx")
+    // a global aggregation (no group columns) counts the whole frame as
+    // one group
+    assert(Percentiles.resolve(df, Seq.empty, Percentiles.Auto(bound = 999))
+      == Percentiles.Approx(10000))
+    assert(Percentiles.resolve(df, Seq.empty, Percentiles.Auto(bound = 1001))
+      == Percentiles.Exact)
+    // explicit modes pass through untouched (no estimate scan to pay)
+    assert(Percentiles.resolve(df, Seq(col("k")), Percentiles.Exact)
+      == Percentiles.Exact)
+    assert(Percentiles.resolve(df, Seq(col("k")), Percentiles.Approx(55))
+      == Percentiles.Approx(55))
+  }
+
+  test("pctl rejects an unresolved Auto loudly") {
+    intercept[IllegalArgumentException] {
+      Percentiles.pctl(col("x"), 0.5, Percentiles.Auto())
+    }
+  }
+
+  test("q108 end-to-end: Auto at the default bound is row-identical to Exact") {
+    // fixture groups are far below 10⁷ values → Auto must resolve Exact
+    val exact = graft.queries.StatsQ.robustOutliers(spark, sf)
+      .collect().map(_.toString).sorted
+    val auto = graft.queries.StatsQ.robustOutliers(spark, sf, Percentiles.Auto())
+      .collect().map(_.toString).sorted
+    assert(exact.sameElements(auto),
+      "Auto below the bound must be bit-identical to the Exact default")
+  }
+
+  test("q108 end-to-end: Auto with a tiny bound takes the approx branch and keeps shape") {
+    val auto = graft.queries.StatsQ.robustOutliers(spark, sf,
+      Percentiles.Auto(bound = 1))
+    val exact = graft.queries.StatsQ.robustOutliers(spark, sf)
+    assert(auto.schema == exact.schema)
+    assert(auto.count() == exact.count())
+  }
 }

@@ -307,6 +307,41 @@ object H264 {
     w.toBytes
   }
 
+  /** Single-parameter-set contract shared by every subset decoder (ADVICE
+    * r11): each binds ONE SPS and ONE PPS for the whole stream, so a
+    * stream carrying several — where a later slice's pic_parameter_set_id
+    * selects a PPS with different entropy / init-QP / deblocking flags —
+    * would be parsed with the wrong one: a bit desync that can silently
+    * mis-decode (the I_PCM path's alignToByte can even accidentally
+    * resync). Loud rejection instead, matching the MMCO/CABAC/interlace
+    * pattern. `ppsRequired = false` is the PCM decoder's metadata-only
+    * allowance (zero PPS is fine; two never are). Returns the bound PPS's
+    * pic_parameter_set_id (-1 when absent) so slice headers can assert
+    * they reference exactly that PPS.
+    */
+  private[ops] def requireSingleParamSets(nals: Seq[(Int, Int, Array[Byte])],
+      who: String, ppsRequired: Boolean = true): Int = {
+    val nSps = nals.count(_._1 == 7)
+    val nPps = nals.count(_._1 == 8)
+    require(nSps == 1, s"$who: exactly one SPS per stream (got $nSps) — " +
+      "multi-parameter-set streams need an external decoder (MediaDecoder seam)")
+    require(if (ppsRequired) nPps == 1 else nPps <= 1,
+      s"$who: ${if (ppsRequired) "exactly" else "at most"} one PPS per " +
+        s"stream (got $nPps) — multi-parameter-set streams need an " +
+        "external decoder (MediaDecoder seam)")
+    nals.collectFirst { case (8, _, rbsp) => new BitReader(rbsp).ue() }
+      .getOrElse(-1)
+  }
+
+  /** Per-slice companion of [[requireSingleParamSets]]: the header's
+    * pic_parameter_set_id must name the bound PPS (no check when the
+    * stream legitimately carries none).
+    */
+  private[ops] def requireSlicePps(sliceId: Int, boundId: Int, who: String): Unit =
+    require(boundId < 0 || sliceId == boundId,
+      s"$who: slice references PPS $sliceId but the stream's PPS is " +
+        s"$boundId — external decoder (MediaDecoder seam)")
+
   /** deblocking_filter_control_present_flag of a PPS RBSP — slice-header
     * parsers branch on it (7.3.3: the slice then carries
     * disable_deblocking_filter_idc and, when idc != 1, two offsets).
@@ -443,6 +478,8 @@ object H264 {
       "PCM subset decoder: interlaced (field) streams unsupported")
     // external all-PCM streams may or may not carry a PPS (metadata-only
     // producers); when present, one shared walk surfaces both flags
+    val ppsId = requireSingleParamSets(nals, "PCM subset decoder",
+      ppsRequired = false)
     val deblock = nals.collectFirst { case (8, _, rbsp) => rbsp }.map(ppsWalk)
       .map { case (cavlc, db) =>
         require(cavlc, "PCM subset decoder: CABAC streams unsupported")
@@ -456,7 +493,7 @@ object H264 {
       require(firstMb == 0, "PCM subset decoder: one slice per picture")
       val sliceType = r.ue()
       require(sliceType % 5 == 2, s"not an I slice: slice_type $sliceType")
-      r.ue()                        // pps id
+      requireSlicePps(r.ue(), ppsId, "PCM subset decoder")
       r.u(sps.log2MaxFrameNum)      // frame_num
       if (nalType == 5) r.ue()      // idr_pic_id
       if (nalType == 5) { r.u(1); r.u(1) } // dec_ref_pic_marking (IDR)

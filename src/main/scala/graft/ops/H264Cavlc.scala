@@ -915,6 +915,7 @@ object H264Cavlc {
       "intra decoder: interlaced (field) streams unsupported — slice" +
         " headers would carry an unparsed field_pic_flag")
     // PPS: entropy mode + init QP + chroma offset are load-bearing
+    val ppsId = H264.requireSingleParamSets(nals, "intra decoder")
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
     val (initQp, chromaOff, deblock) = {
@@ -935,7 +936,7 @@ object H264Cavlc {
       require(r.ue() == 0, "intra decoder: one slice per picture")
       val sliceType = r.ue()
       require(sliceType % 5 == 2, s"not an I slice: slice_type $sliceType")
-      r.ue()
+      H264.requireSlicePps(r.ue(), ppsId, "intra decoder")
       r.u(sps.log2MaxFrameNum)
       if (nalType == 5) r.ue()
       if (nalType == 5) { r.u(1); r.u(1) }

@@ -368,6 +368,7 @@ object H264Inter {
     require(sps.frameMbsOnly,
       "inter decoder: interlaced (field) streams unsupported — slice" +
         " headers would carry an unparsed field_pic_flag")
+    val ppsId = H264.requireSingleParamSets(nals, "inter decoder")
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
     // one canonical PPS walk: init QP, the chroma QP offset (the intra
@@ -397,7 +398,7 @@ object H264Inter {
       val r = new BitReader(rbsp)
       require(r.ue() == 0, "inter decoder: one slice per picture")
       val sliceType = r.ue() % 5
-      r.ue()                      // pps id
+      H264.requireSlicePps(r.ue(), ppsId, "inter decoder")
       r.u(sps.log2MaxFrameNum)    // frame_num
       if (nalType == 5) r.ue()    // idr_pic_id
       if (sliceType == 0) {       // P

@@ -273,6 +273,109 @@ class H264InterSpec extends AnyFunSuite {
     assert(cr.forall(_.forall(_ == 124)), s"cr ${cr(0)(0)}")
   }
 
+  // ---- hand-assembled raw slice bits (ADVICE r12): encoder/decoder share
+  // mvPred and the Table 9-4 inter column, so encode→decode round trips
+  // cannot catch a shared-predictor or CBP-table transcription bug. These
+  // slices are written bit-by-bit from the published syntax (7.3.3/7.3.4/
+  // 7.3.5), with cbp codewords and expected pixels derived BY HAND in the
+  // comments — never through cbpInterInv or mvPred.
+
+  /** SPS+PPS+IDR prefix from the proven encoder (reference content is
+    * I_PCM — entropy-trivial), with a raw hand-built P NAL appended.
+    * refIdc 0 ⇒ the slice header carries no dec_ref_pic_marking.
+    */
+  private def withHandSlice(mbsX: Int, ref: Array[Array[Int]],
+      body: H264.BitWriter => Unit): Array[Byte] = {
+    val base = H264Inter.encodeStream(mbsX, 1, 26, ref, Nil)
+    val w = new H264.BitWriter
+    w.ue(0)       // first_mb_in_slice
+    w.ue(0)       // slice_type = 0 (P)
+    w.ue(0)       // pic_parameter_set_id
+    w.u(1, 4)     // frame_num
+    w.u(0, 1)     // num_ref_idx_active_override_flag
+    w.u(0, 1)     // ref_pic_list_modification_flag_l0
+    body(w)       // slice_qp_delta onward
+    w.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    H264.writeNal(out, 0, 1, w.toBytes) // non-reference non-IDR slice
+    out.toByteArray
+  }
+
+  test("hand-assembled mvd bits: nonzero mvd over the hand-derived predictor") {
+    // 32x16 ramp: ref(y)(x) = 3x + 2y + 20 (max 143, no clipping anywhere)
+    val ref = Array.tabulate(16, 32)((y, x) => 3 * x + 2 * y + 20)
+    val stream = withHandSlice(2, ref, { w =>
+      w.se(0)     // slice_qp_delta (qp 26; no residual coded)
+      w.ue(1)     // disable_deblocking_filter_idc = 1
+      // MB0: A/B/C/D all address-unavailable -> 8.4.1.3.2 median of three
+      // zeros -> predictor (0,0); mvd (+4,0) = one integer pel right
+      w.ue(0); w.ue(0)        // mb_skip_run, mb_type P_L0_16x16
+      w.se(4); w.se(0)        // mvd_l0
+      w.ue(0)                 // cbp 0 (Table 9-4: inter codeNum 0)
+      // MB1: only A (MB0) is available and referenced -> both the
+      // exactly-one-match rule AND the B/C/D-unavailable directional rule
+      // give predictor = mvA = (4,0); mvd (-4,0) cancels it -> mv (0,0)
+      w.ue(0); w.ue(0)
+      w.se(-4); w.se(0)
+      w.ue(0)
+    })
+    val last = H264Inter.decodeFrames(stream).last
+    for (y <- 0 until 16; x <- 0 until 32) {
+      // MB0 shifted one pel right (x+1 <= 16 < 32: clamp never engages);
+      // MB1 identical to the reference — WRONG predictor handling would
+      // shift MB1 or double-shift MB0
+      val want = if (x < 16) ref(y)(x + 1) else ref(y)(x)
+      assert(last(y)(x) == want, s"($x,$y): got ${last(y)(x)}, want $want")
+    }
+  }
+
+  test("hand-assembled cbp bits: full (15) and partial (2) luma patterns beyond {0,1}") {
+    // flat-100 reference; zero mv -> prediction is flat 100. At slice QP
+    // 24 (qp%6=0, qp/6=4) a planted DC level 1 dequants to 1·10·2⁴ = 160
+    // (8.5.9 V position (0,0) = 10) and the DC-only inverse transform
+    // adds (160+32)>>6 = +3 to all 16 samples of the 4x4 block (8.5.12).
+    val flat = Array.fill(16, 16)(100)
+    def residualBlocks(w: H264.BitWriter, blocks: Seq[Int]): Unit = {
+      val grid = Array.fill(4, 4)(0) // 4x4-block TotalCoeff context (9.2.1)
+      for (b <- 0 until 16 if blocks.contains(b)) {
+        val (bx, by) = H264Cavlc.blk4x4(b)
+        val tc = H264Cavlc.encodeResidual(w,
+          Array(1) ++ Array.fill(15)(0), H264Cavlc.ncAt(grid, bx, by))
+        grid(by)(bx) = tc
+      }
+    }
+    // cbp 15 (all four luma 8x8s): Table 9-4 inter column -> codeNum 11
+    val full = withHandSlice(1, flat, { w =>
+      w.se(-2)                 // slice_qp_delta: 26 - 2 = QP 24
+      w.ue(1)                  // disable_deblocking_filter_idc
+      w.ue(0); w.ue(0)         // mb_skip_run, mb_type
+      w.se(0); w.se(0)         // mvd (0,0); predictor is (0,0) at MB(0,0)
+      w.ue(11)                 // cbp 15, hand-read from Table 9-4
+      w.se(0)                  // mb_qp_delta
+      residualBlocks(w, 0 until 16)
+    })
+    val f = H264Inter.decodeFrames(full).last
+    assert(f.flatten.forall(_ == 103),
+      s"cbp 15 must lift every sample to 103, got ${f.flatten.distinct.toSeq}")
+    // cbp 2 (luma 8x8 block 1 only = top-right): Table 9-4 -> codeNum 3;
+    // blocks 4..7 cover luma x 8..15, y 0..7
+    val part = withHandSlice(1, flat, { w =>
+      w.se(-2)
+      w.ue(1)
+      w.ue(0); w.ue(0)
+      w.se(0); w.se(0)
+      w.ue(3)                  // cbp 2, hand-read from Table 9-4
+      w.se(0)
+      residualBlocks(w, 4 to 7)
+    })
+    val p = H264Inter.decodeFrames(part).last
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (x >= 8 && y < 8) 103 else 100
+      assert(p(y)(x) == want, s"($x,$y): got ${p(y)(x)}, want $want")
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -214,6 +214,82 @@ class H264Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("MMCO"), e3.getMessage)
   }
 
+  test("subset decoders reject multi-SPS/PPS streams and foreign slice PPS ids loudly") {
+    // ADVICE r12: a stream with several parameter sets would be parsed
+    // with the FIRST one bound, so a slice referencing a later PPS
+    // (different entropy/QP/deblocking) could silently bit-desync.
+    def assemble(parts: (Int, Int, Array[Byte])*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { case (refIdc, t, rbsp) => H264.writeNal(out, refIdc, t, rbsp) }
+      out.toByteArray
+    }
+    def parts(stream: Array[Byte]): (Array[Byte], Array[Byte], Array[Byte]) = {
+      val nals = H264.splitNals(stream)
+      (nals.collectFirst { case (7, _, r) => r }.get,
+        nals.collectFirst { case (8, _, r) => r }.get,
+        nals.collectFirst { case (5, _, r) => r }.get)
+    }
+    val flat = Array.tabulate(16, 16)((y, x) => 40 + y + x)
+
+    // PCM decoder
+    val (sps, pps, slice) = parts(H264.encodePcm(16, 16, Seq(gradient(16, 16, 9))))
+    val e1 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, sps), (3, 8, pps), (3, 8, pps), (3, 5, slice))))
+    assert(e1.getMessage.contains("one PPS"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, sps), (3, 7, sps), (3, 8, pps), (3, 5, slice))))
+    assert(e2.getMessage.contains("one SPS"), e2.getMessage)
+    // a slice naming PPS 1 while the stream's only PPS is id 0
+    val foreignSlice = {
+      val w = new H264.BitWriter
+      w.ue(0); w.ue(7); w.ue(1) // first_mb, slice_type I, pps id 1
+      w.trailingBits()
+      w.toBytes
+    }
+    val e3 = intercept[IllegalArgumentException](H264.decodePcmFrames(
+      assemble((3, 7, sps), (3, 8, pps), (3, 5, foreignSlice))))
+    assert(e3.getMessage.contains("references PPS"), e3.getMessage)
+    // zero PPS stays legal for the PCM decoder (metadata-only producers) —
+    // the slice then carries NO deblocking field (nothing announced it)
+    val ppslessSlice = {
+      val w = new H264.BitWriter
+      w.ue(0); w.ue(7); w.ue(0)      // first_mb, slice_type I, pps id
+      w.u(0, 4)                      // frame_num
+      w.ue(0); w.u(0, 1); w.u(0, 1)  // idr_pic_id, dec_ref_pic_marking
+      w.se(0)                        // slice_qp_delta
+      w.ue(25)                       // mb_type I_PCM
+      w.alignZero()
+      for (i <- 0 until 256) w.u((40 + i % 16 + i / 16) & 0xff, 8)
+      for (_ <- 0 until 128) w.u(128, 8)
+      w.trailingBits()
+      w.toBytes
+    }
+    val ppsless = H264.decodePcmFrames(assemble((3, 7, sps), (3, 5, ppslessSlice)))
+    assert(ppsless.nonEmpty && ppsless.head(0)(0) == 40)
+
+    // intra (CAVLC) decoder
+    val intraGood = H264Cavlc.encodeIntra(1, 1, 26,
+      Seq(Seq(H264Cavlc.PcmBlock(flat))))
+    val (isps, ipps, islice) = parts(intraGood)
+    val e4 = intercept[IllegalArgumentException](H264Cavlc.decodeIntraFrames(
+      assemble((3, 7, isps), (3, 8, ipps), (3, 8, ipps), (3, 5, islice))))
+    assert(e4.getMessage.contains("one PPS"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](H264Cavlc.decodeIntraFrames(
+      assemble((3, 7, isps), (3, 8, ipps), (3, 5, foreignSlice))))
+    assert(e5.getMessage.contains("references PPS"), e5.getMessage)
+
+    // inter decoder
+    val interGood = H264Inter.encodeStream(1, 1, 26, flat,
+      Seq(Seq(H264Inter.PSkip)))
+    val (psps, ppps, pslice) = parts(interGood)
+    val e6 = intercept[IllegalArgumentException](H264Inter.decodeFrames(
+      assemble((3, 7, psps), (3, 8, ppps), (3, 8, ppps), (3, 5, pslice))))
+    assert(e6.getMessage.contains("one PPS"), e6.getMessage)
+    val e7 = intercept[IllegalArgumentException](H264Inter.decodeFrames(
+      assemble((3, 7, psps), (3, 7, psps), (3, 8, ppps), (3, 5, pslice))))
+    assert(e7.getMessage.contains("one SPS"), e7.getMessage)
+  }
+
   test("3-byte start codes are accepted on parse (legal Annex-B variant)") {
     val four = H264.encodePcm(16, 16, Seq(gradient(16, 16, 9)))
     // rewrite 4-byte start codes as 3-byte ones

@@ -375,26 +375,33 @@ object H264 {
     * conformant decoder's. CHROMA PCM edges CAN be filtered (a positive
     * chroma_qp_index_offset plus slice alpha offset lifts the chroma index
     * above the zero-alpha band) — if this decoder ever returns chroma,
-    * this permissive skip must become [[requireFilterOff]].
+    * this permissive skip must route through [[sliceDeblocking]] +
+    * [[H264Deblock]] like the predicted-MB decoders.
     */
   private[ops] def skipSliceDeblocking(r: BitReader, present: Boolean): Unit =
     if (present && r.ue() != 1) { r.se(); r.se() }
 
-  /** For the predicted-macroblock decoders: require the loop filter OFF
-    * (disable_deblocking_filter_idc = 1). A conformant decoder of a
-    * filter-enabled stream post-processes every block edge (8.7); this
-    * family does not implement the filter, so decoding such a stream
-    * would produce silently-wrong pixels — loud rejection instead, per
-    * the never-mis-decode contract. Our own encoders always signal 1.
+  /** Slice-header deblocking control for the predicted-macroblock
+    * decoders (7.3.3): returns (filterOn, FilterOffsetA, FilterOffsetB)
+    * with the div2 offsets already doubled per 8.7.2.2. When the PPS has
+    * no slice-level control the filter is implicitly ON with zero
+    * offsets; idc 1 turns it off; idc 0 and 2 turn it on (2 — "exclude
+    * slice boundaries" — is identical to 0 for this family, which
+    * requires one slice per picture, so no slice boundary exists). The
+    * filter itself is [[H264Deblock]] — filter-enabled streams decode
+    * natively since round 13; they used to be rejected here.
     */
-  private[ops] def requireFilterOff(r: BitReader, present: Boolean): Unit = {
-    require(present,
-      "deblocking filter implicitly enabled (PPS has no slice-level " +
-        "control) — filtered streams need an external decoder (MediaDecoder seam)")
+  private[ops] def sliceDeblocking(r: BitReader, present: Boolean): (Boolean, Int, Int) = {
+    if (!present) return (true, 0, 0)
     val idc = r.ue()
-    require(idc == 1,
-      s"deblocking filter enabled (disable idc $idc) — filtered streams " +
-        "need an external decoder (MediaDecoder seam)")
+    require(idc <= 2, s"bad disable_deblocking_filter_idc $idc")
+    if (idc == 1) (false, 0, 0)
+    else {
+      val a = r.se(); val b = r.se()
+      require(a >= -6 && a <= 6 && b >= -6 && b <= 6,
+        s"slice deblocking offsets out of range: $a / $b")
+      (true, a * 2, b * 2)
+    }
   }
 
   // ----------------------------------------------------- encoder (I_PCM) ---

@@ -744,10 +744,15 @@ object H264Cavlc {
   /** Encode planted I-slice frames (one slice per picture) at the given
     * slice QP into a conformant Annex-B stream: SPS + PPS + one IDR/I
     * slice per frame. Frame dims are mbsX·16 × mbsY·16; `frames` hold
-    * mbsX·mbsY MbPlans in raster order.
+    * mbsX·mbsY MbPlans in raster order. `deblockIdc` is the slice
+    * disable_deblocking_filter_idc (1 = filter off, the historical
+    * default every pre-round-13 stream signals; 0/2 = filter on, with
+    * `aOffD2`/`bOffD2` as slice_alpha_c0_offset_div2 /
+    * slice_beta_offset_div2).
     */
   def encodeIntra(mbsX: Int, mbsY: Int, qp: Int,
-      frames: Seq[Seq[MbPlan]]): Array[Byte] = {
+      frames: Seq[Seq[MbPlan]], deblockIdc: Int = 1,
+      aOffD2: Int = 0, bOffD2: Int = 0): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val out = new java.io.ByteArrayOutputStream()
     H264.writeNal(out, 3, 7,
@@ -762,7 +767,8 @@ object H264Cavlc {
       w.ue(k % 2)        // idr_pic_id
       w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
       w.se(qp - 26)      // slice_qp_delta (pic_init_qp is 26)
-      w.ue(1)            // disable_deblocking_filter_idc = 1 (no loop filter)
+      w.ue(deblockIdc)   // disable_deblocking_filter_idc
+      if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
       writeISliceMbs(w, mbsX, mbsY, mbs)
       w.trailingBits()
       H264.writeNal(out, 3, 5, w.toBytes)
@@ -946,11 +952,13 @@ object H264Cavlc {
         require(r.u(1) == 0, "intra decoder: adaptive ref marking (MMCO) " +
           "unsupported — external decoder (MediaDecoder seam)")
       val sliceQp = initQp + r.se()
-      H264.requireFilterOff(r, deblock)
+      val (filterOn, offA, offB) = H264.sliceDeblocking(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
-      decodeISliceMbs(r, mbsX, mbsY, sliceQp, chromaOff, luma, cb, cr)
+      val info = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
+      decodeISliceMbs(r, mbsX, mbsY, sliceQp, chromaOff, luma, cb, cr, info)
+      if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
       luma
     }
   }
@@ -960,10 +968,19 @@ object H264Cavlc {
     * I_PCM macroblocks. Shared by [[decodeIntraFrames]] and
     * [[H264Inter.decodeFrames]], whose P pictures may reference a full
     * intra-CAVLC picture (luma AND chroma land in the caller's planes).
+    * When `info` is non-null (the slice enables the loop filter) the
+    * per-MB facts the [[H264Deblock]] bS/QP derivations need are recorded.
+    *
+    * I_PCM conformance note (7.4.5): an I_PCM macroblock's QP_Y is 0, and
+    * that 0 is the QP_Y,prev the NEXT macroblock's mb_qp_delta predicts
+    * from — conformance-tested decoders (ffmpeg, openh264) agree. Planted
+    * streams that code a residual-carrying MB after an I_PCM MB must
+    * carry a compensating delta ([[qpRestoreDelta]]).
     */
   private[ops] def decodeISliceMbs(r: BitReader, mbsX: Int, mbsY: Int,
       sliceQp: Int, chromaOff: Int, luma: Array[Array[Int]],
-      cb: Array[Array[Int]], cr: Array[Array[Int]]): Unit = {
+      cb: Array[Array[Int]], cr: Array[Array[Int]],
+      info: H264Deblock.PicInfo = null): Unit = {
       var qpY = sliceQp
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
       val cctx = Array.fill(2, mbsY * 2, mbsX * 2)(0)
@@ -1062,6 +1079,7 @@ object H264Cavlc {
           while (i < 64) { cr(mbY * 8 + i / 8)(mbX * 8 + i % 8) = r.u(8).toInt; i += 1 }
           for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 16)
           for (c <- 0 until 2; by <- 0 until 2; bx <- 0 until 2) setChroma(c, bx, by, 16)
+          qpY = 0 // 7.4.5: I_PCM sets QP_Y to 0, feeding the next delta
         } else if (mbType == 0) { // I_NxN = Intra_4x4
           mbIsI4x4(mbY)(mbX) = true
           val modes = new Array[Int](16)
@@ -1193,9 +1211,32 @@ object H264Cavlc {
           }
           decodeChroma(cbpChroma, chromaPredMode)
         }
+        if (info != null) {
+          info.intra(mbY)(mbX) = true
+          info.pcm(mbY)(mbX) = mbType == 25
+          info.qp(mbY)(mbX) = qpY // 0 for I_PCM (just set above)
+          // per-4x4 nz is irrelevant on intra edges (bS >= 3 regardless)
+          // but recorded for uniformity with the inter path
+          var by = 0
+          while (by < 4) {
+            var bx = 0
+            while (bx < 4) {
+              info.nz(mbY * 4 + by)(mbX * 4 + bx) =
+                nctx(mbY * 4 + by)(mbX * 4 + bx) > 0
+              bx += 1
+            }
+            by += 1
+          }
+        }
         mbIdx += 1
       }
   }
+
+  /** The mb_qp_delta that restores slice QP `qp` right after an I_PCM
+    * macroblock (whose QP_Y is 0): mb_qp_delta ∈ [−26, 25], so QPs above
+    * 25 wrap through the 7-37 modulo.
+    */
+  def qpRestoreDelta(qp: Int): Int = if (qp <= 25) qp else qp - 52
 
   // -------------------------------------------------- table sanity exports ---
 

@@ -234,6 +234,19 @@ object H264Inter {
     encodeStream(mbsX, mbsY, qp, iMbs, pFrames)
   }
 
+  /** Filter-off form (the historical default; overloads cannot share
+    * default arguments).
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]]): Array[Byte] =
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames, 1, 0, 0)
+
+  /** Per-MB qp deltas are planted by the caller; see
+    * [[H264Cavlc.qpRestoreDelta]] for the I_PCM chain rule. `deblockIdc`
+    * is the slice disable_deblocking_filter_idc (1 = filter off; 0/2 =
+    * on with the div2 offsets).
+    */
+
   /** Encode an IDR I picture of arbitrary planted intra macroblocks
     * ([[H264Cavlc.MbPlan]] — I_PCM, Intra_4x4, Intra_16x16) followed by
     * planted P pictures into a conformant Annex-B stream: SPS
@@ -242,7 +255,8 @@ object H264Inter {
     * reference may be real compressed intra content, not just PCM.
     */
   def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
-      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]]): Array[Byte] = {
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val out = new java.io.ByteArrayOutputStream()
     // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
@@ -272,7 +286,8 @@ object H264Inter {
     iw.ue(0)                       // idr_pic_id
     iw.u(0, 1); iw.u(0, 1)         // dec_ref_pic_marking (IDR)
     iw.se(qp - 26)                 // slice_qp_delta
-    iw.ue(1)                       // disable_deblocking_filter_idc = 1
+    iw.ue(deblockIdc)              // disable_deblocking_filter_idc
+    if (deblockIdc != 1) { iw.se(aOffD2); iw.se(bOffD2) }
     H264Cavlc.writeISliceMbs(iw, mbsX, mbsY, iMbs)
     iw.trailingBits()
     H264.writeNal(out, 3, 5, iw.toBytes)
@@ -288,7 +303,8 @@ object H264Inter {
       w.u(0, 1)                // ref_pic_list_modification_flag_l0
       w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
       w.se(qp - 26)            // slice_qp_delta
-      w.ue(1)                  // disable_deblocking_filter_idc = 1
+      w.ue(deblockIdc)         // disable_deblocking_filter_idc
+      if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
       val g = new MvGrid(mbsX, mbsY)
       val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
       var skipRun = 0
@@ -409,16 +425,17 @@ object H264Inter {
       else if (refIdc != 0)
         require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
       var qpY = initQp + r.se()
-      H264.requireFilterOff(r, deblock)
+      val (filterOn, offA, offB) = H264.sliceDeblocking(r, deblock)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
+      val info = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
       if (sliceType == 2) {
         // I picture: the full intra surface (I_PCM, Intra_4x4, Intra_16x16
         // CAVLC) through the shared slice decoder — luma AND chroma land in
         // this picture's planes, so P pictures can reference real
         // compressed intra content, not just PCM
-        H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr)
+        H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr, info)
       } else {
         require(sliceType == 0, s"inter decoder: unsupported slice_type $sliceType")
         require(refL != null, "P slice with no decoded reference picture")
@@ -465,6 +482,10 @@ object H264Inter {
             val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
             g.set(mbX, mbY, sx, sy)
             mc(mbX, mbY, sx, sy)
+            if (info != null) { // P_Skip: QP_Y,prev carries, no coeffs
+              info.qp(mbY)(mbX) = qpY
+              info.mvx(mbY)(mbX) = sx; info.mvy(mbY)(mbX) = sy
+            }
             sk += 1; mbIdx += 1
           }
           if (mbIdx < mbsX * mbsY) {
@@ -477,6 +498,7 @@ object H264Inter {
             val mvx = px0 + r.se(); val mvy = py0 + r.se()
             g.set(mbX, mbY, mvx, mvy)
             mc(mbX, mbY, mvx, mvy)
+            if (info != null) { info.mvx(mbY)(mbX) = mvx; info.mvy(mbY)(mbX) = mvy }
             val codeNum = r.ue()
             require(codeNum < 48, s"bad coded_block_pattern code $codeNum")
             val cbp = cbpInter(codeNum)
@@ -493,6 +515,7 @@ object H264Inter {
                   val (bx, by) = H264Cavlc.blk4x4(b)
                   val (lv, tc) = H264Cavlc.decodeResidual(r, lumaNC(bx, by), 16)
                   nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
+                  if (info != null) info.nz(mbY * 4 + by)(mbX * 4 + bx) = tc > 0
                   val d = H264Cavlc.dequant4x4(lv, qpY, acOnly = false)
                   val res = H264Cavlc.idct4x4(d)
                   var y = 0
@@ -510,10 +533,13 @@ object H264Inter {
                 b += 1
               }
             }
+            if (info != null) info.qp(mbY)(mbX) = qpY
             mbIdx += 1
           }
         }
       }
+      // IN-loop: the filtered picture is what later P pictures reference
+      if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
       if (refIdc != 0) { refL = luma; refCb = cb; refCr = cr }
       project(luma, cb, cr)
     }

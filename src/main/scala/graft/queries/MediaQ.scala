@@ -764,7 +764,9 @@ object MediaQ {
             Array(blk0) ++ Array.fill(15)(Array.fill(16)(0)), cbpLuma = 3,
             chromaDc = Array(Array(e0, 0, 0, 0), Array(1, 0, 0, 0))),
           H264Cavlc.Pcm(g0),
-          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+          // I_PCM zeroes QP_Y,prev (7.4.5) — restore the planted QP
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0),
+            qpDelta = H264Cavlc.qpRestoreDelta(qp)))
         val stream = H264Cavlc.encodeIntra(3, 1, qp, Seq(frame1, frame2))
         val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
         require(meta.format == "h264",
@@ -1037,7 +1039,9 @@ object MediaQ {
           })
         val iMbs = Seq[H264Cavlc.MbPlan](
           tile(0, 0), tile(1, 0), tile(2, 0), tile(0, 1), tile(1, 1),
-          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+          // I_PCM zeroes QP_Y,prev (7.4.5) — restore the planted QP
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0),
+            qpDelta = H264Cavlc.qpRestoreDelta(qp)))
         val p16 = H264Inter.P16x16(mvx, mvy)
         val frame1 = Seq[H264Inter.PMbPlan](p16, p16, p16, p16,
           H264Inter.PSkip, p16)

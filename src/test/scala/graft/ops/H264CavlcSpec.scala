@@ -160,7 +160,9 @@ class H264CavlcSpec extends AnyFunSuite {
           Array(blk0) ++ Array.fill(15)(Array.fill(16)(0)), cbpLuma = 3,
           chromaDc = Array(Array(e0, 0, 0, 0), Array(1, 0, 0, 0))),
         H264Cavlc.Pcm(g0),
-        H264Cavlc.I16x16(2, Array(l3) ++ Array.fill(15)(0)))
+        // I_PCM zeroes QP_Y,prev (7.4.5) — restore the planted QP
+        H264Cavlc.I16x16(2, Array(l3) ++ Array.fill(15)(0),
+          qpDelta = H264Cavlc.qpRestoreDelta(qp)))
       val stream = H264Cavlc.encodeIntra(3, 1, qp, Seq(frame1, frame2))
       val frames = H264Cavlc.decodeIntraFrames(stream)
       assert(frames.length == 2)
@@ -259,18 +261,20 @@ class H264CavlcSpec extends AnyFunSuite {
     }
   }
 
-  test("filter-enabled streams are rejected loudly, never decoded unfiltered") {
-    // a conformant decoder POST-FILTERS every block edge when
-    // disable_deblocking_filter_idc != 1; this family has no loop filter,
-    // so such a stream must be refused (silently decoding it unfiltered
-    // would be wrong pixels), for the intra and inter decoders alike
+  test("filter-enabled streams decode natively through the loop filter") {
+    // since round 13 a disable_deblocking_filter_idc != 1 slice routes
+    // through H264Deblock instead of being rejected; the slice-header
+    // offset fields must be consumed exactly (a parse slip here would
+    // desync the macroblock layer). An all-I_PCM picture is provably
+    // filter-invariant (8.7.2: PCM edges carry qP = 0, where alpha and
+    // beta are 0), so all three decoders must agree on the raw samples.
     val good = H264Cavlc.encodeIntra(1, 1, 26, Seq(Seq(H264Cavlc.Pcm(77))))
     val nals = H264.splitNals(good)
     val bw = new H264.BitWriter
     bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(0)
     bw.u(0, 1); bw.u(0, 1); bw.se(0)
     bw.ue(0)           // disable_deblocking_filter_idc = 0 -> filter ON
-    bw.se(0); bw.se(0) // alpha / beta offsets
+    bw.se(2); bw.se(-1) // nonzero alpha / beta offsets must be consumed
     bw.ue(25); bw.alignZero() // one I_PCM macroblock, luma 77, chroma 128
     (0 until 256).foreach(_ => bw.u(77, 8))
     (0 until 128).foreach(_ => bw.u(128, 8))
@@ -279,18 +283,25 @@ class H264CavlcSpec extends AnyFunSuite {
     H264.writeNal(out, 3, 7, nals.collectFirst { case (7, _, r) => r }.get)
     H264.writeNal(out, 3, 8, nals.collectFirst { case (8, _, r) => r }.get)
     H264.writeNal(out, 3, 5, bw.toBytes)
+    assert(H264Cavlc.decodeIntraFrames(out.toByteArray).head(0)(0) == 77)
+    assert(H264Inter.decodeFrames(out.toByteArray).head(0)(0) == 77)
+    assert(H264.decodePcmFrames(out.toByteArray).head(0)(0) == 77)
+    // out-of-range offsets are rejected, not misparsed
+    val bad = new H264.BitWriter
+    bad.ue(0); bad.ue(7); bad.ue(0); bad.u(0, 4); bad.ue(0)
+    bad.u(0, 1); bad.u(0, 1); bad.se(0)
+    bad.ue(0); bad.se(7); bad.se(0)
+    bad.ue(25); bad.alignZero()
+    (0 until 384).foreach(_ => bad.u(1, 8))
+    bad.trailingBits()
+    val out2 = new java.io.ByteArrayOutputStream()
+    H264.writeNal(out2, 3, 7, nals.collectFirst { case (7, _, r) => r }.get)
+    H264.writeNal(out2, 3, 8, nals.collectFirst { case (8, _, r) => r }.get)
+    H264.writeNal(out2, 3, 5, bad.toBytes)
     val e = intercept[IllegalArgumentException] {
-      H264Cavlc.decodeIntraFrames(out.toByteArray)
+      H264Cavlc.decodeIntraFrames(out2.toByteArray)
     }
-    assert(e.getMessage.contains("deblocking"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      H264Inter.decodeFrames(out.toByteArray)
-    }
-    assert(e2.getMessage.contains("deblocking"), e2.getMessage)
-    // all-I_PCM streams stay permissive in decodePcmFrames: the filter
-    // provably never alters PCM-PCM edges (QP 0 -> alpha = beta = 0)
-    val pcm = H264.decodePcmFrames(out.toByteArray)
-    assert(pcm.head(0)(0) == 77)
+    assert(e.getMessage.contains("offsets out of range"), e.getMessage)
   }
 
   test("PCM-only streams decode identically through both decoders") {

@@ -193,7 +193,9 @@ class H264InterSpec extends AnyFunSuite {
         })
       val iMbs = Seq[H264Cavlc.MbPlan](
         tile(0, 0), tile(1, 0), tile(2, 0), tile(0, 1), tile(1, 1),
-        H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)))
+        // I_PCM zeroes QP_Y,prev (7.4.5) — restore the planted QP
+        H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0),
+          qpDelta = H264Cavlc.qpRestoreDelta(qp)))
       val p16 = H264Inter.P16x16(mvx, mvy)
       val fs = H264Inter.decodeFrames(H264Inter.encodeStream(3, 2, qp, iMbs,
         Seq(Seq[H264Inter.PMbPlan](p16, p16, p16, p16, H264Inter.PSkip, p16),

@@ -1136,7 +1136,192 @@ object MediaQ {
       |CROSS JOIN (VALUES ('p_main'), ('p_aux'), ('p_skip'), ('p_intra'),
       |  ('p_f2')) p(probe)""".stripMargin
 
+  private val deblockSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("probe", StringType),
+    StructField("px", IntegerType)))
+
+  /** q238 — H.264 **in-loop deblocking filter** decode ([[H264Deblock]]):
+    * per doc, a three-macroblock stream whose slices ENABLE the loop
+    * filter (disable_deblocking_filter_idc 0 or 2 by doc parity, with
+    * per-doc slice alpha/beta offsets), decoded natively:
+    *
+    *  - the I picture is two flat DC-only Intra_16x16 steps v0 | v1 | v1
+    *    whose macroblock edge is bS = 4 — per-doc QP (24..33) and DC
+    *    levels sweep indexA/indexB across 22..35 and the step |v1−v0|
+    *    across all three 8.7.2.4 branches (strong 3/5-tap, the weak
+    *    2-tap fallback when |p0−q0| ≥ (α>>2)+2, and gated-off when
+    *    |p0−q0| ≥ α), including the SEQUENTIAL cascade where the
+    *    internal bS=3 edge at x=20 re-touches x=18 over the already-
+    *    filtered samples;
+    *  - an all-P_Skip picture (bS = 0 everywhere) whose probes equal the
+    *    FILTERED I-picture pixels — proving the filter is in-loop (the
+    *    reference buffer holds filtered samples), not a display-only
+    *    post-pass;
+    *  - a second P picture whose last macroblock carries a uniform DC
+    *    residual (+ρ) over the chained reference, making its left edge
+    *    bS = 2: the 8.7.2.3 normal filter (Clip3(−tC,tC) Δ, the ap/aq
+    *    tC widening, the p1/q1 secondary taps) plus the follow-on bS=2
+    *    internal edge at x=36 that nudges x=34 by clip(cc >> 1).
+    *
+    * The DuckDB oracle recomputes all 14 probes per doc from the spec's
+    * gate/clip arithmetic INDEPENDENTLY of the Scala — Tables 8-16/8-17
+    * appear as shared literal constants in both transcripts (the
+    * documented transcription boundary; their structural invariants are
+    * spec-pinned in H264DeblockSpec), but every filter formula, branch
+    * gate, floor division and clip is derived separately.
+    *
+    * Scale shape: map-only, one scan, 14 rows per doc — no shuffle.
+    */
+  def h264DeblockProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 24 + (id % 10).toInt
+        val aOff = (id % 3).toInt - 1
+        val bOff = ((id / 3) % 3).toInt - 1
+        val l0 = (id % 5).toInt - 2
+        // ×2 so |v1−v0| crosses α at the low-alpha docs: all three bS=4
+        // branches fire across the sweep (strong/weak/gated-off)
+        val l1 = 2 * ((id % 17).toInt - 8)
+        val lr = 1 + (id % 6).toInt
+        val idc = if (id % 2 == 0) 0 else 2 // 2 ≡ 0 for one-slice pictures
+        def dc16(l: Int) = H264Cavlc.I16x16(2, Array(l) ++ Array.fill(15)(0))
+        val iMbs = Seq[H264Cavlc.MbPlan](dc16(l0), dc16(l1), dc16(0))
+        val dcRes = Array.fill(16)(Array(lr) ++ Array.fill(15)(0))
+        val f1 = Seq.fill[H264Inter.PMbPlan](3)(H264Inter.PSkip)
+        val f2 = Seq[H264Inter.PMbPlan](H264Inter.PSkip, H264Inter.PSkip,
+          H264Inter.P16x16(0, 0, cbpLuma = 15, levels = dcRes))
+        val stream =
+          H264Inter.encodeStream(3, 1, qp, iMbs, Seq(f1, f2), idc, aOff, bOff)
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        val probes =
+          (13 to 18).map(x => (s"i_x$x", fs(0)(0)(x))) ++
+            Seq(("p1_x15", fs(1)(0)(15)), ("p1_x16", fs(1)(0)(16))) ++
+            (29 to 34).map(x => (s"p2_x$x", fs(2)(0)(x)))
+        probes.map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: stage 1 rebuilds the bS=4 edge (strong/weak/off by the α
+    * gates, then the x=20 cascade on x=18); stage 2 reuses stage 1's v1
+    * for the bS=2 edge over the in-loop reference (Δ = clip(tC,(3ρ+4)>>3),
+    * the p1/q1 taps, then the x=36 cascade on x=34). Floor division via
+    * floor(x/2^n) mirrors the arithmetic shifts exactly for the signed
+    * intermediates; `//` is used only on provably non-negative terms.
+    */
+  private val h264DeblockSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(24 + doc_id % 10 AS INT) AS qp,
+      |    CAST(2 * (doc_id % 3 - 1) AS INT) AS aoff,
+      |    CAST(2 * ((doc_id // 3) % 3 - 1) AS INT) AS boff,
+      |    CAST(doc_id % 5 - 2 AS INT) AS l0,
+      |    CAST(2 * (doc_id % 17 - 8) AS INT) AS l1,
+      |    CAST(1 + doc_id % 6 AS INT) AS lr
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va,
+      |    LEAST(51, GREATEST(0, qp + aoff)) AS idxa,
+      |    LEAST(51, GREATEST(0, qp + boff)) AS idxb
+      |  FROM base
+      |), tabs AS (
+      |  SELECT *,
+      |    ([0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,4,4,5,6,7,8,9,10,12,13,15,17,
+      |      20,22,25,28,32,36,40,45,50,56,63,71,80,90,101,113,127,144,162,
+      |      182,203,226,255,255])[idxa + 1] AS alpha,
+      |    ([0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,2,2,2,3,3,3,3,4,4,4,6,6,7,7,
+      |      8,8,9,9,10,10,11,11,12,12,13,13,14,14,15,15,16,16,17,17,18,18
+      |      ])[idxb + 1] AS beta,
+      |    ([0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1,1,
+      |      1,2,2,2,2,3,3,3,4,4,5,5,6,7,8,8,10,11,12,13,15,17])[idxa + 1]
+      |      AS tc2,
+      |    ([0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1,1,1,2,2,2,
+      |      2,3,3,3,4,4,4,5,6,6,7,8,9,10,11,13,14,16,18,20,23,25])[idxa + 1]
+      |      AS tc3
+      |  FROM scaled
+      |), vals AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((l0 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS v0
+      |  FROM tabs
+      |), vals2 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0,
+      |      v0 + CAST(floor((l1 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS v1,
+      |    (lr * va * (1 << k) + 32) // 64 AS rho
+      |  FROM vals
+      |), stage1 AS (
+      |  SELECT *,
+      |    abs(v1 - v0) < alpha AND abs(v1 - v0) < alpha // 4 + 2 AS strongf,
+      |    abs(v1 - v0) < alpha AND abs(v1 - v0) >= alpha // 4 + 2 AS weakf,
+      |    (7 * v1 + v0 + 4) // 8 AS q2s
+      |  FROM vals2
+      |), stage1b AS (
+      |  SELECT *,
+      |    CASE WHEN strongf THEN (7 * v0 + v1 + 4) // 8 ELSE v0 END AS i13,
+      |    CASE WHEN strongf THEN (3 * v0 + v1 + 2) // 4 ELSE v0 END AS i14,
+      |    CASE WHEN strongf THEN (5 * v0 + 3 * v1 + 4) // 8
+      |         WHEN weakf THEN (3 * v0 + v1 + 2) // 4 ELSE v0 END AS i15,
+      |    CASE WHEN strongf THEN (5 * v1 + 3 * v0 + 4) // 8
+      |         WHEN weakf THEN (3 * v1 + v0 + 2) // 4 ELSE v1 END AS i16,
+      |    CASE WHEN strongf THEN (3 * v1 + v0 + 2) // 4 ELSE v1 END AS i17
+      |  FROM stage1
+      |), stage1c AS (
+      |  SELECT *,
+      |    CASE WHEN strongf AND abs(q2s - v1) < beta AND abs(i17 - v1) < beta
+      |         THEN q2s + LEAST(tc3, GREATEST(-tc3,
+      |           CAST(floor((i17 + v1 - 2 * q2s) / 2.0) AS BIGINT)))
+      |         WHEN strongf THEN q2s
+      |         ELSE v1 END AS i18
+      |  FROM stage1b
+      |), stage2 AS (
+      |  SELECT *,
+      |    v1 + rho AS w,
+      |    rho < alpha AS g2,
+      |    LEAST(tc2 + 2, (3 * rho + 4) // 8) AS d2,
+      |    LEAST(tc2, ((rho + 1) // 2) // 2) AS e2,
+      |    GREATEST(-tc2,
+      |      CAST(floor(((rho + 1) // 2 - rho) / 2.0) AS BIGINT)) AS cc
+      |  FROM stage1c
+      |), stage2b AS (
+      |  SELECT *,
+      |    v1 AS p29,
+      |    CASE WHEN g2 THEN v1 + e2 ELSE v1 END AS p30,
+      |    CASE WHEN g2 THEN v1 + d2 ELSE v1 END AS p31,
+      |    CASE WHEN g2 THEN w - d2 ELSE w END AS p32,
+      |    CASE WHEN g2 THEN w + cc ELSE w END AS p33,
+      |    CASE WHEN g2 AND abs(cc) < beta
+      |         THEN w + GREATEST(-tc2, LEAST(tc2,
+      |           CAST(floor(cc / 2.0) AS BIGINT)))
+      |         ELSE w END AS p34
+      |  FROM stage2
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'i_x13' THEN i13 WHEN 'i_x14' THEN i14 WHEN 'i_x15' THEN i15
+      |    WHEN 'i_x16' THEN i16 WHEN 'i_x17' THEN i17 WHEN 'i_x18' THEN i18
+      |    WHEN 'p1_x15' THEN i15 WHEN 'p1_x16' THEN i16
+      |    WHEN 'p2_x29' THEN p29 WHEN 'p2_x30' THEN p30
+      |    WHEN 'p2_x31' THEN p31 WHEN 'p2_x32' THEN p32
+      |    WHEN 'p2_x33' THEN p33 WHEN 'p2_x34' THEN p34
+      |  END)) AS INT) AS px
+      |FROM stage2b
+      |CROSS JOIN (VALUES ('i_x13'), ('i_x14'), ('i_x15'), ('i_x16'),
+      |  ('i_x17'), ('i_x18'), ('p1_x15'), ('p1_x16'), ('p2_x29'),
+      |  ('p2_x30'), ('p2_x31'), ('p2_x32'), ('p2_x33'), ('p2_x34')
+      |) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q238_h264_deblock_probes", h264DeblockProbes, Some(h264DeblockSql)),
     QueryDef("q237_h264_cavlc_ref_inter", h264CavlcRefInter, Some(h264CavlcRefSql)),
     QueryDef("q236_h264_inter_probes", h264InterProbes, Some(h264InterSql)),
     QueryDef("q235_h264_cavlc_probes", h264CavlcProbes, Some(h264CavlcSql)),

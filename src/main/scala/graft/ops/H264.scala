@@ -286,11 +286,11 @@ object H264 {
     * too (q235/q236 plant QP 20–31, where a default-filtered decode would
     * legitimately differ at block edges).
     */
-  private[ops] def writePps(): Array[Byte] = {
+  private[ops] def writePps(cabac: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0)    // pic_parameter_set_id
     w.ue(0)    // seq_parameter_set_id
-    w.u(0, 1)  // entropy_coding_mode_flag (0 = CAVLC)
+    w.u(if (cabac) 1 else 0, 1) // entropy_coding_mode_flag
     w.u(0, 1)  // bottom_field_pic_order_in_frame_present_flag
     w.ue(0)    // num_slice_groups_minus1
     w.ue(0)    // num_ref_idx_l0_default_active_minus1

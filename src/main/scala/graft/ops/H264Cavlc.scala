@@ -999,12 +999,11 @@ object H264Cavlc {
         def setChroma(c: Int, bx: Int, by: Int, tc: Int): Unit =
           cctx(c)(mbY * 2 + by)(mbX * 2 + bx) = tc
 
-        /** cbpChroma ∈ {0,1,2}: parse chroma DC (+AC) and reconstruct the
-          * two 8x8 chroma blocks with DC-or-parsed prediction mode.
+        /** cbpChroma ∈ {0,1,2}: parse chroma DC (+AC) and reconstruct via
+          * the shared entropy-agnostic [[reconChroma]].
           */
         def decodeChroma(cbpChroma: Int, chromaPredMode: Int): Unit = {
           val qpc = chromaQp(qpY + chromaOff)
-          val planes = Array(cb, cr)
           val dcLevels = Array.ofDim[Int](2, 4)
           if (cbpChroma > 0) {
             var c = 0
@@ -1029,39 +1028,8 @@ object H264Cavlc {
               c += 1
             }
           }
-          var c = 0
-          while (c < 2) {
-            val plane = planes(c)
-            val x0 = mbX * 8; val y0 = mbY * 8
-            val pred = Array.ofDim[Int](8, 8)
-            chromaPredMode match {
-              case 0 => predictChromaDc(plane, x0, y0, leftAvail, topAvail, pred)
-              case 1 => predictBlockNxN(plane, x0, y0, 8, 1, leftAvail, topAvail, pred)
-              case 2 => predictBlockNxN(plane, x0, y0, 8, 0, leftAvail, topAvail, pred)
-              case 3 => predictBlockNxN(plane, x0, y0, 8, 3, leftAvail, topAvail, pred)
-              case m => throw new IllegalArgumentException(s"bad chroma mode $m")
-            }
-            val dct = ihadamard2x2(dcLevels(c))
-            var b = 0
-            while (b < 4) {
-              val bx = b % 2; val by = b / 2
-              val d = dequant4x4(acLevels(c)(b), qpc, acOnly = true)
-              d(0)(0) = scaleChromaDc(dct(b), qpc)
-              val res = idct4x4(d)
-              var y = 0
-              while (y < 4) {
-                var x = 0
-                while (x < 4) {
-                  plane(y0 + by * 4 + y)(x0 + bx * 4 + x) =
-                    clip255(pred(by * 4 + y)(bx * 4 + x) + res(y)(x))
-                  x += 1
-                }
-                y += 1
-              }
-              b += 1
-            }
-            c += 1
-          }
+          reconChroma(cb, cr, mbX, mbY, chromaPredMode, dcLevels, acLevels,
+            qpc, leftAvail, topAvail)
         }
 
         val mbType = r.ue()
@@ -1111,9 +1079,9 @@ object H264Cavlc {
           val cbp = cbpIntra(codeNum)
           val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
           if (cbp > 0) qpY = (qpY + r.se() + 52) % 52
-          // per-block: parse residual (if coded), predict, reconstruct —
-          // in blkIdx order so later blocks predict from decoded samples
-          val x0 = mbX * 16; val y0 = mbY * 16
+          // per-block: parse residual (if coded), then the shared
+          // entropy-agnostic reconstruction — in blkIdx order so later
+          // blocks predict from decoded samples
           b = 0
           while (b < 16) {
             val (bx, by) = blk4x4(b)
@@ -1123,36 +1091,7 @@ object H264Cavlc {
                 setLuma(bx, by, tc)
                 lv
               } else { setLuma(bx, by, 0); new Array[Int](16) }
-            val px = x0 + bx * 4; val py = y0 + by * 4
-            val gx = mbX * 4 + bx; val gy = mbY * 4 + by
-            val blkLeft = gx > 0
-            val blkTop = gy > 0
-            val blkTopLeft = gx > 0 && gy > 0
-            // top-right: available iff in-frame AND decoded before this
-            // block (6.4.11.4) — within the MB, a lower blkIdx; outside,
-            // any MB above this row is already decoded
-            val trInFrame = gy > 0 && gx + 1 < mbsX * 4
-            val blkTopRight = trInFrame && {
-              val tMbX = (gx + 1) / 4; val tMbY = (gy - 1) / 4
-              if (tMbY < mbY || (tMbY == mbY && tMbX < mbX)) true
-              else if (tMbY == mbY && tMbX == mbX) {
-                val lx = (gx + 1) % 4; val ly = (gy - 1) % 4
-                blk4x4.indexOf((lx, ly)) < b
-              } else false
-            }
-            val pred = predict4x4(luma, px, py, modes(b),
-              blkLeft, blkTop, blkTopLeft, blkTopRight)
-            val d = dequant4x4(levels, qpY, acOnly = false)
-            val res = idct4x4(d)
-            var y = 0
-            while (y < 4) {
-              var x = 0
-              while (x < 4) {
-                luma(py + y)(px + x) = clip255(pred(y)(x) + res(y)(x))
-                x += 1
-              }
-              y += 1
-            }
+            reconI4x4Block(luma, mbsX, mbX, mbY, b, modes(b), levels, qpY)
             b += 1
           }
           decodeChroma(cbpChroma, chromaPredMode)
@@ -1178,37 +1117,8 @@ object H264Cavlc {
           } else {
             for (by <- 0 until 4; bx <- 0 until 4) setLuma(bx, by, 0)
           }
-          // predict the full 16x16, then add per-block residuals
-          val x0 = mbX * 16; val y0 = mbY * 16
-          val pred = Array.ofDim[Int](16, 16)
-          predictBlockNxN(luma, x0, y0, 16, predMode, leftAvail, topAvail, pred)
-          // luma DC: inverse zigzag into 4x4, Hadamard, scale
-          val dcIn = Array.ofDim[Int](4, 4)
-          var i = 0
-          while (i < 16) {
-            val (row, col) = zigzag(i)
-            dcIn(row)(col) = dcLevels(i)
-            i += 1
-          }
-          val dcT = ihadamard4x4(dcIn)
-          var b = 0
-          while (b < 16) {
-            val (bx, by) = blk4x4(b)
-            val d = dequant4x4(acLevels(b), qpY, acOnly = true)
-            d(0)(0) = scaleLumaDc(dcT(by)(bx), qpY)
-            val res = idct4x4(d)
-            var y = 0
-            while (y < 4) {
-              var x = 0
-              while (x < 4) {
-                luma(y0 + by * 4 + y)(x0 + bx * 4 + x) =
-                  clip255(pred(by * 4 + y)(bx * 4 + x) + res(y)(x))
-                x += 1
-              }
-              y += 1
-            }
-            b += 1
-          }
+          reconI16x16(luma, mbX, mbY, predMode, dcLevels, acLevels, qpY,
+            leftAvail, topAvail)
           decodeChroma(cbpChroma, chromaPredMode)
         }
         if (info != null) {
@@ -1237,6 +1147,136 @@ object H264Cavlc {
     * 25 wrap through the 7-37 modulo.
     */
   def qpRestoreDelta(qp: Int): Int = if (qp <= 25) qp else qp - 52
+
+  // ------------------------------------- entropy-agnostic reconstruction ---
+  // The parse→pixels seam: everything below takes PARSED (zigzag) levels,
+  // so the CAVLC decoder above and the CABAC decoder ([[H264Cabac]]) share
+  // ONE prediction/dequant/transform implementation — the one the q235
+  // oracle proves.
+
+  /** Reconstruct an Intra_16x16 macroblock's luma plane from parsed
+    * levels: `dcLevels` is the 16-entry zigzag Hadamard-domain DC block,
+    * `acLevels` 16 blocks × 15 zigzag AC levels (all-zero when
+    * CodedBlockPatternLuma is 0).
+    */
+  private[ops] def reconI16x16(luma: Array[Array[Int]], mbX: Int, mbY: Int,
+      predMode: Int, dcLevels: Array[Int], acLevels: Array[Array[Int]],
+      qpY: Int, leftAvail: Boolean, topAvail: Boolean): Unit = {
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val pred = Array.ofDim[Int](16, 16)
+    predictBlockNxN(luma, x0, y0, 16, predMode, leftAvail, topAvail, pred)
+    val dcIn = Array.ofDim[Int](4, 4)
+    var i = 0
+    while (i < 16) {
+      val (row, col) = zigzag(i)
+      dcIn(row)(col) = dcLevels(i)
+      i += 1
+    }
+    val dcT = ihadamard4x4(dcIn)
+    var b = 0
+    while (b < 16) {
+      val (bx, by) = blk4x4(b)
+      val d = dequant4x4(acLevels(b), qpY, acOnly = true)
+      d(0)(0) = scaleLumaDc(dcT(by)(bx), qpY)
+      val res = idct4x4(d)
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) {
+          luma(y0 + by * 4 + y)(x0 + bx * 4 + x) =
+            clip255(pred(by * 4 + y)(bx * 4 + x) + res(y)(x))
+          x += 1
+        }
+        y += 1
+      }
+      b += 1
+    }
+  }
+
+  /** Reconstruct ONE Intra_4x4 luma block (blkIdx `b`, mode `mode`) from
+    * its parsed 16-entry zigzag levels. Must be called in blkIdx order —
+    * later blocks predict from the samples this writes. `mbsX` bounds the
+    * 6.4.11.4 top-right availability.
+    */
+  private[ops] def reconI4x4Block(luma: Array[Array[Int]], mbsX: Int,
+      mbX: Int, mbY: Int, b: Int, mode: Int, levels: Array[Int],
+      qpY: Int): Unit = {
+    val (bx, by) = blk4x4(b)
+    val px = mbX * 16 + bx * 4; val py = mbY * 16 + by * 4
+    val gx = mbX * 4 + bx; val gy = mbY * 4 + by
+    val blkLeft = gx > 0
+    val blkTop = gy > 0
+    val blkTopLeft = gx > 0 && gy > 0
+    // top-right: available iff in-frame AND decoded before this block
+    // (6.4.11.4) — within the MB, a lower blkIdx; outside, any MB above
+    // this row is already decoded
+    val trInFrame = gy > 0 && gx + 1 < mbsX * 4
+    val blkTopRight = trInFrame && {
+      val tMbX = (gx + 1) / 4; val tMbY = (gy - 1) / 4
+      if (tMbY < mbY || (tMbY == mbY && tMbX < mbX)) true
+      else if (tMbY == mbY && tMbX == mbX) {
+        val lx = (gx + 1) % 4; val ly = (gy - 1) % 4
+        blk4x4.indexOf((lx, ly)) < b
+      } else false
+    }
+    val pred = predict4x4(luma, px, py, mode,
+      blkLeft, blkTop, blkTopLeft, blkTopRight)
+    val d = dequant4x4(levels, qpY, acOnly = false)
+    val res = idct4x4(d)
+    var y = 0
+    while (y < 4) {
+      var x = 0
+      while (x < 4) {
+        luma(py + y)(px + x) = clip255(pred(y)(x) + res(y)(x))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Reconstruct both chroma 8x8 blocks of a macroblock from parsed DC
+    * (2 components × 4 zigzag) and AC (2 × 4 blocks × 15 zigzag) levels
+    * at chroma QP `qpc`.
+    */
+  private[ops] def reconChroma(cb: Array[Array[Int]], cr: Array[Array[Int]],
+      mbX: Int, mbY: Int, chromaPredMode: Int, dcLevels: Array[Array[Int]],
+      acLevels: Array[Array[Array[Int]]], qpc: Int,
+      leftAvail: Boolean, topAvail: Boolean): Unit = {
+    val planes = Array(cb, cr)
+    var c = 0
+    while (c < 2) {
+      val plane = planes(c)
+      val x0 = mbX * 8; val y0 = mbY * 8
+      val pred = Array.ofDim[Int](8, 8)
+      chromaPredMode match {
+        case 0 => predictChromaDc(plane, x0, y0, leftAvail, topAvail, pred)
+        case 1 => predictBlockNxN(plane, x0, y0, 8, 1, leftAvail, topAvail, pred)
+        case 2 => predictBlockNxN(plane, x0, y0, 8, 0, leftAvail, topAvail, pred)
+        case 3 => predictBlockNxN(plane, x0, y0, 8, 3, leftAvail, topAvail, pred)
+        case m => throw new IllegalArgumentException(s"bad chroma mode $m")
+      }
+      val dct = ihadamard2x2(dcLevels(c))
+      var b = 0
+      while (b < 4) {
+        val bx = b % 2; val by = b / 2
+        val d = dequant4x4(acLevels(c)(b), qpc, acOnly = true)
+        d(0)(0) = scaleChromaDc(dct(b), qpc)
+        val res = idct4x4(d)
+        var y = 0
+        while (y < 4) {
+          var x = 0
+          while (x < 4) {
+            plane(y0 + by * 4 + y)(x0 + bx * 4 + x) =
+              clip255(pred(by * 4 + y)(bx * 4 + x) + res(y)(x))
+            x += 1
+          }
+          y += 1
+        }
+        b += 1
+      }
+      c += 1
+    }
+  }
 
   // -------------------------------------------------- table sanity exports ---
 

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[H264Cabac]] — the 9.3 entropy codec. Gates, strongest first:
+  *  - cross-entropy pixel equality: the SAME planted macroblocks through
+  *    the CAVLC and CABAC encoders must decode to IDENTICAL pixels (the
+  *    prediction/transform layer is shared and q235-proven, so this pins
+  *    the entire CABAC parse against the prefix-free-witnessed CAVLC);
+  *  - bin-level engine round-trip fuzz over decisions/bypass/terminate;
+  *  - hand-computable engine cases (bypass bit mapping, terminate);
+  *  - Table 9-44/9-45 structural invariants.
+  * The context INITIALIZATION constants have no in-container witness
+  * (any values round-trip) — see the H264Cabac scaladoc for the seam.
+  */
+class H264CabacSpec extends AnyFunSuite {
+
+  test("Table 9-44/9-45 structural invariants") {
+    val t = H264Cabac.rangeTabLps
+    assert(t.length == 64 && t.forall(_.length == 4))
+    assert(t(0).sameElements(Array(128, 176, 208, 240)))
+    assert(t(63).sameElements(Array(2, 2, 2, 2)))
+    for (s <- 0 until 63) {
+      // LPS ranges shrink as confidence grows (strictly, except the
+      // quantization plateaus at the top) and grow with codIRange
+      for (q <- 0 until 4) assert(t(s)(q) >= t(s + 1)(q) || s == 62)
+      for (q <- 0 until 3) assert(t(s)(q) < t(s)(q + 1))
+    }
+    val l = H264Cabac.transIdxLps
+    assert(l.length == 64)
+    for (i <- 1 until 64) assert(l(i) >= l(i - 1)) // non-decreasing
+    for (i <- 2 to 61) assert(l(i) < i) // LPS always drops confidence
+    assert(l(0) == 0 && l(1) == 0)
+  }
+
+  test("engine: bypass bins round-trip exactly and cost ~1 bit each") {
+    val rnd = new scala.util.Random(9301)
+    val bits = Array.fill(2000)(rnd.nextInt(2))
+    val w = new H264.BitWriter
+    val e = new H264Cabac.ArithEncoder(w, 26)
+    bits.foreach(e.bypass)
+    e.terminate(1)
+    w.alignZero()
+    val bytes = w.toBytes
+    // 2000 bypass bins cannot compress: ~250 bytes + flush overhead
+    assert(bytes.length >= 250 && bytes.length <= 256, bytes.length)
+    val d = new H264Cabac.ArithDecoder(new H264.BitReader(bytes), 26)
+    bits.foreach(b => assert(d.bypass() == b))
+    assert(d.terminate() == 1)
+  }
+
+  test("engine: decision/bypass/terminate fuzz round-trips bin-exact") {
+    val rnd = new scala.util.Random(9302)
+    for (trial <- 0 until 30) {
+      val qp = 12 + rnd.nextInt(40)
+      val n = 50 + rnd.nextInt(500)
+      // (kind, ctx, bin): kind 0 = decision, 1 = bypass, 2 = terminate(0)
+      val script = Array.fill(n) {
+        rnd.nextInt(10) match {
+          case 9 => (2, 0, 0)
+          case k if k >= 6 => (1, 0, rnd.nextInt(2))
+          case _ => (0, rnd.nextInt(276), rnd.nextInt(2))
+        }
+      }
+      val w = new H264.BitWriter
+      val e = new H264Cabac.ArithEncoder(w, qp)
+      script.foreach {
+        case (0, ctx, bin) => e.decision(ctx, bin)
+        case (1, _, bin) => e.bypass(bin)
+        case (2, _, _) => e.terminate(0)
+      }
+      e.terminate(1)
+      w.alignZero()
+      val d = new H264Cabac.ArithDecoder(new H264.BitReader(w.toBytes), qp)
+      script.foreach {
+        case (0, ctx, bin) => assert(d.decision(ctx) == bin, s"trial $trial")
+        case (1, _, bin) => assert(d.bypass() == bin, s"trial $trial")
+        case (2, _, _) => assert(d.terminate() == 0, s"trial $trial")
+      }
+      assert(d.terminate() == 1)
+    }
+  }
+
+  test("engine: a biased context compresses far below 1 bit/bin") {
+    val w = new H264.BitWriter
+    val e = new H264Cabac.ArithEncoder(w, 26)
+    (0 until 4000).foreach(_ => e.decision(100, 1))
+    e.terminate(1)
+    w.alignZero()
+    // adaptation must drive the cost toward the entropy floor
+    assert(w.toBytes.length < 120, w.toBytes.length)
+    val d = new H264Cabac.ArithDecoder(new H264.BitReader(w.toBytes), 26)
+    (0 until 4000).foreach(_ => assert(d.decision(100) == 1))
+    assert(d.terminate() == 1)
+  }
+
+  private def rndPlans(rnd: scala.util.Random, mbsX: Int, mbsY: Int)
+      : Seq[H264Cavlc.MbPlan] = {
+    def sparse(n: Int, maxMag: Int): Array[Int] = {
+      val a = new Array[Int](n)
+      for (_ <- 0 until rnd.nextInt(6)) {
+        val mag = 1 + rnd.nextInt(maxMag)
+        a(rnd.nextInt(n)) = if (rnd.nextBoolean()) mag else -mag
+      }
+      a
+    }
+    Seq.tabulate(mbsX * mbsY) { mbIdx =>
+      val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+      if (rnd.nextBoolean()) {
+        val mode = (rnd.nextInt(4), mbX > 0, mbY > 0) match {
+          case (0, _, true) => 0
+          case (1, true, _) => 1
+          case (3, true, true) => 3
+          case _ => 2
+        }
+        H264Cavlc.I16x16(mode, sparse(16, 6),
+          if (rnd.nextBoolean()) Array.fill(16)(sparse(15, 4)) else null,
+          qpDelta = rnd.nextInt(3) - 1,
+          chromaDc = if (rnd.nextBoolean())
+            Array(sparse(4, 3), sparse(4, 3)) else null)
+      } else {
+        val modes = Array.tabulate(16) { b =>
+          val (bx, by) = H264Cavlc.blk4x4(b)
+          val hasLeft = mbX > 0 || bx > 0
+          val hasTop = mbY > 0 || by > 0
+          val pool = Seq(2) ++
+            (if (hasTop) Seq(0, 3, 7) else Nil) ++
+            (if (hasLeft) Seq(1, 8) else Nil) ++
+            (if (hasTop && hasLeft) Seq(4, 5, 6) else Nil)
+          pool(rnd.nextInt(pool.length))
+        }
+        val cbpLuma = rnd.nextInt(16)
+        H264Cavlc.I4x4(modes, Array.fill(16)(sparse(16, 8)), cbpLuma,
+          qpDelta = if (cbpLuma > 0) rnd.nextInt(3) - 1 else 0,
+          chromaDc = if (cbpLuma > 0 && rnd.nextBoolean())
+            Array(sparse(4, 3), sparse(4, 3)) else null)
+      }
+    }
+  }
+
+  test("cross-entropy: CAVLC and CABAC decode the same plans to the same pixels") {
+    val rnd = new scala.util.Random(9303)
+    for (trial <- 0 until 15) {
+      val (mbsX, mbsY) = (3, 2)
+      val qp = 14 + rnd.nextInt(36)
+      val frames = Seq.fill(2)(rndPlans(rnd, mbsX, mbsY))
+      val viaCavlc = H264Cavlc.decodeIntraFrames(
+        H264Cavlc.encodeIntra(mbsX, mbsY, qp, frames))
+      val viaCabac = H264Cabac.decodeIntraFrames(
+        H264Cabac.encodeIntra(mbsX, mbsY, qp, frames))
+      assert(viaCavlc.length == viaCabac.length)
+      viaCavlc.zip(viaCabac).zipWithIndex.foreach { case ((a, b), f) =>
+        a.zip(b).zipWithIndex.foreach { case ((ra, rb), y) =>
+          assert(ra.sameElements(rb), s"trial $trial frame $f row $y")
+        }
+      }
+    }
+  }
+
+  test("cross-entropy under the loop filter: deblocked pixels agree too") {
+    val rnd = new scala.util.Random(9304)
+    for (_ <- 0 until 5) {
+      val qp = 24 + rnd.nextInt(16)
+      val frames = Seq(rndPlans(rnd, 3, 1))
+      val a = H264Cavlc.decodeIntraFrames(
+        H264Cavlc.encodeIntra(3, 1, qp, frames, deblockIdc = 0,
+          aOffD2 = 1, bOffD2 = -1))
+      val b = H264Cabac.decodeIntraFrames(
+        H264Cabac.encodeIntra(3, 1, qp, frames, deblockIdc = 0,
+          aOffD2 = 1, bOffD2 = -1))
+      a.head.zip(b.head).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+    }
+  }
+
+  test("metadata layer reads CABAC streams; wrong-entropy decodes are refused") {
+    val frames = Seq(Seq[H264Cavlc.MbPlan](
+      H264Cavlc.I16x16(2, Array(3) ++ Array.fill(15)(0))))
+    val cabacStream = H264Cabac.encodeIntra(1, 1, 26, frames)
+    val meta = H264.MetaDecoder.decodeBatch(Seq(cabacStream)).head
+    assert(meta.format == "h264" && meta.width == 16 && meta.height == 16)
+    val e1 = intercept[IllegalArgumentException] {
+      H264Cavlc.decodeIntraFrames(cabacStream)
+    }
+    assert(e1.getMessage.contains("CABAC"), e1.getMessage)
+    val cavlcStream = H264Cavlc.encodeIntra(1, 1, 26, frames)
+    val e2 = intercept[IllegalArgumentException] {
+      H264Cabac.decodeIntraFrames(cavlcStream)
+    }
+    assert(e2.getMessage.contains("CAVLC"), e2.getMessage)
+    // I_PCM plans stay outside the CABAC subset, loudly
+    val e3 = intercept[IllegalArgumentException] {
+      H264Cabac.encodeIntra(1, 1, 26, Seq(Seq(H264Cavlc.Pcm(77))))
+    }
+    assert(e3.getMessage.contains("I_PCM"), e3.getMessage)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ops.{Avi, H264, H264Cavlc, H264Inter, Mp4, Multimodal}
+import graft.ops.{Avi, H264, H264Cabac, H264Cavlc, H264Inter, Mp4, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -1320,7 +1320,172 @@ object MediaQ {
       |  ('p2_x30'), ('p2_x31'), ('p2_x32'), ('p2_x33'), ('p2_x34')
       |) p(probe)""".stripMargin
 
+  /** q239 — H.264 **CABAC** I-slice decode ([[H264Cabac]]): per doc, the
+    * q235 plant re-expressed through the arithmetic entropy layer
+    * (VERDICT r11 item 5). Frame 1 is q235's exact three-MB Intra_16x16
+    * chain (DC/Horizontal prediction, planted Hadamard-DC + AC levels,
+    * mb_qp_delta ±1 — in CABAC that exercises the unary qp-delta
+    * binarization with its prev-delta context and the coded_block_flag /
+    * significance-map / level machinery across real neighbor contexts).
+    * Frame 2 opens with an Intra_16x16 whose first AC level is
+    * 15 + (doc_id % 9) — past the UEG0 uCoff, forcing the bypass-coded
+    * EG0 ESCAPE path — followed by a horizontally-predicted Intra_16x16
+    * and an Intra_4x4 with planted B-class coefficients and chroma DC
+    * (cat3 residuals + the chroma coded_block_pattern bins). The escape
+    * sits in the FIRST macroblock, so any parse desync poisons every
+    * later probe. Seven probes per doc; the DuckDB oracle recomputes each
+    * from the spec's dequant/transform/prediction arithmetic
+    * INDEPENDENTLY of the Scala — entropy cannot change pixels, so the
+    * oracle pins the CABAC parse end-to-end (H264CabacSpec additionally
+    * proves CAVLC/CABAC pixel equality on random plans).
+    *
+    * Scale shape: map-only, one scan, 7 rows per doc — no shuffle.
+    */
+  def h264CabacProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val l0 = (id % 7).toInt - 3
+        val l1 = 1 + (id % 3).toInt
+        val a1 = (id % 5).toInt - 2
+        val a2 = 2 * (id % 2).toInt - 1
+        val a3 = 1 + (id % 4).toInt
+        val l2 = 2 - (id % 5).toInt
+        val c0 = (id % 9).toInt - 4
+        val c1 = 1 + (id % 6).toInt
+        val tt = if (id % 2 == 0) 1 else -1
+        val e0 = (id % 3).toInt - 1
+        val l3 = (id % 7).toInt - 3
+        val l4 = 1 + (id % 5).toInt
+        val big = 15 + (id % 9).toInt // UEG0 escape: abs level >= 15
+        def acBlock(x: Int, y: Int, z: Int) =
+          Array.fill(16)(Array(x, y, 0, 0, z) ++ Array.fill(10)(0))
+        val frame1 = Seq(
+          H264Cavlc.I16x16(2, Array(l0) ++ Array.fill(15)(0)),
+          H264Cavlc.I16x16(1, Array(l1) ++ Array.fill(15)(0),
+            acBlock(a1, a2, a3), qpDelta = 1),
+          H264Cavlc.I16x16(1, Array(l2) ++ Array.fill(15)(0),
+            acBlock(a2, a3, a1), qpDelta = -1))
+        val escAc = Array(Array(big) ++ Array.fill(14)(0)) ++
+          Array.fill(15)(Array.fill(15)(0))
+        val blk0 = Array(c0, c1, 0, 0, tt) ++ Array.fill(11)(0)
+        val frame2 = Seq(
+          H264Cavlc.I16x16(2, Array(l3) ++ Array.fill(15)(0), escAc),
+          H264Cavlc.I16x16(1, Array(l4) ++ Array.fill(15)(0)),
+          H264Cavlc.I4x4(Array.fill(16)(2),
+            Array(blk0) ++ Array.fill(15)(Array.fill(16)(0)), cbpLuma = 3,
+            chromaDc = Array(Array(e0, 0, 0, 0), Array(1, 0, 0, 0))))
+        val stream = H264Cabac.encodeIntra(3, 1, qp, Seq(frame1, frame2))
+        val meta = H264.MetaDecoder.decodeBatch(Seq(stream)).head
+        require(meta.format == "h264",
+          s"CABAC stream failed the SPS metadata parse for doc $id")
+        val fs = H264Cabac.decodeIntraFrames(stream)
+        require(fs.length == 2, s"frame count drift for doc $id: ${fs.length}")
+        val f1 = fs(0); val f2 = fs(1)
+        Seq(
+          ("f1_mb0", f1(0)(0)), ("f1_mb1_c0", f1(0)(16)),
+          ("f1_mb1_c15", f1(0)(31)), ("f1_mb2", f1(0)(32)),
+          ("f2_esc", f2(0)(0)), ("f2_hpred", f2(0)(16)),
+          ("f2_i4x4", f2(0)(32))
+        ).map { case (p, v) =>
+          Row(id, p, meta.width, meta.height, meta.n_frames, v)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(cavlcSchema))
+  }
+
+  /** Oracle: frame 1 reuses q235's proven closed forms verbatim; frame 2
+    * adds the escape form 128 + ((l3·va·2^(k−2)) + big·vc·2^k + 32)>>6
+    * (the AC level at zigzag 1 is a class-C coefficient whose (0,0) IDCT
+    * weight is its dequant value), the H-pred chain off mb0's DC-only
+    * right column, and the q235 B-class I4x4 form over that chain.
+    */
+  private val h264CabacSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(doc_id % 7 - 3 AS INT) AS l0,
+      |    CAST(1 + doc_id % 3 AS INT) AS l1,
+      |    CAST(doc_id % 5 - 2 AS INT) AS a1,
+      |    CAST(2 * (doc_id % 2) - 1 AS INT) AS a2,
+      |    CAST(1 + doc_id % 4 AS INT) AS a3,
+      |    CAST(2 - doc_id % 5 AS INT) AS l2,
+      |    CAST(doc_id % 9 - 4 AS INT) AS c0,
+      |    CAST(1 + doc_id % 6 AS INT) AS c1,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS INT) AS tt,
+      |    CAST(doc_id % 7 - 3 AS INT) AS l3,
+      |    CAST(1 + doc_id % 5 AS INT) AS l4,
+      |    CAST(15 + doc_id % 9 AS INT) AS big
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k, (qp + 1) // 6 AS k1,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va,
+      |    ([16,18,20,23,25,29])[qp % 6 + 1] AS vb,
+      |    ([13,14,16,18,20,23])[qp % 6 + 1] AS vc,
+      |    ([10,11,13,14,16,18])[(qp + 1) % 6 + 1] AS va1,
+      |    ([13,14,16,18,20,23])[(qp + 1) % 6 + 1] AS vc1
+      |  FROM base
+      |), px0 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((l0 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS v0
+      |  FROM scaled
+      |), px1 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0, v0 + CAST(floor((
+      |      l1 * va1 * (1 << (k1 - 2)) + a1 * vc1 * (1 << k1)
+      |      + a2 * vc1 * (1 << k1) + a3 * va1 * (1 << k1) + 32) / 64.0) AS BIGINT)
+      |    )) AS p016,
+      |    LEAST(255, GREATEST(0, v0 + CAST(floor((
+      |      l1 * va1 * (1 << (k1 - 2)) + a3 * va1 * (1 << k1)
+      |      - a1 * vc1 * (1 << k1) + a2 * vc1 * (1 << k1) + 32) / 64.0) AS BIGINT)
+      |    )) AS p031,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((l3 * va * (1 << (k - 2))
+      |        + big * vc * (1 << k) + 32) / 64.0) AS BIGINT))) AS pesc,
+      |    LEAST(255, GREATEST(0,
+      |      128 + CAST(floor((l3 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS v3
+      |  FROM px0
+      |), px2 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0, p031 + CAST(floor((
+      |      l2 * va * (1 << (k - 2)) + a2 * vc * (1 << k)
+      |      + a3 * vc * (1 << k) + a1 * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    )) AS p032,
+      |    LEAST(255, GREATEST(0,
+      |      v3 + CAST(floor((l4 * va * (1 << (k - 2)) + 32) / 64.0) AS BIGINT)
+      |    )) AS phpred
+      |  FROM px1
+      |), px3 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0,
+      |      phpred + CAST(floor((c0 * va * (1 << k) + c1 * vc * (1 << k)
+      |        + tt * vb * (1 << k) + 32) / 64.0) AS BIGINT))) AS p4x4
+      |  FROM px2
+      |)
+      |SELECT doc_id, p.probe,
+      |  48 AS width, 16 AS height, 2 AS n_frames,
+      |  CAST(CASE p.probe
+      |    WHEN 'f1_mb0' THEN v0
+      |    WHEN 'f1_mb1_c0' THEN p016
+      |    WHEN 'f1_mb1_c15' THEN p031
+      |    WHEN 'f1_mb2' THEN p032
+      |    WHEN 'f2_esc' THEN pesc
+      |    WHEN 'f2_hpred' THEN phpred
+      |    WHEN 'f2_i4x4' THEN p4x4
+      |  END AS INT) AS px
+      |FROM px3
+      |CROSS JOIN (VALUES ('f1_mb0'), ('f1_mb1_c0'), ('f1_mb1_c15'),
+      |  ('f1_mb2'), ('f2_esc'), ('f2_hpred'), ('f2_i4x4')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q239_h264_cabac_probes", h264CabacProbes, Some(h264CabacSql)),
     QueryDef("q238_h264_deblock_probes", h264DeblockProbes, Some(h264DeblockSql)),
     QueryDef("q237_h264_cavlc_ref_inter", h264CavlcRefInter, Some(h264CavlcRefSql)),
     QueryDef("q236_h264_inter_probes", h264InterProbes, Some(h264InterSql)),

@@ -23,13 +23,16 @@ package graft.ops
   *
   * The SUBSET boundary of THIS module, stated plainly: predicted
   * macroblock types are not decoded here — intra-CAVLC I slices live in
-  * [[H264Cavlc]] (q235) and P-slice inter prediction in [[H264Inter]]
-  * (q236); what remains external (CABAC entropy, B slices, multi-reference
-  * and intra-chained P streams) still exits through
-  * [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins that seam).
-  * Emitted slices signal disable_deblocking_filter_idc = 1, so external
-  * decoders skip the loop filter and reproduce the family's filter-less
-  * reconstructions bit-exactly even for the predicted-MB streams.
+  * [[H264Cavlc]] (q235), P-slice inter prediction in [[H264Inter]]
+  * (q236), CABAC-coded I slices in [[H264Cabac]] (q239, with its own
+  * documented init-constant caveat), and the 8.7 loop filter in
+  * [[H264Deblock]] (q238, in-loop); what remains external (B slices,
+  * multi-reference streams, weighted prediction, CABAC P slices) still
+  * exits through [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins
+  * that seam). Emitted slices signal disable_deblocking_filter_idc = 1
+  * by default, so external decoders skip the loop filter and reproduce
+  * the filter-less reconstructions bit-exactly; filter-enabled streams
+  * (idc 0/2) decode natively since round 13.
   *
   * What this module buys at 100 TB: the NAL/SPS layer means REAL
   * H.264 payloads get true metadata (dimensions from the SPS, frame

@@ -927,7 +927,8 @@ object H264Cavlc {
     val (initQp, chromaOff, deblock) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
-      require(r.u(1) == 0, "intra decoder: CABAC streams unsupported (CAVLC only)")
+      require(r.u(1) == 0,
+        "intra decoder: CABAC stream — use H264Cabac.decodeIntraFrames")
       r.u(1);
       require(r.ue() == 0, "intra decoder: slice groups unsupported")
       r.ue(); r.ue(); r.u(1); r.u(2)

@@ -40,8 +40,9 @@ import H264.{BitReader, BitWriter}
   * ([[H264Cavlc.decodeISliceMbs]] — I_PCM, Intra_4x4, Intra_16x16 CAVLC)
   * and serve as references, so real compressed-intra + P chains decode
   * natively (q237). What still exits through the external `MediaDecoder`
-  * seam: CABAC entropy, B slices, multiple reference frames, weighted
-  * prediction, and sub-16x16 partitions — all rejected loudly, never
+  * seam: CABAC-coded P slices (intra-only CABAC lives in [[H264Cabac]]),
+  * B slices, multiple reference frames, weighted prediction, and
+  * sub-16x16 partitions — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
   * cbp ∈ {0, 1} and the permutation spec guards gross transcription slips

@@ -197,7 +197,8 @@ object H264 {
     */
   final case class Sps(profileIdc: Int, levelIdc: Int, log2MaxFrameNum: Int,
       picOrderCntType: Int, widthMbs: Int, heightMbs: Int,
-      cropX: Int, cropY: Int, frameMbsOnly: Boolean = true) {
+      cropX: Int, cropY: Int, frameMbsOnly: Boolean = true,
+      maxNumRefFrames: Int = 1) {
     def width: Int = widthMbs * 16 - cropX
     def height: Int = heightMbs * 16 - cropY
   }
@@ -211,7 +212,7 @@ object H264 {
     w.ue(0)                       // seq_parameter_set_id
     w.ue(sps.log2MaxFrameNum - 4) // log2_max_frame_num_minus4
     w.ue(sps.picOrderCntType)     // pic_order_cnt_type (2: no extra syntax)
-    w.ue(0)                       // max_num_ref_frames
+    w.ue(sps.maxNumRefFrames)     // max_num_ref_frames (0 for all-intra)
     w.u(0, 1)                     // gaps_in_frame_num_value_allowed_flag
     w.ue(sps.widthMbs - 1)        // pic_width_in_mbs_minus1
     w.ue(sps.heightMbs - 1)       // pic_height_in_map_units_minus1
@@ -249,7 +250,7 @@ object H264 {
       case 2 => ()
       case x => throw new IllegalArgumentException(s"bad pic_order_cnt_type $x")
     }
-    r.ue() // max_num_ref_frames
+    val maxRef = r.ue() // max_num_ref_frames
     r.u(1) // gaps allowed
     val wMbs = r.ue() + 1
     val hMbs = r.ue() + 1
@@ -274,8 +275,10 @@ object H264 {
     require(wMbs >= 1 && wMbs <= (1 << 20) && hMbs >= 1 && hMbs <= (1 << 20)
         && wMbs.toLong * hMbs <= (1 << 20),
       s"implausible MB grid ${wMbs}x$hMbs")
+    require(maxRef <= 16, s"max_num_ref_frames $maxRef outside [0,16]")
     val sps = Sps(profile, level, log2Mfn, pocType, wMbs,
-      if (frameMbsOnly) hMbs else hMbs * 2, cx, cy, frameMbsOnly)
+      if (frameMbsOnly) hMbs else hMbs * 2, cx, cy, frameMbsOnly,
+      math.max(1, maxRef))
     require(sps.width > 0 && sps.height > 0,
       s"cropping window ${cx}x$cy exceeds the coded frame")
     sps
@@ -422,7 +425,7 @@ object H264 {
     require(frames.forall(f => f.length == h && f.forall(_.length == w)),
       "every luma plane must be h rows of w samples")
     val out = new java.io.ByteArrayOutputStream()
-    writeNal(out, 3, 7, writeSps(Sps(66, 10, 4, 2, w / 16, h / 16, 0, 0)))
+    writeNal(out, 3, 7, writeSps(Sps(66, 10, 4, 2, w / 16, h / 16, 0, 0, frameMbsOnly = true, maxNumRefFrames = 0)))
     writeNal(out, 3, 8, writePps())
     val mbsX = w / 16
     val mbsY = h / 16

@@ -756,7 +756,7 @@ object H264Cavlc {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val out = new java.io.ByteArrayOutputStream()
     H264.writeNal(out, 3, 7,
-      H264.writeSps(H264.Sps(66, 20, 4, 2, mbsX, mbsY, 0, 0)))
+      H264.writeSps(H264.Sps(66, 20, 4, 2, mbsX, mbsY, 0, 0, frameMbsOnly = true, maxNumRefFrames = 0)))
     H264.writeNal(out, 3, 8, H264.writePps())
     frames.zipWithIndex.foreach { case (mbs, k) =>
       val w = new BitWriter

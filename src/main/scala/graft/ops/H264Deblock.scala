@@ -14,9 +14,9 @@ package graft.ops
   *  - boundary-strength derivation (8.7.2.1) for frame macroblocks:
   *    bS = 4 on macroblock edges with an intra side, 3 on internal intra
   *    edges, 2 when either 4x4 block carries residual coefficients, 1 on
-  *    quarter-sample motion discontinuities (≥ 4 quarter units on either
-  *    component; the reference-picture test is trivial here — the subset
-  *    decoders hold exactly one reference), else 0 (no filtering);
+  *    different L0 reference pictures or quarter-sample motion
+  *    discontinuities (≥ 4 quarter units on either component), else 0
+  *    (no filtering);
   *  - the α / β thresholds (Table 8-16) and the t'C0 clipping table
   *    (Table 8-17) with the slice-header FilterOffsetA/B applied per
   *    8.7.2.2 (indexA/indexB from the EDGE-average QP, where an I_PCM
@@ -105,6 +105,7 @@ object H264Deblock {
     val nz = Array.ofDim[Boolean](mbsY * 4, mbsX * 4)
     val mvx = Array.ofDim[Int](mbsY, mbsX)
     val mvy = Array.ofDim[Int](mbsY, mbsX)
+    val ref = Array.ofDim[Int](mbsY, mbsX) // L0 reference index per MB
   }
 
   // ------------------------------------------------------------ helpers ---
@@ -123,6 +124,7 @@ object H264Deblock {
     if (info.intra(pMbY)(pMbX) || info.intra(qMbY)(qMbX)) {
       if (pMbX == qMbX && pMbY == qMbY) 3 else 4
     } else if (info.nz(pgy)(pgx) || info.nz(qgy)(qgx)) 2
+    else if (info.ref(pMbY)(pMbX) != info.ref(qMbY)(qMbX)) 1 // different ref pictures
     else {
       val dx = info.mvx(pMbY)(pMbX) - info.mvx(qMbY)(qMbX)
       val dy = info.mvy(pMbY)(pMbX) - info.mvy(qMbY)(qMbX)

@@ -31,9 +31,13 @@ import H264.{BitReader, BitWriter}
   *    center sample j with its single (+512)>>10 rounding, all twelve
   *    quarter-sample averages, edge clamping of integer sample
   *    coordinates, and bilinear eighth-sample chroma;
-  *  - reference handling: single reference picture (the previously
-  *    decoded picture — max_num_ref_frames 1, sliding window), updated
-  *    after every decoded picture, so P→P chains are real.
+  *  - reference handling: a real multi-picture DPB (8.2.4.2.1 list0 in
+  *    descending PicNum = newest-decoded first, 8.2.5.3 sliding-window
+  *    trimming to the SPS max_num_ref_frames), per-slice
+  *    num_ref_idx_active override, per-MB ref_idx_l0 as te(v), and the
+  *    8.4.1.3.2 equal-refIdx neighbor-match rule in the mv predictor —
+  *    so P pictures can reference any retained picture, not just the
+  *    previous one (q240).
   *
   * Subset boundary, stated plainly (same honesty contract as [[H264]] and
   * [[H264Cavlc]]): I pictures decode through the FULL shared intra surface
@@ -41,7 +45,7 @@ import H264.{BitReader, BitWriter}
   * and serve as references, so real compressed-intra + P chains decode
   * natively (q237). What still exits through the external `MediaDecoder`
   * seam: CABAC-coded P slices (intra-only CABAC lives in [[H264Cabac]]),
-  * B slices, multiple reference frames, weighted prediction, and
+  * B slices, weighted prediction, explicit ref-list modification, and
   * sub-16x16 partitions — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
@@ -144,30 +148,35 @@ object H264Inter {
 
   /** Per-MB motion state within the current picture: `inter` false for
     * unavailable/intra macroblocks (their mv counts as (0,0) with refIdx
-    * "unmatched" per 8.4.1.3.2).
+    * "unmatched" per 8.4.1.3.2). `ref` is the L0 reference index of the
+    * 16x16 partition.
     */
   private final class MvGrid(mbsX: Int, mbsY: Int) {
     val inter = Array.fill(mbsY, mbsX)(false)
     val mvx = Array.ofDim[Int](mbsY, mbsX)
     val mvy = Array.ofDim[Int](mbsY, mbsX)
-    def set(mbX: Int, mbY: Int, x: Int, y: Int): Unit = {
+    val ref = Array.ofDim[Int](mbsY, mbsX)
+    def set(mbX: Int, mbY: Int, x: Int, y: Int, refIdx: Int): Unit = {
       inter(mbY)(mbX) = true; mvx(mbY)(mbX) = x; mvy(mbY)(mbX) = y
+      ref(mbY)(mbX) = refIdx
     }
   }
 
-  /** Luma MV predictor for a 16x16 partition (8.4.1.3, single reference):
-    * neighbors A (left), B (top), C (top-right, D top-left substituted
-    * when C's address is unavailable); if B, C and D addresses are all
-    * unavailable and A's is available the prediction is directional
-    * (mvA); else if exactly one neighbor references the picture its mv is
-    * the predictor; else the component-wise median.
+  /** Luma MV predictor for a 16x16 partition (8.4.1.3): neighbors A
+    * (left), B (top), C (top-right, D top-left substituted when C's
+    * address is unavailable); if B, C and D addresses are all unavailable
+    * and A's is available the prediction is directional (mvA); else if
+    * exactly one neighbor references the SAME picture (equal refIdxL0 —
+    * 8.4.1.3.2's referenceIndexEqualFlag, live since multi-reference
+    * landed) its mv is the predictor; else the component-wise median.
     */
-  private def mvPred(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int): (Int, Int) = {
+  private def mvPred(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int,
+      refIdx: Int): (Int, Int) = {
     // (addrAvailable, ref-matched, mvx, mvy) per 8.4.1.3.2
     def nb(x: Int, y: Int): (Boolean, Boolean, Int, Int) =
       if (x < 0 || y < 0 || x >= mbsX) (false, false, 0, 0)
       else if (!g.inter(y)(x)) (true, false, 0, 0)
-      else (true, true, g.mvx(y)(x), g.mvy(y)(x))
+      else (true, g.ref(y)(x) == refIdx, g.mvx(y)(x), g.mvy(y)(x))
     val a = nb(mbX - 1, mbY)
     val b = nb(mbX, mbY - 1)
     val cAddr = if (mbY > 0 && mbX + 1 < mbsX) Some((mbX + 1, mbY - 1)) else None
@@ -188,16 +197,18 @@ object H264Inter {
 
   /** P_Skip motion inference (8.4.1.1): zero mv when A or B is address-
     * unavailable or either is an inter MB referencing picture 0 with a
-    * zero vector; otherwise the 16x16 predictor.
+    * zero vector; otherwise the 16x16 predictor (for refIdx 0 — P_Skip
+    * always references list0 picture 0).
     */
   private def skipMv(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int): (Int, Int) = {
     def zeroRef(x: Int, y: Int): Boolean =
-      g.inter(y)(x) && g.mvx(y)(x) == 0 && g.mvy(y)(x) == 0
+      g.inter(y)(x) && g.ref(y)(x) == 0 &&
+        g.mvx(y)(x) == 0 && g.mvy(y)(x) == 0
     val aUnavail = mbX == 0
     val bUnavail = mbY == 0
     if (aUnavail || bUnavail || zeroRef(mbX - 1, mbY) || zeroRef(mbX, mbY - 1))
       (0, 0)
-    else mvPred(g, mbX, mbY, mbsX)
+    else mvPred(g, mbX, mbY, mbsX, 0)
   }
 
   // -------------------------------------------------------- planted plans ---
@@ -211,10 +222,15 @@ object H264Inter {
   /** P_L0_16x16 with an ABSOLUTE quarter-sample mv (the encoder derives
     * mvd against the 8.4.1.3 predictor); optional luma residual: `cbpLuma`
     * is the 4-bit per-8x8 pattern, `levels` 16 per-4x4 zigzag level arrays
-    * (chroma CBP stays 0 — chroma is motion-compensated only).
+    * (chroma CBP stays 0 — chroma is motion-compensated only). `refIdx`
+    * selects the L0 reference picture (0 = the previously decoded
+    * reference, 1 = the one before, … — 8.2.4.2.1 descending-PicNum
+    * order); the encoder sizes num_ref_idx_active and the SPS DPB bound
+    * from the largest index planted.
     */
   final case class P16x16(mvx: Int, mvy: Int, cbpLuma: Int = 0,
-      levels: Array[Array[Int]] = null, qpDelta: Int = 0) extends PMbPlan
+      levels: Array[Array[Int]] = null, qpDelta: Int = 0,
+      refIdx: Int = 0) extends PMbPlan
 
   // ------------------------------------------------------------- encoder ---
 
@@ -259,16 +275,29 @@ object H264Inter {
       iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
       deblockIdc: Int, aOffD2: Int, bOffD2: Int): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
+    // DPB bound: the largest planted refIdx; a frame k (0-based) has
+    // k + 1 decoded pictures ahead of it to reference
+    val maxRef = math.max(1, (pFrames.flatten.collect {
+      case p: P16x16 => p.refIdx + 1
+    } :+ 1).max)
+    require(maxRef <= 16, s"refIdx ${maxRef - 1} beyond the 16-frame DPB")
+    pFrames.zipWithIndex.foreach { case (mbs, k) =>
+      mbs.foreach {
+        case p: P16x16 => require(p.refIdx >= 0 && p.refIdx <= k,
+          s"frame $k references picture ${p.refIdx} before it was decoded")
+        case _ => ()
+      }
+    }
     val out = new java.io.ByteArrayOutputStream()
     // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
-    // streams); a P stream must declare 1 — emit the SPS inline.
+    // streams); a P stream must declare its DPB depth — emit the SPS inline.
     val sps = {
       val w = new BitWriter
       w.u(66, 8); w.u(0, 8); w.u(20, 8) // baseline, level 2.0
       w.ue(0)      // sps id
       w.ue(0)      // log2_max_frame_num_minus4 (=> 4)
       w.ue(2)      // pic_order_cnt_type
-      w.ue(1)      // max_num_ref_frames = 1
+      w.ue(maxRef) // max_num_ref_frames
       w.u(0, 1)    // gaps_in_frame_num
       w.ue(mbsX - 1); w.ue(mbsY - 1)
       w.u(1, 1)    // frame_mbs_only
@@ -295,12 +324,18 @@ object H264Inter {
     // --- P pictures ---
     pFrames.zipWithIndex.foreach { case (mbs, k) =>
       require(mbs.length == mbsX * mbsY, "frame must plant every MB")
+      // num_ref_idx_l0_active for THIS slice: enough to name the largest
+      // planted index (PPS default is 1, overridden when more are needed)
+      val numActive = math.max(1, (mbs.collect {
+        case p: P16x16 => p.refIdx + 1
+      } :+ 1).max)
       val w = new BitWriter
       w.ue(0)                  // first_mb_in_slice
       w.ue(5)                  // slice_type = P (all)
       w.ue(0)                  // pps id
       w.u(((k + 1) % 16).toLong, 4) // frame_num
-      w.u(0, 1)                // num_ref_idx_active_override_flag
+      if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
+      else { w.u(1, 1); w.ue(numActive - 1) }
       w.u(0, 1)                // ref_pic_list_modification_flag_l0
       w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
       w.se(qp - 26)            // slice_qp_delta
@@ -314,15 +349,19 @@ object H264Inter {
         plan match {
           case PSkip =>
             val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
-            g.set(mbX, mbY, sx, sy)
+            g.set(mbX, mbY, sx, sy, 0)
             // skipped MBs leave their nC grid entries 0 (9.2.1)
             skipRun += 1
           case p: P16x16 =>
             w.ue(skipRun); skipRun = 0
             w.ue(0)          // mb_type P_L0_16x16
-            val (px, py) = mvPred(g, mbX, mbY, mbsX)
+            if (numActive > 1) { // ref_idx_l0, te(v) with cMax=numActive-1
+              if (numActive == 2) w.u(1 - p.refIdx, 1)
+              else w.ue(p.refIdx)
+            }
+            val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
             w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
-            g.set(mbX, mbY, p.mvx, p.mvy)
+            g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
             require(p.cbpLuma >= 0 && p.cbpLuma <= 15, "bad cbpLuma")
             w.ue(cbpInterInv(p.cbpLuma)) // me(v), inter column, cbpChroma 0
             if (p.cbpLuma > 0) {
@@ -389,28 +428,31 @@ object H264Inter {
     val pps = nals.collectFirst { case (8, _, rbsp) => rbsp }
       .getOrElse(throw new IllegalArgumentException("no PPS in stream"))
     // one canonical PPS walk: init QP, the chroma QP offset (the intra
-    // reference pictures carry chroma residuals) and the slice-deblocking
-    // flag all come from the same pass
-    val (initQp, chromaOff, deblock) = {
+    // reference pictures carry chroma residuals), the default L0 depth
+    // and the slice-deblocking flag all come from the same pass
+    val (initQp, chromaOff, deblock, numRefDefault) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "inter decoder: CAVLC only")
       r.u(1)
       require(r.ue() == 0, "inter decoder: slice groups unsupported")
-      require(r.ue() == 0, "inter decoder: exactly one l0 reference")
+      val nr = r.ue() + 1 // num_ref_idx_l0_default_active
+      require(nr <= 16, s"inter decoder: bad default L0 depth $nr")
       r.ue()
       require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
       r.u(2)
       val q = r.se() + 26
       r.se()
       val co = r.se()
-      (q, co, r.u(1) == 1) // deblocking_filter_control_present_flag
+      (q, co, r.u(1) == 1, nr) // deblocking_filter_control_present_flag
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
-    // reference picture (luma, cb, cr) — updated after each decoded picture
-    var refL: Array[Array[Int]] = null
-    var refCb: Array[Array[Int]] = null
-    var refCr: Array[Array[Int]] = null
+    // decoded-picture buffer, most recent reference FIRST (8.2.4.2.1: P
+    // list0 is descending PicNum — with per-picture frame_num increments
+    // and sliding-window marking that is exactly decode order, newest
+    // first), trimmed to the SPS DPB bound
+    val dpb = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Array[Int]], Array[Array[Int]], Array[Array[Int]])]
     nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
       require(r.ue() == 0, "inter decoder: one slice per picture")
@@ -418,8 +460,11 @@ object H264Inter {
       H264.requireSlicePps(r.ue(), ppsId, "inter decoder")
       r.u(sps.log2MaxFrameNum)    // frame_num
       if (nalType == 5) r.ue()    // idr_pic_id
+      var numActive = numRefDefault
       if (sliceType == 0) {       // P
-        require(r.u(1) == 0, "inter decoder: num_ref_idx override unsupported")
+        if (r.u(1) == 1) numActive = r.ue() + 1 // num_ref_idx override
+        require(numActive >= 1 && numActive <= 16,
+          s"inter decoder: num_ref_idx_l0_active $numActive outside [1,16]")
         require(r.u(1) == 0, "inter decoder: ref list modification unsupported")
       }
       if (nalType == 5) { r.u(1); r.u(1) }
@@ -439,12 +484,18 @@ object H264Inter {
         H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr, info)
       } else {
         require(sliceType == 0, s"inter decoder: unsupported slice_type $sliceType")
-        require(refL != null, "P slice with no decoded reference picture")
+        require(dpb.nonEmpty, "P slice with no decoded reference picture")
+        require(numActive <= dpb.length,
+          s"inter decoder: $numActive active references but only " +
+            s"${dpb.length} decoded pictures")
         val g = new MvGrid(mbsX, mbsY)
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
 
-        /** Motion-compensate one whole MB (luma + chroma) at quarter mv. */
-        def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int): Unit = {
+        /** Motion-compensate one whole MB (luma + chroma) at quarter mv
+          * from list0 reference `refIdx`.
+          */
+        def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int, refIdx: Int): Unit = {
+          val (refL, refCb, refCr) = dpb(refIdx)
           val ix = mvx >> 2; val fx = mvx & 3
           val iy = mvy >> 2; val fy = mvy & 3
           var y = 0
@@ -481,8 +532,8 @@ object H264Inter {
           while (sk < skipRun) {
             val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
             val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
-            g.set(mbX, mbY, sx, sy)
-            mc(mbX, mbY, sx, sy)
+            g.set(mbX, mbY, sx, sy, 0)
+            mc(mbX, mbY, sx, sy, 0)
             if (info != null) { // P_Skip: QP_Y,prev carries, no coeffs
               info.qp(mbY)(mbX) = qpY
               info.mvx(mbY)(mbX) = sx; info.mvy(mbY)(mbX) = sy
@@ -495,11 +546,20 @@ object H264Inter {
             require(mbType == 0,
               s"inter decoder: mb_type $mbType unsupported (P_L0_16x16 only; " +
                 "sub-partitions and intra-in-P exit via the MediaDecoder seam)")
-            val (px0, py0) = mvPred(g, mbX, mbY, mbsX)
+            val refIdx =
+              if (numActive == 1) 0
+              else if (numActive == 2) 1 - r.u(1).toInt // te(v), cMax 1
+              else r.ue()
+            require(refIdx < numActive,
+              s"inter decoder: ref_idx_l0 $refIdx >= numActive $numActive")
+            val (px0, py0) = mvPred(g, mbX, mbY, mbsX, refIdx)
             val mvx = px0 + r.se(); val mvy = py0 + r.se()
-            g.set(mbX, mbY, mvx, mvy)
-            mc(mbX, mbY, mvx, mvy)
-            if (info != null) { info.mvx(mbY)(mbX) = mvx; info.mvy(mbY)(mbX) = mvy }
+            g.set(mbX, mbY, mvx, mvy, refIdx)
+            mc(mbX, mbY, mvx, mvy, refIdx)
+            if (info != null) {
+              info.mvx(mbY)(mbX) = mvx; info.mvy(mbY)(mbX) = mvy
+              info.ref(mbY)(mbX) = refIdx
+            }
             val codeNum = r.ue()
             require(codeNum < 48, s"bad coded_block_pattern code $codeNum")
             val cbp = cbpInter(codeNum)
@@ -541,7 +601,11 @@ object H264Inter {
       }
       // IN-loop: the filtered picture is what later P pictures reference
       if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
-      if (refIdc != 0) { refL = luma; refCb = cb; refCr = cr }
+      if (refIdc != 0) {
+        dpb.prepend((luma, cb, cr)) // newest first (descending PicNum)
+        if (dpb.length > sps.maxNumRefFrames) // sliding window (8.2.5.3)
+          dpb.remove(sps.maxNumRefFrames, dpb.length - sps.maxNumRefFrames)
+      }
       project(luma, cb, cr)
     }
   }

@@ -1484,7 +1484,106 @@ object MediaQ {
       |CROSS JOIN (VALUES ('f1_mb0'), ('f1_mb1_c0'), ('f1_mb1_c15'),
       |  ('f1_mb2'), ('f2_esc'), ('f2_hpred'), ('f2_i4x4')) p(probe)""".stripMargin
 
+  /** q240 — H.264 **multi-reference** P decode ([[H264Inter]] round 13):
+    * per doc, an I picture A (PCM gradient g0 + x + 2y), a P picture B
+    * shifting A right by 1–3 integer pels, then two P pictures exercising
+    * the real decoded-picture buffer:
+    *
+    *  - P2 (num_ref_idx_l0_active = 2, the te(v) single-bit form): MB0
+    *    reads ref_idx 1 (= A, skipping over B), MB1 ref_idx 0 (= B), MB2
+    *    ref_idx 1 with a planted DC residual on its first 4x4 block —
+    *    reference SELECTION changes pixels by exactly the shift, and the
+    *    residual proves dequant composes over a non-adjacent reference;
+    *  - P3 (num_ref_idx_l0_active = 3, te(v) degenerates to ue(v)): MB0
+    *    reads ref_idx 2 (A again — the 8.2.5.3 window must still hold
+    *    it), MB1 is P_Skip (always ref 0 = the P2 picture), MB2 reads
+    *    ref_idx 1 (= B) through a +1-pel motion vector — DPB ORDER
+    *    (8.2.4.2.1 newest-first) is load-bearing in every probe.
+    *
+    * Six probes per doc; the DuckDB oracle recomputes each from the
+    * gradient/shift/dequant closed forms independently of the decoder.
+    * The 8.4.1.3.2 equal-refIdx neighbor-match rule (shared by encoder
+    * and decoder, so invisible to this oracle) is pinned by hand-
+    * assembled raw slice bits in H264InterSpec.
+    *
+    * Scale shape: map-only, one scan, 6 rows per doc — no shuffle.
+    */
+  def h264MultiRefProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val lvl = 1 + (id % 5).toInt
+        val a = Array.tabulate(16, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs = (0 until 3).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        val blk0 = Array(lvl) ++ Array.fill(15)(0)
+        val p1 = Seq.fill[H264Inter.PMbPlan](3)(H264Inter.P16x16(4 * sh, 0))
+        val p2 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(0, 0, refIdx = 1),
+          H264Inter.P16x16(0, 0, refIdx = 0),
+          H264Inter.P16x16(0, 0, cbpLuma = 1,
+            levels = Array.tabulate(16)(b => if (b == 0) blk0 else null),
+            refIdx = 1))
+        val p3 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(0, 0, refIdx = 2),
+          H264Inter.PSkip,
+          H264Inter.P16x16(4, 0, refIdx = 1))
+        val stream = H264Inter.encodeStream(3, 1, qp, iMbs, Seq(p1, p2, p3))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 4, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("p2_a", fs(2)(4)(8)), ("p2_b", fs(2)(4)(24)),
+          ("p2_res", fs(2)(0)(32)),
+          ("p3_a", fs(3)(4)(8)), ("p3_skip", fs(3)(4)(24)),
+          ("p3_shift", fs(3)(4)(40))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: pure gradient reads — A at (y,x) is g0 + x + 2y, B is A
+    * shifted `sh` pels right (no clamp at the probed columns), the
+    * residual adds the q235 DC dequant form, and the P3 probes re-read
+    * A (ref 2), the P2 picture (skip, ref 0) and B through +1 pel
+    * (ref 1). A decoder with the wrong DPB order, a te(v)/ue(v) slip, or
+    * a broken sliding window cannot match all six.
+    */
+  private val h264MultiRefSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh,
+      |    CAST(1 + doc_id % 5 AS INT) AS lvl
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'p2_a' THEN g0 + 16
+      |    WHEN 'p2_b' THEN g0 + 32 + sh
+      |    WHEN 'p2_res' THEN g0 + 32
+      |      + CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'p3_a' THEN g0 + 16
+      |    WHEN 'p3_skip' THEN g0 + 32 + sh
+      |    WHEN 'p3_shift' THEN g0 + 49 + sh
+      |  END)) AS INT) AS px
+      |FROM scaled
+      |CROSS JOIN (VALUES ('p2_a'), ('p2_b'), ('p2_res'), ('p3_a'),
+      |  ('p3_skip'), ('p3_shift')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q240_h264_multiref_probes", h264MultiRefProbes, Some(h264MultiRefSql)),
     QueryDef("q239_h264_cabac_probes", h264CabacProbes, Some(h264CabacSql)),
     QueryDef("q238_h264_deblock_probes", h264DeblockProbes, Some(h264DeblockSql)),
     QueryDef("q237_h264_cavlc_ref_inter", h264CavlcRefInter, Some(h264CavlcRefSql)),

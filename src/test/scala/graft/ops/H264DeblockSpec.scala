@@ -164,6 +164,31 @@ class H264DeblockSpec extends AnyFunSuite {
       assert(gs(1)(9)(x) == gsOff(1)(9)(x), s"bS=0 must not filter x=$x")
   }
 
+  /** bS=1 from DIFFERENT reference pictures (8.7.2.1): two zero-mv,
+    * residual-free MBs whose only difference is ref_idx — the picture
+    * contents line up exactly like the motion-edge case above (ref 1 is
+    * the unshifted ramp, ref 0 its one-right shift), so the identical
+    * hand values must appear; a same-ref decode of matching content
+    * would leave the edge bS=0 and unfiltered.
+    */
+  test("bS=1 from different reference pictures at equal motion") {
+    val ref = Array.tabulate(16, 32)((y, x) => 50 + x)
+    val iMbs = (0 until 2).map { mb =>
+      H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => ref(y)(mb * 16 + x)))
+    }
+    // P1 shifts one pel right (B = A >> 1px); P2: MB0 reads A (ref 1),
+    // MB1 reads B (ref 0) at zero mv -> across x=16: p=[...,64,65],
+    // q=[67,68,...] — the bS=1 filter hand values from the motion test
+    val p1 = Seq.fill[H264Inter.PMbPlan](2)(H264Inter.P16x16(4, 0))
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 1), H264Inter.P16x16(0, 0, refIdx = 0))
+    val fs = H264Inter.decodeFrames(
+      H264Inter.encodeStream(2, 1, 28, iMbs, Seq(p1, p2), 0, 0, 0))
+    val p = fs(2)(9)
+    assert(p(13) == 63 && p(14) == 64 && p(15) == 66)
+    assert(p(16) == 66 && p(17) == 67 && p(18) == 69)
+  }
+
   /** Chroma edges inherit the luma bS and use the 2-tap bS=4 form: MB1
     * plants a chroma-DC residual (cb +8, cr +4 at QP 28) so the chroma
     * MB edge is a 128|136 / 128|132 step; chroma qPav = QPc(28) = 28,

@@ -378,6 +378,157 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  // ---- multi-reference DPB (round 13): ref_idx_l0, te(v), sliding
+  // window, and the 8.4.1.3.2 equal-refIdx neighbor-match rule
+
+  test("multi-reference: ref_idx selects the right DPB picture, te(v) both widths") {
+    // A(y,x) = 60 + x over 32x16; P1 shifts everything one pel right:
+    // B(y,x) = A(y, min(x+1, 31)). P2 reads ref 0 (=B) on the left MB and
+    // ref 1 (=A) on the right MB, zero mv -> the halves differ by the
+    // ramp slope. P3 uses THREE active references (te(v) degenerates to
+    // ue(v)): ref 2 is the original A again.
+    val a = Array.tabulate(16, 32)((y, x) => 60 + x)
+    val p1 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(4, 0), H264Inter.P16x16(4, 0))
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 0), H264Inter.P16x16(0, 0, refIdx = 1))
+    val p3 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 2), H264Inter.P16x16(0, 0, refIdx = 0))
+    val fs = H264Inter.decodeFrames(
+      H264Inter.encodeStream(2, 1, 26,
+        (0 until 2).map(mb => H264Cavlc.PcmBlock(
+          Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))),
+        Seq(p1, p2, p3)))
+    assert(fs.length == 4)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val b = a(y)(math.min(x + 1, 31))
+      assert(fs(1)(y)(x) == b, s"P1 ($x,$y)")
+      // P2: left = B (one-right), right = A (identity via ref 1)
+      val w2 = if (x < 16) b else a(y)(x)
+      assert(fs(2)(y)(x) == w2, s"P2 ($x,$y)")
+      // P3 dpb = [P2, P1(=B), I(=A)]: left reads ref 2 (A), right ref 0
+      // (the P2 picture, whose right half is A too)
+      val w3 = if (x < 16) a(y)(x) else w2
+      assert(fs(3)(y)(x) == w3, s"P3 ($x,$y)")
+    }
+  }
+
+  test("multi-reference: sliding window trims to the SPS DPB bound") {
+    // maxRef = 2 (largest planted refIdx is 1): after P2 decodes, the
+    // original I picture falls out of the window, so a later refIdx 1
+    // reads P1, not I. Plant P3(ref 1, mv 0) and check it equals P1.
+    val a = Array.tabulate(16, 16)((y, x) => 50 + 2 * x + y)
+    def shift(p: Seq[H264Inter.PMbPlan]) = p
+    val p1 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(8, 0)) // A two right
+    val p2 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(0, 0, refIdx = 1)) // = A
+    val p3 = Seq[H264Inter.PMbPlan](H264Inter.P16x16(0, 0, refIdx = 1)) // = P1!
+    val fs = H264Inter.decodeFrames(H264Inter.encodeStream(1, 1, 26,
+      Seq(H264Cavlc.PcmBlock(a)), Seq(p1, p2, p3).map(shift)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(fs(2)(y)(x) == a(y)(x), s"P2 ($x,$y) must re-read A")
+      // dpb at P3 = [P2(=A), P1] (I trimmed): ref 1 = P1 = A shifted
+      assert(fs(3)(y)(x) == fs(1)(y)(x), s"P3 ($x,$y) must read P1")
+      assert(fs(1)(y)(x) == a(y)(math.min(x + 2, 15)), s"P1 ($x,$y)")
+    }
+  }
+
+  test("hand-assembled ref_idx bits: the equal-refIdx match rule in mv prediction") {
+    // encoder and decoder share mvPred, so round trips cannot catch a
+    // match-rule slip — these mvd values are derived BY HAND against the
+    // 8.4.1.3 rules in the comments, and the expected pixels would differ
+    // if refIdx equality were ignored in the neighbor match.
+    // Ramp r(y,x) = 2x + 5y + 10 over 32x32 (2x2 MBs), max 227 (8-bit safe).
+    val ramp = Array.tabulate(32, 32)((y, x) => 2 * x + 5 * y + 10)
+    val pcm = (0 until 4).map { mb =>
+      val x0 = (mb % 2) * 16; val y0 = (mb / 2) * 16
+      H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => ramp(y0 + y)(x0 + x)))
+    }
+    // P1: all four MBs shift one right -> B(y,x) = r(y, min(x+1,31)).
+    // P2 (proven encoder): all four read ref 1 (= A) -> C = A; its only
+    // purpose is to put maxRef = 2 into the SPS and [C=A, B] into the DPB.
+    val p1 = Seq.fill[H264Inter.PMbPlan](4)(H264Inter.P16x16(4, 0))
+    val p2 = Seq.fill[H264Inter.PMbPlan](4)(H264Inter.P16x16(0, 0, refIdx = 1))
+    val base = H264Inter.encodeStream(2, 2, 26, pcm, Seq(p1, p2))
+    // hand P3, num_ref_idx_active override = 2; dpb = [C=A, B].
+    val w = new H264.BitWriter
+    w.ue(0)       // first_mb_in_slice
+    w.ue(0)       // slice_type P
+    w.ue(0)       // pps id
+    w.u(3, 4)     // frame_num
+    w.u(1, 1)     // num_ref_idx_active_override_flag
+    w.ue(1)       // num_ref_idx_l0_active_minus1 = 1
+    w.u(0, 1)     // ref_pic_list_modification_flag_l0
+    w.se(0)       // slice_qp_delta
+    w.ue(1)       // disable_deblocking_filter_idc
+    // MB(0,0): ref 0 (te(v) cMax 1: bit = 1-refIdx = 1), mv (8,0).
+    //   All neighbor addresses unavailable -> predictor (0,0), mvd (8,0).
+    w.ue(0); w.ue(0)          // mb_skip_run, mb_type P_L0_16x16
+    w.u(1, 1)                 // ref_idx_l0 = 0
+    w.se(8); w.se(0)
+    w.ue(0)                   // cbp 0
+    // MB(1,0): ref 1 (bit 0), mv (4,4). A = MB(0,0) has refIdx 0 -> NOT
+    //   matched; B/C/D unavailable -> directional rule copies A into B/C
+    //   (still unmatched) -> zero matches -> median(mvA,mvA,mvA) = (8,0).
+    //   mvd = (4-8, 4-0) = (-4, 4).
+    w.ue(0); w.ue(0)
+    w.u(0, 1)                 // ref_idx_l0 = 1
+    w.se(-4); w.se(4)
+    w.ue(0)
+    // MB(0,1): ref 1, mv (4,4). A unavailable; B = MB(0,0) ref 0
+    //   unmatched; C = MB(1,0) ref 1 MATCHED -> exactly one -> predictor
+    //   (4,4); mvd (0,0). If refIdx were ignored, B and C would both
+    //   "match" -> median((0,0),(8,0),(4,4)) = (4,0) and this MB would
+    //   sample B at the wrong row (the ramp's y slope 5 exposes it).
+    w.ue(0); w.ue(0)
+    w.u(0, 1)                 // ref_idx_l0 = 1
+    w.se(0); w.se(0)
+    w.ue(0)
+    // MB(1,1): ref 0, mv (0,0). A = MB(0,1) ref 1 unmatched; B = MB(1,0)
+    //   ref 1 unmatched; C address unavailable -> D = MB(0,0) ref 0
+    //   MATCHED -> predictor (8,0); mvd (-8, 0).
+    w.ue(0); w.ue(0)
+    w.u(1, 1)                 // ref_idx_l0 = 0
+    w.se(-8); w.se(0)
+    w.ue(0)
+    w.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    H264.writeNal(out, 0, 1, w.toBytes) // non-reference slice
+    val last = H264Inter.decodeFrames(out.toByteArray).last
+    def rc(y: Int, x: Int) = ramp(math.min(y, 31))(math.min(x, 31))
+    // MB(0,0): ref 0 = C = A, mv (8,0) -> r(y, x+2)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(last(y)(x) == rc(y, x + 2), s"MB00 ($x,$y)")
+    // MB(1,0): ref 1 = B (= A one right), mv (4,4) -> B(y+1, x+1) =
+    //   r(y+1, min(x+1+1, 31... B's own clamp)) — for x in 16..30 and
+    //   y in 0..14 no clamp: r(y+1, x+2); edges clamp through B
+    for (y <- 0 until 15; x <- 16 until 30)
+      assert(last(y)(x) == rc(y + 1, x + 2), s"MB10 ($x,$y)")
+    // MB(0,1): ref 1 = B, mv (4,4) -> r(y+1, x+2) for x<14, y<31.
+    //   The WRONG (refIdx-blind) predictor (4,0) would give r(y, x+2) —
+    //   5 gray levels away on every sample.
+    for (y <- 16 until 31; x <- 0 until 14)
+      assert(last(y)(x) == rc(y + 1, x + 2), s"MB01 ($x,$y)")
+    // MB(1,1): ref 0 = C = A, mv (0,0) -> r(y, x) exactly
+    for (y <- 16 until 32; x <- 16 until 32)
+      assert(last(y)(x) == rc(y, x), s"MB11 ($x,$y)")
+  }
+
+  test("multi-reference rejections: over-deep refIdx and bad overrides throw") {
+    val a = Array.fill(16, 16)(90)
+    // frame 0 cannot reference picture 1 (not yet decoded)
+    intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, Seq(H264Cavlc.PcmBlock(a)),
+        Seq(Seq(H264Inter.P16x16(0, 0, refIdx = 1))))
+    }
+    // refIdx beyond the 16-frame DPB bound
+    intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, Seq(H264Cavlc.PcmBlock(a)),
+        Seq.tabulate(17)(k => Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(0, 0, refIdx = k))))
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -43,10 +43,14 @@ import H264.{BitReader, BitWriter}
   * [[H264Cavlc]]): I pictures decode through the FULL shared intra surface
   * ([[H264Cavlc.decodeISliceMbs]] — I_PCM, Intra_4x4, Intra_16x16 CAVLC)
   * and serve as references, so real compressed-intra + P chains decode
-  * natively (q237). What still exits through the external `MediaDecoder`
-  * seam: CABAC-coded P slices (intra-only CABAC lives in [[H264Cabac]]),
-  * B slices, weighted prediction, explicit ref-list modification, and
-  * sub-16x16 partitions — all rejected loudly, never
+  * natively (q237). Round 13 added a real multi-picture DPB (q240) and
+  * B slices with L0/L1/Bi 16x16 prediction (q241 — RefPicList1 via the
+  * 8.2.4.2.3 first-two swap, default 8.4.2.3.1 bi averaging). What still
+  * exits through the external `MediaDecoder` seam: CABAC-coded P/B
+  * slices (intra-only CABAC lives in [[H264Cabac]]), direct-mode B
+  * macroblocks (B_Skip / B_Direct), weighted prediction, explicit
+  * ref-list modification, deblocking across B pictures, and sub-16x16
+  * partitions — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
   * cbp ∈ {0, 1} and the permutation spec guards gross transcription slips
@@ -195,6 +199,15 @@ object H264Inter {
     }
   }
 
+  /** RefPicList1 index → DPB index (8.2.4.2.3): with every retained
+    * reference in the past and pic_order_cnt_type 2, the initial list1
+    * equals list0, so its first two entries are swapped whenever the
+    * FULL list holds more than one picture (truncation to
+    * num_ref_idx_active happens after the swap).
+    */
+  private[ops] def l1ToDpb(idx: Int, dpbLen: Int): Int =
+    if (dpbLen > 1) (if (idx == 0) 1 else if (idx == 1) 0 else idx) else idx
+
   /** P_Skip motion inference (8.4.1.1): zero mv when A or B is address-
     * unavailable or either is an inter MB referencing picture 0 with a
     * zero vector; otherwise the 16x16 predictor (for refIdx 0 — P_Skip
@@ -231,6 +244,28 @@ object H264Inter {
   final case class P16x16(mvx: Int, mvy: Int, cbpLuma: Int = 0,
       levels: Array[Array[Int]] = null, qpDelta: Int = 0,
       refIdx: Int = 0) extends PMbPlan
+
+  /** B_{L0,L1,Bi}_16x16 (Table 7-14 mb_type 1..3; `mode` 0/1/2). A frame
+    * containing any [[B16x16]] is emitted as a B SLICE — a non-reference
+    * NAL that never enters the DPB — and must consist solely of B16x16
+    * macroblocks (B_Skip / B_Direct_16x16 are direct-mode, outside the
+    * subset). `ref0` indexes RefPicList0 (newest decoded reference
+    * first); `ref1` indexes RefPicList1, which per 8.2.4.2.3 — with every
+    * retained reference in the PAST and pic_order_cnt_type 2 — is
+    * RefPicList0 with its first two entries SWAPPED whenever it holds
+    * more than one picture. Bi prediction is the default 8.4.2.3.1
+    * average (predL0 + predL1 + 1) >> 1, luma and chroma alike (no
+    * weighted prediction). Residual semantics match [[P16x16]].
+    */
+  final case class B16x16(mode: Int,
+      mv0x: Int = 0, mv0y: Int = 0, ref0: Int = 0,
+      mv1x: Int = 0, mv1y: Int = 0, ref1: Int = 0,
+      cbpLuma: Int = 0, levels: Array[Array[Int]] = null,
+      qpDelta: Int = 0) extends PMbPlan {
+    require(mode >= 0 && mode <= 2, s"B16x16 mode $mode (0=L0,1=L1,2=Bi)")
+    def usesL0: Boolean = mode != 1
+    def usesL1: Boolean = mode != 0
+  }
 
   // ------------------------------------------------------------- encoder ---
 
@@ -275,19 +310,39 @@ object H264Inter {
       iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
       deblockIdc: Int, aOffD2: Int, bOffD2: Int): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
-    // DPB bound: the largest planted refIdx; a frame k (0-based) has
-    // k + 1 decoded pictures ahead of it to reference
-    val maxRef = math.max(1, (pFrames.flatten.collect {
-      case p: P16x16 => p.refIdx + 1
-    } :+ 1).max)
-    require(maxRef <= 16, s"refIdx ${maxRef - 1} beyond the 16-frame DPB")
+    // DPB bound: the deepest index any frame reaches, with B pictures
+    // non-reference (they never enter the DPB, so only P frames grow the
+    // reference count)
+    var needDepth = 1
+    var refCount = 1 // the IDR
     pFrames.zipWithIndex.foreach { case (mbs, k) =>
+      val isB = mbs.exists(_.isInstanceOf[B16x16])
+      if (isB) require(mbs.forall(_.isInstanceOf[B16x16]),
+        s"frame $k mixes B16x16 with P macroblocks — a slice has one type")
       mbs.foreach {
-        case p: P16x16 => require(p.refIdx >= 0 && p.refIdx <= k,
-          s"frame $k references picture ${p.refIdx} before it was decoded")
-        case _ => ()
+        case p: P16x16 =>
+          require(p.refIdx >= 0 && p.refIdx < refCount,
+            s"frame $k references picture ${p.refIdx} before it was decoded")
+          needDepth = math.max(needDepth, p.refIdx + 1)
+        case b: B16x16 =>
+          if (b.usesL0) {
+            require(b.ref0 >= 0 && b.ref0 < refCount,
+              s"frame $k L0 index ${b.ref0} beyond the $refCount decoded refs")
+            needDepth = math.max(needDepth, b.ref0 + 1)
+          }
+          if (b.usesL1) {
+            val d = l1ToDpb(b.ref1, refCount)
+            require(b.ref1 >= 0 && d < refCount,
+              s"frame $k L1 index ${b.ref1} beyond the $refCount decoded refs")
+            needDepth = math.max(needDepth, d + 1)
+          }
+        case PSkip =>
+          require(!isB, s"frame $k: B_Skip is direct-mode (unsupported)")
       }
+      if (!isB) refCount += 1
     }
+    val maxRef = needDepth
+    require(maxRef <= 16, s"refIdx ${maxRef - 1} beyond the 16-frame DPB")
     val out = new java.io.ByteArrayOutputStream()
     // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
     // streams); a P stream must declare its DPB depth — emit the SPS inline.
@@ -321,70 +376,129 @@ object H264Inter {
     H264Cavlc.writeISliceMbs(iw, mbsX, mbsY, iMbs)
     iw.trailingBits()
     H264.writeNal(out, 3, 5, iw.toBytes)
-    // --- P pictures ---
-    pFrames.zipWithIndex.foreach { case (mbs, k) =>
+    // --- P / B pictures ---
+    var prevRefFrameNum = 0 // the IDR
+    var decodedRefs = 1
+    pFrames.foreach { mbs =>
       require(mbs.length == mbsX * mbsY, "frame must plant every MB")
-      // num_ref_idx_l0_active for THIS slice: enough to name the largest
-      // planted index (PPS default is 1, overridden when more are needed)
-      val numActive = math.max(1, (mbs.collect {
-        case p: P16x16 => p.refIdx + 1
-      } :+ 1).max)
+      val isB = mbs.exists(_.isInstanceOf[B16x16])
       val w = new BitWriter
-      w.ue(0)                  // first_mb_in_slice
-      w.ue(5)                  // slice_type = P (all)
-      w.ue(0)                  // pps id
-      w.u(((k + 1) % 16).toLong, 4) // frame_num
-      if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
-      else { w.u(1, 1); w.ue(numActive - 1) }
-      w.u(0, 1)                // ref_pic_list_modification_flag_l0
-      w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
-      w.se(qp - 26)            // slice_qp_delta
-      w.ue(deblockIdc)         // disable_deblocking_filter_idc
-      if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
-      val g = new MvGrid(mbsX, mbsY)
-      val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
-      var skipRun = 0
-      mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
-        val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
-        plan match {
-          case PSkip =>
-            val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
-            g.set(mbX, mbY, sx, sy, 0)
-            // skipped MBs leave their nC grid entries 0 (9.2.1)
-            skipRun += 1
-          case p: P16x16 =>
-            w.ue(skipRun); skipRun = 0
-            w.ue(0)          // mb_type P_L0_16x16
-            if (numActive > 1) { // ref_idx_l0, te(v) with cMax=numActive-1
-              if (numActive == 2) w.u(1 - p.refIdx, 1)
-              else w.ue(p.refIdx)
+
+      /** Shared residual writer (7.3.5.3 luma path, chroma CBP 0). */
+      def writeResidual(mbX: Int, mbY: Int, cbpLuma: Int,
+          levels: Array[Array[Int]], qpDelta: Int,
+          nctx: Array[Array[Int]]): Unit = {
+        require(cbpLuma >= 0 && cbpLuma <= 15, "bad cbpLuma")
+        w.ue(cbpInterInv(cbpLuma)) // me(v), inter column, cbpChroma 0
+        if (cbpLuma > 0) {
+          w.se(qpDelta)
+          var b = 0
+          while (b < 16) {
+            if ((cbpLuma & (1 << (b / 4))) != 0) {
+              val (bx, by) = H264Cavlc.blk4x4(b)
+              val lv = (if (levels == null || levels(b) == null)
+                Array.empty[Int] else levels(b)).padTo(16, 0).take(16)
+              val tc = H264Cavlc.encodeResidual(w, lv,
+                H264Cavlc.ncAt(nctx, mbX * 4 + bx, mbY * 4 + by))
+              nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
             }
-            val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
-            w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
-            g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
-            require(p.cbpLuma >= 0 && p.cbpLuma <= 15, "bad cbpLuma")
-            w.ue(cbpInterInv(p.cbpLuma)) // me(v), inter column, cbpChroma 0
-            if (p.cbpLuma > 0) {
-              w.se(p.qpDelta)
-              def lumaNC(bx: Int, by: Int): Int =
-                H264Cavlc.ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
-              var b = 0
-              while (b < 16) {
-                if ((p.cbpLuma & (1 << (b / 4))) != 0) {
-                  val (bx, by) = H264Cavlc.blk4x4(b)
-                  val lv = (if (p.levels == null || p.levels(b) == null)
-                    Array.empty[Int] else p.levels(b)).padTo(16, 0).take(16)
-                  val tc = H264Cavlc.encodeResidual(w, lv, lumaNC(bx, by))
-                  nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
-                }
-                b += 1
-              }
-            }
+            b += 1
+          }
         }
       }
-      if (skipRun > 0) w.ue(skipRun) // trailing skip run (7.3.4)
-      w.trailingBits()
-      H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
+
+      /** te(v) for a reference index with numActive entries. */
+      def writeRefIdx(idx: Int, numActive: Int): Unit =
+        if (numActive > 1) {
+          if (numActive == 2) w.u(1 - idx, 1) else w.ue(idx)
+        }
+
+      if (!isB) {
+        val numActive = math.max(1, (mbs.collect {
+          case p: P16x16 => p.refIdx + 1
+        } :+ 1).max)
+        w.ue(0)                  // first_mb_in_slice
+        w.ue(5)                  // slice_type = P (all)
+        w.ue(0)                  // pps id
+        val fn = (prevRefFrameNum + 1) % 16
+        w.u(fn.toLong, 4)        // frame_num
+        if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
+        else { w.u(1, 1); w.ue(numActive - 1) }
+        w.u(0, 1)                // ref_pic_list_modification_flag_l0
+        w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
+        w.se(qp - 26)            // slice_qp_delta
+        w.ue(deblockIdc)         // disable_deblocking_filter_idc
+        if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
+        val g = new MvGrid(mbsX, mbsY)
+        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+        var skipRun = 0
+        mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
+          val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+          plan match {
+            case PSkip =>
+              val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+              g.set(mbX, mbY, sx, sy, 0)
+              // skipped MBs leave their nC grid entries 0 (9.2.1)
+              skipRun += 1
+            case p: P16x16 =>
+              w.ue(skipRun); skipRun = 0
+              w.ue(0)          // mb_type P_L0_16x16
+              writeRefIdx(p.refIdx, numActive)
+              val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
+              w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
+              g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
+              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+            case _: B16x16 => throw new IllegalStateException("checked above")
+          }
+        }
+        if (skipRun > 0) w.ue(skipRun) // trailing skip run (7.3.4)
+        w.trailingBits()
+        H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
+        prevRefFrameNum = fn
+        decodedRefs += 1
+      } else {
+        val bs = mbs.collect { case b: B16x16 => b }
+        val numL0 = math.max(1, (bs.filter(_.usesL0).map(_.ref0 + 1) :+ 1).max)
+        val numL1 = math.max(1, (bs.filter(_.usesL1).map(_.ref1 + 1) :+ 1).max)
+        w.ue(0)                  // first_mb_in_slice
+        w.ue(6)                  // slice_type = B (all)
+        w.ue(0)                  // pps id
+        w.u(((prevRefFrameNum + 1) % 16).toLong, 4) // frame_num (7.4.3:
+        // a non-reference picture carries PrevRefFrameNum + 1)
+        w.u(1, 1)                // direct_spatial_mv_pred_flag (no direct MBs)
+        if (numL0 == 1 && numL1 == 1) w.u(0, 1)
+        else { w.u(1, 1); w.ue(numL0 - 1); w.ue(numL1 - 1) }
+        w.u(0, 1)                // ref_pic_list_modification_flag_l0
+        w.u(0, 1)                // ref_pic_list_modification_flag_l1
+        // nal_ref_idc 0: no dec_ref_pic_marking in a non-reference slice
+        w.se(qp - 26)            // slice_qp_delta
+        w.ue(deblockIdc)         // disable_deblocking_filter_idc
+        if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
+        val g0 = new MvGrid(mbsX, mbsY) // list-0 motion state
+        val g1 = new MvGrid(mbsX, mbsY) // list-1 motion state
+        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+        mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
+          val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+          val b = plan.asInstanceOf[B16x16]
+          w.ue(0)                           // mb_skip_run (no B_Skip)
+          w.ue(1 + b.mode)                  // B_L0/L1/Bi_16x16 (Table 7-14)
+          if (b.usesL0) writeRefIdx(b.ref0, numL0)
+          if (b.usesL1) writeRefIdx(b.ref1, numL1)
+          if (b.usesL0) {
+            val (px, py) = mvPred(g0, mbX, mbY, mbsX, b.ref0)
+            w.se(b.mv0x - px); w.se(b.mv0y - py)
+            g0.set(mbX, mbY, b.mv0x, b.mv0y, b.ref0)
+          }
+          if (b.usesL1) {
+            val (px, py) = mvPred(g1, mbX, mbY, mbsX, b.ref1)
+            w.se(b.mv1x - px); w.se(b.mv1y - py)
+            g1.set(mbX, mbY, b.mv1x, b.mv1y, b.ref1)
+          }
+          writeResidual(mbX, mbY, b.cbpLuma, b.levels, b.qpDelta, nctx)
+        }
+        w.trailingBits()
+        H264.writeNal(out, 0, 1, w.toBytes) // non-reference B slice
+      }
     }
     out.toByteArray
   }
@@ -393,10 +507,10 @@ object H264Inter {
 
   /** Decode an Annex-B stream of intra pictures (the FULL shared surface:
     * I_PCM, Intra_4x4, Intra_16x16 CAVLC) interleaved with P pictures
-    * (P_L0_16x16 / P_Skip, CAVLC luma residuals, single reference = the
-    * previously decoded picture); returns one luma plane per picture.
-    * Constraints are enforced loudly — sub-partitioned / intra-in-P
-    * macroblocks, B slices and multi-slice pictures throw, never
+    * (P_L0_16x16 / P_Skip, CAVLC luma residuals, multi-picture DPB) and
+    * B pictures (B_L0/L1/Bi_16x16); returns one luma plane per picture.
+    * Constraints are enforced loudly — sub-partitioned / intra-in-P /
+    * direct-mode macroblocks and multi-slice pictures throw, never
     * mis-decode.
     */
   def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] =
@@ -430,7 +544,7 @@ object H264Inter {
     // one canonical PPS walk: init QP, the chroma QP offset (the intra
     // reference pictures carry chroma residuals), the default L0 depth
     // and the slice-deblocking flag all come from the same pass
-    val (initQp, chromaOff, deblock, numRefDefault) = {
+    val (initQp, chromaOff, deblock, numRefDefault, numRefL1Default) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "inter decoder: CAVLC only")
@@ -438,13 +552,14 @@ object H264Inter {
       require(r.ue() == 0, "inter decoder: slice groups unsupported")
       val nr = r.ue() + 1 // num_ref_idx_l0_default_active
       require(nr <= 16, s"inter decoder: bad default L0 depth $nr")
-      r.ue()
+      val nr1 = r.ue() + 1 // num_ref_idx_l1_default_active
+      require(nr1 <= 16, s"inter decoder: bad default L1 depth $nr1")
       require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
-      r.u(2)
+      require(r.u(2) == 0, "inter decoder: weighted biprediction unsupported")
       val q = r.se() + 26
       r.se()
       val co = r.se()
-      (q, co, r.u(1) == 1, nr) // deblocking_filter_control_present_flag
+      (q, co, r.u(1) == 1, nr, nr1) // deblocking_filter_control_present_flag
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // decoded-picture buffer, most recent reference FIRST (8.2.4.2.1: P
@@ -461,11 +576,21 @@ object H264Inter {
       r.u(sps.log2MaxFrameNum)    // frame_num
       if (nalType == 5) r.ue()    // idr_pic_id
       var numActive = numRefDefault
-      if (sliceType == 0) {       // P
-        if (r.u(1) == 1) numActive = r.ue() + 1 // num_ref_idx override
+      var numActiveL1 = numRefL1Default
+      if (sliceType == 1) r.u(1) // direct_spatial_mv_pred_flag (no direct
+      // macroblocks are decoded, so either inference family is moot)
+      if (sliceType == 0 || sliceType == 1) {
+        if (r.u(1) == 1) {       // num_ref_idx_active_override
+          numActive = r.ue() + 1
+          if (sliceType == 1) numActiveL1 = r.ue() + 1
+        }
         require(numActive >= 1 && numActive <= 16,
           s"inter decoder: num_ref_idx_l0_active $numActive outside [1,16]")
+        require(numActiveL1 >= 1 && numActiveL1 <= 16,
+          s"inter decoder: num_ref_idx_l1_active $numActiveL1 outside [1,16]")
         require(r.u(1) == 0, "inter decoder: ref list modification unsupported")
+        if (sliceType == 1)
+          require(r.u(1) == 0, "inter decoder: L1 list modification unsupported")
       }
       if (nalType == 5) { r.u(1); r.u(1) }
       else if (refIdc != 0)
@@ -482,8 +607,7 @@ object H264Inter {
         // this picture's planes, so P pictures can reference real
         // compressed intra content, not just PCM
         H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr, info)
-      } else {
-        require(sliceType == 0, s"inter decoder: unsupported slice_type $sliceType")
+      } else if (sliceType == 0) {
         require(dpb.nonEmpty, "P slice with no decoded reference picture")
         require(numActive <= dpb.length,
           s"inter decoder: $numActive active references but only " +
@@ -597,6 +721,134 @@ object H264Inter {
             if (info != null) info.qp(mbY)(mbX) = qpY
             mbIdx += 1
           }
+        }
+      } else {
+        // ------------------------------------------------------ B slice ---
+        require(sliceType == 1, s"inter decoder: unsupported slice_type $sliceType")
+        require(!filterOn,
+          "inter decoder: deblocking across B pictures unsupported (the " +
+            "bi-predictive bS comparison is not implemented) — B slices " +
+            "must signal disable_deblocking_filter_idc 1")
+        require(dpb.nonEmpty, "B slice with no decoded reference picture")
+        require(numActive <= dpb.length && numActiveL1 <= dpb.length,
+          s"inter decoder: $numActive/$numActiveL1 active references but " +
+            s"only ${dpb.length} decoded pictures")
+        val g0 = new MvGrid(mbsX, mbsY)
+        val g1 = new MvGrid(mbsX, mbsY)
+        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+
+        /** One MB's motion-compensated prediction from DPB entry `d` as
+          * fresh blocks (16x16 luma, 8x8 cb/cr) — B paths average or copy
+          * these instead of writing the picture in place.
+          */
+        def predBlocks(mbX: Int, mbY: Int, mvx: Int, mvy: Int, d: Int)
+            : (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = {
+          val (refL, refCb, refCr) = dpb(d)
+          val ix = mvx >> 2; val fx = mvx & 3
+          val iy = mvy >> 2; val fy = mvy & 3
+          val l = Array.tabulate(16, 16)((y, x) =>
+            lumaInterp(refL, mbX * 16 + x + ix, mbY * 16 + y + iy, fx, fy))
+          val cix = mvx >> 3; val cfx = mvx & 7
+          val ciy = mvy >> 3; val cfy = mvy & 7
+          val b = Array.tabulate(8, 8)((y, x) =>
+            chromaInterp(refCb, mbX * 8 + x + cix, mbY * 8 + y + ciy, cfx, cfy))
+          val c = Array.tabulate(8, 8)((y, x) =>
+            chromaInterp(refCr, mbX * 8 + x + cix, mbY * 8 + y + ciy, cfx, cfy))
+          (l, b, c)
+        }
+
+        def readTe(num: Int): Int =
+          if (num == 1) 0
+          else if (num == 2) 1 - r.u(1).toInt
+          else r.ue()
+
+        var mbIdx = 0
+        while (mbIdx < mbsX * mbsY) {
+          val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+          require(r.ue() == 0,
+            "inter decoder: B_Skip is direct-mode — unsupported (MediaDecoder seam)")
+          val mbType = r.ue()
+          require(mbType >= 1 && mbType <= 3,
+            s"inter decoder: B mb_type $mbType unsupported (B_L0/L1/Bi_16x16 " +
+              "only; direct and sub-partitioned types exit via the seam)")
+          val mode = mbType - 1 // 0=L0, 1=L1, 2=Bi (Table 7-14)
+          val usesL0 = mode != 1; val usesL1 = mode != 0
+          val ref0 = if (usesL0) readTe(numActive) else 0
+          val ref1 = if (usesL1) readTe(numActiveL1) else 0
+          require(ref0 < numActive && ref1 < numActiveL1,
+            s"inter decoder: B ref_idx out of range ($ref0/$ref1)")
+          var mv0x = 0; var mv0y = 0; var mv1x = 0; var mv1y = 0
+          if (usesL0) {
+            val (px, py) = mvPred(g0, mbX, mbY, mbsX, ref0)
+            mv0x = px + r.se(); mv0y = py + r.se()
+            g0.set(mbX, mbY, mv0x, mv0y, ref0)
+          }
+          if (usesL1) {
+            val (px, py) = mvPred(g1, mbX, mbY, mbsX, ref1)
+            mv1x = px + r.se(); mv1y = py + r.se()
+            g1.set(mbX, mbY, mv1x, mv1y, ref1)
+          }
+          val (pl, pcb, pcr) =
+            if (mode == 0) predBlocks(mbX, mbY, mv0x, mv0y, ref0)
+            else if (mode == 1)
+              predBlocks(mbX, mbY, mv1x, mv1y, l1ToDpb(ref1, dpb.length))
+            else {
+              // default bi prediction (8.4.2.3.1): rounded average
+              val (a, ab, ac) = predBlocks(mbX, mbY, mv0x, mv0y, ref0)
+              val (b, bb, bc) =
+                predBlocks(mbX, mbY, mv1x, mv1y, l1ToDpb(ref1, dpb.length))
+              (Array.tabulate(16, 16)((y, x) => (a(y)(x) + b(y)(x) + 1) >> 1),
+                Array.tabulate(8, 8)((y, x) => (ab(y)(x) + bb(y)(x) + 1) >> 1),
+                Array.tabulate(8, 8)((y, x) => (ac(y)(x) + bc(y)(x) + 1) >> 1))
+            }
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              luma(mbY * 16 + y)(mbX * 16 + x) = pl(y)(x)
+              if (y < 8 && x < 8) {
+                cb(mbY * 8 + y)(mbX * 8 + x) = pcb(y)(x)
+                cr(mbY * 8 + y)(mbX * 8 + x) = pcr(y)(x)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          // coded_block_pattern + luma residual (shared arithmetic with P)
+          val codeNum = r.ue()
+          require(codeNum < 48, s"bad coded_block_pattern code $codeNum")
+          val cbp = cbpInter(codeNum)
+          require((cbp >> 4) == 0,
+            "inter decoder: chroma residual unsupported (cbpChroma must be 0)")
+          val cbpLuma = cbp & 15
+          if (cbp > 0) {
+            qpY = (qpY + r.se() + 52) % 52
+            def lumaNC(bx: Int, by: Int): Int =
+              H264Cavlc.ncAt(nctx, mbX * 4 + bx, mbY * 4 + by)
+            var b = 0
+            while (b < 16) {
+              if ((cbpLuma & (1 << (b / 4))) != 0) {
+                val (bx, by) = H264Cavlc.blk4x4(b)
+                val (lv, tc) = H264Cavlc.decodeResidual(r, lumaNC(bx, by), 16)
+                nctx(mbY * 4 + by)(mbX * 4 + bx) = tc
+                val d = H264Cavlc.dequant4x4(lv, qpY, acOnly = false)
+                val res = H264Cavlc.idct4x4(d)
+                var ry = 0
+                while (ry < 4) {
+                  var rx = 0
+                  while (rx < 4) {
+                    val fx = mbX * 16 + bx * 4 + rx
+                    val fy = mbY * 16 + by * 4 + ry
+                    luma(fy)(fx) = clip255(luma(fy)(fx) + res(ry)(rx))
+                    rx += 1
+                  }
+                  ry += 1
+                }
+              }
+              b += 1
+            }
+          }
+          mbIdx += 1
         }
       }
       // IN-loop: the filtered picture is what later P pictures reference

@@ -1582,7 +1582,96 @@ object MediaQ {
       |CROSS JOIN (VALUES ('p2_a'), ('p2_b'), ('p2_res'), ('p3_a'),
       |  ('p3_skip'), ('p3_shift')) p(probe)""".stripMargin
 
+  /** q241 — H.264 **B-slice** decode ([[H264Inter]] round 13): per doc,
+    * an I picture A (PCM gradient), a P picture shifting A right by 1–3
+    * pels, then a B picture whose three macroblocks pin the three
+    * prediction modes at once:
+    *
+    *  - B_L0_16x16 ref 0 → RefPicList0(0) = the P picture;
+    *  - B_L1_16x16 ref 0 → RefPicList1(0), which the 8.2.4.2.3 swap maps
+    *    to A — a decoder without the first-two swap reads the P picture
+    *    and lands `sh` gray levels high on every sample;
+    *  - B_Bi_16x16 with a planted DC residual — the default 8.4.2.3.1
+    *    rounded average (odd sums round UP for odd shifts) composed with
+    *    inter dequant.
+    *
+    * A final P picture re-reads ref 0 and must see the P picture, not
+    * the B picture — B slices are NON-reference (they never enter the
+    * DPB). Five probes per doc, all recomputed by DuckDB from the
+    * gradient/average/dequant closed forms.
+    *
+    * Scale shape: map-only, one scan, 5 rows per doc — no shuffle.
+    */
+  def h264BSliceProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val lvl = 1 + (id % 5).toInt
+        val a = Array.tabulate(16, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs = (0 until 3).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        val dc = Array.tabulate(16)(b =>
+          if (b == 0) Array(lvl) ++ Array.fill(15)(0) else null)
+        val p1 = Seq.fill[H264Inter.PMbPlan](3)(H264Inter.P16x16(4 * sh, 0))
+        val bf = Seq[H264Inter.PMbPlan](
+          H264Inter.B16x16(mode = 0, ref0 = 0),
+          H264Inter.B16x16(mode = 1, ref1 = 0),
+          H264Inter.B16x16(mode = 2, ref0 = 0, ref1 = 0,
+            cbpLuma = 1, levels = dc))
+        val p2 = Seq.fill[H264Inter.PMbPlan](3)(H264Inter.P16x16(0, 0))
+        val stream = H264Inter.encodeStream(3, 1, qp, iMbs, Seq(p1, bf, p2))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 4, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("b_l0", fs(2)(4)(8)), ("b_l1", fs(2)(4)(24)),
+          ("b_bi", fs(2)(4)(40)), ("b_res", fs(2)(0)(32)),
+          ("b_nonref", fs(3)(4)(8))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: the P picture is the gradient shifted `sh`, so B_L0 reads
+    * g0+16+sh, B_L1 (through the list1 swap) the unshifted g0+32, the bi
+    * average adds ceil(sh/2), the residual block the q235 DC dequant
+    * form, and the trailing P picture proves the B never entered the
+    * DPB (it re-reads the P picture, not the average).
+    */
+  private val h264BSliceSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh,
+      |    CAST(1 + doc_id % 5 AS INT) AS lvl
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'b_l0' THEN g0 + 16 + sh
+      |    WHEN 'b_l1' THEN g0 + 32
+      |    WHEN 'b_bi' THEN g0 + 48 + (sh + 1) // 2
+      |    WHEN 'b_res' THEN g0 + 32 + (sh + 1) // 2
+      |      + CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'b_nonref' THEN g0 + 16 + sh
+      |  END)) AS INT) AS px
+      |FROM scaled
+      |CROSS JOIN (VALUES ('b_l0'), ('b_l1'), ('b_bi'), ('b_res'),
+      |  ('b_nonref')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q241_h264_bslice_probes", h264BSliceProbes, Some(h264BSliceSql)),
     QueryDef("q240_h264_multiref_probes", h264MultiRefProbes, Some(h264MultiRefSql)),
     QueryDef("q239_h264_cabac_probes", h264CabacProbes, Some(h264CabacSql)),
     QueryDef("q238_h264_deblock_probes", h264DeblockProbes, Some(h264DeblockSql)),

@@ -529,6 +529,95 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  // ---- B slices (round 13): L0/L1/Bi 16x16, the 8.2.4.2.3 list1 swap,
+  // bi-average rounding, and the non-reference DPB behavior
+
+  test("B slices: list selection, the list1 first-two swap, bi averaging") {
+    // A(y,x) = 60 + x; P1 shifts ONE pel right (odd step -> the bi
+    // average's +1 rounding is observable): P1pic(y,x) = A(y,min(x+1,31))
+    val a = Array.tabulate(16, 32)((y, x) => 60 + x)
+    val iMbs = (0 until 2).map { mb =>
+      H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+    }
+    val p1 = Seq.fill[H264Inter.PMbPlan](2)(H264Inter.P16x16(4, 0))
+    // B1: left MB reads L0(0) = P1pic; right MB reads L1(0), which the
+    // swap rule maps to A — WITHOUT the swap it would read P1pic and be
+    // one gray level high everywhere
+    val b1 = Seq[H264Inter.PMbPlan](
+      H264Inter.B16x16(mode = 0, ref0 = 0),
+      H264Inter.B16x16(mode = 1, ref1 = 0))
+    // B2: bi average of P1pic and A (odd sum -> rounds up), plus a DC
+    // residual (+rho at QP 24: level 2 -> (2*10*16+32)>>6 = +5) on MB1
+    val dc = Array.tabulate(16)(b =>
+      if (b == 0) Array(2) ++ Array.fill(15)(0) else null)
+    val b2 = Seq[H264Inter.PMbPlan](
+      H264Inter.B16x16(mode = 2, ref0 = 0, ref1 = 0),
+      H264Inter.B16x16(mode = 2, ref0 = 0, ref1 = 0, cbpLuma = 1, levels = dc))
+    // B3: the CROSS indexes — L1(1) maps back to P1pic, L0(1) to A
+    val b3 = Seq[H264Inter.PMbPlan](
+      H264Inter.B16x16(mode = 1, ref1 = 1),
+      H264Inter.B16x16(mode = 0, ref0 = 1))
+    val fs = H264Inter.decodeFrames(
+      H264Inter.encodeStream(2, 1, 24, iMbs, Seq(p1, b1, b2, b3)))
+    assert(fs.length == 5)
+    def A(y: Int, x: Int) = a(y)(math.min(x, 31))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val p1v = A(y, x + 1)
+      assert(fs(1)(y)(x) == p1v, s"P1 ($x,$y)")
+      val w1 = if (x < 16) p1v else A(y, x) // swap: L1(0) = A
+      assert(fs(2)(y)(x) == w1, s"B1 ($x,$y)")
+      val bi = (p1v + A(y, x) + 1) >> 1     // rounds up on the odd sum
+      val w2 = if (x < 16) bi
+        else if (x < 20 && y < 4) math.min(255, bi + 5) // DC residual blk0
+        else bi
+      assert(fs(3)(y)(x) == w2, s"B2 ($x,$y)")
+      val w3 = if (x < 16) p1v else A(y, x) // crossed indexes land the same
+      assert(fs(4)(y)(x) == w3, s"B3 ($x,$y)")
+    }
+    // B pictures are non-reference: the DPB still holds [P1pic, A] at B3
+    // (asserted implicitly by w3), and a following P frame still sees
+    // P1pic as ref 0
+    val p4 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 0), H264Inter.P16x16(0, 0, refIdx = 1))
+    val fs2 = H264Inter.decodeFrames(
+      H264Inter.encodeStream(2, 1, 24, iMbs, Seq(p1, b1, p4)))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = if (x < 16) A(y, x + 1) else A(y, x)
+      assert(fs2(3)(y)(x) == want, s"P-after-B ($x,$y)")
+    }
+  }
+
+  test("B slices: a single-reference stream skips the swap (list1 = list0)") {
+    val a = Array.tabulate(16, 16)((y, x) => 70 + 2 * x)
+    // B directly after the IDR: the DPB holds ONE picture, the full
+    // list1 has one entry, so no swap — L1(0) must be A itself
+    val b1 = Seq[H264Inter.PMbPlan](H264Inter.B16x16(mode = 1, ref1 = 0))
+    val fs = H264Inter.decodeFrames(H264Inter.encodeStream(1, 1, 26,
+      Seq(H264Cavlc.PcmBlock(a)), Seq(b1)))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(fs(1)(y)(x) == a(y)(x), s"($x,$y)")
+  }
+
+  test("B slice rejections: mixed frames, direct modes, filter-on") {
+    val a = Array.fill(16, 16)(90)
+    val pcm = Seq(H264Cavlc.PcmBlock(a))
+    // mixing B and P macroblocks in one frame
+    intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, pcm, Seq(Seq(
+        H264Inter.B16x16(mode = 0)), Seq(H264Inter.PSkip,
+        H264Inter.B16x16(mode = 0))))
+    }
+    // B picture with the loop filter enabled: loud decoder rejection
+    val bStream = H264Inter.encodeStream(1, 1, 26, pcm,
+      Seq(Seq(H264Inter.B16x16(mode = 2))), 0, 0, 0)
+    val e = intercept[IllegalArgumentException] {
+      H264Inter.decodeFrames(bStream)
+    }
+    assert(e.getMessage.contains("B pictures"), e.getMessage)
+    // bad B16x16 mode at construction
+    intercept[IllegalArgumentException] { H264Inter.B16x16(mode = 3) }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -292,7 +292,8 @@ object H264 {
     * too (q235/q236 plant QP 20–31, where a default-filtered decode would
     * legitimately differ at block edges).
     */
-  private[ops] def writePps(cabac: Boolean = false): Array[Byte] = {
+  private[ops] def writePps(cabac: Boolean = false,
+      weightedPred: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0)    // pic_parameter_set_id
     w.ue(0)    // seq_parameter_set_id
@@ -301,7 +302,7 @@ object H264 {
     w.ue(0)    // num_slice_groups_minus1
     w.ue(0)    // num_ref_idx_l0_default_active_minus1
     w.ue(0)    // num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  // weighted_pred_flag
+    w.u(if (weightedPred) 1 else 0, 1) // weighted_pred_flag
     w.u(0, 2)  // weighted_bipred_idc
     w.se(0)    // pic_init_qp_minus26
     w.se(0)    // pic_init_qs_minus26

@@ -48,8 +48,9 @@ import H264.{BitReader, BitWriter}
   * 8.2.4.2.3 first-two swap, default 8.4.2.3.1 bi averaging). What still
   * exits through the external `MediaDecoder` seam: CABAC-coded P/B
   * slices (intra-only CABAC lives in [[H264Cabac]]), direct-mode B
-  * macroblocks (B_Skip / B_Direct), weighted prediction, explicit
-  * ref-list modification, deblocking across B pictures, and sub-16x16
+  * macroblocks (B_Skip / B_Direct), weighted BIprediction (explicit
+  * P-slice weighting decodes natively — q242), explicit ref-list
+  * modification, deblocking across B pictures, and sub-16x16
   * partitions — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
@@ -267,6 +268,62 @@ object H264Inter {
     def usesL1: Boolean = mode != 0
   }
 
+  /** Explicit P-slice prediction weights (7.3.3.2): `luma(i)` is the
+    * (weight, offset) pair for L0 index i — None/absent = the default
+    * identity weight 2^denom with offset 0 — under shared log2
+    * denominators; `chroma(i)` holds ((wCb, oCb), (wCr, oCr)).
+    */
+  final case class PredWeights(lumaLog2Denom: Int,
+      luma: Seq[Option[(Int, Int)]] = Nil,
+      chromaLog2Denom: Int = 0,
+      chroma: Seq[Option[((Int, Int), (Int, Int))]] = Nil) {
+    require(lumaLog2Denom >= 0 && lumaLog2Denom <= 7 &&
+      chromaLog2Denom >= 0 && chromaLog2Denom <= 7, "log2 denom outside [0,7]")
+  }
+
+  /** Parsed weight table: per-L0-index luma/chroma (w, o). */
+  private final class Wp(val logL: Int, val lw: Array[Int], val lo: Array[Int],
+      val logC: Int, val cw: Array[Array[Int]], val co: Array[Array[Int]])
+
+  /** 8.4.2.3.2 explicit single-list weighting of one predicted sample:
+    * Clip1(((pred·w + 2^(logWD−1)) >> logWD) + o), the shift skipped at
+    * logWD 0.
+    */
+  private def weight1(v: Int, logWD: Int, w: Int, o: Int): Int = {
+    val t =
+      if (logWD >= 1) ((v * w + (1 << (logWD - 1))) >> logWD) + o
+      else v * w + o
+    if (t < 0) 0 else if (t > 255) 255 else t
+  }
+
+  private def parseWp(r: BitReader, numActive: Int): Wp = {
+    val logL = r.ue()
+    val logC = r.ue()
+    require(logL <= 7 && logC <= 7,
+      s"inter decoder: weight denominators $logL/$logC outside [0,7]")
+    val lw = Array.fill(numActive)(1 << logL)
+    val lo = new Array[Int](numActive)
+    val cw = Array.fill(2, numActive)(1 << logC)
+    val co = Array.ofDim[Int](2, numActive)
+    def inRange(v: Int): Int = {
+      require(v >= -128 && v <= 127, s"weight/offset $v outside [-128,127]")
+      v
+    }
+    var i = 0
+    while (i < numActive) {
+      if (r.u(1) == 1) { lw(i) = inRange(r.se()); lo(i) = inRange(r.se()) }
+      if (r.u(1) == 1) {
+        var j = 0
+        while (j < 2) {
+          cw(j)(i) = inRange(r.se()); co(j)(i) = inRange(r.se())
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new Wp(logL, lw, lo, logC, cw, co)
+  }
+
   // ------------------------------------------------------------- encoder ---
 
   /** Encode an IDR all-I_PCM reference picture from a raw luma plane
@@ -308,8 +365,24 @@ object H264Inter {
     */
   def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
       iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
-      deblockIdc: Int, aOffD2: Int, bOffD2: Int): Array[Byte] = {
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int): Array[Byte] =
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames, deblockIdc, aOffD2, bOffD2, Nil)
+
+  /** Weighted form: `weights(k)` is frame k's explicit P weight table
+    * (7.3.3.2). Any Some entry turns the PPS weighted_pred_flag on, after
+    * which EVERY P slice carries a table (None frames emit the identity:
+    * zero denominators, all per-index flags 0). B frames must stay None —
+    * weighted biprediction (weighted_bipred_idc) is outside the subset.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int,
+      weights: Seq[Option[PredWeights]]): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
+    val wpOn = weights.exists(_.isDefined)
+    if (weights.nonEmpty)
+      require(weights.length == pFrames.length,
+        "weights must align with pFrames when provided")
     // DPB bound: the deepest index any frame reaches, with B pictures
     // non-reference (they never enter the DPB, so only P frames grow the
     // reference count)
@@ -363,7 +436,7 @@ object H264Inter {
       w.toBytes
     }
     H264.writeNal(out, 3, 7, sps)
-    H264.writeNal(out, 3, 8, H264.writePps())
+    H264.writeNal(out, 3, 8, H264.writePps(weightedPred = wpOn))
     // --- IDR intra reference picture (PCM and/or CAVLC macroblocks) ---
     val iw = new BitWriter
     iw.ue(0); iw.ue(7); iw.ue(0)   // first_mb, slice_type I(all), pps
@@ -379,10 +452,32 @@ object H264Inter {
     // --- P / B pictures ---
     var prevRefFrameNum = 0 // the IDR
     var decodedRefs = 1
-    pFrames.foreach { mbs =>
+    pFrames.zipWithIndex.foreach { case (mbs, fi) =>
       require(mbs.length == mbsX * mbsY, "frame must plant every MB")
       val isB = mbs.exists(_.isInstanceOf[B16x16])
+      val fw = weights.lift(fi).flatten
+      if (isB) require(fw.isEmpty,
+        s"frame $fi: B slices cannot carry explicit weights (bipred idc 0)")
       val w = new BitWriter
+
+      /** pred_weight_table (7.3.3.2) for this P slice. */
+      def writeWpTable(numActive: Int): Unit = {
+        w.ue(fw.map(_.lumaLog2Denom).getOrElse(0))
+        w.ue(fw.map(_.chromaLog2Denom).getOrElse(0))
+        var i = 0
+        while (i < numActive) {
+          fw.flatMap(_.luma.lift(i).flatten) match {
+            case Some((wt, o)) => w.u(1, 1); w.se(wt); w.se(o)
+            case None => w.u(0, 1)
+          }
+          fw.flatMap(_.chroma.lift(i).flatten) match {
+            case Some(((wb, ob), (wr, orr))) =>
+              w.u(1, 1); w.se(wb); w.se(ob); w.se(wr); w.se(orr)
+            case None => w.u(0, 1)
+          }
+          i += 1
+        }
+      }
 
       /** Shared residual writer (7.3.5.3 luma path, chroma CBP 0). */
       def writeResidual(mbX: Int, mbY: Int, cbpLuma: Int,
@@ -425,6 +520,7 @@ object H264Inter {
         if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
         else { w.u(1, 1); w.ue(numActive - 1) }
         w.u(0, 1)                // ref_pic_list_modification_flag_l0
+        if (wpOn) writeWpTable(numActive) // pred_weight_table (7.3.3)
         w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
         w.se(qp - 26)            // slice_qp_delta
         w.ue(deblockIdc)         // disable_deblocking_filter_idc
@@ -544,7 +640,7 @@ object H264Inter {
     // one canonical PPS walk: init QP, the chroma QP offset (the intra
     // reference pictures carry chroma residuals), the default L0 depth
     // and the slice-deblocking flag all come from the same pass
-    val (initQp, chromaOff, deblock, numRefDefault, numRefL1Default) = {
+    val (initQp, chromaOff, deblock, numRefDefault, numRefL1Default, wpFlag) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
       require(r.u(1) == 0, "inter decoder: CAVLC only")
@@ -554,12 +650,12 @@ object H264Inter {
       require(nr <= 16, s"inter decoder: bad default L0 depth $nr")
       val nr1 = r.ue() + 1 // num_ref_idx_l1_default_active
       require(nr1 <= 16, s"inter decoder: bad default L1 depth $nr1")
-      require(r.u(1) == 0, "inter decoder: weighted prediction unsupported")
+      val wp = r.u(1) == 1 // weighted_pred_flag: explicit P weighting (7.3.3.2)
       require(r.u(2) == 0, "inter decoder: weighted biprediction unsupported")
       val q = r.se() + 26
       r.se()
       val co = r.se()
-      (q, co, r.u(1) == 1, nr, nr1) // deblocking_filter_control_present_flag
+      (q, co, r.u(1) == 1, nr, nr1, wp)
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // decoded-picture buffer, most recent reference FIRST (8.2.4.2.1: P
@@ -592,6 +688,10 @@ object H264Inter {
         if (sliceType == 1)
           require(r.u(1) == 0, "inter decoder: L1 list modification unsupported")
       }
+      // pred_weight_table (7.3.3): present for P slices when the PPS sets
+      // weighted_pred_flag; B slices would need weighted_bipred_idc 1,
+      // which the PPS walk pins to 0
+      val wp = if (wpFlag && sliceType == 0) parseWp(r, numActive) else null
       if (nalType == 5) { r.u(1); r.u(1) }
       else if (refIdc != 0)
         require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
@@ -627,7 +727,10 @@ object H264Inter {
             var x = 0
             while (x < 16) {
               val px = mbX * 16 + x; val py = mbY * 16 + y
-              luma(py)(px) = lumaInterp(refL, px + ix, py + iy, fx, fy)
+              val v = lumaInterp(refL, px + ix, py + iy, fx, fy)
+              luma(py)(px) =
+                if (wp == null) v
+                else weight1(v, wp.logL, wp.lw(refIdx), wp.lo(refIdx))
               x += 1
             }
             y += 1
@@ -639,8 +742,13 @@ object H264Inter {
             var x = 0
             while (x < 8) {
               val px = mbX * 8 + x; val py = mbY * 8 + y
-              cb(py)(px) = chromaInterp(refCb, px + cix, py + ciy, cfx, cfy)
-              cr(py)(px) = chromaInterp(refCr, px + cix, py + ciy, cfx, cfy)
+              val vb = chromaInterp(refCb, px + cix, py + ciy, cfx, cfy)
+              val vr = chromaInterp(refCr, px + cix, py + ciy, cfx, cfy)
+              if (wp == null) { cb(py)(px) = vb; cr(py)(px) = vr }
+              else {
+                cb(py)(px) = weight1(vb, wp.logC, wp.cw(0)(refIdx), wp.co(0)(refIdx))
+                cr(py)(px) = weight1(vr, wp.logC, wp.cw(1)(refIdx), wp.co(1)(refIdx))
+              }
               x += 1
             }
             y += 1

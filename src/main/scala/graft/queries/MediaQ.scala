@@ -1670,7 +1670,105 @@ object MediaQ {
       |CROSS JOIN (VALUES ('b_l0'), ('b_l1'), ('b_bi'), ('b_res'),
       |  ('b_nonref')) p(probe)""".stripMargin
 
+  /** q242 — H.264 **explicit weighted prediction** ([[H264Inter]] round
+    * 13, 7.3.3.2 / 8.4.2.3.2): per doc, two weighted P pictures over the
+    * gradient I picture. P1 applies a per-doc (weight, offset, log2
+    * denominator) to every sample — the Clip1(((v·w + 2^(d−1)) >> d) + o)
+    * form, with d = 0 docs exercising the shift-less branch and large
+    * weights driving real clipping. P2 re-weights with a TWO-entry table:
+    * its first MB reads ref 0 (the weighted P1) through entry 0, its
+    * second reads ref 1 (the original gradient) through entry 1 — a
+    * decoder indexing the table by anything but ref_idx_l0 cannot match
+    * both — and its third MB is a P_Skip, pinning that weighting applies
+    * to inferred-motion macroblocks too. DuckDB recomputes all four
+    * probes from the nested weighting closed forms.
+    *
+    * Scale shape: map-only, one scan, 4 rows per doc — no shuffle.
+    */
+  def h264WeightedProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val g0 = 40 + (id % 50).toInt
+        val d1 = (id % 3).toInt
+        val w1 = 2 + (id % 6).toInt
+        val o1 = (id % 9).toInt - 4
+        val d2 = ((id / 3) % 3).toInt
+        val w2 = 1 + (id % 4).toInt
+        val o2 = (id % 7).toInt - 3
+        val w3 = 3 + (id % 3).toInt
+        val o3 = (id % 5).toInt - 2
+        val a = Array.tabulate(16, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs = (0 until 3).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        import H264Inter.{P16x16, PSkip, PredWeights}
+        val p1 = Seq.fill[H264Inter.PMbPlan](3)(P16x16(0, 0))
+        val p2 = Seq[H264Inter.PMbPlan](
+          P16x16(0, 0), P16x16(0, 0, refIdx = 1), PSkip)
+        val weights = Seq(
+          Some(PredWeights(d1, Seq(Some((w1, o1))))),
+          Some(PredWeights(d2, Seq(Some((w2, o2)), Some((w3, o3))))))
+        val stream =
+          H264Inter.encodeStream(3, 1, 26, iMbs, Seq(p1, p2), 1, 0, 0, weights)
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("w_p1", fs(1)(4)(8)), ("w_e0", fs(2)(4)(8)),
+          ("w_e1", fs(2)(4)(24)), ("w_skip", fs(2)(4)(40))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: W(v,d,w,o) = Clip1(((v·w + 2^(d−1)) >> d) + o) (shift-less
+    * at d = 0) nested — the P2 probes weight the ALREADY-weighted (and
+    * possibly clipped) P1 samples, so the clipping order is load-bearing.
+    */
+  private val h264WeightedSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(doc_id % 3 AS INT) AS d1,
+      |    CAST(2 + doc_id % 6 AS INT) AS w1,
+      |    CAST(doc_id % 9 - 4 AS INT) AS o1,
+      |    CAST((doc_id // 3) % 3 AS INT) AS d2,
+      |    CAST(1 + doc_id % 4 AS INT) AS w2,
+      |    CAST(doc_id % 7 - 3 AS INT) AS o2,
+      |    CAST(3 + doc_id % 3 AS INT) AS w3,
+      |    CAST(doc_id % 5 - 2 AS INT) AS o3
+      |  FROM documents
+      |), p1 AS (
+      |  SELECT *,
+      |    LEAST(255, GREATEST(0, CASE WHEN d1 >= 1
+      |      THEN ((g0 + 16) * w1 + (1 << (d1 - 1))) // (1 << d1) + o1
+      |      ELSE (g0 + 16) * w1 + o1 END)) AS v8,
+      |    LEAST(255, GREATEST(0, CASE WHEN d1 >= 1
+      |      THEN ((g0 + 48) * w1 + (1 << (d1 - 1))) // (1 << d1) + o1
+      |      ELSE (g0 + 48) * w1 + o1 END)) AS v40
+      |  FROM base
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'w_p1' THEN v8
+      |    WHEN 'w_e0' THEN CASE WHEN d2 >= 1
+      |      THEN (v8 * w2 + (1 << (d2 - 1))) // (1 << d2) + o2
+      |      ELSE v8 * w2 + o2 END
+      |    WHEN 'w_e1' THEN CASE WHEN d2 >= 1
+      |      THEN ((g0 + 32) * w3 + (1 << (d2 - 1))) // (1 << d2) + o3
+      |      ELSE (g0 + 32) * w3 + o3 END
+      |    WHEN 'w_skip' THEN CASE WHEN d2 >= 1
+      |      THEN (v40 * w2 + (1 << (d2 - 1))) // (1 << d2) + o2
+      |      ELSE v40 * w2 + o2 END
+      |  END)) AS INT) AS px
+      |FROM p1
+      |CROSS JOIN (VALUES ('w_p1'), ('w_e0'), ('w_e1'), ('w_skip')
+      |) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q242_h264_weighted_probes", h264WeightedProbes, Some(h264WeightedSql)),
     QueryDef("q241_h264_bslice_probes", h264BSliceProbes, Some(h264BSliceSql)),
     QueryDef("q240_h264_multiref_probes", h264MultiRefProbes, Some(h264MultiRefSql)),
     QueryDef("q239_h264_cabac_probes", h264CabacProbes, Some(h264CabacSql)),

@@ -618,6 +618,57 @@ class H264InterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { H264Inter.B16x16(mode = 3) }
   }
 
+  // ---- explicit weighted prediction (round 13, 7.3.3.2 / 8.4.2.3.2)
+
+  test("weighted prediction: weights/offsets/denoms, skip, per-refIdx, identity") {
+    val a = Array.tabulate(16, 16)((y, x) => 60 + x)
+    val pcm = Seq(H264Cavlc.PcmBlock(a))
+    import H264Inter.{P16x16, PSkip, PredWeights}
+    val frames = Seq[Seq[H264Inter.PMbPlan]](
+      Seq(P16x16(0, 0)),              // P1: weighted copy of A
+      Seq(PSkip),                     // P2: weights apply to P_Skip too
+      Seq(P16x16(0, 0, refIdx = 1)),  // P3: per-refIdx table entry 1
+      Seq(P16x16(0, 0)))              // P4: None frame -> identity table
+    val weights = Seq(
+      Some(PredWeights(2, Seq(Some((5, 3))), 1, Seq(Some(((3, -2), (2, 5)))))),
+      Some(PredWeights(0, Seq(Some((2, -40))))),
+      Some(PredWeights(2, Seq(None, Some((8, 1))))),
+      None)
+    val stream = H264Inter.encodeStream(1, 1, 26, pcm, frames, 1, 0, 0, weights)
+    val full = H264Inter.decodeFramesFull(stream)
+    val fs = full.map(_._1)
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = 60 + x
+      val p1 = clip(((v * 5 + 2) >> 2) + 3)          // logWD 2
+      assert(fs(1)(y)(x) == p1, s"P1 ($x,$y)")
+      val p2 = clip(p1 * 2 - 40)                     // logWD 0, via P_Skip
+      assert(fs(2)(y)(x) == p2, s"P2 ($x,$y)")
+      // P3 reads refIdx 1 (= P1, A was trimmed by the 2-deep window) with
+      // entry 1 = (8,1): ((v*8+2)>>2)+1 = 2v+1; entry 0 is the default
+      // identity and must not be picked up
+      val p3 = clip(2 * p1 + 1)
+      assert(fs(3)(y)(x) == p3, s"P3 ($x,$y)")
+      // P4 carries the identity table (None frame under an active PPS
+      // flag): exact copy of P3
+      assert(fs(4)(y)(x) == p3, s"P4 ($x,$y)")
+    }
+    // chroma weighting (input is flat 128): cb ((128*3+1)>>1)-2 = 190,
+    // cr ((128*2+1)>>1)+5 = 133
+    val (_, cb1, cr1) = full(1)
+    assert(cb1(4)(4) == 190 && cr1(4)(4) == 133)
+    // non-vacuous: the unweighted decode of the same plans differs
+    val plain = H264Inter.decodeFrames(
+      H264Inter.encodeStream(1, 1, 26, pcm, frames, 1, 0, 0))
+    assert(plain(1)(0)(0) == 60 && fs(1)(0)(0) != 60)
+    // B frames cannot carry weights
+    intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, pcm,
+        Seq(Seq(H264Inter.B16x16(mode = 0))), 1, 0, 0,
+        Seq(Some(PredWeights(0, Seq(Some((1, 0)))))))
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -204,6 +204,7 @@ object DiskCache {
     if (!enabled) return build
     val target = new java.io.File(root, s"$key-b$buildFingerprint")
     def ok = new java.io.File(target, "_SUCCESS").isFile
+    var untouchable = false
     if (ok) {
       // hit path inside the guard too: a corrupted entry or one swept by
       // a concurrent JVM must fall back to the build, never fail the query
@@ -211,7 +212,10 @@ object DiskCache {
         val hit = spark.read.parquet(target.getAbsolutePath)
         if (touch(target)) return hit
         // untouchable entry: leave it for JVMs that CAN touch it, but
-        // don't hand out a frame a concurrent sweep may yank mid-plan
+        // don't hand out a frame a concurrent sweep may yank mid-plan —
+        // NOT EVEN through the post-publish re-read below (the renameTo
+        // will lose against this still-existing entry)
+        untouchable = true
         System.err.println(
           s"[diskcache] $key hit not LRU-touchable, using cold build")
       } catch {
@@ -236,7 +240,7 @@ object DiskCache {
       if (!tmp.renameTo(target)) // lost a publish race to a concurrent JVM
         wipe(tmp)
       sweep()
-      if (ok) spark.read.parquet(target.getAbsolutePath) else df
+      if (ok && !untouchable) spark.read.parquet(target.getAbsolutePath) else df
     } catch {
       case e: Exception =>
         System.err.println(s"[diskcache] $key not persisted: ${e.getMessage}")

@@ -328,14 +328,21 @@ object H264 {
     */
   private[ops] def requireSingleParamSets(nals: Seq[(Int, Int, Array[Byte])],
       who: String, ppsRequired: Boolean = true): Int = {
-    val nSps = nals.count(_._1 == 7)
-    val nPps = nals.count(_._1 == 8)
-    require(nSps == 1, s"$who: exactly one SPS per stream (got $nSps) — " +
-      "multi-parameter-set streams need an external decoder (MediaDecoder seam)")
+    // REPEATED byte-identical parameter sets are fine — real encoders
+    // re-send the same SPS/PPS before every IDR for random access — so
+    // the single-set contract counts DISTINCT RBSPs, not NALs (a repeat
+    // re-activates the identical state; only a DIFFERING set can desync)
+    def distinct(tpe: Int): Int =
+      nals.collect { case (`tpe`, _, rbsp) => rbsp.toSeq }.distinct.length
+    val nSps = distinct(7)
+    val nPps = distinct(8)
+    require(nSps == 1, s"$who: exactly one distinct SPS per stream (got " +
+      s"$nSps) — multi-parameter-set streams need an external decoder " +
+      "(MediaDecoder seam)")
     require(if (ppsRequired) nPps == 1 else nPps <= 1,
-      s"$who: ${if (ppsRequired) "exactly" else "at most"} one PPS per " +
-        s"stream (got $nPps) — multi-parameter-set streams need an " +
-        "external decoder (MediaDecoder seam)")
+      s"$who: ${if (ppsRequired) "exactly" else "at most"} one distinct " +
+        s"PPS per stream (got $nPps) — multi-parameter-set streams need " +
+        "an external decoder (MediaDecoder seam)")
     nals.collectFirst { case (8, _, rbsp) => new BitReader(rbsp).ue() }
       .getOrElse(-1)
   }

@@ -384,15 +384,17 @@ object H264Cabac {
     }
 
     /** coded_block_pattern luma bin for 8x8 index i (9.3.3.1.1.4):
-      * condTermFlagN = 1 when the neighboring 8x8's bit is 0 or the
-      * neighbor macroblock is absent. `partial` holds this MB's already-
-      * decoded bits.
+      * condTermFlagN = 1 only when the neighboring 8x8 EXISTS and its
+      * cbp bit is 0 — an absent neighbor macroblock contributes 0 (the
+      * JM derivation: `mb_available_up == NULL → b = 0`), which this
+      * models by treating its bit as set. `partial` holds this MB's
+      * already-decoded bits.
       */
     def cbpLumaInc(mbX: Int, mbY: Int, i: Int, partial: Int): Int = {
       def bitOf(x: Int, y: Int, blk: Int): Int =
         if (x == mbX && y == mbY) (partial >> blk) & 1
         else if (avail(x, y)) (cbpLuma(y)(x) >> blk) & 1
-        else 0
+        else 1 // unavailable → condTermFlag 0
       val (ax, ay, ablk) = i match {
         case 0 => (mbX - 1, mbY, 1)
         case 1 => (mbX, mbY, 0)

@@ -94,9 +94,10 @@ object H264Deblock {
     * applied (0). `nz` marks luma 4x4 blocks carrying residual
     * coefficients (TotalCoeff > 0); it only matters on inter-inter edges —
     * intra edges are bS ≥ 3 regardless. `mvx`/`mvy` are the 16x16 luma
-    * motion vector in quarter units (the subset's only partition size);
-    * all inter macroblocks reference the single reference picture, so the
-    * 8.7.2.1 different-reference test never fires.
+    * motion vector in quarter units (the subset's only partition size)
+    * and `ref` its L0 reference index — since the multi-reference DPB
+    * landed, the 8.7.2.1 different-reference test is live (bS = 1 on
+    * edges whose sides read different pictures).
     */
   private[ops] final class PicInfo(val mbsX: Int, val mbsY: Int) {
     val intra = Array.ofDim[Boolean](mbsY, mbsX)

@@ -405,9 +405,12 @@ object H264Inter {
           }
           if (b.usesL1) {
             val d = l1ToDpb(b.ref1, refCount)
-            require(b.ref1 >= 0 && d < refCount,
+            require(b.ref1 >= 0 && d < refCount && b.ref1 < refCount,
               s"frame $k L1 index ${b.ref1} beyond the $refCount decoded refs")
-            needDepth = math.max(needDepth, d + 1)
+            // both the mapped DPB slot AND ref1 itself bound the window:
+            // the slice writes num_ref_idx_l1_active = ref1 + 1, and the
+            // decoder requires that many retained pictures
+            needDepth = math.max(needDepth, math.max(d, b.ref1) + 1)
           }
         case PSkip =>
           require(!isB, s"frame $k: B_Skip is direct-mode (unsupported)")
@@ -417,25 +420,8 @@ object H264Inter {
     val maxRef = needDepth
     require(maxRef <= 16, s"refIdx ${maxRef - 1} beyond the 16-frame DPB")
     val out = new java.io.ByteArrayOutputStream()
-    // H264.writeSps hardcodes max_num_ref_frames = 0 (fine for all-intra
-    // streams); a P stream must declare its DPB depth — emit the SPS inline.
-    val sps = {
-      val w = new BitWriter
-      w.u(66, 8); w.u(0, 8); w.u(20, 8) // baseline, level 2.0
-      w.ue(0)      // sps id
-      w.ue(0)      // log2_max_frame_num_minus4 (=> 4)
-      w.ue(2)      // pic_order_cnt_type
-      w.ue(maxRef) // max_num_ref_frames
-      w.u(0, 1)    // gaps_in_frame_num
-      w.ue(mbsX - 1); w.ue(mbsY - 1)
-      w.u(1, 1)    // frame_mbs_only
-      w.u(0, 1)    // direct_8x8_inference
-      w.u(0, 1)    // no cropping
-      w.u(0, 1)    // no VUI
-      w.trailingBits()
-      w.toBytes
-    }
-    H264.writeNal(out, 3, 7, sps)
+    H264.writeNal(out, 3, 7, H264.writeSps(H264.Sps(66, 20, 4, 2, mbsX, mbsY,
+      0, 0, frameMbsOnly = true, maxNumRefFrames = maxRef)))
     H264.writeNal(out, 3, 8, H264.writePps(weightedPred = wpOn))
     // --- IDR intra reference picture (PCM and/or CAVLC macroblocks) ---
     val iw = new BitWriter
@@ -451,7 +437,6 @@ object H264Inter {
     H264.writeNal(out, 3, 5, iw.toBytes)
     // --- P / B pictures ---
     var prevRefFrameNum = 0 // the IDR
-    var decodedRefs = 1
     pFrames.zipWithIndex.foreach { case (mbs, fi) =>
       require(mbs.length == mbsX * mbsY, "frame must plant every MB")
       val isB = mbs.exists(_.isInstanceOf[B16x16])
@@ -551,7 +536,6 @@ object H264Inter {
         w.trailingBits()
         H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
         prevRefFrameNum = fn
-        decodedRefs += 1
       } else {
         val bs = mbs.collect { case b: B16x16 => b }
         val numL0 = math.max(1, (bs.filter(_.usesL0).map(_.ref0 + 1) :+ 1).max)

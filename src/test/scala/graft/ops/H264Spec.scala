@@ -231,14 +231,34 @@ class H264Spec extends AnyFunSuite {
     }
     val flat = Array.tabulate(16, 16)((y, x) => 40 + y + x)
 
-    // PCM decoder
+    // a DIFFERING second parameter set (PPS id 1; an SPS with other dims)
+    val ppsDiff = {
+      val w = new H264.BitWriter
+      w.ue(1); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+      w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+      w.se(0); w.se(0); w.se(0); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+      w.trailingBits()
+      w.toBytes
+    }
+    val spsDiff = H264.splitNals(H264.encodePcm(32, 16,
+      Seq(gradient(32, 16, 9)))).collectFirst { case (7, _, r) => r }.get
+
+    // PCM decoder: byte-identical REPEATS decode (real encoders re-send
+    // the same SPS/PPS before every IDR for random access)...
     val (sps, pps, slice) = parts(H264.encodePcm(16, 16, Seq(gradient(16, 16, 9))))
+    val repeated = H264.decodePcmFrames(assemble(
+      (3, 7, sps), (3, 8, pps), (3, 8, pps), (3, 7, sps), (3, 5, slice)))
+    val single = H264.decodePcmFrames(assemble(
+      (3, 7, sps), (3, 8, pps), (3, 5, slice)))
+    assert(repeated.length == single.length &&
+      repeated.head(0).sameElements(single.head(0)))
+    // ...but DIFFERING sets still reject loudly
     val e1 = intercept[IllegalArgumentException](H264.decodePcmFrames(
-      assemble((3, 7, sps), (3, 8, pps), (3, 8, pps), (3, 5, slice))))
-    assert(e1.getMessage.contains("one PPS"), e1.getMessage)
+      assemble((3, 7, sps), (3, 8, pps), (3, 8, ppsDiff), (3, 5, slice))))
+    assert(e1.getMessage.contains("PPS"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](H264.decodePcmFrames(
-      assemble((3, 7, sps), (3, 7, sps), (3, 8, pps), (3, 5, slice))))
-    assert(e2.getMessage.contains("one SPS"), e2.getMessage)
+      assemble((3, 7, sps), (3, 7, spsDiff), (3, 8, pps), (3, 5, slice))))
+    assert(e2.getMessage.contains("SPS"), e2.getMessage)
     // a slice naming PPS 1 while the stream's only PPS is id 0
     val foreignSlice = {
       val w = new H264.BitWriter
@@ -272,8 +292,11 @@ class H264Spec extends AnyFunSuite {
       Seq(Seq(H264Cavlc.PcmBlock(flat))))
     val (isps, ipps, islice) = parts(intraGood)
     val e4 = intercept[IllegalArgumentException](H264Cavlc.decodeIntraFrames(
-      assemble((3, 7, isps), (3, 8, ipps), (3, 8, ipps), (3, 5, islice))))
-    assert(e4.getMessage.contains("one PPS"), e4.getMessage)
+      assemble((3, 7, isps), (3, 8, ipps), (3, 8, ppsDiff), (3, 5, islice))))
+    assert(e4.getMessage.contains("PPS"), e4.getMessage)
+    // identical repeats decode through the intra decoder too
+    assert(H264Cavlc.decodeIntraFrames(assemble((3, 7, isps), (3, 8, ipps),
+      (3, 8, ipps), (3, 5, islice))).head(0)(0) == flat(0)(0))
     val e5 = intercept[IllegalArgumentException](H264Cavlc.decodeIntraFrames(
       assemble((3, 7, isps), (3, 8, ipps), (3, 5, foreignSlice))))
     assert(e5.getMessage.contains("references PPS"), e5.getMessage)
@@ -283,11 +306,11 @@ class H264Spec extends AnyFunSuite {
       Seq(Seq(H264Inter.PSkip)))
     val (psps, ppps, pslice) = parts(interGood)
     val e6 = intercept[IllegalArgumentException](H264Inter.decodeFrames(
-      assemble((3, 7, psps), (3, 8, ppps), (3, 8, ppps), (3, 5, pslice))))
-    assert(e6.getMessage.contains("one PPS"), e6.getMessage)
+      assemble((3, 7, psps), (3, 8, ppps), (3, 8, ppsDiff), (3, 5, pslice))))
+    assert(e6.getMessage.contains("PPS"), e6.getMessage)
     val e7 = intercept[IllegalArgumentException](H264Inter.decodeFrames(
-      assemble((3, 7, psps), (3, 7, psps), (3, 8, ppps), (3, 5, pslice))))
-    assert(e7.getMessage.contains("one SPS"), e7.getMessage)
+      assemble((3, 7, psps), (3, 7, spsDiff), (3, 8, ppps), (3, 5, pslice))))
+    assert(e7.getMessage.contains("SPS"), e7.getMessage)
   }
 
   test("3-byte start codes are accepted on parse (legal Annex-B variant)") {

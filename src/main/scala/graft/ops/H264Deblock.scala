@@ -93,20 +93,33 @@ object H264Deblock {
     * `qp` is the macroblock's QP_Y with the 8.7.2 I_PCM override already
     * applied (0). `nz` marks luma 4x4 blocks carrying residual
     * coefficients (TotalCoeff > 0); it only matters on inter-inter edges —
-    * intra edges are bS ≥ 3 regardless. `mvx`/`mvy` are the 16x16 luma
-    * motion vector in quarter units (the subset's only partition size)
-    * and `ref` its L0 reference index — since the multi-reference DPB
-    * landed, the 8.7.2.1 different-reference test is live (bS = 1 on
-    * edges whose sides read different pictures).
+    * intra edges are bS ≥ 3 regardless. `mvx`/`mvy`/`ref` are the luma
+    * motion vector (quarter units) and L0 reference index PER 4x4 CELL —
+    * cell-granular since 16x8/8x16 partitions landed, so partition-
+    * internal edges get the 8.7.2.1 motion/reference tests too.
     */
   private[ops] final class PicInfo(val mbsX: Int, val mbsY: Int) {
     val intra = Array.ofDim[Boolean](mbsY, mbsX)
     val pcm = Array.ofDim[Boolean](mbsY, mbsX)
     val qp = Array.ofDim[Int](mbsY, mbsX)
     val nz = Array.ofDim[Boolean](mbsY * 4, mbsX * 4)
-    val mvx = Array.ofDim[Int](mbsY, mbsX)
-    val mvy = Array.ofDim[Int](mbsY, mbsX)
-    val ref = Array.ofDim[Int](mbsY, mbsX) // L0 reference index per MB
+    val mvx = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    val mvy = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    val ref = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    /** Fill a partition's motion cells. */
+    def fillMv(gx: Int, gy: Int, w4: Int, h4: Int,
+        x: Int, y: Int, refIdx: Int): Unit = {
+      var j = 0
+      while (j < h4) {
+        var i = 0
+        while (i < w4) {
+          mvx(gy + j)(gx + i) = x; mvy(gy + j)(gx + i) = y
+          ref(gy + j)(gx + i) = refIdx
+          i += 1
+        }
+        j += 1
+      }
+    }
   }
 
   // ------------------------------------------------------------ helpers ---
@@ -125,10 +138,10 @@ object H264Deblock {
     if (info.intra(pMbY)(pMbX) || info.intra(qMbY)(qMbX)) {
       if (pMbX == qMbX && pMbY == qMbY) 3 else 4
     } else if (info.nz(pgy)(pgx) || info.nz(qgy)(qgx)) 2
-    else if (info.ref(pMbY)(pMbX) != info.ref(qMbY)(qMbX)) 1 // different ref pictures
+    else if (info.ref(pgy)(pgx) != info.ref(qgy)(qgx)) 1 // different ref pictures
     else {
-      val dx = info.mvx(pMbY)(pMbX) - info.mvx(qMbY)(qMbX)
-      val dy = info.mvy(pMbY)(pMbX) - info.mvy(qMbY)(qMbX)
+      val dx = info.mvx(pgy)(pgx) - info.mvx(qgy)(qgx)
+      val dy = info.mvy(pgy)(pgx) - info.mvy(qgy)(qgx)
       if (dx >= 4 || dx <= -4 || dy >= 4 || dy <= -4) 1 else 0
     }
   }

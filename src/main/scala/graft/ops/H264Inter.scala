@@ -151,43 +151,85 @@ object H264Inter {
 
   // --------------------------------------------------- MV prediction (8.4.1) ---
 
-  /** Per-MB motion state within the current picture: `inter` false for
-    * unavailable/intra macroblocks (their mv counts as (0,0) with refIdx
-    * "unmatched" per 8.4.1.3.2). `ref` is the L0 reference index of the
-    * 16x16 partition.
+  /** Per-4x4-cell motion state within the current picture (6.4.11.7
+    * neighbor lookups are 4x4-granular once sub-MB partitions exist).
+    * `filled` marks cells whose partition has DECODED — in this P/B
+    * subset every decoded macroblock is inter, so filled ⇔ available
+    * inter neighbor; an unfilled in-picture cell (a later MB, or the
+    * later partition of the current MB) is address-unavailable, exactly
+    * like an out-of-picture one.
     */
   private final class MvGrid(mbsX: Int, mbsY: Int) {
-    val inter = Array.fill(mbsY, mbsX)(false)
-    val mvx = Array.ofDim[Int](mbsY, mbsX)
-    val mvy = Array.ofDim[Int](mbsY, mbsX)
-    val ref = Array.ofDim[Int](mbsY, mbsX)
-    def set(mbX: Int, mbY: Int, x: Int, y: Int, refIdx: Int): Unit = {
-      inter(mbY)(mbX) = true; mvx(mbY)(mbX) = x; mvy(mbY)(mbX) = y
-      ref(mbY)(mbX) = refIdx
+    val filled = Array.fill(mbsY * 4, mbsX * 4)(false)
+    val mvx = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    val mvy = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    val ref = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    /** Fill a partition's cells: origin (gx, gy), size (w4, h4), in 4x4
+      * units. */
+    def fill(gx: Int, gy: Int, w4: Int, h4: Int,
+        x: Int, y: Int, refIdx: Int): Unit = {
+      var j = 0
+      while (j < h4) {
+        var i = 0
+        while (i < w4) {
+          filled(gy + j)(gx + i) = true
+          mvx(gy + j)(gx + i) = x; mvy(gy + j)(gx + i) = y
+          ref(gy + j)(gx + i) = refIdx
+          i += 1
+        }
+        j += 1
+      }
     }
+    /** Whole-MB convenience (16x16 partitions). */
+    def set(mbX: Int, mbY: Int, x: Int, y: Int, refIdx: Int): Unit =
+      fill(mbX * 4, mbY * 4, 4, 4, x, y, refIdx)
   }
 
-  /** Luma MV predictor for a 16x16 partition (8.4.1.3): neighbors A
-    * (left), B (top), C (top-right, D top-left substituted when C's
-    * address is unavailable); if B, C and D addresses are all unavailable
-    * and A's is available the prediction is directional (mvA); else if
-    * exactly one neighbor references the SAME picture (equal refIdxL0 —
-    * 8.4.1.3.2's referenceIndexEqualFlag, live since multi-reference
-    * landed) its mv is the predictor; else the component-wise median.
+  /** Partition shapes for [[mvPred]]'s 8.4.1.3 directional special
+    * cases: 0 = 16x16 (no special case), 1/2 = 16x8 top/bottom, 3/4 =
+    * 8x16 left/right.
     */
-  private def mvPred(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int,
-      refIdx: Int): (Int, Int) = {
+  private final val Part16x16 = 0
+  private final val Part16x8Top = 1
+  private final val Part16x8Bottom = 2
+  private final val Part8x16Left = 3
+  private final val Part8x16Right = 4
+
+  /** Luma MV predictor (8.4.1.3) for the partition at 4x4-grid origin
+    * (gx, gy) with width `w4` cells: neighbors A (left of the origin),
+    * B (above the origin), C (above-right of the partition, D above-left
+    * substituted when C's address is unavailable), all 4x4-granular
+    * (6.4.11.7). The 16x8/8x16 DIRECTIONAL special cases fire first
+    * (top→B, bottom→A, left→A, right→C, each only on a refIdx match);
+    * otherwise: if B, C and D addresses are all unavailable and A's is
+    * available the prediction is mvA; else if exactly one neighbor
+    * references the SAME picture its mv is the predictor; else the
+    * component-wise median.
+    */
+  private def mvPred(g: MvGrid, gx: Int, gy: Int, w4: Int, mbsX: Int,
+      refIdx: Int, part: Int): (Int, Int) = {
     // (addrAvailable, ref-matched, mvx, mvy) per 8.4.1.3.2
     def nb(x: Int, y: Int): (Boolean, Boolean, Int, Int) =
-      if (x < 0 || y < 0 || x >= mbsX) (false, false, 0, 0)
-      else if (!g.inter(y)(x)) (true, false, 0, 0)
+      if (x < 0 || y < 0 || x >= mbsX * 4 || !g.filled(y)(x)) (false, false, 0, 0)
       else (true, g.ref(y)(x) == refIdx, g.mvx(y)(x), g.mvy(y)(x))
-    val a = nb(mbX - 1, mbY)
-    val b = nb(mbX, mbY - 1)
-    val cAddr = if (mbY > 0 && mbX + 1 < mbsX) Some((mbX + 1, mbY - 1)) else None
-    val dAddr = if (mbY > 0 && mbX > 0) Some((mbX - 1, mbY - 1)) else None
-    val cPos = cAddr.orElse(dAddr)
+    val a = nb(gx - 1, gy)
+    val b = nb(gx, gy - 1)
+    val cAddrOk = gy > 0 && gx + w4 < mbsX * 4 && g.filled(gy - 1)(gx + w4)
+    val dAddrOk = gy > 0 && gx > 0
+    val cPos =
+      if (cAddrOk) Some((gx + w4, gy - 1))
+      else if (dAddrOk) Some((gx - 1, gy - 1))
+      else None
     val c = cPos.map { case (x, y) => nb(x, y) }.getOrElse((false, false, 0, 0))
+    // 8.4.1.3 clause 2: the non-square partitions take a DIRECTIONAL
+    // predictor when the named neighbor references the same picture
+    val special = part match {
+      case Part16x8Top => b
+      case Part16x8Bottom | Part8x16Left => a
+      case Part8x16Right => c
+      case _ => (false, false, 0, 0)
+    }
+    if (part != Part16x16 && special._2) return (special._3, special._4)
     // directional early-out (8.4.1.3.2 final substitution): B, C and D all
     // unavailable makes both B and C inherit A entirely
     val (bb, cc) = if (!b._1 && cPos.isEmpty && a._1) (a, a) else (b, c)
@@ -198,6 +240,23 @@ object H264Inter {
         x + y + z - math.min(x, math.min(y, z)) - math.max(x, math.max(y, z))
       (med(a._3, bb._3, cc._3), med(a._4, bb._4, cc._4))
     }
+  }
+
+  /** 16x16 form. */
+  private def mvPred(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int,
+      refIdx: Int): (Int, Int) =
+    mvPred(g, mbX * 4, mbY * 4, 4, mbsX, refIdx, Part16x16)
+
+  /** Partition layout of P mb_type 0/1/2 (Table 7-13): (gx, gy, w4, h4,
+    * shape) in 4x4-cell units, decode order.
+    */
+  private def partsOf(mbType: Int, mbX: Int, mbY: Int)
+      : Seq[(Int, Int, Int, Int, Int)] = mbType match {
+    case 0 => Seq((mbX * 4, mbY * 4, 4, 4, Part16x16))
+    case 1 => Seq((mbX * 4, mbY * 4, 4, 2, Part16x8Top),
+      (mbX * 4, mbY * 4 + 2, 4, 2, Part16x8Bottom))
+    case _ => Seq((mbX * 4, mbY * 4, 2, 4, Part8x16Left),
+      (mbX * 4 + 2, mbY * 4, 2, 4, Part8x16Right))
   }
 
   /** RefPicList1 index → DPB index (8.2.4.2.3): with every retained
@@ -215,12 +274,13 @@ object H264Inter {
     * always references list0 picture 0).
     */
   private def skipMv(g: MvGrid, mbX: Int, mbY: Int, mbsX: Int): (Int, Int) = {
-    def zeroRef(x: Int, y: Int): Boolean =
-      g.inter(y)(x) && g.ref(y)(x) == 0 &&
+    def zeroRef(x: Int, y: Int): Boolean = // the MB's 4x4 neighbor cell
+      g.filled(y)(x) && g.ref(y)(x) == 0 &&
         g.mvx(y)(x) == 0 && g.mvy(y)(x) == 0
     val aUnavail = mbX == 0
     val bUnavail = mbY == 0
-    if (aUnavail || bUnavail || zeroRef(mbX - 1, mbY) || zeroRef(mbX, mbY - 1))
+    if (aUnavail || bUnavail || zeroRef(mbX * 4 - 1, mbY * 4) ||
+      zeroRef(mbX * 4, mbY * 4 - 1))
       (0, 0)
     else mvPred(g, mbX, mbY, mbsX, 0)
   }
@@ -245,6 +305,20 @@ object H264Inter {
   final case class P16x16(mvx: Int, mvy: Int, cbpLuma: Int = 0,
       levels: Array[Array[Int]] = null, qpDelta: Int = 0,
       refIdx: Int = 0) extends PMbPlan
+
+  /** P_L0_L0_16x8 (mb_type 1, `wide = true`: top/bottom halves) or
+    * P_L0_L0_8x16 (mb_type 2, `wide = false`: left/right halves): two L0
+    * partitions in decode order, each with its own ABSOLUTE quarter-pel
+    * mv and reference index — the second partition's mv predictor sees
+    * the first's decoded motion (4x4-granular 6.4.11.7 neighbors) plus
+    * the 8.4.1.3 directional special cases. Residual semantics match
+    * [[P16x16]] (per-MB CBP over the partition-composed prediction).
+    */
+  final case class PPart(wide: Boolean,
+      mv0x: Int, mv0y: Int, ref0: Int,
+      mv1x: Int, mv1y: Int, ref1: Int,
+      cbpLuma: Int = 0, levels: Array[Array[Int]] = null,
+      qpDelta: Int = 0) extends PMbPlan
 
   /** B_{L0,L1,Bi}_16x16 (Table 7-14 mb_type 1..3; `mode` 0/1/2). A frame
     * containing any [[B16x16]] is emitted as a B SLICE — a non-reference
@@ -397,6 +471,12 @@ object H264Inter {
           require(p.refIdx >= 0 && p.refIdx < refCount,
             s"frame $k references picture ${p.refIdx} before it was decoded")
           needDepth = math.max(needDepth, p.refIdx + 1)
+        case p: PPart =>
+          require(p.ref0 >= 0 && p.ref0 < refCount &&
+            p.ref1 >= 0 && p.ref1 < refCount,
+            s"frame $k references pictures ${p.ref0}/${p.ref1} beyond the " +
+              s"$refCount decoded refs")
+          needDepth = math.max(needDepth, math.max(p.ref0, p.ref1) + 1)
         case b: B16x16 =>
           if (b.usesL0) {
             require(b.ref0 >= 0 && b.ref0 < refCount,
@@ -496,6 +576,7 @@ object H264Inter {
       if (!isB) {
         val numActive = math.max(1, (mbs.collect {
           case p: P16x16 => p.refIdx + 1
+          case p: PPart => math.max(p.ref0, p.ref1) + 1
         } :+ 1).max)
         w.ue(0)                  // first_mb_in_slice
         w.ue(5)                  // slice_type = P (all)
@@ -528,6 +609,21 @@ object H264Inter {
               val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
               w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
               g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
+              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+            case p: PPart =>
+              w.ue(skipRun); skipRun = 0
+              val mbType = if (p.wide) 1 else 2
+              w.ue(mbType)
+              // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
+              writeRefIdx(p.ref0, numActive)
+              writeRefIdx(p.ref1, numActive)
+              partsOf(mbType, mbX, mbY).zip(Seq(
+                (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
+                case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
+                  val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
+                  w.se(mx - px); w.se(my - py)
+                  g.fill(gx, gy, w4, h4, mx, my, rf)
+              }
               writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
             case _: B16x16 => throw new IllegalStateException("checked above")
           }
@@ -699,18 +795,20 @@ object H264Inter {
         val g = new MvGrid(mbsX, mbsY)
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
 
-        /** Motion-compensate one whole MB (luma + chroma) at quarter mv
-          * from list0 reference `refIdx`.
+        /** Motion-compensate one luma region (origin/size in pixels, both
+          * even) + its chroma from list0 reference `refIdx`, with the
+          * slice's explicit weights when present.
           */
-        def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int, refIdx: Int): Unit = {
+        def mcRegion(px0: Int, py0: Int, wpx: Int, hpx: Int,
+            mvx: Int, mvy: Int, refIdx: Int): Unit = {
           val (refL, refCb, refCr) = dpb(refIdx)
           val ix = mvx >> 2; val fx = mvx & 3
           val iy = mvy >> 2; val fy = mvy & 3
           var y = 0
-          while (y < 16) {
+          while (y < hpx) {
             var x = 0
-            while (x < 16) {
-              val px = mbX * 16 + x; val py = mbY * 16 + y
+            while (x < wpx) {
+              val px = px0 + x; val py = py0 + y
               val v = lumaInterp(refL, px + ix, py + iy, fx, fy)
               luma(py)(px) =
                 if (wp == null) v
@@ -722,10 +820,10 @@ object H264Inter {
           val cix = mvx >> 3; val cfx = mvx & 7
           val ciy = mvy >> 3; val cfy = mvy & 7
           y = 0
-          while (y < 8) {
+          while (y < hpx / 2) {
             var x = 0
-            while (x < 8) {
-              val px = mbX * 8 + x; val py = mbY * 8 + y
+            while (x < wpx / 2) {
+              val px = px0 / 2 + x; val py = py0 / 2 + y
               val vb = chromaInterp(refCb, px + cix, py + ciy, cfx, cfy)
               val vr = chromaInterp(refCr, px + cix, py + ciy, cfx, cfy)
               if (wp == null) { cb(py)(px) = vb; cr(py)(px) = vr }
@@ -738,6 +836,8 @@ object H264Inter {
             y += 1
           }
         }
+        def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int, refIdx: Int): Unit =
+          mcRegion(mbX * 16, mbY * 16, 16, 16, mvx, mvy, refIdx)
 
         var mbIdx = 0
         while (mbIdx < mbsX * mbsY) {
@@ -752,29 +852,34 @@ object H264Inter {
             mc(mbX, mbY, sx, sy, 0)
             if (info != null) { // P_Skip: QP_Y,prev carries, no coeffs
               info.qp(mbY)(mbX) = qpY
-              info.mvx(mbY)(mbX) = sx; info.mvy(mbY)(mbX) = sy
+              info.fillMv(mbX * 4, mbY * 4, 4, 4, sx, sy, 0)
             }
             sk += 1; mbIdx += 1
           }
           if (mbIdx < mbsX * mbsY) {
             val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
             val mbType = r.ue()
-            require(mbType == 0,
-              s"inter decoder: mb_type $mbType unsupported (P_L0_16x16 only; " +
-                "sub-partitions and intra-in-P exit via the MediaDecoder seam)")
-            val refIdx =
-              if (numActive == 1) 0
-              else if (numActive == 2) 1 - r.u(1).toInt // te(v), cMax 1
-              else r.ue()
-            require(refIdx < numActive,
-              s"inter decoder: ref_idx_l0 $refIdx >= numActive $numActive")
-            val (px0, py0) = mvPred(g, mbX, mbY, mbsX, refIdx)
-            val mvx = px0 + r.se(); val mvy = py0 + r.se()
-            g.set(mbX, mbY, mvx, mvy, refIdx)
-            mc(mbX, mbY, mvx, mvy, refIdx)
-            if (info != null) {
-              info.mvx(mbY)(mbX) = mvx; info.mvy(mbY)(mbX) = mvy
-              info.ref(mbY)(mbX) = refIdx
+            require(mbType <= 2,
+              s"inter decoder: mb_type $mbType unsupported (P_L0 16x16/16x8/" +
+                "8x16; P_8x8 sub-partitions and intra-in-P exit via the " +
+                "MediaDecoder seam)")
+            def readTe(): Int = {
+              val v =
+                if (numActive == 1) 0
+                else if (numActive == 2) 1 - r.u(1).toInt // te(v), cMax 1
+                else r.ue()
+              require(v < numActive,
+                s"inter decoder: ref_idx_l0 $v >= numActive $numActive")
+              v
+            }
+            val ps = partsOf(mbType, mbX, mbY)
+            val refs = ps.map(_ => readTe()) // 7.3.5.1: all ref_idx first
+            ps.zip(refs).foreach { case ((gx, gy, w4, h4, shape), rf) =>
+              val (px0, py0) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
+              val mvx = px0 + r.se(); val mvy = py0 + r.se()
+              g.fill(gx, gy, w4, h4, mvx, mvy, rf)
+              mcRegion(gx * 4, gy * 4, w4 * 4, h4 * 4, mvx, mvy, rf)
+              if (info != null) info.fillMv(gx, gy, w4, h4, mvx, mvy, rf)
             }
             val codeNum = r.ue()
             require(codeNum < 48, s"bad coded_block_pattern code $codeNum")

@@ -1767,7 +1767,77 @@ object MediaQ {
       |CROSS JOIN (VALUES ('w_p1'), ('w_e0'), ('w_e1'), ('w_skip')
       |) p(probe)""".stripMargin
 
+  /** q243 — H.264 **16x8 / 8x16 partitions** ([[H264Inter]] round 13):
+    * per doc, a P picture whose macroblocks split into two L0 partitions
+    * with INDEPENDENT motion vectors and reference indexes: a 16x8 whose
+    * top half reads the shifted P picture (ref 0) while its bottom half
+    * reads the original gradient (ref 1), an 8x16 whose left half reads
+    * ref 1 at zero motion while its right half reads ref 0 through a
+    * (4,4) quarter-pel vector, and a plain 16x16 for contrast. Probes in
+    * each partition region pin the Table 7-13 geometry, the per-
+    * partition te(v) reference indexes, and region-granular motion
+    * compensation; the 8.4.1.3 partition-directional predictor special
+    * cases (shared by encoder and decoder) are pinned by hand-assembled
+    * raw slice bits in H264InterSpec.
+    *
+    * Scale shape: map-only, one scan, 5 rows per doc — no shuffle.
+    */
+  def h264PartitionProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val a = Array.tabulate(16, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs = (0 until 3).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        import H264Inter.{P16x16, PPart}
+        val p1 = Seq.fill[H264Inter.PMbPlan](3)(P16x16(4 * sh, 0))
+        val p2 = Seq[H264Inter.PMbPlan](
+          PPart(wide = true, 0, 0, 0, 0, 0, 1),
+          PPart(wide = false, 0, 0, 1, 4, 4, 0),
+          P16x16(0, 0))
+        val stream = H264Inter.encodeStream(3, 1, 26, iMbs, Seq(p1, p2))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("pt_top", fs(2)(4)(8)), ("pt_bot", fs(2)(12)(8)),
+          ("pt_left", fs(2)(4)(20)), ("pt_right", fs(2)(4)(28)),
+          ("pt_16", fs(2)(4)(40))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: gradient reads through the partition geometry — the top/
+    * right halves see the sh-shifted P picture (the right one through an
+    * extra (1,1) integer offset), the bottom/left halves the original
+    * gradient via ref 1.
+    */
+  private val h264PartitionSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh
+      |  FROM documents
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'pt_top' THEN g0 + 16 + sh
+      |    WHEN 'pt_bot' THEN g0 + 32
+      |    WHEN 'pt_left' THEN g0 + 28
+      |    WHEN 'pt_right' THEN g0 + 39 + sh
+      |    WHEN 'pt_16' THEN g0 + 48 + sh
+      |  END)) AS INT) AS px
+      |FROM base
+      |CROSS JOIN (VALUES ('pt_top'), ('pt_bot'), ('pt_left'),
+      |  ('pt_right'), ('pt_16')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q243_h264_partition_probes", h264PartitionProbes, Some(h264PartitionSql)),
     QueryDef("q242_h264_weighted_probes", h264WeightedProbes, Some(h264WeightedSql)),
     QueryDef("q241_h264_bslice_probes", h264BSliceProbes, Some(h264BSliceSql)),
     QueryDef("q240_h264_multiref_probes", h264MultiRefProbes, Some(h264MultiRefSql)),

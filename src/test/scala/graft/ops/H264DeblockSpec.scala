@@ -189,6 +189,31 @@ class H264DeblockSpec extends AnyFunSuite {
     assert(p(16) == 66 && p(17) == 67 && p(18) == 69)
   }
 
+  /** Partition-INTERNAL motion edge (cell-granular PicInfo, round 13): a
+    * 16x8 macroblock whose halves move 0 vs 2 integer pels over the
+    * x-ramp creates a bS=1 HORIZONTAL edge at y=8 inside the MB. Hand
+    * values at qp 28 (alpha 20, beta 8, tC0 1): p0=50+x, q0=52+x,
+    * p1−q1=−2 → Δ=clip3(3,(8−2+4)>>3)=1 → rows 7/8 meet at 51+x; the
+    * q1 tap (y=9): (q2+((p0+q0+1)>>1)−2q1)>>1 = (52+x+51+x−104−2x)>>1 =
+    * −1 → 51+x; p1 (y=6) inner is (−1+2)>>1... (50+x+51+x−100−2x)>>1 =
+    * 0 → untouched.
+    */
+  test("bS=1 inside a partitioned macroblock (16x8 motion discontinuity)") {
+    val ref = Array.tabulate(16, 16)((y, x) => 50 + x)
+    val p1 = Seq[H264Inter.PMbPlan](
+      H264Inter.PPart(wide = true, 0, 0, 0, 8, 0, 0))
+    val fs = H264Inter.decodeFrames(H264Inter.encodeStream(1, 1, 28,
+      Seq(H264Cavlc.PcmBlock(ref)), Seq(p1), 0, 0, 0))
+    val f = fs(1)
+    for (x <- 4 until 12) {
+      assert(f(6)(x) == 50 + x, s"y6 x=$x")
+      assert(f(7)(x) == 51 + x, s"y7 x=$x")
+      assert(f(8)(x) == 51 + x, s"y8 x=$x")
+      assert(f(9)(x) == 51 + x, s"y9 x=$x")
+      assert(f(10)(x) == 52 + x, s"y10 x=$x")
+    }
+  }
+
   /** Chroma edges inherit the luma bS and use the 2-tap bS=4 form: MB1
     * plants a chroma-DC residual (cb +8, cr +4 at QP 28) so the chroma
     * MB edge is a 128|136 / 128|132 step; chroma qPav = QPc(28) = 28,

@@ -669,6 +669,99 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  // ---- 16x8 / 8x16 partitions (round 13)
+
+  test("partitions: 16x8 and 8x16 compose per-partition motion and refs") {
+    // A(y,x) = 50 + 2x + 3y over 16x16 (max 125, 8-bit safe)
+    val a = Array.tabulate(16, 16)((y, x) => 50 + 2 * x + 3 * y)
+    def A(y: Int, x: Int) = a(math.min(y, 15))(math.min(x, 15))
+    import H264Inter.{PPart, P16x16}
+    // P1: 16x8 — top shifts right one pel, bottom shifts down one pel
+    val p1 = Seq[H264Inter.PMbPlan](
+      PPart(wide = true, 4, 0, 0, 0, 4, 0))
+    // P2: 8x16 — left copies P1, right reads the ORIGINAL A via ref 1
+    // with a (8,8) motion: per-partition reference indexes are live
+    val p2 = Seq[H264Inter.PMbPlan](
+      PPart(wide = false, 0, 0, 0, 8, 8, 1))
+    val fs = H264Inter.decodeFrames(H264Inter.encodeStream(1, 1, 26,
+      Seq(H264Cavlc.PcmBlock(a)), Seq(p1, p2)))
+    def p1v(y: Int, x: Int) = if (y < 8) A(y, x + 1) else A(y + 1, x)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(fs(1)(y)(x) == p1v(y, x), s"P1 ($x,$y)")
+      val w2 = if (x < 8) p1v(y, x) else A(y + 2, x + 2)
+      assert(fs(2)(y)(x) == w2, s"P2 ($x,$y)")
+    }
+    // and a residual on a partitioned MB composes over both partitions:
+    // DC level 2 at QP 24 adds +5 on block 0 (top-left 4x4)
+    val dc = Array.tabulate(16)(b =>
+      if (b == 0) Array(2) ++ Array.fill(15)(0) else null)
+    val p1r = Seq[H264Inter.PMbPlan](
+      PPart(wide = true, 4, 0, 0, 0, 4, 0, cbpLuma = 1, levels = dc))
+    val fr = H264Inter.decodeFrames(H264Inter.encodeStream(1, 1, 24,
+      Seq(H264Cavlc.PcmBlock(a)), Seq(p1r)))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = math.min(255, p1v(y, x) + (if (x < 4 && y < 4) 5 else 0))
+      assert(fr(1)(y)(x) == want, s"P1r ($x,$y)")
+    }
+  }
+
+  test("hand-assembled partition bits: the 16x8 directional predictor rules") {
+    // 2x1 MBs over ramp r(y,x) = 2x + 5y + 10 (max 147). The encoder and
+    // decoder share mvPred, so the 8.4.1.3 16x8 special cases (top -> B,
+    // bottom -> A on a refIdx match) are pinned with hand-built bits and
+    // hand-derived predictors.
+    val ramp = Array.tabulate(16, 32)((y, x) => 2 * x + 5 * y + 10)
+    val pcm = (0 until 2).map { mb =>
+      H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => ramp(y)(mb * 16 + x)))
+    }
+    val base = H264Inter.encodeStream(2, 1, 26, pcm, Nil)
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(0); w.ue(0)   // first_mb, slice_type P, pps
+    w.u(1, 4)                   // frame_num
+    w.u(0, 1); w.u(0, 1)        // no override, no list modification
+    w.se(0)                     // slice_qp_delta
+    w.ue(1)                     // disable_deblocking_filter_idc
+    // MB0: P_L0_16x8. Top partition: all neighbors unavailable ->
+    //   predictor (0,0); mvd (4,4) -> mv (4,4). Bottom partition: the
+    //   SPECIAL rule (A) does not fire (A unavailable), general rule:
+    //   B = own top partition, only match -> predictor (4,4); mvd
+    //   (8,-4) -> mv (12,0).
+    w.ue(0)                     // mb_skip_run
+    w.ue(1)                     // mb_type P_L0_16x8
+    w.se(4); w.se(4)            // mvd top
+    w.se(8); w.se(-4)           // mvd bottom
+    w.ue(0)                     // cbp 0
+    // MB1: P_L0_16x8. TOP partition special rule: B = MB0's row-0 cell
+    //   above? gy=0 -> B unavailable; A = MB0 top-right cell, mv (4,4);
+    //   B/C/D unavailable -> DIRECTIONAL -> (4,4). mvd (0,0) -> mv (4,4).
+    //   BOTTOM partition special rule FIRES: A = MB0's bottom partition
+    //   cell (3,2) -> mv (12,0) ref-matched -> predictor (12,0) — the
+    //   general rule would median A=(12,0), B=own top (4,4), C/D
+    //   unavailable-> D none, C = cell (8,1): out of picture -> D (3,1):
+    //   MB0 top (4,4) -> median x med(12,4,4)=4, y med(0,4,4)=4 = (4,4),
+    //   so a decoder without the special case lands 8 quarter-pels off.
+    //   mvd (0,0) -> mv (12,0) = 3 integer pels right.
+    w.ue(0)
+    w.ue(1)
+    w.se(0); w.se(0)            // mvd top
+    w.se(0); w.se(0)            // mvd bottom
+    w.ue(0)
+    w.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    H264.writeNal(out, 0, 1, w.toBytes)
+    val last = H264Inter.decodeFrames(out.toByteArray).last
+    def rc(y: Int, x: Int) = ramp(math.min(y, 15))(math.min(math.max(x, 0), 31))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want =
+        if (x < 16 && y < 8) rc(y + 1, x + 1)        // MB0 top (4,4)
+        else if (x < 16) rc(y, x + 3)                // MB0 bottom (12,0)
+        else if (y < 8) rc(y + 1, x + 1)             // MB1 top (4,4)
+        else rc(y, x + 3)                            // MB1 bottom (12,0) via SPECIAL A
+      assert(last(y)(x) == want, s"($x,$y): got ${last(y)(x)}, want $want")
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

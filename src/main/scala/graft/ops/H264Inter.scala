@@ -43,14 +43,15 @@ import H264.{BitReader, BitWriter}
   * [[H264Cavlc]]): I pictures decode through the FULL shared intra surface
   * ([[H264Cavlc.decodeISliceMbs]] — I_PCM, Intra_4x4, Intra_16x16 CAVLC)
   * and serve as references, so real compressed-intra + P chains decode
-  * natively (q237). Round 13 added a real multi-picture DPB (q240) and
+  * natively (q237). Round 13 added a real multi-picture DPB (q240),
   * B slices with L0/L1/Bi 16x16 prediction (q241 — RefPicList1 via the
-  * 8.2.4.2.3 first-two swap, default 8.4.2.3.1 bi averaging). What still
-  * exits through the external `MediaDecoder` seam: CABAC-coded P/B
-  * slices (intra-only CABAC lives in [[H264Cabac]]), direct-mode B
-  * macroblocks (B_Skip / B_Direct), weighted BIprediction (explicit
-  * P-slice weighting decodes natively — q242), explicit ref-list
-  * modification, deblocking across B pictures, and sub-16x16
+  * 8.2.4.2.3 first-two swap, default 8.4.2.3.1 bi averaging), explicit
+  * P-slice weighted prediction (q242), and 16x8/8x16 partitions with
+  * 4x4-granular motion state (q243). What still exits through the
+  * external `MediaDecoder` seam: CABAC-coded P/B slices (intra-only
+  * CABAC lives in [[H264Cabac]]), direct-mode B macroblocks (B_Skip /
+  * B_Direct), weighted BIprediction, explicit ref-list modification,
+  * deblocking across B pictures, and P_8x8 sub-macroblock
   * partitions — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises

@@ -114,6 +114,14 @@ object H264 {
     }
     def byteAligned: Boolean = (pos & 7) == 0
     def alignToByte(): Unit = while (!byteAligned) u(1)
+    /** Alignment whose padding bits the spec pins to a value
+      * (pcm_alignment_zero_bit = 0, cabac_alignment_one_bit = 1):
+      * consume to the byte boundary and REJECT a non-conformant bit —
+      * the family's loud-rejection contract, never silent acceptance.
+      */
+    def alignToByte(expect: Int): Unit = while (!byteAligned)
+      require(u(1) == expect,
+        s"alignment bit != $expect (non-conformant stream)")
   }
 
   // ------------------------------------------------ NAL / Annex-B layer ---
@@ -532,7 +540,7 @@ object H264 {
         val mbType = r.ue()
         require(mbType == 25, s"PCM subset decoder: mb_type $mbType at MB $mb " +
           "(predicted macroblocks need an external decoder — MediaDecoder seam)")
-        r.alignToByte()
+        r.alignToByte(0) // pcm_alignment_zero_bit (7.3.5)
         val x0 = (mb % mbsX) * 16
         val y0 = (mb / mbsX) * 16
         var i = 0

@@ -765,7 +765,8 @@ object H264Cabac {
         require(r.u(1) == 0, "cabac decoder: MMCO unsupported")
       val sliceQp = initQp + r.se()
       val (filterOn, offA, offB) = H264.sliceDeblocking(r, deblock)
-      r.alignToByte() // cabac_alignment_one_bit (all ones, checked below)
+      r.alignToByte(1) // cabac_alignment_one_bit: each padding bit MUST
+      // be 1 (7.3.3) — a zero bit is a non-conformant stream, rejected
       val d = new ArithDecoder(r, sliceQp)
       val model = new Model(mbsX, mbsY)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
@@ -901,7 +902,11 @@ object H264Cabac {
       if (d.decision(62) == 1) {
         code = 2
         while (code < 53 && d.decision(63) == 1) code += 1
-        require(code < 53, "mb_qp_delta out of range (corrupt stream)")
+        // 7.4.5 bounds mb_qp_delta to [-26, +25]: unary code 52 maps to
+        // -26 (legal) but 51 maps to +26 — reject it rather than let the
+        // mod-52 wrap silently tolerate an illegal stream
+        require(code < 53 && code != 51,
+          "mb_qp_delta out of range (corrupt stream)")
       }
     }
     val delta = if ((code & 1) == 1) (code + 1) / 2 else -(code / 2)

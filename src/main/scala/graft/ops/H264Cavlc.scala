@@ -1035,7 +1035,7 @@ object H264Cavlc {
 
         val mbType = r.ue()
         if (mbType == 25) { // I_PCM
-          r.alignToByte()
+          r.alignToByte(0) // pcm_alignment_zero_bit (7.3.5)
           val x0 = mbX * 16; val y0 = mbY * 16
           var i = 0
           while (i < 256) {

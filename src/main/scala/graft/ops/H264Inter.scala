@@ -160,7 +160,22 @@ object H264Inter {
     * later partition of the current MB) is address-unavailable, exactly
     * like an out-of-picture one.
     */
-  private final class MvGrid(mbsX: Int, mbsY: Int) {
+  private final class MvGrid(mbsX: Int, mbsY: Int,
+      sharedDecoded: Array[Array[Boolean]] = null) {
+    /** ADDRESS availability (6.4.11.7): the cell's partition has DECODED,
+      * regardless of whether it predicted from THIS grid's list. B slices
+      * share ONE decoded grid between the two list grids, so a neighbor
+      * MB that used only the other list (e.g. a B_L1 MB during an L0
+      * prediction) stays address-AVAILABLE — 8.4.1.3.2 gives it
+      * refIdxLX −1 / mvLX (0,0) via predFlagLX = 0, it does NOT become
+      * unavailable (which would wrongly trigger the C→D substitution and
+      * the all-unavailable→mvA early-out). P slices pass no shared grid:
+      * every decoded P MB fills list 0, so decoded ⇔ filled there.
+      */
+    val decoded: Array[Array[Boolean]] =
+      if (sharedDecoded != null) sharedDecoded
+      else Array.fill(mbsY * 4, mbsX * 4)(false)
+    /** predFlagLX per cell: the partition predicted from THIS list. */
     val filled = Array.fill(mbsY * 4, mbsX * 4)(false)
     val mvx = Array.ofDim[Int](mbsY * 4, mbsX * 4)
     val mvy = Array.ofDim[Int](mbsY * 4, mbsX * 4)
@@ -173,6 +188,7 @@ object H264Inter {
       while (j < h4) {
         var i = 0
         while (i < w4) {
+          decoded(gy + j)(gx + i) = true
           filled(gy + j)(gx + i) = true
           mvx(gy + j)(gx + i) = x; mvy(gy + j)(gx + i) = y
           ref(gy + j)(gx + i) = refIdx
@@ -209,13 +225,16 @@ object H264Inter {
     */
   private def mvPred(g: MvGrid, gx: Int, gy: Int, w4: Int, mbsX: Int,
       refIdx: Int, part: Int): (Int, Int) = {
-    // (addrAvailable, ref-matched, mvx, mvy) per 8.4.1.3.2
+    // (addrAvailable, ref-matched, mvx, mvy) per 8.4.1.3.2: a DECODED
+    // cell whose partition didn't predict from this list (predFlagLX = 0,
+    // B slices only) is address-available with refIdx −1 / mv (0,0)
     def nb(x: Int, y: Int): (Boolean, Boolean, Int, Int) =
-      if (x < 0 || y < 0 || x >= mbsX * 4 || !g.filled(y)(x)) (false, false, 0, 0)
+      if (x < 0 || y < 0 || x >= mbsX * 4 || !g.decoded(y)(x)) (false, false, 0, 0)
+      else if (!g.filled(y)(x)) (true, false, 0, 0)
       else (true, g.ref(y)(x) == refIdx, g.mvx(y)(x), g.mvy(y)(x))
     val a = nb(gx - 1, gy)
     val b = nb(gx, gy - 1)
-    val cAddrOk = gy > 0 && gx + w4 < mbsX * 4 && g.filled(gy - 1)(gx + w4)
+    val cAddrOk = gy > 0 && gx + w4 < mbsX * 4 && g.decoded(gy - 1)(gx + w4)
     val dAddrOk = gy > 0 && gx > 0
     val cPos =
       if (cAddrOk) Some((gx + w4, gy - 1))
@@ -651,8 +670,11 @@ object H264Inter {
         w.se(qp - 26)            // slice_qp_delta
         w.ue(deblockIdc)         // disable_deblocking_filter_idc
         if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
-        val g0 = new MvGrid(mbsX, mbsY) // list-0 motion state
-        val g1 = new MvGrid(mbsX, mbsY) // list-1 motion state
+        // one ADDRESS-availability grid shared by both lists (6.4.11.7):
+        // a decoded B_L1 neighbor must stay available to an L0 prediction
+        val decoded = Array.fill(mbsY * 4, mbsX * 4)(false)
+        val g0 = new MvGrid(mbsX, mbsY, decoded) // list-0 motion state
+        val g1 = new MvGrid(mbsX, mbsY, decoded) // list-1 motion state
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
         mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
           val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
@@ -931,8 +953,10 @@ object H264Inter {
         require(numActive <= dpb.length && numActiveL1 <= dpb.length,
           s"inter decoder: $numActive/$numActiveL1 active references but " +
             s"only ${dpb.length} decoded pictures")
-        val g0 = new MvGrid(mbsX, mbsY)
-        val g1 = new MvGrid(mbsX, mbsY)
+        // shared ADDRESS-availability grid — see the encoder-side comment
+        val decoded = Array.fill(mbsY * 4, mbsX * 4)(false)
+        val g0 = new MvGrid(mbsX, mbsY, decoded)
+        val g1 = new MvGrid(mbsX, mbsY, decoded)
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
 
         /** One MB's motion-compensated prediction from DPB entry `d` as

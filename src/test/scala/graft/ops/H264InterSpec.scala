@@ -762,6 +762,57 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("hand-assembled B bits: a decoded other-list neighbor stays ADDRESS-available") {
+    // ADVICE r13 (medium): B-slice mv prediction must key neighbor ADDRESS
+    // availability on "that MB has decoded", not on "that MB predicted
+    // from THIS list". A B_L1 neighbor during an L0 prediction is
+    // available with refIdxL0 -1 / mvL0 (0,0) (8.4.1.3.2 via predFlagLX),
+    // NOT unavailable — the buggy reading substitutes D for C and can pick
+    // up a stale diagonal match. Encoder and decoder share mvPred, so only
+    // hand-built bits can pin this: 3x2 MBs over ramp r(y,x) = 2x + 3y + 10
+    // (max 197), one I_PCM reference, then a raw B slice:
+    //   MB(0,0) B_L0 mv (4,0)   MB(1,0) B_L1 mv (0,0)  MB(2,0) B_L1 (0,0)
+    //   MB(0,1) B_L1 mv (0,0)   MB(1,1) B_L0 mvd (0,0) MB(2,1) B_L1 (0,0)
+    // MB(1,1)'s L0 predictor per spec: A=MB(0,1), B=MB(1,0), C=MB(2,0) are
+    // ALL decoded-but-L1 -> available, unmatched, mv (0,0); zero matches ->
+    // median (0,0) -> mv (0,0). The per-list-filled bug instead finds C's
+    // cell unfilled in the L0 grid, substitutes D = MB(0,0) (L0, refIdx
+    // match, mv (4,0)) -> exactly-one-match -> mv (4,0): one pel right.
+    val ramp = Array.tabulate(32, 48)((y, x) => 2 * x + 3 * y + 10)
+    val base = H264Inter.encodeStream(3, 2, 26, ramp, Nil)
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(6); w.ue(0)   // first_mb, slice_type B, pps
+    w.u(1, 4)                   // frame_num = PrevRefFrameNum + 1 (7.4.3)
+    w.u(1, 1)                   // direct_spatial_mv_pred_flag
+    w.u(0, 1)                   // no num_ref_idx override (l0 = l1 = 1)
+    w.u(0, 1); w.u(0, 1)        // no l0 / l1 list modification
+    w.se(0)                     // slice_qp_delta
+    w.ue(1)                     // disable_deblocking_filter_idc
+    // (numActive = 1 on both lists -> te(v) ref_idx fields are absent)
+    def mb(mode: Int, mvdx: Int, mvdy: Int): Unit = {
+      w.ue(0)                   // mb_skip_run
+      w.ue(1 + mode)            // B_L0/L1_16x16 (Table 7-14)
+      w.se(mvdx); w.se(mvdy)    // mvd for the single coded list
+      w.ue(0)                   // cbp 0
+    }
+    mb(0, 4, 0)                 // MB(0,0): predictor (0,0), mv (4,0)
+    mb(1, 0, 0); mb(1, 0, 0)    // MB(1,0), MB(2,0): L1, mv (0,0)
+    mb(1, 0, 0)                 // MB(0,1): L1, mv (0,0)
+    mb(0, 0, 0)                 // MB(1,1): THE PIN — spec mv (0,0)
+    mb(1, 0, 0)                 // MB(2,1): L1, mv (0,0)
+    w.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    H264.writeNal(out, 0, 1, w.toBytes) // non-reference B slice
+    val last = H264Inter.decodeFrames(out.toByteArray).last
+    for (y <- 0 until 32; x <- 0 until 48) {
+      // only MB(0,0) moves (one integer pel right; x+1 <= 16 < 48, no
+      // clamp); every other MB — MB(1,1) in particular — is the reference
+      val want = if (x < 16 && y < 16) ramp(y)(x + 1) else ramp(y)(x)
+      assert(last(y)(x) == want, s"($x,$y): got ${last(y)(x)}, want $want")
+    }
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -300,13 +300,17 @@ object Bench {
         .map(_.name)
         .filter(n => results.exists { case (k, v) => k == n && v >= 2.0 })
         .toSet
-      // Untainted queries >3× their recorded floor (and non-trivial ≥2 s):
-      // the q47 class. Ordered worst-ratio-first so the cap spends its
+      // Untainted queries >3× their recorded floor whose EXCESS is
+      // material (≥1 s over floor — the q47 class, and round-13's
+      // sub-2 s q06/q175 class, which the old `v >= 2.0` bar named in
+      // the audit but never retried: the audit below uses the SAME
+      // eligibility so it can no longer list entries the net refuses
+      // to touch). Ordered worst-ratio-first so the cap spends its
       // budget on the most inflated measurements.
       val floorOutliers = results
         .filter { case (k, v) =>
-          !stallFlagged.contains(k) && v >= 2.0 &&
-            floors.get(k).exists(f => f > 0 && v > 3.0 * f)
+          !stallFlagged.contains(k) &&
+            floors.get(k).exists(f => f > 0 && v > 3.0 * f && v - f >= 1.0)
         }
         .sortBy { case (k, v) => -(v / floors(k)) }
         .map(_._1)
@@ -420,12 +424,15 @@ object Bench {
       val sampleJson = samples.map { case (ts, ms, st, io) =>
         BenchJson.sample(ts, ms, st, io) }
       // Post-retry floor audit (VERDICT r11 item 1's "done" bar): any
-      // query still >3× its recorded floor after the retry pass is named
-      // here, so a reader can check each one carries taint/retry evidence
-      // above instead of diffing the full map against tools/floors.json.
+      // query still >3× its recorded floor — with a MATERIAL excess,
+      // the same ≥1 s-over-floor eligibility the retry net uses — is
+      // named here, so a reader can check each one carries taint/retry
+      // evidence above instead of diffing the full map against
+      // tools/floors.json.
       val floorOutliersPost = results
         .filter { case (k, v) =>
-          v >= 0 && floors.get(k).exists(f => f > 0 && v > 3.0 * f) }
+          v >= 0 &&
+            floors.get(k).exists(f => f > 0 && v > 3.0 * f && v - f >= 1.0) }
         .map { case (k, v) =>
           s"""{"q":"$k","sec":$v,"floor":${floors(k)}}""" }
       val host =

@@ -23,13 +23,16 @@ package graft.ops
   *
   * The SUBSET boundary of THIS module, stated plainly: predicted
   * macroblock types are not decoded here — intra-CAVLC I slices live in
-  * [[H264Cavlc]] (q235), P-slice inter prediction in [[H264Inter]]
-  * (q236), CABAC-coded I slices in [[H264Cabac]] (q239, with its own
-  * documented init-constant caveat), and the 8.7 loop filter in
-  * [[H264Deblock]] (q238, in-loop); what remains external (B slices,
-  * multi-reference streams, weighted prediction, CABAC P slices) still
-  * exits through [[Multimodal.MediaDecoder]] (MediaDecoderSeamSpec pins
-  * that seam). Emitted slices signal disable_deblocking_filter_idc = 1
+  * [[H264Cavlc]] (q235), inter prediction in [[H264Inter]] (P 16x16 /
+  * 16x8 / 8x16 / skip with multi-reference DPB q240, explicit weighted
+  * prediction q242, B 16x16 q241), CABAC-coded slices in [[H264Cabac]]
+  * (I q239, P q244 — both with the documented init-constant caveat),
+  * and the 8.7 loop filter in [[H264Deblock]] (q238, in-loop); what
+  * remains external (P_8x8 sub-partitions, direct-mode B, CABAC B
+  * slices, ref-list modification, multi-slice pictures, interlace,
+  * MMCO) still exits through [[Multimodal.MediaDecoder]]
+  * (MediaDecoderSeamSpec pins that seam). Emitted slices signal
+  * disable_deblocking_filter_idc = 1
   * by default, so external decoders skip the loop filter and reproduce
   * the filter-less reconstructions bit-exactly; filter-enabled streams
   * (idc 0/2) decode natively since round 13.

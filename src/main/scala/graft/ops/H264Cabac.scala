@@ -2,10 +2,12 @@ package graft.ops
 
 import H264.{BitReader, BitWriter}
 
-/** Pure-JVM H.264 **CABAC entropy codec for I slices** (ITU-T Rec. H.264,
-  * clause 9.3) — the last named entropy seam (VERDICT r11 item 5). Real-
-  * world encoders default to CABAC; with this module the engine natively
-  * decodes I slices whose PPS sets entropy_coding_mode_flag = 1, through
+/** Pure-JVM H.264 **CABAC entropy codec for I and P slices** (ITU-T Rec.
+  * H.264, clause 9.3) — the last named entropy seam (VERDICT r11 item 5;
+  * P slices VERDICT r13 item 3). Real-world encoders default to CABAC;
+  * with this module the engine natively decodes I slices (q239) and P
+  * slices (q244 — via [[PSliceDecoder]], driven by [[H264Inter]]'s
+  * picture loop) whose PPS sets entropy_coding_mode_flag = 1, through
   * the SAME prediction/dequant/transform layer the CAVLC decoder uses
   * ([[H264Cavlc.reconI16x16]] / [[H264Cavlc.reconI4x4Block]] /
   * [[H264Cavlc.reconChroma]] — entropy-agnostic after residual parse, and
@@ -51,7 +53,12 @@ import H264.{BitReader, BitWriter}
   * conformance vectors can be run: this module decodes them structurally,
   * but a deviated init constant would desync against a real encoder.
   * I_PCM inside CABAC slices (engine re-initialization, 9.3.1.2) is
-  * rejected loudly, as are B/P slices.
+  * rejected loudly, as are CABAC B slices and P_8x8 sub-partitions.
+  * The P-slice layer adds (9.3.2/9.3.3, round 14): mb_skip_flag
+  * (ctx 11..13), P mb_type (14..17), ref_idx unary (54..59), mvd as
+  * UEG3 with uCoff 9 (40..53 + EG3 bypass escapes), the inter
+  * coded_block_flag edge rule, and the cabac_init_idc-0 P column
+  * ([[initMNP]] — same transcription caveat).
   *
   * The reference repo has no video surface (SURVEY.md §2.11); built from
   * the public spec alone, like the rest of the family.
@@ -192,17 +199,122 @@ object H264Cabac {
     t
   }
 
+  /** P-slice context initialization constants (m, n) for ctxIdx 0..275 —
+    * the **cabac_init_idc = 0** column of Tables 9-13..9-23 (ctxIdx 0..10
+    * are slice-type-independent, Table 9-12; the encoder always writes
+    * cabac_init_idc 0, and the decoder rejects the other two columns
+    * loudly rather than initialize from untranscribed tables).
+    *
+    * TRANSCRIPTION CONFIDENCE: same class as [[initMN]] and weaker —
+    * NO in-container witness exists (any values round-trip and every
+    * oracle passes), and this column was transcribed without the
+    * original at hand. The contexts the P subset actually reads
+    * (11..23 skip/mb_type, 40..59 mvd/ref_idx, 60..63 qp_delta,
+    * 73..104 cbp/cbf, 105..275 residual) are all present; 24..39 are
+    * the B contexts, transcribed for index stability but never read
+    * (CABAC B slices reject loudly). External CABAC streams stay on
+    * the MediaDecoder seam regardless, so a deviation here affects
+    * NOTHING in-container — it would only surface once conformance
+    * vectors can be run, exactly like the I column's declared risk.
+    */
+  private val initMNP: Array[(Int, Int)] = {
+    val t = Array.fill[(Int, Int)](276)((0, 0))
+    val known: Seq[(Int, Seq[(Int, Int)])] = Seq(
+      // 0..10: mb_type (SI/I prefix) — slice-type-independent (Table 9-12)
+      0 -> Seq((20, -15), (2, 54), (3, 74), (20, -15), (2, 54), (3, 74),
+        (-28, 127), (-23, 104), (-6, 53), (-1, 54), (7, 51)),
+      // 11..23: mb_skip_flag (P) + mb_type (P) — Table 9-13, idc 0
+      11 -> Seq((23, 33), (23, 2), (21, 0), (1, 9), (0, 49), (-37, 118),
+        (5, 57), (-13, 78), (-11, 65), (1, 62), (12, 49), (-4, 73), (17, 50)),
+      // 24..39: mb_skip_flag (B) + mb_type (B) — Table 9-14, idc 0 (unread)
+      24 -> Seq((18, 64), (9, 43), (29, 0), (26, 67), (16, 90), (9, 104),
+        (-46, 127), (-20, 104), (1, 67), (-13, 78), (-11, 65), (1, 62),
+        (-6, 86), (-17, 95), (-6, 61), (9, 45)),
+      // 40..53: mvd_l0/l1 x then y — Table 9-15, idc 0
+      40 -> Seq((-3, 69), (-6, 81), (-11, 96), (6, 55), (7, 67), (-5, 86),
+        (2, 88), (0, 58), (-3, 76), (-10, 94), (5, 54), (4, 69), (-3, 81),
+        (0, 88)),
+      // 54..59: ref_idx — Table 9-16, idc 0
+      54 -> Seq((-7, 67), (-5, 74), (-4, 74), (-5, 80), (-7, 72), (1, 58)),
+      // 60..69: mb_qp_delta + intra pred modes — Table 9-17, idc 0
+      60 -> Seq((0, 41), (0, 63), (0, 63), (0, 63),
+        (-9, 83), (4, 86), (0, 97), (-7, 72), (13, 41), (3, 62)),
+      // 70..72: mb_field_decoding_flag; 73..84: coded_block_pattern
+      70 -> Seq((0, 45), (-4, 78), (-3, 96),
+        (-27, 126), (-28, 98), (-25, 101), (-23, 67),
+        (-28, 82), (-20, 94), (-16, 83), (-22, 110),
+        (-21, 91), (-18, 102), (-13, 93), (-29, 127)),
+      // 85..104: coded_block_flag — Table 9-18, idc 0
+      85 -> Seq((-7, 92), (-5, 89), (-7, 96), (-13, 108),
+        (-3, 46), (-1, 65), (-1, 57), (-9, 93),
+        (-3, 74), (-9, 92), (-8, 87), (-23, 126),
+        (5, 54), (6, 60), (6, 59), (6, 69),
+        (-1, 48), (0, 68), (-4, 69), (-8, 88)),
+      // 105..165: significant_coeff_flag (frame) — Table 9-19, idc 0
+      105 -> Seq((-2, 85), (-6, 78), (-1, 75), (-7, 77),
+        (2, 54), (5, 50), (-3, 68), (1, 50),
+        (6, 42), (-4, 81), (1, 63), (-4, 70),
+        (0, 67), (2, 57), (-2, 76), (11, 35),
+        (4, 64), (1, 61), (11, 35), (18, 25),
+        (12, 24), (13, 29), (13, 36), (-10, 93),
+        (-7, 73), (-2, 73), (13, 46), (9, 49),
+        (-7, 100), (9, 53), (2, 53), (5, 53),
+        (-2, 61), (0, 56), (0, 56), (-13, 63),
+        (-5, 60), (-1, 62), (4, 57), (-6, 69),
+        (4, 57), (14, 39), (4, 51), (13, 68),
+        (3, 64), (1, 61), (9, 63), (7, 50),
+        (16, 39), (5, 44), (4, 52), (11, 48),
+        (-5, 60), (-1, 59), (0, 59), (22, 33),
+        (5, 44), (14, 43), (-1, 78), (0, 60), (9, 69)),
+      // 166..226: last_significant_coeff_flag (frame) — Table 9-20, idc 0
+      166 -> Seq((11, 28), (2, 40), (3, 44), (0, 49),
+        (0, 46), (2, 44), (2, 51), (0, 47),
+        (4, 39), (2, 62), (6, 46), (0, 54),
+        (3, 54), (2, 58), (4, 63), (6, 51),
+        (6, 57), (7, 53), (6, 52), (6, 55),
+        (11, 45), (14, 36), (8, 53), (-1, 82),
+        (7, 55), (-3, 78), (15, 46), (22, 31),
+        (-1, 84), (25, 7), (30, -7), (28, 3),
+        (28, 4), (32, 0), (34, -1), (30, 6),
+        (30, 6), (32, 9), (31, 19), (26, 27),
+        (26, 30), (37, 20), (28, 34), (17, 70),
+        (1, 67), (5, 59), (9, 67), (16, 30),
+        (18, 32), (18, 35), (22, 29), (24, 31),
+        (23, 38), (18, 43), (20, 41), (11, 63),
+        (9, 59), (9, 64), (-1, 94), (-2, 89), (-9, 108)),
+      // 227..275: coeff_abs_level_minus1 — Table 9-21, idc 0
+      227 -> Seq((-6, 76), (-2, 44), (0, 45), (0, 52),
+        (-3, 64), (-2, 59), (-4, 70), (-4, 75),
+        (-8, 82), (-17, 102), (-9, 77), (3, 24),
+        (0, 42), (0, 48), (0, 55), (-6, 59),
+        (-7, 71), (-12, 83), (-11, 87), (-30, 119),
+        (1, 58), (-3, 29), (-1, 36), (1, 38),
+        (2, 43), (-6, 55), (0, 58), (0, 64),
+        (-3, 74), (-10, 90), (0, 70), (-4, 29),
+        (5, 31), (7, 42), (1, 59), (-2, 58),
+        (-3, 72), (-3, 81), (-11, 97), (0, 58),
+        (8, 5), (10, 14), (14, 18), (13, 27),
+        (2, 40), (0, 58), (-3, 70), (-6, 79), (-8, 85)))
+    known.foreach { case (base, vals) =>
+      vals.zipWithIndex.foreach { case (v, i) => t(base + i) = v }
+    }
+    t
+  }
+
   private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
 
-  /** 9.3.1.1: initialize all context states/valMPS for SliceQPY. */
-  private def initContexts(qp: Int): (Array[Int], Array[Int]) = {
+  /** 9.3.1.1: initialize all context states/valMPS for SliceQPY from the
+    * I column or (`pSlice`) the P cabac_init_idc-0 column.
+    */
+  private def initContexts(qp: Int, pSlice: Boolean): (Array[Int], Array[Int]) = {
+    val tab = if (pSlice) initMNP else initMN
     val state = new Array[Int](276)
     val mps = new Array[Int](276)
     val q = clip3(0, 51, qp)
     var i = 0
     while (i < 276) {
-      val (m, n) = initMN(i)
+      val (m, n) = tab(i)
       val pre = clip3(1, 126, ((m * q) >> 4) + n)
       if (pre <= 63) { state(i) = 63 - pre; mps(i) = 0 }
       else { state(i) = pre - 64; mps(i) = 1 }
@@ -216,11 +328,12 @@ object H264Cabac {
   /** 9.3.3.2 binary arithmetic decoder over a [[BitReader]] positioned at
     * the byte-aligned start of the slice data.
     */
-  private[ops] final class ArithDecoder(r: BitReader, qp: Int) {
+  private[ops] final class ArithDecoder(r: BitReader, qp: Int,
+      pSlice: Boolean = false) {
     private var range = 510
     private var offset = r.u(9).toInt
     require(offset < 510, "CABAC init: codIOffset must be < codIRange")
-    private val (state, mps) = initContexts(qp)
+    private val (state, mps) = initContexts(qp, pSlice)
 
     def decision(ctx: Int): Int = {
       val s = state(ctx)
@@ -262,16 +375,21 @@ object H264Cabac {
       }
     }
 
-    /** UEGk suffix, k = 0 (9.3.2.4), bypass-coded. */
-    def eg0(): Int = {
-      var k = 0; var v = 0
+    /** UEGk suffix (9.3.2.4), bypass-coded, starting exponent `k0`
+      * (k = 0 for coeff levels, k = 3 for mvd).
+      */
+    def egk(k0: Int): Int = {
+      var k = k0; var v = 0
       while (bypass() == 1) {
         v += 1 << k; k += 1
-        require(k <= 20, "EG0 escape out of range (corrupt stream)")
+        require(k <= 24, s"EG$k0 escape out of range (corrupt stream)")
       }
       while (k > 0) { k -= 1; v += bypass() << k }
       v
     }
+
+    /** UEG0 suffix — the coeff-level escape. */
+    def eg0(): Int = egk(0)
   }
 
   // ------------------------------------------------------ encoder engine ---
@@ -279,12 +397,13 @@ object H264Cabac {
   /** 9.3.4 binary arithmetic encoder emitting into a [[BitWriter]] that is
     * byte-aligned at construction (after cabac_alignment_one_bit).
     */
-  private[ops] final class ArithEncoder(w: BitWriter, qp: Int) {
+  private[ops] final class ArithEncoder(w: BitWriter, qp: Int,
+      pSlice: Boolean = false) {
     private var low = 0
     private var range = 510
     private var firstBit = true
     private var outstanding = 0
-    private val (state, mps) = initContexts(qp)
+    private val (state, mps) = initContexts(qp, pSlice)
 
     private def putBit(b: Int): Unit = {
       if (firstBit) firstBit = false else w.u(b.toLong, 1)
@@ -338,12 +457,14 @@ object H264Cabac {
       w.u((((low >> 7) & 3) | 1).toLong, 2)
     }
 
-    def eg0(value: Int): Unit = {
-      var v = value; var k = 0
+    def egk(k0: Int, value: Int): Unit = {
+      var v = value; var k = k0
       while (v >= (1 << k)) { bypass(1); v -= 1 << k; k += 1 }
       bypass(0)
       while (k > 0) { k -= 1; bypass((v >> k) & 1) }
     }
+
+    def eg0(value: Int): Unit = egk(0, value)
   }
 
   // -------------------------------------------------- ctx model (grids) ---
@@ -354,7 +475,7 @@ object H264Cabac {
     * round-trips invisibly; only the context CHOICE is affected, never
     * decoded values of our own streams.)
     */
-  private final class Model(mbsX: Int, mbsY: Int) {
+  private final class Model(mbsX: Int, mbsY: Int, interPic: Boolean = false) {
     val isI4x4 = Array.ofDim[Boolean](mbsY, mbsX)
     val decoded = Array.ofDim[Boolean](mbsY, mbsX)
     val cbpLuma = Array.ofDim[Int](mbsY, mbsX)
@@ -367,6 +488,70 @@ object H264Cabac {
     val cacCbf = Array.ofDim[Int](2, mbsY * 2, mbsX * 2) // chroma AC
     val mode4x4 = Array.fill(mbsY * 4, mbsX * 4)(2)
     var prevQpDeltaNz = false
+
+    // ----- inter (P-slice) syntax state: contexts depend only on these,
+    // never on reconstructed motion or pixels, so the entropy layer is
+    // fully self-contained (the picture loop lives in H264Inter)
+    val skipFlag = Array.ofDim[Boolean](mbsY, mbsX)
+    val absMvdX = Array.ofDim[Int](mbsY * 4, mbsX * 4) // |mvd| per 4x4 cell
+    val absMvdY = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+    val refIdxG = Array.ofDim[Int](mbsY * 4, mbsX * 4)
+
+    /** mb_skip_flag ctxIdxInc (9.3.3.1.1.1): condTermFlagN = 1 iff the
+      * neighbor MB is available and NOT itself skipped.
+      */
+    def skipInc(mbX: Int, mbY: Int): Int = {
+      def c(x: Int, y: Int) = if (avail(x, y) && !skipFlag(y)(x)) 1 else 0
+      c(mbX - 1, mbY) + c(mbX, mbY - 1)
+    }
+
+    /** ref_idx ctxIdxInc (9.3.3.1.1.6) for the partition at 4x4 origin
+      * (gx, gy): condTermFlagN = 1 iff neighbor cell N exists and its
+      * refIdx > 0 (skipped / unfilled cells hold 0). inc = A + 2·B.
+      */
+    def refIdxInc(gx: Int, gy: Int): Int = {
+      def c(x: Int, y: Int) =
+        if (x < 0 || y < 0 || x >= mbsX * 4 || refIdxG(y)(x) <= 0) 0 else 1
+      c(gx - 1, gy) + 2 * c(gx, gy - 1)
+    }
+
+    /** mvd ctxIdxInc (9.3.3.1.1.7) for component `comp` (0 = x, 1 = y)
+      * of the partition at (gx, gy): sum the neighbor cells' |mvd|,
+      * threshold at 3 / 32.
+      */
+    def mvdInc(gx: Int, gy: Int, comp: Int): Int = {
+      val grid = if (comp == 0) absMvdX else absMvdY
+      def c(x: Int, y: Int) =
+        if (x < 0 || y < 0 || x >= mbsX * 4) 0 else grid(y)(x)
+      val sum = c(gx - 1, gy) + c(gx, gy - 1)
+      if (sum < 3) 0 else if (sum <= 32) 1 else 2
+    }
+
+    /** Record a decoded/encoded partition's syntax state. */
+    def noteRefIdx(gx: Int, gy: Int, w4: Int, h4: Int, refIdx: Int): Unit = {
+      var j = 0
+      while (j < h4) {
+        var i = 0
+        while (i < w4) { refIdxG(gy + j)(gx + i) = refIdx; i += 1 }
+        j += 1
+      }
+    }
+    def noteMvd(gx: Int, gy: Int, w4: Int, h4: Int, ax: Int, ay: Int): Unit = {
+      var j = 0
+      while (j < h4) {
+        var i = 0
+        while (i < w4) {
+          absMvdX(gy + j)(gx + i) = ax; absMvdY(gy + j)(gx + i) = ay
+          i += 1
+        }
+        j += 1
+      }
+    }
+    def noteSkip(mbX: Int, mbY: Int): Unit = {
+      skipFlag(mbY)(mbX) = true
+      decoded(mbY)(mbX) = true
+      prevQpDeltaNz = false // 9.3.3.1.1.5: a skipped MB resets the chain
+    }
 
     private def avail(x: Int, y: Int): Boolean =
       x >= 0 && y >= 0 && x < mbsX && decoded(y)(x)
@@ -431,8 +616,12 @@ object H264Cabac {
       c(mbX - 1, mbY) + 2 * c(mbX, mbY - 1)
     }
     def cbfIncLuma(gx: Int, gy: Int): Int = {
+      // 9.3.3.1.1.9 out-of-picture rule: condTermFlagN = 1 when the
+      // current MB is INTRA coded, 0 when inter (P pictures here hold
+      // only inter MBs — intra-in-P rejects loudly)
+      val edge = if (interPic) 0 else 1
       def c(x: Int, y: Int) =
-        if (x < 0 || y < 0) 1 else lumaCbf(y)(x)
+        if (x < 0 || y < 0) edge else lumaCbf(y)(x)
       c(gx - 1, gy) + 2 * c(gx, gy - 1)
     }
     def cbfIncCdc(mbX: Int, mbY: Int, comp: Int): Int = {
@@ -556,6 +745,219 @@ object H264Cabac {
     1
   }
 
+  // ----------------------------------------------- P-slice entropy layer ---
+  //
+  // CABAC parsing is fully self-contained: every ctxIdxInc depends only
+  // on SYNTAX-level neighbor state (skip flags, |mvd|, refIdx, cbp, cbf)
+  // — never on reconstructed motion or pixels — so these two classes own
+  // the entire entropy side while H264Inter keeps the picture loop
+  // (prediction, MC, DPB, deblocking) it already shares with CAVLC.
+  // Element geometry (partition origins) comes IN from that loop, so
+  // Table 7-13 has exactly one implementation (H264Inter.partsOf).
+
+  /** Decode-side P-slice syntax reader; `r` must be positioned right
+    * after cabac_alignment_one_bit. Call order per MB (7.3.5/9.3.3):
+    * skipFlag → [mbTypeP → refIdx* → mvd* → cbpLuma → qpDelta? →
+    * lumaBlock*] → finishMb → endOfSlice.
+    */
+  private[ops] final class PSliceDecoder(r: BitReader, sliceQp: Int,
+      mbsX: Int, mbsY: Int) {
+    private val d = new ArithDecoder(r, sliceQp, pSlice = true)
+    private val m = new Model(mbsX, mbsY, interPic = true)
+
+    def skipFlag(mbX: Int, mbY: Int): Boolean = {
+      val s = d.decision(11 + m.skipInc(mbX, mbY)) == 1
+      if (s) m.noteSkip(mbX, mbY)
+      s
+    }
+
+    /** P mb_type (9.3.2.5): bin0 = 1 is the intra prefix — rejected, as
+      * in the CAVLC inter subset. Returns 0 (16x16), 1 (16x8), 2 (8x16)
+      * or 3 (P_8x8 — sub_mb_types follow via [[subMbTypeP]]).
+      */
+    def mbTypeP(): Int = {
+      require(d.decision(14) == 0,
+        "cabac inter decoder: intra-in-P unsupported (MediaDecoder seam)")
+      if (d.decision(15) == 0) {
+        if (d.decision(16) == 0) 0 else 2 // P_L0_16x16 : P_L0_L0_8x16
+      } else {
+        if (d.decision(17) == 1) 1 else 3 // P_L0_L0_16x8 : P_8x8
+      }
+    }
+
+    /** P sub_mb_type (9.3.2.5, ctx 21..23): '1' → 8x8, '00' → 8x4,
+      * '011' → 4x8, '010' → 4x4.
+      */
+    def subMbTypeP(): Int =
+      if (d.decision(21) == 1) 0
+      else if (d.decision(22) == 0) 1
+      else if (d.decision(23) == 1) 2
+      else 3
+
+    /** ref_idx_l0 for the partition at 4x4 origin (gx, gy): unary over
+      * ctx 54 + inc (bin0), 58 (bin1), 59 (bin ≥2) — 9.3.3.1.1.6.
+      */
+    def refIdx(gx: Int, gy: Int, w4: Int, h4: Int): Int = {
+      var v = 0
+      if (d.decision(54 + m.refIdxInc(gx, gy)) == 1) {
+        v = 1
+        while (v < 32 && d.decision(if (v == 1) 58 else 59) == 1) v += 1
+        require(v < 32, "cabac inter decoder: ref_idx unary out of range")
+      }
+      m.noteRefIdx(gx, gy, w4, h4, v)
+      v
+    }
+
+    /** mvd_l0 pair for the partition at (gx, gy): per component, UEG3
+      * with uCoff 9 (9.3.2.3) over ctx base 40 (x) / 47 (y): bin0 at
+      * base + inc(|mvd| neighbor sum), bins 1..3 at base+3..base+5,
+      * bins ≥4 at base+6; EG3 bypass suffix past 9; bypass sign.
+      */
+    def mvd(gx: Int, gy: Int, w4: Int, h4: Int): (Int, Int) = {
+      def comp(c: Int): Int = {
+        val base = if (c == 0) 40 else 47
+        if (d.decision(base + m.mvdInc(gx, gy, c)) == 0) 0
+        else {
+          var v = 1
+          while (v < 9 && d.decision(base + 3 + math.min(v - 1, 3)) == 1)
+            v += 1
+          if (v == 9) v += d.egk(3)
+          if (d.bypass() == 1) -v else v
+        }
+      }
+      val x = comp(0)
+      val y = comp(1)
+      m.noteMvd(gx, gy, w4, h4, math.abs(x), math.abs(y))
+      (x, y)
+    }
+
+    /** coded_block_pattern: 4 luma bins + the chroma prefix bin, which
+      * must be 0 (the inter subset carries no chroma residual, matching
+      * CAVLC — 8.4.2.3 chroma is motion-compensated only).
+      */
+    def cbpLuma(mbX: Int, mbY: Int): Int = {
+      var cbp = 0
+      var i = 0
+      while (i < 4) {
+        cbp |= d.decision(73 + m.cbpLumaInc(mbX, mbY, i, cbp)) << i
+        i += 1
+      }
+      require(d.decision(77 + m.cbpChromaInc(mbX, mbY, 0)) == 0,
+        "cabac inter decoder: chroma residual unsupported (cbpChroma must be 0)")
+      cbp
+    }
+
+    def qpDelta(qpY: Int): Int = decodeQpDelta(d, m, qpY)
+    def noQpDelta(): Unit = m.prevQpDeltaNz = false
+
+    /** One coded luma 4x4 block (ctxBlockCat 2) at grid cell (gx, gy). */
+    def lumaBlock(gx: Int, gy: Int): Array[Int] = {
+      val (lv, cbf) = decodeResidual(d, 2, 16, m.cbfIncLuma(gx, gy))
+      m.lumaCbf(gy)(gx) = cbf
+      lv
+    }
+
+    def finishMb(mbX: Int, mbY: Int, cbp: Int): Unit = {
+      m.cbpLuma(mbY)(mbX) = cbp
+      m.decoded(mbY)(mbX) = true
+    }
+
+    def endOfSlice(last: Boolean): Unit = {
+      val eos = d.terminate()
+      require((eos == 1) == last,
+        s"cabac inter decoder: end_of_slice_flag $eos (last=$last)")
+    }
+  }
+
+  /** Encode-side mirror of [[PSliceDecoder]] — same Model, same call
+    * order, writing into a byte-aligned BitWriter.
+    */
+  private[ops] final class PSliceEncoder(w: BitWriter, sliceQp: Int,
+      mbsX: Int, mbsY: Int) {
+    private val e = new ArithEncoder(w, sliceQp, pSlice = true)
+    private val m = new Model(mbsX, mbsY, interPic = true)
+
+    def skipFlag(mbX: Int, mbY: Int, skip: Boolean): Unit = {
+      e.decision(11 + m.skipInc(mbX, mbY), if (skip) 1 else 0)
+      if (skip) m.noteSkip(mbX, mbY)
+    }
+
+    def mbTypeP(t: Int): Unit = {
+      require(t >= 0 && t <= 3, s"cabac inter encoder: P mb_type $t")
+      e.decision(14, 0)
+      if (t == 0) { e.decision(15, 0); e.decision(16, 0) }
+      else if (t == 2) { e.decision(15, 0); e.decision(16, 1) }
+      else if (t == 1) { e.decision(15, 1); e.decision(17, 1) }
+      else { e.decision(15, 1); e.decision(17, 0) } // P_8x8
+    }
+
+    def subMbTypeP(t: Int): Unit = t match {
+      case 0 => e.decision(21, 1)
+      case 1 => e.decision(21, 0); e.decision(22, 0)
+      case 2 => e.decision(21, 0); e.decision(22, 1); e.decision(23, 1)
+      case _ => e.decision(21, 0); e.decision(22, 1); e.decision(23, 0)
+    }
+
+    def refIdx(gx: Int, gy: Int, w4: Int, h4: Int, v: Int): Unit = {
+      e.decision(54 + m.refIdxInc(gx, gy), if (v > 0) 1 else 0)
+      var k = 1
+      while (k <= v) {
+        e.decision(if (k == 1) 58 else 59, if (k < v) 1 else 0)
+        k += 1
+      }
+      m.noteRefIdx(gx, gy, w4, h4, v)
+    }
+
+    def mvd(gx: Int, gy: Int, w4: Int, h4: Int, x: Int, y: Int): Unit = {
+      def comp(c: Int, v: Int): Unit = {
+        val base = if (c == 0) 40 else 47
+        val a = math.abs(v)
+        e.decision(base + m.mvdInc(gx, gy, c), if (a > 0) 1 else 0)
+        if (a > 0) {
+          var k = 1
+          while (k < math.min(a, 9)) {
+            e.decision(base + 3 + math.min(k - 1, 3), 1)
+            k += 1
+          }
+          if (a < 9) e.decision(base + 3 + math.min(a - 1, 3), 0)
+          else e.egk(3, a - 9)
+          e.bypass(if (v < 0) 1 else 0)
+        }
+      }
+      comp(0, x)
+      comp(1, y)
+      m.noteMvd(gx, gy, w4, h4, math.abs(x), math.abs(y))
+    }
+
+    def cbpLuma(mbX: Int, mbY: Int, cbp: Int): Unit = {
+      require(cbp >= 0 && cbp <= 15, s"bad cbpLuma $cbp")
+      var partial = 0
+      var i = 0
+      while (i < 4) {
+        val bit = (cbp >> i) & 1
+        e.decision(73 + m.cbpLumaInc(mbX, mbY, i, partial), bit)
+        partial |= bit << i
+        i += 1
+      }
+      e.decision(77 + m.cbpChromaInc(mbX, mbY, 0), 0) // chroma cbp 0
+    }
+
+    def qpDelta(delta: Int): Unit = encodeQpDelta(e, m, delta)
+    def noQpDelta(): Unit = m.prevQpDeltaNz = false
+
+    def lumaBlock(gx: Int, gy: Int, levels: Array[Int]): Unit =
+      m.lumaCbf(gy)(gx) =
+        encodeResidual(e, 2, 16, m.cbfIncLuma(gx, gy), levels)
+
+    def finishMb(mbX: Int, mbY: Int, cbp: Int): Unit = {
+      m.cbpLuma(mbY)(mbX) = cbp
+      m.decoded(mbY)(mbX) = true
+    }
+
+    def endOfSlice(last: Boolean): Unit =
+      e.terminate(if (last) 1 else 0)
+  }
+
   // --------------------------------------------------------- stream layer ---
 
   /** Encode planted I-slice frames as a CABAC Annex-B stream — the
@@ -582,10 +984,23 @@ object H264Cabac {
       w.ue(deblockIdc)
       if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
       while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit (7.3.4)
-      val e = new ArithEncoder(w, qp)
-      val model = new Model(mbsX, mbsY)
-      var qpY = qp
-      mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
+      encodeISliceMbs(w, qp, mbsX, mbsY, mbs)
+      H264.writeNal(out, 3, 5, w.toBytes)
+    }
+    out.toByteArray
+  }
+
+  /** Encode one CABAC I slice's macroblock layer into `w` (which must be
+    * byte-aligned — after cabac_alignment_one_bit), including the final
+    * flush + rbsp alignment — shared by [[encodeIntra]] and the inter
+    * encoder's I pictures in CABAC streams.
+    */
+  private[ops] def encodeISliceMbs(w: BitWriter, qp: Int, mbsX: Int,
+      mbsY: Int, mbs: Seq[H264Cavlc.MbPlan]): Unit = {
+    val e = new ArithEncoder(w, qp)
+    val model = new Model(mbsX, mbsY)
+    var qpY = qp
+    mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
         val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
         plan match {
           case p: H264Cavlc.I16x16 =>
@@ -686,11 +1101,8 @@ object H264Cabac {
         model.chromaMode(mbY)(mbX) = 0
         model.decoded(mbY)(mbX) = true
         e.terminate(if (mbIdx == mbs.length - 1) 1 else 0) // end_of_slice
-      }
-      w.alignZero() // flush already wrote the rbsp stop bit
-      H264.writeNal(out, 3, 5, w.toBytes)
     }
-    out.toByteArray
+    w.alignZero() // flush already wrote the rbsp stop bit
   }
 
   private def encodeQpDelta(e: ArithEncoder, model: Model, delta: Int): Unit = {
@@ -767,13 +1179,29 @@ object H264Cabac {
       val (filterOn, offA, offB) = H264.sliceDeblocking(r, deblock)
       r.alignToByte(1) // cabac_alignment_one_bit: each padding bit MUST
       // be 1 (7.3.3) — a zero bit is a non-conformant stream, rejected
-      val d = new ArithDecoder(r, sliceQp)
-      val model = new Model(mbsX, mbsY)
       val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
       val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val info = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
-      var qpY = sliceQp
+      decodeISliceMbs(r, sliceQp, mbsX, mbsY, chromaOff, luma, cb, cr, info)
+      if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
+      luma
+    }
+  }
+
+  /** Decode one CABAC I slice's macroblock layer (`r` positioned just
+    * after cabac_alignment_one_bit) into the caller's planes — shared by
+    * [[decodeIntraFrames]] and the inter decoder's I pictures in CABAC
+    * streams ([[H264Inter]] owns the picture loop and the DPB there).
+    */
+  private[ops] def decodeISliceMbs(r: BitReader, sliceQp: Int, mbsX: Int,
+      mbsY: Int, chromaOff: Int, luma: Array[Array[Int]],
+      cb: Array[Array[Int]], cr: Array[Array[Int]],
+      info: H264Deblock.PicInfo): Unit = {
+    val d = new ArithDecoder(r, sliceQp)
+    val model = new Model(mbsX, mbsY)
+    var qpY = sliceQp
+    locally {
       var mbIdx = 0
       while (mbIdx < mbsX * mbsY) {
         val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
@@ -879,8 +1307,6 @@ object H264Cabac {
           s"cabac decoder: end_of_slice_flag $eos at MB $mbIdx")
         mbIdx += 1
       }
-      if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
-      luma
     }
   }
 

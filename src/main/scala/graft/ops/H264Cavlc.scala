@@ -59,7 +59,7 @@ object H264Cavlc {
   /** 4x4 luma block decoding order (6.4.3 inverse scan): blkIdx → (bx, by)
     * block coords within the macroblock.
     */
-  private[ops] val blk4x4: Array[(Int, Int)] = Array(
+  private[graft] val blk4x4: Array[(Int, Int)] = Array(
     (0, 0), (1, 0), (0, 1), (1, 1),
     (2, 0), (3, 0), (2, 1), (3, 1),
     (0, 2), (1, 2), (0, 3), (1, 3),

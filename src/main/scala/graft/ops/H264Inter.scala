@@ -340,6 +340,44 @@ object H264Inter {
       cbpLuma: Int = 0, levels: Array[Array[Int]] = null,
       qpDelta: Int = 0) extends PMbPlan
 
+  /** One 8x8 sub-macroblock of [[P8x8]]: `subType` per Table 7-17
+    * (0 = P_L0_8x8, 1 = P_L0_8x4 top/bottom, 2 = P_L0_4x8 left/right,
+    * 3 = P_L0_4x4 raster order), ONE list-0 reference index shared by
+    * its sub-partitions (7.3.5.1 reads ref_idx per 8x8), and ABSOLUTE
+    * quarter-pel mvs, one per sub-partition in decode order.
+    */
+  final case class Sub8x8(subType: Int, refIdx: Int,
+      mvs: Seq[(Int, Int)]) {
+    require(subType >= 0 && subType <= 3, s"sub_mb_type $subType")
+    require(mvs.length == Array(1, 2, 2, 4)(subType),
+      s"sub_mb_type $subType needs ${Array(1, 2, 2, 4)(subType)} mvs")
+  }
+
+  /** P_8x8 (Table 7-13 mb_type 3): four 8x8 sub-macroblocks in raster
+    * order, each independently sub-partitioned down to 4x4 — the last
+    * baseline-profile inter geometry. Sub-partition mv predictors use
+    * the GENERAL 8.4.1.3 rule (the 16x8/8x16 directional special cases
+    * do not apply below 8x8), over the same 4x4-granular neighbor grid.
+    * Residual semantics match [[P16x16]] (per-MB CBP over the composed
+    * prediction, chroma CBP 0).
+    */
+  final case class P8x8(subs: Seq[Sub8x8], cbpLuma: Int = 0,
+      levels: Array[Array[Int]] = null, qpDelta: Int = 0) extends PMbPlan {
+    require(subs.length == 4, "P_8x8 needs exactly four sub-macroblocks")
+  }
+
+  /** Sub-partition layout of sub_mb_type (Table 7-17) within the 8x8 at
+    * 4x4-cell origin (cx, cy): (gx, gy, w4, h4) in decode order.
+    */
+  private def subPartsOf(subType: Int, cx: Int, cy: Int)
+      : Seq[(Int, Int, Int, Int)] = subType match {
+    case 0 => Seq((cx, cy, 2, 2))
+    case 1 => Seq((cx, cy, 2, 1), (cx, cy + 1, 2, 1))
+    case 2 => Seq((cx, cy, 1, 2), (cx + 1, cy, 1, 2))
+    case _ => Seq((cx, cy, 1, 1), (cx + 1, cy, 1, 1),
+      (cx, cy + 1, 1, 1), (cx + 1, cy + 1, 1, 1))
+  }
+
   /** B_{L0,L1,Bi}_16x16 (Table 7-14 mb_type 1..3; `mode` 0/1/2). A frame
     * containing any [[B16x16]] is emitted as a B SLICE — a non-reference
     * NAL that never enters the DPB — and must consist solely of B16x16
@@ -471,12 +509,47 @@ object H264Inter {
   def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
       iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
       deblockIdc: Int, aOffD2: Int, bOffD2: Int,
-      weights: Seq[Option[PredWeights]]): Array[Byte] = {
+      weights: Seq[Option[PredWeights]]): Array[Byte] =
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames, deblockIdc, aOffD2, bOffD2,
+      weights, cabac = false)
+
+  /** Entropy-selectable form: `cabac = true` emits the same planted
+    * pictures as a CABAC stream (PPS entropy_coding_mode_flag 1, I
+    * pictures through [[H264Cabac.encodeISliceMbs]], P pictures through
+    * [[H264Cabac.PSliceEncoder]]); B slices and I_PCM plans reject.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int,
+      weights: Seq[Option[PredWeights]],
+      cabac: Boolean): Array[Byte] =
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames, deblockIdc, aOffD2, bOffD2,
+      weights, cabac, Nil)
+
+  /** Reorder-capable form: `reorders(k)` is P frame k's explicit
+    * RefPicList0 as DPB indices (0 = newest decoded reference), emitted
+    * as 7.3.3.1 short-term modification ops; the frame's planted refIdx
+    * values then select positions in THAT list. `numActive` becomes the
+    * reorder's length. B frames must stay None.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int,
+      weights: Seq[Option[PredWeights]],
+      cabac: Boolean, reorders: Seq[Option[Seq[Int]]]): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val wpOn = weights.exists(_.isDefined)
     if (weights.nonEmpty)
       require(weights.length == pFrames.length,
         "weights must align with pFrames when provided")
+    if (cabac) {
+      require(pFrames.forall(_.forall(!_.isInstanceOf[B16x16])),
+        "CABAC B slices are outside the subset (MediaDecoder seam)")
+      require(!iMbs.exists(p => p.isInstanceOf[H264Cavlc.PcmBlock] ||
+        p.isInstanceOf[H264Cavlc.Pcm]),
+        "CABAC I_PCM plans unsupported (engine re-init) — use " +
+          "I16x16/I4x4 reference plans in CABAC streams")
+    }
     // DPB bound: the deepest index any frame reaches, with B pictures
     // non-reference (they never enter the DPB, so only P frames grow the
     // reference count)
@@ -497,6 +570,12 @@ object H264Inter {
             s"frame $k references pictures ${p.ref0}/${p.ref1} beyond the " +
               s"$refCount decoded refs")
           needDepth = math.max(needDepth, math.max(p.ref0, p.ref1) + 1)
+        case p: P8x8 =>
+          p.subs.foreach { s =>
+            require(s.refIdx >= 0 && s.refIdx < refCount,
+              s"frame $k references picture ${s.refIdx} before it was decoded")
+            needDepth = math.max(needDepth, s.refIdx + 1)
+          }
         case b: B16x16 =>
           if (b.usesL0) {
             require(b.ref0 >= 0 && b.ref0 < refCount,
@@ -515,6 +594,13 @@ object H264Inter {
         case PSkip =>
           require(!isB, s"frame $k: B_Skip is direct-mode (unsupported)")
       }
+      reorders.lift(k).flatten.foreach { picks =>
+        require(!isB, s"frame $k: B slices cannot carry a list reorder")
+        require(picks.nonEmpty && picks.distinct.length == picks.length &&
+          picks.forall(i => i >= 0 && i < refCount),
+          s"frame $k: reorder must pick distinct decoded DPB indices")
+        needDepth = math.max(needDepth, picks.max + 1)
+      }
       if (!isB) refCount += 1
     }
     val maxRef = needDepth
@@ -522,8 +608,9 @@ object H264Inter {
     val out = new java.io.ByteArrayOutputStream()
     H264.writeNal(out, 3, 7, H264.writeSps(H264.Sps(66, 20, 4, 2, mbsX, mbsY,
       0, 0, frameMbsOnly = true, maxNumRefFrames = maxRef)))
-    H264.writeNal(out, 3, 8, H264.writePps(weightedPred = wpOn))
-    // --- IDR intra reference picture (PCM and/or CAVLC macroblocks) ---
+    H264.writeNal(out, 3, 8, H264.writePps(cabac = cabac, weightedPred = wpOn))
+    // --- IDR intra reference picture (PCM and/or CAVLC macroblocks; in a
+    // CABAC stream the same plans go through the CABAC I-slice codec) ---
     val iw = new BitWriter
     iw.ue(0); iw.ue(7); iw.ue(0)   // first_mb, slice_type I(all), pps
     iw.u(0, 4)                     // frame_num 0
@@ -532,11 +619,24 @@ object H264Inter {
     iw.se(qp - 26)                 // slice_qp_delta
     iw.ue(deblockIdc)              // disable_deblocking_filter_idc
     if (deblockIdc != 1) { iw.se(aOffD2); iw.se(bOffD2) }
-    H264Cavlc.writeISliceMbs(iw, mbsX, mbsY, iMbs)
-    iw.trailingBits()
+    if (cabac) {
+      while (!iw.byteAligned) iw.u(1, 1) // cabac_alignment_one_bit (7.3.4)
+      H264Cabac.encodeISliceMbs(iw, qp, mbsX, mbsY, iMbs)
+    } else {
+      H264Cavlc.writeISliceMbs(iw, mbsX, mbsY, iMbs)
+      iw.trailingBits()
+    }
     H264.writeNal(out, 3, 5, iw.toBytes)
     // --- P / B pictures ---
     var prevRefFrameNum = 0 // the IDR
+    // frame_num per DPB slot (newest first), mirroring the decoder's
+    // sliding window — the PicNum source for reorder op emission
+    val refFns = scala.collection.mutable.ArrayBuffer[Int](0)
+    def noteRefFrame(fn: Int): Unit = {
+      refFns.prepend(fn)
+      if (refFns.length > maxRef)
+        refFns.remove(maxRef, refFns.length - maxRef)
+    }
     pFrames.zipWithIndex.foreach { case (mbs, fi) =>
       require(mbs.length == mbsX * mbsY, "frame must plant every MB")
       val isB = mbs.exists(_.isInstanceOf[B16x16])
@@ -594,10 +694,18 @@ object H264Inter {
         }
 
       if (!isB) {
-        val numActive = math.max(1, (mbs.collect {
+        val reorder = reorders.lift(fi).flatten
+        val planMax = math.max(1, (mbs.collect {
           case p: P16x16 => p.refIdx + 1
           case p: PPart => math.max(p.ref0, p.ref1) + 1
+          case p: P8x8 => p.subs.map(_.refIdx).max + 1
         } :+ 1).max)
+        val numActive = reorder.map { picks =>
+          require(picks.length >= planMax,
+            s"frame $fi: reorder of ${picks.length} entries but a plan " +
+              s"references list position ${planMax - 1}")
+          picks.length
+        }.getOrElse(planMax)
         w.ue(0)                  // first_mb_in_slice
         w.ue(5)                  // slice_type = P (all)
         w.ue(0)                  // pps id
@@ -605,13 +713,117 @@ object H264Inter {
         w.u(fn.toLong, 4)        // frame_num
         if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
         else { w.u(1, 1); w.ue(numActive - 1) }
-        w.u(0, 1)                // ref_pic_list_modification_flag_l0
+        reorder match {
+          case Some(picks) =>
+            // 7.3.3.1: one short-term op per desired list position,
+            // computed against the running picNumLXPred in PicNum space
+            // (the decoder's noWrap arithmetic lands identically)
+            w.u(1, 1)            // ref_pic_list_modification_flag_l0
+            def pn(i: Int) = { val f = refFns(i); if (f > fn) f - 16 else f }
+            var pred = fn
+            picks.foreach { di =>
+              val p = pn(di)
+              if (p < pred) { w.ue(0); w.ue(pred - p - 1) }
+              else { w.ue(1); w.ue(p - pred - 1) }
+              pred = p
+            }
+            w.ue(3)              // end of modification ops
+          case None => w.u(0, 1) // ref_pic_list_modification_flag_l0
+        }
         if (wpOn) writeWpTable(numActive) // pred_weight_table (7.3.3)
         w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
         w.se(qp - 26)            // slice_qp_delta
         w.ue(deblockIdc)         // disable_deblocking_filter_idc
         if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
         val g = new MvGrid(mbsX, mbsY)
+        if (cabac) {
+          // --- CABAC P slice (7.3.4 CABAC framing): per-MB skip FLAGS
+          // and end_of_slice terminates instead of skip runs; motion /
+          // partition geometry and residual semantics identical
+          while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit
+          val pe = new H264Cabac.PSliceEncoder(w, qp, mbsX, mbsY)
+          def residual(mbX: Int, mbY: Int, cbpLuma: Int,
+              levels: Array[Array[Int]], qpDelta: Int): Unit = {
+            pe.cbpLuma(mbX, mbY, cbpLuma)
+            if (cbpLuma > 0) {
+              pe.qpDelta(qpDelta)
+              var b = 0
+              while (b < 16) {
+                if ((cbpLuma & (1 << (b / 4))) != 0) {
+                  val (bx, by) = H264Cavlc.blk4x4(b)
+                  val lv = (if (levels == null || levels(b) == null)
+                    Array.empty[Int] else levels(b)).padTo(16, 0).take(16)
+                  pe.lumaBlock(mbX * 4 + bx, mbY * 4 + by, lv)
+                }
+                b += 1
+              }
+            } else pe.noQpDelta()
+            pe.finishMb(mbX, mbY, cbpLuma)
+          }
+          mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
+            val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+            plan match {
+              case PSkip =>
+                pe.skipFlag(mbX, mbY, skip = true)
+                val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+                g.set(mbX, mbY, sx, sy, 0)
+              case p: P16x16 =>
+                pe.skipFlag(mbX, mbY, skip = false)
+                pe.mbTypeP(0)
+                if (numActive > 1) pe.refIdx(mbX * 4, mbY * 4, 4, 4, p.refIdx)
+                val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
+                pe.mvd(mbX * 4, mbY * 4, 4, 4, p.mvx - px, p.mvy - py)
+                g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
+                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+              case p: PPart =>
+                pe.skipFlag(mbX, mbY, skip = false)
+                val mbType = if (p.wide) 1 else 2
+                pe.mbTypeP(mbType)
+                val ps = partsOf(mbType, mbX, mbY)
+                // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
+                if (numActive > 1)
+                  ps.zip(Seq(p.ref0, p.ref1)).foreach {
+                    case ((gx, gy, w4, h4, _), rf) =>
+                      pe.refIdx(gx, gy, w4, h4, rf)
+                  }
+                ps.zip(Seq(
+                  (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
+                  case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
+                    val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
+                    pe.mvd(gx, gy, w4, h4, mx - px, my - py)
+                    g.fill(gx, gy, w4, h4, mx, my, rf)
+                }
+                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+              case p: P8x8 =>
+                pe.skipFlag(mbX, mbY, skip = false)
+                pe.mbTypeP(3)
+                p.subs.foreach(s => pe.subMbTypeP(s.subType))
+                if (numActive > 1)
+                  p.subs.zipWithIndex.foreach { case (s, i) =>
+                    val cx = mbX * 4 + (i % 2) * 2
+                    val cy = mbY * 4 + (i / 2) * 2
+                    pe.refIdx(cx, cy, 2, 2, s.refIdx)
+                  }
+                p.subs.zipWithIndex.foreach { case (s, i) =>
+                  val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                  subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
+                    case ((gx, gy, w4, h4), (mx, my)) =>
+                      val (px, py) =
+                        mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
+                      pe.mvd(gx, gy, w4, h4, mx - px, my - py)
+                      g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
+                  }
+                }
+                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+              case _: B16x16 => throw new IllegalStateException("checked above")
+            }
+            pe.endOfSlice(mbIdx == mbs.length - 1)
+          }
+          w.alignZero() // flush already wrote the rbsp stop bit
+          H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
+          prevRefFrameNum = fn
+          noteRefFrame(fn)
+        } else {
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
         var skipRun = 0
         mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
@@ -645,6 +857,23 @@ object H264Inter {
                   g.fill(gx, gy, w4, h4, mx, my, rf)
               }
               writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+            case p: P8x8 =>
+              w.ue(skipRun); skipRun = 0
+              w.ue(3) // mb_type P_8x8
+              // 7.3.5: four sub_mb_type, then four ref_idx, then all mvds
+              p.subs.foreach(s => w.ue(s.subType))
+              p.subs.foreach(s => writeRefIdx(s.refIdx, numActive))
+              p.subs.zipWithIndex.foreach { case (s, i) =>
+                val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
+                  case ((gx, gy, w4, h4), (mx, my)) =>
+                    val (px, py) =
+                      mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
+                    w.se(mx - px); w.se(my - py)
+                    g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
+                }
+              }
+              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
             case _: B16x16 => throw new IllegalStateException("checked above")
           }
         }
@@ -652,6 +881,8 @@ object H264Inter {
         w.trailingBits()
         H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
         prevRefFrameNum = fn
+        noteRefFrame(fn)
+        }
       } else {
         val bs = mbs.collect { case b: B16x16 => b }
         val numL0 = math.max(1, (bs.filter(_.usesL0).map(_.ref0 + 1) :+ 1).max)
@@ -743,10 +974,11 @@ object H264Inter {
     // one canonical PPS walk: init QP, the chroma QP offset (the intra
     // reference pictures carry chroma residuals), the default L0 depth
     // and the slice-deblocking flag all come from the same pass
-    val (initQp, chromaOff, deblock, numRefDefault, numRefL1Default, wpFlag) = {
+    val (initQp, chromaOff, deblock, numRefDefault, numRefL1Default, wpFlag,
+        cabacMode) = {
       val r = new BitReader(pps)
       r.ue(); r.ue()
-      require(r.u(1) == 0, "inter decoder: CAVLC only")
+      val cab = r.u(1) == 1 // entropy_coding_mode_flag
       r.u(1)
       require(r.ue() == 0, "inter decoder: slice groups unsupported")
       val nr = r.ue() + 1 // num_ref_idx_l0_default_active
@@ -758,7 +990,7 @@ object H264Inter {
       val q = r.se() + 26
       r.se()
       val co = r.se()
-      (q, co, r.u(1) == 1, nr, nr1, wp)
+      (q, co, r.u(1) == 1, nr, nr1, wp, cab)
     }
     val mbsX = sps.widthMbs; val mbsY = sps.heightMbs
     // decoded-picture buffer, most recent reference FIRST (8.2.4.2.1: P
@@ -767,15 +999,20 @@ object H264Inter {
     // first), trimmed to the SPS DPB bound
     val dpb = scala.collection.mutable.ArrayBuffer
       .empty[(Array[Array[Int]], Array[Array[Int]], Array[Array[Int]])]
+    // frame_num of each DPB entry, same order — the PicNum source for
+    // explicit reference-list modification (8.2.4.3)
+    val dpbFn = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxFrameNum = 1 << sps.log2MaxFrameNum
     nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
       require(r.ue() == 0, "inter decoder: one slice per picture")
       val sliceType = r.ue() % 5
       H264.requireSlicePps(r.ue(), ppsId, "inter decoder")
-      r.u(sps.log2MaxFrameNum)    // frame_num
+      val currFrameNum = r.u(sps.log2MaxFrameNum).toInt // frame_num
       if (nalType == 5) r.ue()    // idr_pic_id
       var numActive = numRefDefault
       var numActiveL1 = numRefL1Default
+      val l0Mods = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       if (sliceType == 1) r.u(1) // direct_spatial_mv_pred_flag (no direct
       // macroblocks are decoded, so either inference family is moot)
       if (sliceType == 0 || sliceType == 1) {
@@ -787,7 +1024,24 @@ object H264Inter {
           s"inter decoder: num_ref_idx_l0_active $numActive outside [1,16]")
         require(numActiveL1 >= 1 && numActiveL1 <= 16,
           s"inter decoder: num_ref_idx_l1_active $numActiveL1 outside [1,16]")
-        require(r.u(1) == 0, "inter decoder: ref list modification unsupported")
+        // ref_pic_list_modification (7.3.3.1): short-term reordering ops
+        // are decoded for P slices (8.2.4.3.1); long-term ops (idc 2)
+        // and B-slice modification stay on the seam
+        if (r.u(1) == 1) {
+          require(sliceType == 0,
+            "inter decoder: B-slice list modification unsupported " +
+              "(MediaDecoder seam)")
+          var idc = r.ue()
+          while (idc != 3) {
+            require(idc <= 1,
+              "inter decoder: long-term list modification (idc 2) " +
+                "unsupported (MediaDecoder seam)")
+            l0Mods += ((idc, r.ue()))
+            require(l0Mods.length <= 32,
+              "inter decoder: runaway modification list (corrupt stream)")
+            idc = r.ue()
+          }
+        }
         if (sliceType == 1)
           require(r.u(1) == 0, "inter decoder: L1 list modification unsupported")
       }
@@ -805,16 +1059,57 @@ object H264Inter {
       val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
       val info = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
       if (sliceType == 2) {
-        // I picture: the full intra surface (I_PCM, Intra_4x4, Intra_16x16
-        // CAVLC) through the shared slice decoder — luma AND chroma land in
+        // I picture: the full intra surface through the shared slice
+        // decoder of the stream's entropy mode — luma AND chroma land in
         // this picture's planes, so P pictures can reference real
         // compressed intra content, not just PCM
-        H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr, info)
+        if (cabacMode) {
+          r.alignToByte(1) // cabac_alignment_one_bit (7.3.3)
+          H264Cabac.decodeISliceMbs(r, qpY, mbsX, mbsY, chromaOff,
+            luma, cb, cr, info)
+        } else
+          H264Cavlc.decodeISliceMbs(r, mbsX, mbsY, qpY, chromaOff, luma, cb, cr, info)
       } else if (sliceType == 0) {
         require(dpb.nonEmpty, "P slice with no decoded reference picture")
         require(numActive <= dpb.length,
           s"inter decoder: $numActive active references but only " +
             s"${dpb.length} decoded pictures")
+        // RefPicList0 as DPB indices: the initial list IS the DPB order
+        // (descending PicNum); explicit modification ops (8.2.4.3.1)
+        // reorder it against PicNums with the 8.2.4.1 frame_num wrap
+        val list0: IndexedSeq[Int] =
+          if (l0Mods.isEmpty) dpb.indices
+          else {
+            def picNum(fn: Int) =
+              if (fn > currFrameNum) fn - maxFrameNum else fn
+            val list = scala.collection.mutable.ArrayBuffer(dpb.indices: _*)
+            var pred = currFrameNum
+            var refIdx = 0
+            l0Mods.foreach { case (idc, absM1) =>
+              val noWrap =
+                if (idc == 0) {
+                  val v = pred - (absM1 + 1)
+                  if (v < 0) v + maxFrameNum else v
+                } else {
+                  val v = pred + (absM1 + 1)
+                  if (v >= maxFrameNum) v - maxFrameNum else v
+                }
+              pred = noWrap
+              val pn = if (noWrap > currFrameNum) noWrap - maxFrameNum
+                else noWrap
+              val di = dpbFn.indices.find(i => picNum(dpbFn(i)) == pn)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"inter decoder: list modification names PicNum $pn, " +
+                    "absent from the DPB (corrupt stream)"))
+              list.insert(refIdx, di)
+              val dup = list.indexOf(di, refIdx + 1)
+              if (dup >= 0) list.remove(dup)
+              refIdx += 1
+            }
+            // insert+dedupe preserves length (every op names an in-DPB
+            // picture), so truncation to the active window is exact
+            list.take(numActive).toIndexedSeq
+          }
         val g = new MvGrid(mbsX, mbsY)
         val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
 
@@ -824,7 +1119,7 @@ object H264Inter {
           */
         def mcRegion(px0: Int, py0: Int, wpx: Int, hpx: Int,
             mvx: Int, mvy: Int, refIdx: Int): Unit = {
-          val (refL, refCb, refCr) = dpb(refIdx)
+          val (refL, refCb, refCr) = dpb(list0(refIdx))
           val ix = mvx >> 2; val fx = mvx & 3
           val iy = mvy >> 2; val fy = mvy & 3
           var y = 0
@@ -862,6 +1157,108 @@ object H264Inter {
         def mc(mbX: Int, mbY: Int, mvx: Int, mvy: Int, refIdx: Int): Unit =
           mcRegion(mbX * 16, mbY * 16, 16, 16, mvx, mvy, refIdx)
 
+        if (cabacMode) {
+          // --- CABAC P slice: entropy via H264Cabac.PSliceDecoder, the
+          // SAME motion/MC/residual machinery as the CAVLC loop below
+          // (7.3.4 framing: per-MB skip flags + end_of_slice terminates)
+          r.alignToByte(1) // cabac_alignment_one_bit (7.3.3)
+          val pd = new H264Cabac.PSliceDecoder(r, qpY, mbsX, mbsY)
+          var mbIdx = 0
+          while (mbIdx < mbsX * mbsY) {
+            val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+            if (pd.skipFlag(mbX, mbY)) {
+              val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+              g.set(mbX, mbY, sx, sy, 0)
+              mc(mbX, mbY, sx, sy, 0)
+              if (info != null) { // P_Skip: QP_Y,prev carries, no coeffs
+                info.qp(mbY)(mbX) = qpY
+                info.fillMv(mbX * 4, mbY * 4, 4, 4, sx, sy, 0)
+              }
+            } else {
+              val mbType = pd.mbTypeP()
+              if (mbType == 3) {
+                // P_8x8: sub_mb_types, per-8x8 ref_idx, per-sub-part mvd
+                val subTypes = (0 until 4).map(_ => pd.subMbTypeP())
+                val refs = (0 until 4).map { i =>
+                  if (numActive == 1) 0
+                  else {
+                    val cx = mbX * 4 + (i % 2) * 2
+                    val cy = mbY * 4 + (i / 2) * 2
+                    val v = pd.refIdx(cx, cy, 2, 2)
+                    require(v < numActive,
+                      s"inter decoder: ref_idx_l0 $v >= numActive $numActive")
+                    v
+                  }
+                }
+                (0 until 4).foreach { i =>
+                  val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                  subPartsOf(subTypes(i), cx, cy).foreach {
+                    case (gx, gy, w4, h4) =>
+                      val (dx, dy) = pd.mvd(gx, gy, w4, h4)
+                      val (px0, py0) =
+                        mvPred(g, gx, gy, w4, mbsX, refs(i), Part16x16)
+                      val mvx = px0 + dx; val mvy = py0 + dy
+                      g.fill(gx, gy, w4, h4, mvx, mvy, refs(i))
+                      mcRegion(gx * 4, gy * 4, w4 * 4, h4 * 4, mvx, mvy, refs(i))
+                      if (info != null)
+                        info.fillMv(gx, gy, w4, h4, mvx, mvy, refs(i))
+                  }
+                }
+              } else {
+              val ps = partsOf(mbType, mbX, mbY)
+              // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
+              val refs = ps.map { case (gx, gy, w4, h4, _) =>
+                if (numActive == 1) 0
+                else {
+                  val v = pd.refIdx(gx, gy, w4, h4)
+                  require(v < numActive,
+                    s"inter decoder: ref_idx_l0 $v >= numActive $numActive")
+                  v
+                }
+              }
+              ps.zip(refs).foreach { case ((gx, gy, w4, h4, shape), rf) =>
+                val (dx, dy) = pd.mvd(gx, gy, w4, h4)
+                val (px0, py0) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
+                val mvx = px0 + dx; val mvy = py0 + dy
+                g.fill(gx, gy, w4, h4, mvx, mvy, rf)
+                mcRegion(gx * 4, gy * 4, w4 * 4, h4 * 4, mvx, mvy, rf)
+                if (info != null) info.fillMv(gx, gy, w4, h4, mvx, mvy, rf)
+              }
+              }
+              val cbpLuma = pd.cbpLuma(mbX, mbY)
+              if (cbpLuma > 0) {
+                qpY = pd.qpDelta(qpY)
+                var b = 0
+                while (b < 16) {
+                  if ((cbpLuma & (1 << (b / 4))) != 0) {
+                    val (bx, by) = H264Cavlc.blk4x4(b)
+                    val lv = pd.lumaBlock(mbX * 4 + bx, mbY * 4 + by)
+                    if (info != null)
+                      info.nz(mbY * 4 + by)(mbX * 4 + bx) = lv.exists(_ != 0)
+                    val dq = H264Cavlc.dequant4x4(lv, qpY, acOnly = false)
+                    val res = H264Cavlc.idct4x4(dq)
+                    var y = 0
+                    while (y < 4) {
+                      var x = 0
+                      while (x < 4) {
+                        val fx = mbX * 16 + bx * 4 + x
+                        val fy = mbY * 16 + by * 4 + y
+                        luma(fy)(fx) = clip255(luma(fy)(fx) + res(y)(x))
+                        x += 1
+                      }
+                      y += 1
+                    }
+                  }
+                  b += 1
+                }
+              } else pd.noQpDelta()
+              pd.finishMb(mbX, mbY, cbpLuma)
+              if (info != null) info.qp(mbY)(mbX) = qpY
+            }
+            pd.endOfSlice(mbIdx == mbsX * mbsY - 1)
+            mbIdx += 1
+          }
+        } else {
         var mbIdx = 0
         while (mbIdx < mbsX * mbsY) {
           // mb_skip_run precedes every coded MB and may end the slice (7.3.4)
@@ -882,9 +1279,9 @@ object H264Inter {
           if (mbIdx < mbsX * mbsY) {
             val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
             val mbType = r.ue()
-            require(mbType <= 2,
+            require(mbType <= 3,
               s"inter decoder: mb_type $mbType unsupported (P_L0 16x16/16x8/" +
-                "8x16; P_8x8 sub-partitions and intra-in-P exit via the " +
+                "8x16/8x8; P_8x8ref0 and intra-in-P exit via the " +
                 "MediaDecoder seam)")
             def readTe(): Int = {
               val v =
@@ -895,6 +1292,31 @@ object H264Inter {
                 s"inter decoder: ref_idx_l0 $v >= numActive $numActive")
               v
             }
+            if (mbType == 3) {
+              // P_8x8 (7.3.5): four sub_mb_type, four ref_idx, then every
+              // sub-partition's mvd in decode order — predictors via the
+              // GENERAL 8.4.1.3 rule over the 4x4-granular grid
+              val subTypes = (0 until 4).map { _ =>
+                val st = r.ue()
+                require(st <= 3,
+                  s"inter decoder: sub_mb_type $st unsupported (P_L0 only)")
+                st
+              }
+              val refs = (0 until 4).map(_ => readTe())
+              (0 until 4).foreach { i =>
+                val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                subPartsOf(subTypes(i), cx, cy).foreach {
+                  case (gx, gy, w4, h4) =>
+                    val (px0, py0) =
+                      mvPred(g, gx, gy, w4, mbsX, refs(i), Part16x16)
+                    val mvx = px0 + r.se(); val mvy = py0 + r.se()
+                    g.fill(gx, gy, w4, h4, mvx, mvy, refs(i))
+                    mcRegion(gx * 4, gy * 4, w4 * 4, h4 * 4, mvx, mvy, refs(i))
+                    if (info != null)
+                      info.fillMv(gx, gy, w4, h4, mvx, mvy, refs(i))
+                }
+              }
+            } else {
             val ps = partsOf(mbType, mbX, mbY)
             val refs = ps.map(_ => readTe()) // 7.3.5.1: all ref_idx first
             ps.zip(refs).foreach { case ((gx, gy, w4, h4, shape), rf) =>
@@ -903,6 +1325,7 @@ object H264Inter {
               g.fill(gx, gy, w4, h4, mvx, mvy, rf)
               mcRegion(gx * 4, gy * 4, w4 * 4, h4 * 4, mvx, mvy, rf)
               if (info != null) info.fillMv(gx, gy, w4, h4, mvx, mvy, rf)
+            }
             }
             val codeNum = r.ue()
             require(codeNum < 48, s"bad coded_block_pattern code $codeNum")
@@ -942,9 +1365,12 @@ object H264Inter {
             mbIdx += 1
           }
         }
+        }
       } else {
         // ------------------------------------------------------ B slice ---
         require(sliceType == 1, s"inter decoder: unsupported slice_type $sliceType")
+        require(!cabacMode,
+          "inter decoder: CABAC B slices unsupported (MediaDecoder seam)")
         require(!filterOn,
           "inter decoder: deblocking across B pictures unsupported (the " +
             "bi-predictive bS comparison is not implemented) — B slices " +
@@ -1077,8 +1503,11 @@ object H264Inter {
       if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
       if (refIdc != 0) {
         dpb.prepend((luma, cb, cr)) // newest first (descending PicNum)
-        if (dpb.length > sps.maxNumRefFrames) // sliding window (8.2.5.3)
+        dpbFn.prepend(currFrameNum)
+        if (dpb.length > sps.maxNumRefFrames) { // sliding window (8.2.5.3)
           dpb.remove(sps.maxNumRefFrames, dpb.length - sps.maxNumRefFrames)
+          dpbFn.remove(sps.maxNumRefFrames, dpbFn.length - sps.maxNumRefFrames)
+        }
       }
       project(luma, cb, cr)
     }

@@ -1836,7 +1836,304 @@ object MediaQ {
       |CROSS JOIN (VALUES ('pt_top'), ('pt_bot'), ('pt_left'),
       |  ('pt_right'), ('pt_16')) p(probe)""".stripMargin
 
+  /** q244 — H.264 **CABAC P slices** ([[H264Cabac.PSliceDecoder]], round
+    * 14): the q239 entropy surface extended to inter — the combination
+    * every real-world encoder emits for the bulk of a stream's frames.
+    * Per doc, a CABAC stream (PPS entropy_coding_mode_flag 1):
+    *
+    *  - IDR: flat-128 Intra_16x16 DC picture (I_PCM is outside the CABAC
+    *    subset — engine re-init), CABAC-coded through the q239 layer;
+    *  - P1: per-4x4-block planted DC residuals build a STAIRCASE
+    *    stair(x) = 128 + dq(lvl·((x div 4) mod 5 − 2)) — cbp 15 and 48
+    *    residual blocks through the CABAC cat-2 path in one slice;
+    *  - P2: a (12+sh)-pel mvd through the UEG3 ESCAPE (prefix 9 + EG3
+    *    suffix), a P_Skip (mb_skip_flag ctx with a coded left neighbor),
+    *    and a ref_idx-1 MB (CABAC unary, numActive 2) reading the flat
+    *    IDR with a planted residual;
+    *  - P3: an 8x16 partition pair (mb_type bins 0,0,1) with independent
+    *    motion, a P_Skip, and a 16x16 whose residual stacks on P2's.
+    *
+    * Six probes per doc, each recomputed by DuckDB from the stair /
+    * dequant closed forms. The init-constant caveat of [[H264Cabac]]
+    * applies unchanged (encoder and decoder share the tables; external
+    * CABAC streams stay on the MediaDecoder seam); what this oracle DOES
+    * pin decoder-independently is the parse→pixel path: binarizations,
+    * context state, motion reconstruction and residual composition.
+    *
+    * Scale shape: map-only, one scan, 6 rows per doc — no shuffle.
+    */
+  def h264CabacInterProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val lvl = 1 + (id % 5).toInt
+        val sh = 1 + (id % 3).toInt
+        val iMbs: Seq[H264Cavlc.MbPlan] = Seq.fill(3)(
+          H264Cavlc.I16x16(2, Array.fill(16)(0))) // flat-128 DC chain
+        def stairLevels(m: Int): Array[Array[Int]] =
+          Array.tabulate(16) { b =>
+            val (bx, _) = H264Cavlc.blk4x4(b)
+            Array(lvl * ((m * 4 + bx) % 5 - 2))
+          }
+        val p1 = (0 until 3).map[H264Inter.PMbPlan](m =>
+          H264Inter.P16x16(0, 0, cbpLuma = 15, levels = stairLevels(m)))
+        val p2 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(4 * (12 + sh), 0),          // UEG3 escape mvd
+          H264Inter.PSkip,
+          H264Inter.P16x16(0, 0, refIdx = 1, cbpLuma = 1,
+            levels = Array.tabulate(16)(b =>
+              if (b == 0) Array(lvl) else null)))
+        val p3 = Seq[H264Inter.PMbPlan](
+          H264Inter.PPart(wide = false, 0, 0, 0, 4 * sh, 0, 0), // 8x16
+          H264Inter.PSkip,
+          H264Inter.P16x16(4, 0, cbpLuma = 1,
+            levels = Array.tabulate(16)(b =>
+              if (b == 0) Array(-lvl) else null)))
+        val stream = H264Inter.encodeStream(3, 1, qp, iMbs,
+          Seq(p1, p2, p3), 1, 0, 0, Nil, cabac = true)
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 4, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("c_mv", fs(2)(4)(2)), ("c_skip", fs(2)(4)(24)),
+          ("c_ref", fs(2)(0)(33)),
+          ("c_left", fs(3)(2)(2)), ("c_right", fs(3)(2)(12)),
+          ("c_res", fs(3)(1)(33))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: stair(x) = 128 + dq(lvl·((x div 4) mod 5 − 2)) with the
+    * q235 DC dequant form dq(c) = floor((c·va·2^k + 32)/64). c_mv reads
+    * stair through the escape-coded (12+sh)-pel vector, c_skip the
+    * untouched stair at MB1 (skip mv is zero — B is picture-top), c_ref
+    * the flat IDR + dq(lvl), c_left/c_right the two 8x16 halves of P2's
+    * first MB (0 and sh pels on top of its 12+sh), and c_res P2's
+    * residual MB re-read through +1 pel with dq(−lvl) stacked on. A
+    * decoder with a slipped binarization, context increment, or model
+    * grid cannot match all six.
+    */
+  private val h264CabacInterSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(1 + doc_id % 5 AS INT) AS lvl,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |), dq AS (
+      |  SELECT *,
+      |    CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT) AS dq_pos,
+      |    CAST(floor((-lvl * va * (1 << k) + 32) / 64.0) AS BIGINT) AS dq_neg
+      |  FROM scaled
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'c_mv' THEN 128 + CAST(floor((lvl * ((((14 + sh) // 4) % 5)
+      |      - 2) * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'c_skip' THEN 128 + CAST(floor((lvl * (((24 // 4) % 5) - 2)
+      |      * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'c_ref' THEN 128 + dq_pos
+      |    WHEN 'c_left' THEN 128 + CAST(floor((lvl * ((((14 + sh) // 4) % 5)
+      |      - 2) * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'c_right' THEN 128 + CAST(floor((lvl * ((((24 + 2 * sh) // 4)
+      |      % 5) - 2) * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'c_res' THEN 128 + dq_pos + dq_neg
+      |  END)) AS INT) AS px
+      |FROM dq
+      |CROSS JOIN (VALUES ('c_mv'), ('c_skip'), ('c_ref'), ('c_left'),
+      |  ('c_right'), ('c_res')) p(probe)""".stripMargin
+
+  /** q245 — H.264 **P_8x8 sub-macroblock partitions** ([[H264Inter.P8x8]],
+    * round 14): the last baseline-profile inter geometry — each 8x8
+    * sub-macroblock independently sub-partitioned (Table 7-17: 8x8, 8x4,
+    * 4x8, 4x4) with its OWN reference index and per-sub-partition motion.
+    * Per doc: an I picture (PCM gradient), a P picture shifting it `sh`
+    * pels, then a P picture whose first MB exercises all FOUR sub shapes
+    * at once (mixing refs 0/1, including a negative vector), and whose
+    * second MB pins per-8x8 reference selection plus a residual over a
+    * sub-partitioned prediction. Eight probes, each recomputed by DuckDB
+    * from the gradient/shift/dequant closed forms. The 8.4.1.3
+    * sub-partition predictor (shared encoder/decoder) is pinned by
+    * hand-assembled raw slice bits in H264InterSpec.
+    *
+    * Scale shape: map-only, one scan, 8 rows per doc — no shuffle.
+    */
+  def h264SubPartitionProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val lvl = 1 + (id % 5).toInt
+        val a = Array.tabulate(16, 32)((y, x) => g0 + x + 2 * y)
+        val iMbs = (0 until 2).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        val p1 = Seq.fill[H264Inter.PMbPlan](2)(H264Inter.P16x16(4 * sh, 0))
+        val mb0 = H264Inter.P8x8(Seq(
+          H264Inter.Sub8x8(0, 0, Seq((4 * sh, 0))),
+          H264Inter.Sub8x8(1, 1, Seq((0, 0), (4, 4))),
+          H264Inter.Sub8x8(2, 0, Seq((0, 4 * sh), (-4, 0))),
+          H264Inter.Sub8x8(3, 1, Seq((0, 0), (4, 0), (0, 4), (4, 4)))))
+        val mb1 = H264Inter.P8x8(
+          Seq(H264Inter.Sub8x8(0, 1, Seq((0, 0))),
+            H264Inter.Sub8x8(0, 0, Seq((0, 0))),
+            H264Inter.Sub8x8(0, 0, Seq((0, 0))),
+            H264Inter.Sub8x8(0, 1, Seq((0, 0)))),
+          cbpLuma = 1,
+          levels = Array.tabulate(16)(b =>
+            if (b == 0) Array(lvl) else null))
+        val p2 = Seq[H264Inter.PMbPlan](mb0, mb1)
+        val stream = H264Inter.encodeStream(2, 1, qp, iMbs, Seq(p1, p2))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("p88", fs(2)(2)(2)), ("p84t", fs(2)(1)(10)),
+          ("p84b", fs(2)(6)(10)), ("p48l", fs(2)(10)(1)),
+          ("p48r", fs(2)(10)(6)), ("p44", fs(2)(13)(13)),
+          ("p8res", fs(2)(1)(17)), ("p8ref", fs(2)(2)(26))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: pure gradient reads — a(y,x) = g0 + x + 2y, P1 = a shifted
+    * `sh` right. Each probe resolves one sub-partition's (ref, mv) pair:
+    * the 8x8 composes two shifts (2sh), the 8x4 halves split at py 4,
+    * the 4x8 halves at px 4 (one NEGATIVE vector), the 4x4 quad reads
+    * four distinct offsets, and MB1 pins per-8x8 ref selection with a
+    * DC residual over block 0. A decoder with the wrong Table 7-17
+    * geometry, sub-partition order, or per-8x8 ref binding cannot match
+    * all eight.
+    */
+  private val h264SubPartitionSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh,
+      |    CAST(1 + doc_id % 5 AS INT) AS lvl
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'p88' THEN g0 + 2 + 2 * sh + 4
+      |    WHEN 'p84t' THEN g0 + 10 + 2
+      |    WHEN 'p84b' THEN g0 + 11 + 14
+      |    WHEN 'p48l' THEN g0 + 21 + 3 * sh
+      |    WHEN 'p48r' THEN g0 + 25 + sh
+      |    WHEN 'p44' THEN g0 + 14 + 28
+      |    WHEN 'p8res' THEN g0 + 19
+      |      + CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT)
+      |    WHEN 'p8ref' THEN g0 + 30 + sh
+      |  END)) AS INT) AS px
+      |FROM scaled
+      |CROSS JOIN (VALUES ('p88'), ('p84t'), ('p84b'), ('p48l'),
+      |  ('p48r'), ('p44'), ('p8res'), ('p8ref')) p(probe)""".stripMargin
+
+  /** q246 — H.264 **explicit reference-list modification** (7.3.3.1 /
+    * 8.2.4.3, round 14): the most commonly hit remaining loud rejection
+    * for real P streams — open-GOP encoders reorder list0 routinely.
+    * Per doc: I (PCM gradient a), P1 shifting it `sh` pels, then
+    *
+    *  - P2 with a SWAPPED list (picks 1,0): refIdx 0 must read the I
+    *    picture (a decoder ignoring the ops reads P1 and lands `sh`
+    *    pels off), refIdx 1 the P1 picture, and a P_Skip must follow
+    *    the REORDERED head (8.4.1.1 references RefPicList0[0]);
+    *  - P3 with a three-deep rotation (picks 2,0,1) whose ops exercise
+    *    BOTH op directions (idc 0 back, idc 1 forward) against the
+    *    running picNumLXPred.
+    *
+    * Six probes recomputed by DuckDB from gradient/shift closed forms.
+    *
+    * Scale shape: map-only, one scan, 6 rows per doc — no shuffle.
+    */
+  def h264RefListModProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val a = Array.tabulate(16, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs: Seq[H264Cavlc.MbPlan] = (0 until 3).map { mb =>
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y)(mb * 16 + x)))
+        }
+        val p1 = Seq.fill[H264Inter.PMbPlan](3)(H264Inter.P16x16(4 * sh, 0))
+        val p2 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(0, 0, refIdx = 0),  // -> I through the swap
+          H264Inter.P16x16(0, 0, refIdx = 1),  // -> P1 through the swap
+          H264Inter.PSkip)                     // -> list0(0) = I
+        val p3 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(4, 0, refIdx = 2),  // -> P1 via rotation, +1 pel
+          H264Inter.P16x16(0, 0, refIdx = 1),  // -> P2
+          H264Inter.P16x16(0, 0, refIdx = 0))  // -> I
+        val stream = H264Inter.encodeStream(3, 1, qp, iMbs,
+          Seq(p1, p2, p3), 1, 0, 0, Nil, cabac = false,
+          reorders = Seq(None, Some(Seq(1, 0)), Some(Seq(2, 0, 1))))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 4, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          ("r2_i", fs(2)(4)(8)), ("r2_p", fs(2)(4)(24)),
+          ("r2_skip", fs(2)(4)(40)),
+          ("r3_p1", fs(3)(4)(8)), ("r3_p2", fs(3)(4)(24)),
+          ("r3_i", fs(3)(4)(40))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: pure gradient reads — r2_i and r3_i land on the UNSHIFTED
+    * gradient only when the modification ops are honored (default order
+    * reads the shifted P1 there); r2_skip pins P_Skip's reference as the
+    * reordered list head; r3_p2 re-reads P2's refIdx-1 region (= P1 =
+    * a + sh) and r3_p1 composes the rotation with a +1-pel vector.
+    */
+  private val h264RefListModSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh
+      |  FROM documents
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'r2_i' THEN g0 + 8 + 8
+      |    WHEN 'r2_p' THEN g0 + 24 + sh + 8
+      |    WHEN 'r2_skip' THEN g0 + 40 + 8
+      |    WHEN 'r3_p1' THEN g0 + 9 + sh + 8
+      |    WHEN 'r3_p2' THEN g0 + 24 + sh + 8
+      |    WHEN 'r3_i' THEN g0 + 40 + 8
+      |  END)) AS INT) AS px
+      |FROM base
+      |CROSS JOIN (VALUES ('r2_i'), ('r2_p'), ('r2_skip'),
+      |  ('r3_p1'), ('r3_p2'), ('r3_i')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q246_h264_reflist_mod_probes", h264RefListModProbes,
+      Some(h264RefListModSql)),
+    QueryDef("q245_h264_subpartition_probes", h264SubPartitionProbes,
+      Some(h264SubPartitionSql)),
+    QueryDef("q244_h264_cabac_inter_probes", h264CabacInterProbes,
+      Some(h264CabacInterSql)),
     QueryDef("q243_h264_partition_probes", h264PartitionProbes, Some(h264PartitionSql)),
     QueryDef("q242_h264_weighted_probes", h264WeightedProbes, Some(h264WeightedSql)),
     QueryDef("q241_h264_bslice_probes", h264BSliceProbes, Some(h264BSliceSql)),

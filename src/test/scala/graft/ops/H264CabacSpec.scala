@@ -172,6 +172,146 @@ class H264CabacSpec extends AnyFunSuite {
     }
   }
 
+  // ---- inter (P slices): the q239 cross-entropy gate extended to motion.
+  // Same planted pictures through both entropy codecs must decode to
+  // identical pixels — any slip in the CABAC P binarizations, contexts,
+  // or the Model's inter neighbor state desyncs the two immediately.
+
+  private def rndPFrames(rnd: scala.util.Random, mbsX: Int, mbsY: Int,
+      nFrames: Int): Seq[Seq[H264Inter.PMbPlan]] = {
+    def sparse16(): Array[Array[Int]] = Array.tabulate(16) { _ =>
+      if (rnd.nextInt(3) == 0) {
+        val a = new Array[Int](16)
+        for (_ <- 0 until 1 + rnd.nextInt(3)) {
+          val m = 1 + rnd.nextInt(5)
+          a(rnd.nextInt(16)) = if (rnd.nextBoolean()) m else -m
+        }
+        a
+      } else null
+    }
+    def mv(): Int = rnd.nextInt(5) match {
+      case 0 => 0
+      case 1 => rnd.nextInt(9) - 4            // sub-pel neighborhood
+      case 2 => rnd.nextInt(33) - 16          // ordinary motion
+      case 3 => if (rnd.nextBoolean()) 9 else -9 // TU-prefix boundary
+      case _ => rnd.nextInt(161) - 80         // UEG3 escape territory
+    }
+    Seq.tabulate(nFrames) { fi =>
+      val maxRef = math.min(fi + 1, 3) // I + the previous P pictures
+      Seq.tabulate(mbsX * mbsY) { _ =>
+        rnd.nextInt(4) match {
+          case 0 => H264Inter.PSkip
+          case 1 | 2 =>
+            val cbp = rnd.nextInt(16)
+            H264Inter.P16x16(mv(), mv(),
+              cbpLuma = cbp, levels = if (cbp > 0) sparse16() else null,
+              qpDelta = if (cbp > 0) rnd.nextInt(3) - 1 else 0,
+              refIdx = rnd.nextInt(maxRef))
+          case 3 if rnd.nextBoolean() =>
+            val cbp = rnd.nextInt(16)
+            H264Inter.P8x8(
+              Seq.fill(4) {
+                val st = rnd.nextInt(4)
+                H264Inter.Sub8x8(st, rnd.nextInt(maxRef),
+                  Seq.fill(Array(1, 2, 2, 4)(st))((mv(), mv())))
+              },
+              cbpLuma = cbp, levels = if (cbp > 0) sparse16() else null,
+              qpDelta = if (cbp > 0) rnd.nextInt(3) - 1 else 0)
+          case _ =>
+            val cbp = rnd.nextInt(16)
+            H264Inter.PPart(wide = rnd.nextBoolean(),
+              mv(), mv(), rnd.nextInt(maxRef),
+              mv(), mv(), rnd.nextInt(maxRef),
+              cbpLuma = cbp, levels = if (cbp > 0) sparse16() else null,
+              qpDelta = if (cbp > 0) rnd.nextInt(3) - 1 else 0)
+        }
+      }
+    }
+  }
+
+  private def assertFramesEqual(a: Seq[Array[Array[Int]]],
+      b: Seq[Array[Array[Int]]], tag: String): Unit = {
+    assert(a.length == b.length, tag)
+    a.zip(b).zipWithIndex.foreach { case ((fa, fb), f) =>
+      fa.zip(fb).zipWithIndex.foreach { case ((ra, rb), y) =>
+        assert(ra.sameElements(rb), s"$tag frame $f row $y")
+      }
+    }
+  }
+
+  test("cross-entropy inter: CAVLC and CABAC P streams decode identically") {
+    val rnd = new scala.util.Random(9305)
+    for (trial <- 0 until 12) {
+      val (mbsX, mbsY) = (3, 2)
+      val qp = 16 + rnd.nextInt(32)
+      val iMbs = rndPlans(rnd, mbsX, mbsY)
+      val pFrames = rndPFrames(rnd, mbsX, mbsY, 3)
+      val viaCavlc = H264Inter.decodeFrames(H264Inter.encodeStream(
+        mbsX, mbsY, qp, iMbs, pFrames, 1, 0, 0, Nil, cabac = false))
+      val viaCabac = H264Inter.decodeFrames(H264Inter.encodeStream(
+        mbsX, mbsY, qp, iMbs, pFrames, 1, 0, 0, Nil, cabac = true))
+      assertFramesEqual(viaCavlc, viaCabac, s"trial $trial")
+    }
+  }
+
+  test("cross-entropy inter under the loop filter: deblocked P pixels agree") {
+    val rnd = new scala.util.Random(9306)
+    for (trial <- 0 until 5) {
+      val qp = 24 + rnd.nextInt(16)
+      val iMbs = rndPlans(rnd, 3, 2)
+      val pFrames = rndPFrames(rnd, 3, 2, 2)
+      val a = H264Inter.decodeFrames(H264Inter.encodeStream(
+        3, 2, qp, iMbs, pFrames, 0, 1, -1, Nil, cabac = false))
+      val b = H264Inter.decodeFrames(H264Inter.encodeStream(
+        3, 2, qp, iMbs, pFrames, 0, 1, -1, Nil, cabac = true))
+      assertFramesEqual(a, b, s"filtered trial $trial")
+    }
+  }
+
+  test("cross-entropy inter: weighted prediction composes with CABAC") {
+    val rnd = new scala.util.Random(9307)
+    val iMbs = rndPlans(rnd, 2, 1)
+    val pFrames = Seq(Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(6, -3), H264Inter.PSkip))
+    val w = H264Inter.PredWeights(1, luma = Seq(Some((3, 4))))
+    val a = H264Inter.decodeFrames(H264Inter.encodeStream(
+      2, 1, 26, iMbs, pFrames, 1, 0, 0, Seq(Some(w)), cabac = false))
+    val b = H264Inter.decodeFrames(H264Inter.encodeStream(
+      2, 1, 26, iMbs, pFrames, 1, 0, 0, Seq(Some(w)), cabac = true))
+    assertFramesEqual(a, b, "weighted")
+  }
+
+  test("mvd UEG3 boundaries decode exactly (0, ±1, ±8, ±9, ±16, ±200)") {
+    // single-MB pictures: MB(0,0)'s predictor is always (0,0), so the
+    // planted mv IS the coded mvd — each boundary value of the TU-prefix/
+    // EG3-suffix split round-trips through both entropies to the same
+    // decoded picture
+    val vals = Seq(0, 1, -1, 8, -8, 9, -9, 16, -16, 200, -200)
+    val iMbs = Seq[H264Cavlc.MbPlan](
+      H264Cavlc.I16x16(2, Array(4) ++ Array.fill(15)(0)))
+    val pFrames = vals.map(v => Seq[H264Inter.PMbPlan](H264Inter.P16x16(v, -v)))
+    val a = H264Inter.decodeFrames(H264Inter.encodeStream(
+      1, 1, 26, iMbs, pFrames, 1, 0, 0, Nil, cabac = false))
+    val b = H264Inter.decodeFrames(H264Inter.encodeStream(
+      1, 1, 26, iMbs, pFrames, 1, 0, 0, Nil, cabac = true))
+    assertFramesEqual(a, b, "ueg3")
+  }
+
+  test("CABAC inter rejections: B slices and I_PCM references throw") {
+    val iMbs = Seq[H264Cavlc.MbPlan](
+      H264Cavlc.I16x16(2, Array(1) ++ Array.fill(15)(0)))
+    val e1 = intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, iMbs,
+        Seq(Seq(H264Inter.B16x16(mode = 0))), 1, 0, 0, Nil, cabac = true)
+    }
+    assert(e1.getMessage.contains("CABAC B slices"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(1, 1, 26, Seq(H264Cavlc.Pcm(90)),
+        Seq(Seq(H264Inter.P16x16(0, 0))), 1, 0, 0, Nil, cabac = true)
+    }
+    assert(e2.getMessage.contains("I_PCM"), e2.getMessage)
+  }
+
   test("metadata layer reads CABAC streams; wrong-entropy decodes are refused") {
     val frames = Seq(Seq[H264Cavlc.MbPlan](
       H264Cavlc.I16x16(2, Array(3) ++ Array.fill(15)(0))))

@@ -69,6 +69,22 @@ class H264InterSpec extends AnyFunSuite {
   private def grad(g0: Int): Array[Array[Int]] =
     Array.tabulate(32, 48)((y, x) => g0 + x + 2 * y)
 
+  /** The 3x2 gradient as PCM plans (for reorder-overload calls that need
+    * explicit MbPlans).
+    */
+  private def pcmPlans(ref: Array[Array[Int]]): Seq[H264Cavlc.MbPlan] =
+    (0 until 6).map { mb =>
+      val x0 = (mb % 3) * 16; val y0 = (mb / 3) * 16
+      H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => ref(y0 + y)(x0 + x)))
+    }
+
+  /** n gradient-ish Intra_16x16 plans — a non-PCM reference for CABAC
+    * streams (I_PCM is outside the CABAC subset).
+    */
+  private def i16Plans(n: Int): Seq[H264Cavlc.MbPlan] =
+    (0 until n).map(i =>
+      H264Cavlc.I16x16(2, Array(2 + i) ++ Array.fill(15)(0)))
+
   test("skip motion: top row forces zero mv; zero-mv left neighbor forces zero") {
     val ref = grad(60)
     // top-LEFT skip: A and B unavailable -> mv 0 -> exact copy of ref
@@ -811,6 +827,192 @@ class H264InterSpec extends AnyFunSuite {
       val want = if (x < 16 && y < 16) ramp(y)(x + 1) else ramp(y)(x)
       assert(last(y)(x) == want, s"($x,$y): got ${last(y)(x)}, want $want")
     }
+  }
+
+  test("P_8x8: all four sub_mb_types compose per-sub-partition motion and refs") {
+    val ref = Array.tabulate(16, 32)((y, x) => 2 * x + 3 * y + 15) // max 122
+    def rc(y: Int, x: Int) =
+      ref(math.min(math.max(y, 0), 15))(math.min(math.max(x, 0), 31))
+    // P1: every MB shifts right one pel -> P1(y,x) = ref(y, x+1)
+    val p1 = Seq.fill[H264Inter.PMbPlan](2)(H264Inter.P16x16(4, 0))
+    // P2 MB0 = P_8x8 exercising all four sub shapes, refs mixing the
+    // original (ref 1 = I picture) and the shifted P1 (ref 0):
+    val mb0 = H264Inter.P8x8(Seq(
+      H264Inter.Sub8x8(0, 1, Seq((8, 0))),               // 8x8: ref +2px
+      H264Inter.Sub8x8(1, 0, Seq((0, 0), (0, 8))),       // 8x4: P1; P1 +2py
+      H264Inter.Sub8x8(2, 1, Seq((0, 0), (-4, -4))),     // 4x8: ref; ref -1,-1
+      H264Inter.Sub8x8(3, 0,                             // 4x4 quad over P1
+        Seq((0, 0), (4, 0), (0, 4), (4, 4)))))
+    val p2 = Seq[H264Inter.PMbPlan](mb0, H264Inter.P16x16(0, 0))
+    val d = H264Inter.decodeFrames(
+      H264Inter.encodeStream(2, 1, 26, ref, Seq(p1, p2)))
+    def p1v(y: Int, x: Int) = rc(y, x + 1)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want =
+        if (x < 8 && y < 8) rc(y, x + 2)                   // sub0 8x8 ref+2
+        else if (x < 16 && y < 4) p1v(y, x)                // sub1 8x4 top
+        else if (x < 16 && y < 8) p1v(y + 2, x)            // sub1 8x4 bottom
+        else if (x < 4 && y >= 8) rc(y, x)                 // sub2 4x8 left
+        else if (x < 8 && y >= 8) rc(y - 1, x - 1)         // sub2 4x8 right
+        else if (x < 12 && y >= 8 && y < 12) p1v(y, x)     // sub3 4x4 #0
+        else if (x < 16 && y >= 8 && y < 12) p1v(y, x + 1) // sub3 4x4 #1
+        else if (x < 12 && y >= 12) p1v(y + 1, x)          // sub3 4x4 #2
+        else if (x < 16 && y >= 12) p1v(y + 1, x + 1)      // sub3 4x4 #3
+        else p1v(y, x)                                     // MB1 16x16 over P1
+      assert(d(2)(y)(x) == want, s"($x,$y): got ${d(2)(y)(x)}, want $want")
+    }
+    // residual over a P_8x8 prediction + round trip of an 8x4/4x8 mix
+    val lv = Array(3) ++ Array.fill(15)(0)
+    val mbR = H264Inter.P8x8(Seq(
+      H264Inter.Sub8x8(1, 0, Seq((0, 0), (4, 0))),
+      H264Inter.Sub8x8(2, 0, Seq((0, 4), (0, 0))),
+      H264Inter.Sub8x8(0, 0, Seq((0, 0))),
+      H264Inter.Sub8x8(3, 0, Seq((0, 0), (0, 0), (0, 0), (0, 0)))),
+      cbpLuma = 1, levels = Array.tabulate(16)(b => if (b == 0) lv else null))
+    val d2 = H264Inter.decodeFrames(H264Inter.encodeStream(2, 1, 24, ref,
+      Seq(Seq[H264Inter.PMbPlan](mbR, H264Inter.PSkip))))
+    // block 0 (px 0..3, py 0..3) belongs to the 8x4 top part, mv (0,0):
+    // prediction = ref; DC level 3 at qp 24 dequants to 3·10·2⁴ = 480,
+    // DC-only IDCT adds (480+32)>>6 = 8
+    assert(d2(1)(1)(1) == math.min(255, ref(1)(1) + 8))
+    assert(d2(1)(1)(6) == ref(1)(6), "uncoded block untouched")
+  }
+
+  test("hand-assembled P_8x8 bits: in-MB C availability and D substitution") {
+    // Single-MB picture, one P_8x8 of four 4x4 sub-types — the
+    // sub-partition predictor's neighbors come from INSIDE the MB, so
+    // decode order drives C availability: cell (1,1) must substitute D
+    // (cell (0,0)) because its C (cell (2,0), in sub1) has NOT decoded
+    // yet, while cell (0,1)'s C (cell (1,0), in sub0) HAS. Every
+    // predictor below is hand-derived from 8.4.1.3; the encoder is never
+    // consulted (shared-derivation caveat).
+    val ref = Array.tabulate(16, 16)((y, x) => 3 * x + 2 * y + 30) // max 105
+    val base = H264Inter.encodeStream(1, 1, 26, ref, Nil)
+    val w = new H264.BitWriter
+    w.ue(0); w.ue(0); w.ue(0)   // first_mb, slice_type P, pps
+    w.u(1, 4)                   // frame_num
+    w.u(0, 1); w.u(0, 1)        // no override, no list modification
+    w.se(0)                     // slice_qp_delta
+    w.ue(1)                     // disable_deblocking_filter_idc
+    w.ue(0)                     // mb_skip_run
+    w.ue(3)                     // mb_type P_8x8
+    (0 until 4).foreach(_ => w.ue(3)) // all sub_mb_type 4x4
+    // (numActive = 1 -> no ref_idx fields)
+    // hand-derived predictors, decode order (see derivations):
+    //  (0,0): all unavail -> (0,0); plant mv (4,0) -> mvd (4,0)
+    //  (1,0): B/C/D unavail, A=(4,0) -> directional -> (4,0); plant (8,0)
+    //  (0,1): A unavail, B=(4,0), C=(1,0)=(8,0) -> median(0,4,8)=(4,0);
+    //         plant (4,4) -> mvd (0,4)
+    //  (1,1): C cell (2,0) UNDECODED -> D=(0,0)=(4,0); A=(4,4), B=(8,0)
+    //         -> median x med(4,8,4)=4, y med(4,0,0)=0 -> (4,0); plant (4,0)
+    //  sub1..sub3: every predictor lands (8,0)/(4,0) as planted (mvd 0)
+    val mvds = Seq((4, 0), (4, 0), (0, 4), (0, 0)) ++ Seq.fill(12)((0, 0))
+    mvds.foreach { case (mx, my) => w.se(mx); w.se(my) }
+    w.ue(0)                     // cbp 0
+    w.trailingBits()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    H264.writeNal(out, 0, 1, w.toBytes)
+    val last = H264Inter.decodeFrames(out.toByteArray).last
+    def rc(y: Int, x: Int) = ref(math.min(y, 15))(math.min(x, 15))
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want =
+        if (x < 4 && y < 4) rc(y, x + 1)        // (0,0) mv (4,0)
+        else if (x < 8 && y < 4) rc(y, x + 2)   // (1,0) mv (8,0)
+        else if (x < 4 && y < 8) rc(y + 1, x + 1) // (0,1) mv (4,4)
+        else if (x < 8 && y < 8) rc(y, x + 1)   // (1,1) mv (4,0) via D
+        else if (y < 8) rc(y, x + 2)            // sub1 (8,0)
+        else if (x < 8) rc(y, x + 1)            // sub2 (4,0)
+        else rc(y, x + 2)                       // sub3 (8,0)
+      assert(last(y)(x) == want, s"($x,$y): got ${last(y)(x)}, want $want")
+    }
+  }
+
+  test("ref-list modification: reordered list0 selects reordered targets") {
+    val ref = grad(40) // 3x2 MBs, ref(y,x) = 40 + x + 2y
+    val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(8, 0))
+    // reordered P2: picks (1, 0) swap the list -> refIdx 0 = the I
+    // picture, refIdx 1 = the shifted P1; a P_Skip must read list0(0)
+    // = the REORDERED head (8.4.1.1 references RefPicList0[0])
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 0), H264Inter.P16x16(0, 0, refIdx = 1),
+      H264Inter.PSkip, H264Inter.P16x16(0, 0, refIdx = 0),
+      H264Inter.P16x16(0, 0, refIdx = 1), H264Inter.PSkip)
+    val reordered = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2), 1, 0, 0, Nil, cabac = false,
+      reorders = Seq(None, Some(Seq(1, 0)))))
+    // the same semantics through the DEFAULT order with refIdx swapped
+    val p2d = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 1), H264Inter.P16x16(0, 0, refIdx = 0),
+      H264Inter.P16x16(0, 0, refIdx = 1), H264Inter.P16x16(0, 0, refIdx = 1),
+      H264Inter.P16x16(0, 0, refIdx = 0), H264Inter.P16x16(0, 0, refIdx = 1))
+    val default = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2d)))
+    reordered(2).zip(default(2)).zipWithIndex.foreach { case ((a, b), y) =>
+      assert(a.sameElements(b), s"row $y")
+    }
+    // and the reorder genuinely changed pixels vs the UN-reordered plan
+    val plain = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2)))
+    assert(reordered(2)(4)(4) == ref(4)(4), "refIdx 0 must hit the I picture")
+    assert(plain(2)(4)(4) == ref(4)(6), "default refIdx 0 is the shifted P1")
+    // CABAC carries the same (entropy-agnostic) header reorder
+    val viaCabac = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, i16Plans(6), Seq(p1, p2), 1, 0, 0, Nil, cabac = true,
+      reorders = Seq(None, Some(Seq(1, 0)))))
+    val viaCavlc = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, i16Plans(6), Seq(p1, p2), 1, 0, 0, Nil, cabac = false,
+      reorders = Seq(None, Some(Seq(1, 0)))))
+    viaCabac(2).zip(viaCavlc(2)).foreach { case (a, b) =>
+      assert(a.sameElements(b))
+    }
+  }
+
+  test("ref-list modification: three-deep reorder drives both op directions") {
+    val ref = grad(35)
+    val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(4, 0))
+    val p2 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(4, 0))
+    // picks (2,0,1): ops are idc0 (back 3), idc1 (forward 2), idc0
+    // (back 1) — list0 = (I, P2, P1)
+    val p3 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(0, 0, refIdx = 0), H264Inter.P16x16(0, 0, refIdx = 1),
+      H264Inter.P16x16(0, 0, refIdx = 2), H264Inter.P16x16(0, 0, refIdx = 0),
+      H264Inter.P16x16(0, 0, refIdx = 1), H264Inter.P16x16(0, 0, refIdx = 2))
+    val d = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2, p3), 1, 0, 0, Nil, cabac = false,
+      reorders = Seq(None, None, Some(Seq(2, 0, 1)))))
+    assert(d(3)(4)(4) == ref(4)(4), "refIdx 0 -> I (unshifted)")
+    assert(d(3)(4)(20) == ref(4)(22), "refIdx 1 -> P2 (two pels)")
+    assert(d(3)(4)(36) == ref(4)(37), "refIdx 2 -> P1 (one pel)")
+  }
+
+  test("ref-list modification poison: long-term ops and B flags reject") {
+    val ref = Array.tabulate(16, 16)((y, x) => x + y + 50)
+    val base = H264Inter.encodeStream(1, 1, 26, ref, Nil)
+    def slice(body: H264.BitWriter => Unit): Array[Byte] = {
+      val w = new H264.BitWriter
+      w.ue(0); w.ue(0); w.ue(0); w.u(1, 4)
+      w.u(0, 1) // no num_ref_idx override
+      body(w)
+      w.trailingBits()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, base.length)
+      H264.writeNal(out, 0, 1, w.toBytes)
+      out.toByteArray
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      H264Inter.decodeFrames(slice { w =>
+        w.u(1, 1); w.ue(2) // modification flag, idc 2 = long-term
+      })
+    }
+    assert(e1.getMessage.contains("long-term"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      H264Inter.decodeFrames(slice { w =>
+        w.u(1, 1); w.ue(0); w.ue(7); w.ue(3) // op naming an absent PicNum
+        w.se(0); w.ue(1) // slice_qp_delta, deblocking idc (list builds next)
+      })
+    }
+    assert(e2.getMessage.contains("absent"), e2.getMessage)
   }
 
   test("poison: garbage and truncated streams throw, never mis-decode") {

@@ -117,6 +117,25 @@ object H264 {
     }
     def byteAligned: Boolean = (pos & 7) == 0
     def alignToByte(): Unit = while (!byteAligned) u(1)
+    /** more_rbsp_data() (7.2): data bits remain before the
+      * rbsp_stop_one_bit — i.e. the read position is strictly before the
+      * LAST set bit of the RBSP. The position of that bit is computed
+      * once on first use.
+      */
+    def hasMoreRbspData: Boolean = {
+      if (lastOneBit == -2) {
+        lastOneBit = -1
+        var i = bytes.length - 1
+        while (i >= 0 && lastOneBit < 0) {
+          val b = bytes(i) & 0xff
+          if (b != 0)
+            lastOneBit = i * 8 + (7 - Integer.numberOfTrailingZeros(b))
+          i -= 1
+        }
+      }
+      pos < lastOneBit
+    }
+    private var lastOneBit = -2
     /** Alignment whose padding bits the spec pins to a value
       * (pcm_alignment_zero_bit = 0, cabac_alignment_one_bit = 1):
       * consume to the byte boundary and REJECT a non-conformant bit —
@@ -417,15 +436,24 @@ object H264 {
     * natively since round 13; they used to be rejected here.
     */
   private[ops] def sliceDeblocking(r: BitReader, present: Boolean): (Boolean, Int, Int) = {
-    if (!present) return (true, 0, 0)
+    val (idc, a, b) = sliceDeblockingIdc(r, present)
+    (idc != 1, a, b)
+  }
+
+  /** idc-preserving form: (idc, offA·2, offB·2) — idc 2 keeps the filter
+    * on but excludes slice-boundary edges (the multi-slice decoder needs
+    * the distinction; idc 0 and 2 are identical on single-slice pictures).
+    */
+  private[ops] def sliceDeblockingIdc(r: BitReader, present: Boolean): (Int, Int, Int) = {
+    if (!present) return (0, 0, 0)
     val idc = r.ue()
     require(idc <= 2, s"bad disable_deblocking_filter_idc $idc")
-    if (idc == 1) (false, 0, 0)
+    if (idc == 1) (1, 0, 0)
     else {
       val a = r.se(); val b = r.se()
       require(a >= -6 && a <= 6 && b >= -6 && b <= 6,
         s"slice deblocking offsets out of range: $a / $b")
-      (true, a * 2, b * 2)
+      (idc, a * 2, b * 2)
     }
   }
 

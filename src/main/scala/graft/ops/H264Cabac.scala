@@ -862,11 +862,11 @@ object H264Cabac {
       m.decoded(mbY)(mbX) = true
     }
 
-    def endOfSlice(last: Boolean): Unit = {
-      val eos = d.terminate()
-      require((eos == 1) == last,
-        s"cabac inter decoder: end_of_slice_flag $eos (last=$last)")
-    }
+    /** end_of_slice_flag after each MB — true terminates the slice (the
+      * picture loop checks coverage; a premature flag just ends THIS
+      * slice, and a missing one underruns loudly).
+      */
+    def endOfSlice(): Boolean = d.terminate() == 1
   }
 
   /** Encode-side mirror of [[PSliceDecoder]] — same Model, same call

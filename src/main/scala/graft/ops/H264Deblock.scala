@@ -37,9 +37,10 @@ package graft.ops
   *    co-located luma samples).
   *
   * `disable_deblocking_filter_idc = 2` (filter on, slice boundaries
-  * excluded) is accepted and identical to 0 here because every subset
-  * decoder already requires one slice per picture — there are no slice
-  * boundaries to exclude.
+  * excluded) is SEMANTICALLY REAL since round 14: multi-slice P pictures
+  * carry a per-MB slice id in [[PicInfo]], and the MB-edge loop skips
+  * boundary edges whose two sides sit in different slices (q247). On
+  * single-slice pictures idc 2 remains identical to 0, as the spec says.
   *
   * Verification boundary, stated plainly (the [[H264Cavlc]] contract): the
   * container has no external H.264 decoder, so Tables 8-16/8-17 are
@@ -99,6 +100,12 @@ object H264Deblock {
     * internal edges get the 8.7.2.1 motion/reference tests too.
     */
   private[ops] final class PicInfo(val mbsX: Int, val mbsY: Int) {
+    /** Slice index per MB (0 on single-slice pictures) and the idc-2
+      * flag: when set, [[filter]] skips MB edges whose two sides belong
+      * to different slices (8.7: disable_deblocking_filter_idc == 2).
+      */
+    val sliceId = Array.ofDim[Int](mbsY, mbsX)
+    var excludeSliceEdges = false
     val intra = Array.ofDim[Boolean](mbsY, mbsX)
     val pcm = Array.ofDim[Boolean](mbsY, mbsX)
     val qp = Array.ofDim[Int](mbsY, mbsX)
@@ -290,11 +297,17 @@ object H264Deblock {
     while (mbY < mbsY) {
       var mbX = 0
       while (mbX < mbsX) {
+        // idc 2: the MB-boundary edge (e == 0) is skipped when the two
+        // sides sit in different slices; internal edges always filter
+        def sameSliceLeft: Boolean = !info.excludeSliceEdges ||
+          info.sliceId(mbY)(mbX) == info.sliceId(mbY)(mbX - 1)
+        def sameSliceUp: Boolean = !info.excludeSliceEdges ||
+          info.sliceId(mbY)(mbX) == info.sliceId(mbY - 1)(mbX)
         // vertical edges, left to right (luma x offsets 0,4,8,12; chroma
         // edges co-locate with luma offsets 0 and 8)
         var e = 0
         while (e < 4) {
-          if (e > 0 || mbX > 0) {
+          if (e > 0 || (mbX > 0 && sameSliceLeft)) {
             val qgx = mbX * 4 + e
             var g = 0
             while (g < 4) {
@@ -316,7 +329,7 @@ object H264Deblock {
         // horizontal edges, top to bottom
         e = 0
         while (e < 4) {
-          if (e > 0 || mbY > 0) {
+          if (e > 0 || (mbY > 0 && sameSliceUp)) {
             val qgy = mbY * 4 + e
             var g = 0
             while (g < 4) {

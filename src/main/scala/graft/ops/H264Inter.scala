@@ -297,8 +297,11 @@ object H264Inter {
     def zeroRef(x: Int, y: Int): Boolean = // the MB's 4x4 neighbor cell
       g.filled(y)(x) && g.ref(y)(x) == 0 &&
         g.mvx(y)(x) == 0 && g.mvy(y)(x) == 0
-    val aUnavail = mbX == 0
-    val bUnavail = mbY == 0
+    // availability is SLICE-scoped (6.4.8): a neighbor MB in a previous
+    // slice has decoded=false in this slice's fresh grid — 8.4.1.1 then
+    // forces the zero vector exactly like a picture edge
+    val aUnavail = mbX == 0 || !g.decoded(mbY * 4)(mbX * 4 - 1)
+    val bUnavail = mbY == 0 || !g.decoded(mbY * 4 - 1)(mbX * 4)
     if (aUnavail || bUnavail || zeroRef(mbX * 4 - 1, mbY * 4) ||
       zeroRef(mbX * 4, mbY * 4 - 1))
       (0, 0)
@@ -364,6 +367,25 @@ object H264Inter {
   final case class P8x8(subs: Seq[Sub8x8], cbpLuma: Int = 0,
       levels: Array[Array[Int]] = null, qpDelta: Int = 0) extends PMbPlan {
     require(subs.length == 4, "P_8x8 needs exactly four sub-macroblocks")
+  }
+
+  /** Publish a decoded MB's 16 nC cells as AVAILABLE-with-0 where still
+    * unavailable — skipped MBs and uncoded blocks carry total_coeff 0
+    * (9.2.1) over the −1-sentinel grids multi-slice P pictures use
+    * (prior-slice cells stay −1 = unavailable; single-slice pictures see
+    * identical nC values either way).
+    */
+  private def fillNctxZero(nctx: Array[Array[Int]], mbX: Int, mbY: Int): Unit = {
+    var by = 0
+    while (by < 4) {
+      var bx = 0
+      while (bx < 4) {
+        if (nctx(mbY * 4 + by)(mbX * 4 + bx) < 0)
+          nctx(mbY * 4 + by)(mbX * 4 + bx) = 0
+        bx += 1
+      }
+      by += 1
+    }
   }
 
   /** Sub-partition layout of sub_mb_type (Table 7-17) within the 8x8 at
@@ -536,7 +558,23 @@ object H264Inter {
       iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
       deblockIdc: Int, aOffD2: Int, bOffD2: Int,
       weights: Seq[Option[PredWeights]],
-      cabac: Boolean, reorders: Seq[Option[Seq[Int]]]): Array[Byte] = {
+      cabac: Boolean, reorders: Seq[Option[Seq[Int]]]): Array[Byte] =
+    encodeStream(mbsX, mbsY, qp, iMbs, pFrames, deblockIdc, aOffD2, bOffD2,
+      weights, cabac, reorders, Nil)
+
+  /** Multi-slice form: `sliceSplits(k)` lists P frame k's slice start
+    * addresses (ascending, first 0; empty/absent = one slice). Every
+    * slice of a picture shares frame_num and deblocking signalling but
+    * gets FRESH neighbor state (slice independence, 6.4.8); with
+    * deblockIdc 2 the loop filter skips the resulting slice-boundary
+    * edges. B frames must stay single-slice.
+    */
+  def encodeStream(mbsX: Int, mbsY: Int, qp: Int,
+      iMbs: Seq[H264Cavlc.MbPlan], pFrames: Seq[Seq[PMbPlan]],
+      deblockIdc: Int, aOffD2: Int, bOffD2: Int,
+      weights: Seq[Option[PredWeights]],
+      cabac: Boolean, reorders: Seq[Option[Seq[Int]]],
+      sliceSplits: Seq[Seq[Int]]): Array[Byte] = {
     require(qp >= 12 && qp <= 51, s"planted-stream QP $qp outside [12,51]")
     val wpOn = weights.exists(_.isDefined)
     if (weights.nonEmpty)
@@ -594,6 +632,8 @@ object H264Inter {
         case PSkip =>
           require(!isB, s"frame $k: B_Skip is direct-mode (unsupported)")
       }
+      if (sliceSplits.lift(k).exists(_.length > 1))
+        require(!isB, s"frame $k: B pictures must stay single-slice")
       reorders.lift(k).flatten.foreach { picks =>
         require(!isB, s"frame $k: B slices cannot carry a list reorder")
         require(picks.nonEmpty && picks.distinct.length == picks.length &&
@@ -643,7 +683,7 @@ object H264Inter {
       val fw = weights.lift(fi).flatten
       if (isB) require(fw.isEmpty,
         s"frame $fi: B slices cannot carry explicit weights (bipred idc 0)")
-      val w = new BitWriter
+      var w = new BitWriter
 
       /** pred_weight_table (7.3.3.2) for this P slice. */
       def writeWpTable(numActive: Int): Unit = {
@@ -685,6 +725,7 @@ object H264Inter {
             b += 1
           }
         }
+        fillNctxZero(nctx, mbX, mbY) // uncoded cells become available-0
       }
 
       /** te(v) for a reference index with numActive entries. */
@@ -706,183 +747,198 @@ object H264Inter {
               s"references list position ${planMax - 1}")
           picks.length
         }.getOrElse(planMax)
-        w.ue(0)                  // first_mb_in_slice
-        w.ue(5)                  // slice_type = P (all)
-        w.ue(0)                  // pps id
         val fn = (prevRefFrameNum + 1) % 16
-        w.u(fn.toLong, 4)        // frame_num
-        if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
-        else { w.u(1, 1); w.ue(numActive - 1) }
-        reorder match {
-          case Some(picks) =>
-            // 7.3.3.1: one short-term op per desired list position,
-            // computed against the running picNumLXPred in PicNum space
-            // (the decoder's noWrap arithmetic lands identically)
-            w.u(1, 1)            // ref_pic_list_modification_flag_l0
-            def pn(i: Int) = { val f = refFns(i); if (f > fn) f - 16 else f }
-            var pred = fn
-            picks.foreach { di =>
-              val p = pn(di)
-              if (p < pred) { w.ue(0); w.ue(pred - p - 1) }
-              else { w.ue(1); w.ue(p - pred - 1) }
-              pred = p
-            }
-            w.ue(3)              // end of modification ops
-          case None => w.u(0, 1) // ref_pic_list_modification_flag_l0
-        }
-        if (wpOn) writeWpTable(numActive) // pred_weight_table (7.3.3)
-        w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
-        w.se(qp - 26)            // slice_qp_delta
-        w.ue(deblockIdc)         // disable_deblocking_filter_idc
-        if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
-        val g = new MvGrid(mbsX, mbsY)
-        if (cabac) {
-          // --- CABAC P slice (7.3.4 CABAC framing): per-MB skip FLAGS
-          // and end_of_slice terminates instead of skip runs; motion /
-          // partition geometry and residual semantics identical
-          while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit
-          val pe = new H264Cabac.PSliceEncoder(w, qp, mbsX, mbsY)
-          def residual(mbX: Int, mbY: Int, cbpLuma: Int,
-              levels: Array[Array[Int]], qpDelta: Int): Unit = {
-            pe.cbpLuma(mbX, mbY, cbpLuma)
-            if (cbpLuma > 0) {
-              pe.qpDelta(qpDelta)
-              var b = 0
-              while (b < 16) {
-                if ((cbpLuma & (1 << (b / 4))) != 0) {
-                  val (bx, by) = H264Cavlc.blk4x4(b)
-                  val lv = (if (levels == null || levels(b) == null)
-                    Array.empty[Int] else levels(b)).padTo(16, 0).take(16)
-                  pe.lumaBlock(mbX * 4 + bx, mbY * 4 + by, lv)
-                }
-                b += 1
+        val total = mbsX * mbsY
+        // multi-slice split points (7.4.3 first_mb_in_slice): one slice
+        // from each start to the next; every slice carries the SAME
+        // frame_num / deblocking signalling and FRESH neighbor state
+        // (slice independence — 6.4.8 availability stops at the boundary)
+        val starts = sliceSplits.lift(fi).filter(_.nonEmpty).getOrElse(Seq(0))
+        require(starts.head == 0 && starts == starts.sorted &&
+          starts.distinct == starts && starts.forall(s => s >= 0 && s < total),
+          s"frame $fi: slice starts must be distinct ascending MB addresses from 0")
+        starts.zipWithIndex.foreach { case (s0, si) =>
+          val s1 = if (si + 1 < starts.length) starts(si + 1) else total
+          w = new BitWriter
+          w.ue(s0)                 // first_mb_in_slice
+          w.ue(5)                  // slice_type = P (all)
+          w.ue(0)                  // pps id
+          w.u(fn.toLong, 4)        // frame_num
+          if (numActive == 1) w.u(0, 1) // num_ref_idx_active_override_flag
+          else { w.u(1, 1); w.ue(numActive - 1) }
+          reorder match {
+            case Some(picks) =>
+              // 7.3.3.1: one short-term op per desired list position,
+              // computed against the running picNumLXPred in PicNum space
+              // (the decoder's noWrap arithmetic lands identically)
+              w.u(1, 1)            // ref_pic_list_modification_flag_l0
+              def pn(i: Int) = { val f = refFns(i); if (f > fn) f - 16 else f }
+              var pred = fn
+              picks.foreach { di =>
+                val p = pn(di)
+                if (p < pred) { w.ue(0); w.ue(pred - p - 1) }
+                else { w.ue(1); w.ue(p - pred - 1) }
+                pred = p
               }
-            } else pe.noQpDelta()
-            pe.finishMb(mbX, mbY, cbpLuma)
+              w.ue(3)              // end of modification ops
+            case None => w.u(0, 1) // ref_pic_list_modification_flag_l0
           }
-          mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
-            val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
-            plan match {
-              case PSkip =>
-                pe.skipFlag(mbX, mbY, skip = true)
-                val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
-                g.set(mbX, mbY, sx, sy, 0)
-              case p: P16x16 =>
-                pe.skipFlag(mbX, mbY, skip = false)
-                pe.mbTypeP(0)
-                if (numActive > 1) pe.refIdx(mbX * 4, mbY * 4, 4, 4, p.refIdx)
-                val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
-                pe.mvd(mbX * 4, mbY * 4, 4, 4, p.mvx - px, p.mvy - py)
-                g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
-                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
-              case p: PPart =>
-                pe.skipFlag(mbX, mbY, skip = false)
-                val mbType = if (p.wide) 1 else 2
-                pe.mbTypeP(mbType)
-                val ps = partsOf(mbType, mbX, mbY)
-                // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
-                if (numActive > 1)
-                  ps.zip(Seq(p.ref0, p.ref1)).foreach {
-                    case ((gx, gy, w4, h4, _), rf) =>
-                      pe.refIdx(gx, gy, w4, h4, rf)
+          if (wpOn) writeWpTable(numActive) // pred_weight_table (7.3.3)
+          w.u(0, 1)                // adaptive_ref_pic_marking_mode_flag (7.3.3.3)
+          w.se(qp - 26)            // slice_qp_delta
+          w.ue(deblockIdc)         // disable_deblocking_filter_idc
+          if (deblockIdc != 1) { w.se(aOffD2); w.se(bOffD2) }
+          val g = new MvGrid(mbsX, mbsY)
+          if (cabac) {
+            // --- CABAC P slice (7.3.4 CABAC framing): per-MB skip FLAGS
+            // and end_of_slice terminates instead of skip runs; motion /
+            // partition geometry and residual semantics identical
+            while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit
+            val pe = new H264Cabac.PSliceEncoder(w, qp, mbsX, mbsY)
+            def residual(mbX: Int, mbY: Int, cbpLuma: Int,
+                levels: Array[Array[Int]], qpDelta: Int): Unit = {
+              pe.cbpLuma(mbX, mbY, cbpLuma)
+              if (cbpLuma > 0) {
+                pe.qpDelta(qpDelta)
+                var b = 0
+                while (b < 16) {
+                  if ((cbpLuma & (1 << (b / 4))) != 0) {
+                    val (bx, by) = H264Cavlc.blk4x4(b)
+                    val lv = (if (levels == null || levels(b) == null)
+                      Array.empty[Int] else levels(b)).padTo(16, 0).take(16)
+                    pe.lumaBlock(mbX * 4 + bx, mbY * 4 + by, lv)
                   }
-                ps.zip(Seq(
-                  (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
-                  case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
-                    val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
-                    pe.mvd(gx, gy, w4, h4, mx - px, my - py)
-                    g.fill(gx, gy, w4, h4, mx, my, rf)
+                  b += 1
                 }
-                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
-              case p: P8x8 =>
-                pe.skipFlag(mbX, mbY, skip = false)
-                pe.mbTypeP(3)
-                p.subs.foreach(s => pe.subMbTypeP(s.subType))
-                if (numActive > 1)
-                  p.subs.zipWithIndex.foreach { case (s, i) =>
-                    val cx = mbX * 4 + (i % 2) * 2
-                    val cy = mbY * 4 + (i / 2) * 2
-                    pe.refIdx(cx, cy, 2, 2, s.refIdx)
-                  }
-                p.subs.zipWithIndex.foreach { case (s, i) =>
-                  val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
-                  subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
-                    case ((gx, gy, w4, h4), (mx, my)) =>
-                      val (px, py) =
-                        mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
+              } else pe.noQpDelta()
+              pe.finishMb(mbX, mbY, cbpLuma)
+            }
+            (s0 until s1).foreach { mbIdx =>
+              val plan = mbs(mbIdx)
+              val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+              plan match {
+                case PSkip =>
+                  pe.skipFlag(mbX, mbY, skip = true)
+                  val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+                  g.set(mbX, mbY, sx, sy, 0)
+                case p: P16x16 =>
+                  pe.skipFlag(mbX, mbY, skip = false)
+                  pe.mbTypeP(0)
+                  if (numActive > 1) pe.refIdx(mbX * 4, mbY * 4, 4, 4, p.refIdx)
+                  val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
+                  pe.mvd(mbX * 4, mbY * 4, 4, 4, p.mvx - px, p.mvy - py)
+                  g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
+                  residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+                case p: PPart =>
+                  pe.skipFlag(mbX, mbY, skip = false)
+                  val mbType = if (p.wide) 1 else 2
+                  pe.mbTypeP(mbType)
+                  val ps = partsOf(mbType, mbX, mbY)
+                  // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
+                  if (numActive > 1)
+                    ps.zip(Seq(p.ref0, p.ref1)).foreach {
+                      case ((gx, gy, w4, h4, _), rf) =>
+                        pe.refIdx(gx, gy, w4, h4, rf)
+                    }
+                  ps.zip(Seq(
+                    (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
+                    case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
+                      val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
                       pe.mvd(gx, gy, w4, h4, mx - px, my - py)
-                      g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
+                      g.fill(gx, gy, w4, h4, mx, my, rf)
                   }
-                }
-                residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
-              case _: B16x16 => throw new IllegalStateException("checked above")
+                  residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+                case p: P8x8 =>
+                  pe.skipFlag(mbX, mbY, skip = false)
+                  pe.mbTypeP(3)
+                  p.subs.foreach(s => pe.subMbTypeP(s.subType))
+                  if (numActive > 1)
+                    p.subs.zipWithIndex.foreach { case (s, i) =>
+                      val cx = mbX * 4 + (i % 2) * 2
+                      val cy = mbY * 4 + (i / 2) * 2
+                      pe.refIdx(cx, cy, 2, 2, s.refIdx)
+                    }
+                  p.subs.zipWithIndex.foreach { case (s, i) =>
+                    val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                    subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
+                      case ((gx, gy, w4, h4), (mx, my)) =>
+                        val (px, py) =
+                          mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
+                        pe.mvd(gx, gy, w4, h4, mx - px, my - py)
+                        g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
+                    }
+                  }
+                  residual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta)
+                case _: B16x16 => throw new IllegalStateException("checked above")
+              }
+              pe.endOfSlice(mbIdx == s1 - 1)
             }
-            pe.endOfSlice(mbIdx == mbs.length - 1)
+            w.alignZero() // flush already wrote the rbsp stop bit
+          } else {
+            // nC grid starts UNAVAILABLE (-1): prior-slice blocks must not
+            // contribute to 9.2.1 nC; every decoded MB publishes its 16
+            // cells (total_coeff for coded blocks, 0 for the rest / skips)
+            val nctx = Array.fill(mbsY * 4, mbsX * 4)(-1)
+            var skipRun = 0
+            (s0 until s1).foreach { mbIdx =>
+              val plan = mbs(mbIdx)
+              val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+              plan match {
+                case PSkip =>
+                  val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
+                  g.set(mbX, mbY, sx, sy, 0)
+                  fillNctxZero(nctx, mbX, mbY) // skipped MB: nN = 0 (9.2.1)
+                  skipRun += 1
+                case p: P16x16 =>
+                  w.ue(skipRun); skipRun = 0
+                  w.ue(0)          // mb_type P_L0_16x16
+                  writeRefIdx(p.refIdx, numActive)
+                  val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
+                  w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
+                  g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
+                  writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+                case p: PPart =>
+                  w.ue(skipRun); skipRun = 0
+                  val mbType = if (p.wide) 1 else 2
+                  w.ue(mbType)
+                  // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
+                  writeRefIdx(p.ref0, numActive)
+                  writeRefIdx(p.ref1, numActive)
+                  partsOf(mbType, mbX, mbY).zip(Seq(
+                    (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
+                    case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
+                      val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
+                      w.se(mx - px); w.se(my - py)
+                      g.fill(gx, gy, w4, h4, mx, my, rf)
+                  }
+                  writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+                case p: P8x8 =>
+                  w.ue(skipRun); skipRun = 0
+                  w.ue(3) // mb_type P_8x8
+                  // 7.3.5: four sub_mb_type, then four ref_idx, then all mvds
+                  p.subs.foreach(s => w.ue(s.subType))
+                  p.subs.foreach(s => writeRefIdx(s.refIdx, numActive))
+                  p.subs.zipWithIndex.foreach { case (s, i) =>
+                    val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
+                    subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
+                      case ((gx, gy, w4, h4), (mx, my)) =>
+                        val (px, py) =
+                          mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
+                        w.se(mx - px); w.se(my - py)
+                        g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
+                    }
+                  }
+                  writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
+                case _: B16x16 => throw new IllegalStateException("checked above")
+              }
+            }
+            if (skipRun > 0) w.ue(skipRun) // trailing skip run (7.3.4)
+            w.trailingBits()
           }
-          w.alignZero() // flush already wrote the rbsp stop bit
           H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
-          prevRefFrameNum = fn
-          noteRefFrame(fn)
-        } else {
-        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
-        var skipRun = 0
-        mbs.zipWithIndex.foreach { case (plan, mbIdx) =>
-          val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
-          plan match {
-            case PSkip =>
-              val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
-              g.set(mbX, mbY, sx, sy, 0)
-              // skipped MBs leave their nC grid entries 0 (9.2.1)
-              skipRun += 1
-            case p: P16x16 =>
-              w.ue(skipRun); skipRun = 0
-              w.ue(0)          // mb_type P_L0_16x16
-              writeRefIdx(p.refIdx, numActive)
-              val (px, py) = mvPred(g, mbX, mbY, mbsX, p.refIdx)
-              w.se(p.mvx - px); w.se(p.mvy - py) // mvd_l0
-              g.set(mbX, mbY, p.mvx, p.mvy, p.refIdx)
-              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
-            case p: PPart =>
-              w.ue(skipRun); skipRun = 0
-              val mbType = if (p.wide) 1 else 2
-              w.ue(mbType)
-              // 7.3.5.1: ALL ref_idx_l0 first, then ALL mvd_l0
-              writeRefIdx(p.ref0, numActive)
-              writeRefIdx(p.ref1, numActive)
-              partsOf(mbType, mbX, mbY).zip(Seq(
-                (p.mv0x, p.mv0y, p.ref0), (p.mv1x, p.mv1y, p.ref1))).foreach {
-                case ((gx, gy, w4, h4, shape), (mx, my, rf)) =>
-                  val (px, py) = mvPred(g, gx, gy, w4, mbsX, rf, shape)
-                  w.se(mx - px); w.se(my - py)
-                  g.fill(gx, gy, w4, h4, mx, my, rf)
-              }
-              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
-            case p: P8x8 =>
-              w.ue(skipRun); skipRun = 0
-              w.ue(3) // mb_type P_8x8
-              // 7.3.5: four sub_mb_type, then four ref_idx, then all mvds
-              p.subs.foreach(s => w.ue(s.subType))
-              p.subs.foreach(s => writeRefIdx(s.refIdx, numActive))
-              p.subs.zipWithIndex.foreach { case (s, i) =>
-                val cx = mbX * 4 + (i % 2) * 2; val cy = mbY * 4 + (i / 2) * 2
-                subPartsOf(s.subType, cx, cy).zip(s.mvs).foreach {
-                  case ((gx, gy, w4, h4), (mx, my)) =>
-                    val (px, py) =
-                      mvPred(g, gx, gy, w4, mbsX, s.refIdx, Part16x16)
-                    w.se(mx - px); w.se(my - py)
-                    g.fill(gx, gy, w4, h4, mx, my, s.refIdx)
-                }
-              }
-              writeResidual(mbX, mbY, p.cbpLuma, p.levels, p.qpDelta, nctx)
-            case _: B16x16 => throw new IllegalStateException("checked above")
-          }
         }
-        if (skipRun > 0) w.ue(skipRun) // trailing skip run (7.3.4)
-        w.trailingBits()
-        H264.writeNal(out, 2, 1, w.toBytes) // non-IDR reference slice
         prevRefFrameNum = fn
         noteRefFrame(fn)
-        }
       } else {
         val bs = mbs.collect { case b: B16x16 => b }
         val numL0 = math.max(1, (bs.filter(_.usesL0).map(_.ref0 + 1) :+ 1).max)
@@ -1003,9 +1059,20 @@ object H264Inter {
     // explicit reference-list modification (8.2.4.3)
     val dpbFn = scala.collection.mutable.ArrayBuffer.empty[Int]
     val maxFrameNum = 1 << sps.log2MaxFrameNum
-    nals.filter(n => n._1 == 1 || n._1 == 5).map { case (nalType, refIdc, rbsp) =>
+    // multi-slice P-picture carry state: the PLANES and PicInfo accumulate
+    // across a picture's slices; all entropy/prediction neighbor state is
+    // per-slice (6.4.8: availability stops at the slice boundary)
+    var curPic: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = null
+    var curInfo: H264Deblock.PicInfo = null
+    var curNextMb = 0
+    var curSliceIdx = 0
+    var curFrameNum = 0
+    var curRefIdc = -1
+    var curDbIdc = 0; var curOffA = 0; var curOffB = 0
+    val pics = scala.collection.mutable.ArrayBuffer.empty[T]
+    nals.filter(n => n._1 == 1 || n._1 == 5).foreach { case (nalType, refIdc, rbsp) =>
       val r = new BitReader(rbsp)
-      require(r.ue() == 0, "inter decoder: one slice per picture")
+      val firstMb = r.ue() // first_mb_in_slice (7.3.3)
       val sliceType = r.ue() % 5
       H264.requireSlicePps(r.ue(), ppsId, "inter decoder")
       val currFrameNum = r.u(sps.log2MaxFrameNum).toInt // frame_num
@@ -1053,11 +1120,35 @@ object H264Inter {
       else if (refIdc != 0)
         require(r.u(1) == 0, "inter decoder: adaptive ref marking unsupported")
       var qpY = initQp + r.se()
-      val (filterOn, offA, offB) = H264.sliceDeblocking(r, deblock)
-      val luma = Array.ofDim[Int](mbsY * 16, mbsX * 16)
-      val cb = Array.ofDim[Int](mbsY * 8, mbsX * 8)
-      val cr = Array.ofDim[Int](mbsY * 8, mbsX * 8)
-      val info = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
+      val (dbIdc, offA, offB) = H264.sliceDeblockingIdc(r, deblock)
+      val filterOn = dbIdc != 1
+      if (firstMb == 0) {
+        require(curPic == null, "inter decoder: a new picture begins " +
+          "before the previous one covered every macroblock")
+        curPic = (Array.ofDim[Int](mbsY * 16, mbsX * 16),
+          Array.ofDim[Int](mbsY * 8, mbsX * 8),
+          Array.ofDim[Int](mbsY * 8, mbsX * 8))
+        curInfo = if (filterOn) new H264Deblock.PicInfo(mbsX, mbsY) else null
+        if (curInfo != null) curInfo.excludeSliceEdges = dbIdc == 2
+        curNextMb = 0; curSliceIdx = 0
+        curFrameNum = currFrameNum; curRefIdc = refIdc
+        curDbIdc = dbIdc; curOffA = offA; curOffB = offB
+      } else {
+        require(curPic != null && firstMb == curNextMb,
+          s"inter decoder: slice starts at MB $firstMb, expected $curNextMb" +
+            " (gaps / arbitrary slice order unsupported)")
+        require(sliceType == 0, "inter decoder: multi-slice pictures are " +
+          "P-only (I/B slices cover a full picture)")
+        require(currFrameNum == curFrameNum && refIdc == curRefIdc,
+          "inter decoder: slices of one picture must share frame_num and " +
+            "nal_ref_idc")
+        require(dbIdc == curDbIdc && offA == curOffA && offB == curOffB,
+          "inter decoder: per-slice deblocking variation unsupported " +
+            "(one idc/offset set per picture)")
+        curSliceIdx += 1
+      }
+      val (luma, cb, cr) = curPic
+      val info = curInfo
       if (sliceType == 2) {
         // I picture: the full intra surface through the shared slice
         // decoder of the stream's entropy mode — luma AND chroma land in
@@ -1111,7 +1202,9 @@ object H264Inter {
             list.take(numActive).toIndexedSeq
           }
         val g = new MvGrid(mbsX, mbsY)
-        val nctx = Array.fill(mbsY * 4, mbsX * 4)(0)
+        // -1 = unavailable (9.2.1 nC): prior-slice blocks never contribute;
+        // every decoded MB publishes its cells (tc / 0) as it lands
+        val nctx = Array.fill(mbsY * 4, mbsX * 4)(-1)
 
         /** Motion-compensate one luma region (origin/size in pixels, both
           * even) + its chroma from list0 reference `refIdx`, with the
@@ -1163,9 +1256,13 @@ object H264Inter {
           // (7.3.4 framing: per-MB skip flags + end_of_slice terminates)
           r.alignToByte(1) // cabac_alignment_one_bit (7.3.3)
           val pd = new H264Cabac.PSliceDecoder(r, qpY, mbsX, mbsY)
-          var mbIdx = 0
-          while (mbIdx < mbsX * mbsY) {
+          var mbIdx = firstMb
+          var sliceDone = false
+          while (!sliceDone) {
+            require(mbIdx < mbsX * mbsY,
+              "inter decoder: CABAC slice overruns the picture")
             val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
+            if (info != null) info.sliceId(mbY)(mbX) = curSliceIdx
             if (pd.skipFlag(mbX, mbY)) {
               val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
               g.set(mbX, mbY, sx, sy, 0)
@@ -1255,12 +1352,14 @@ object H264Inter {
               pd.finishMb(mbX, mbY, cbpLuma)
               if (info != null) info.qp(mbY)(mbX) = qpY
             }
-            pd.endOfSlice(mbIdx == mbsX * mbsY - 1)
             mbIdx += 1
+            sliceDone = pd.endOfSlice()
           }
+          curNextMb = mbIdx
         } else {
-        var mbIdx = 0
-        while (mbIdx < mbsX * mbsY) {
+        var mbIdx = firstMb
+        var more = true
+        while (more) {
           // mb_skip_run precedes every coded MB and may end the slice (7.3.4)
           val skipRun = r.ue()
           require(mbIdx + skipRun <= mbsX * mbsY, "skip run overruns the picture")
@@ -1270,13 +1369,15 @@ object H264Inter {
             val (sx, sy) = skipMv(g, mbX, mbY, mbsX)
             g.set(mbX, mbY, sx, sy, 0)
             mc(mbX, mbY, sx, sy, 0)
+            fillNctxZero(nctx, mbX, mbY) // skipped MB: nN = 0 (9.2.1)
             if (info != null) { // P_Skip: QP_Y,prev carries, no coeffs
               info.qp(mbY)(mbX) = qpY
               info.fillMv(mbX * 4, mbY * 4, 4, 4, sx, sy, 0)
+              info.sliceId(mbY)(mbX) = curSliceIdx
             }
             sk += 1; mbIdx += 1
           }
-          if (mbIdx < mbsX * mbsY) {
+          if (mbIdx < mbsX * mbsY && r.hasMoreRbspData) {
             val mbX = mbIdx % mbsX; val mbY = mbIdx / mbsX
             val mbType = r.ue()
             require(mbType <= 3,
@@ -1361,10 +1462,16 @@ object H264Inter {
                 b += 1
               }
             }
-            if (info != null) info.qp(mbY)(mbX) = qpY
+            fillNctxZero(nctx, mbX, mbY) // uncoded cells become available-0
+            if (info != null) {
+              info.qp(mbY)(mbX) = qpY
+              info.sliceId(mbY)(mbX) = curSliceIdx
+            }
             mbIdx += 1
-          }
+            more = mbIdx < mbsX * mbsY && r.hasMoreRbspData
+          } else more = false
         }
+        curNextMb = mbIdx
         }
       } else {
         // ------------------------------------------------------ B slice ---
@@ -1499,17 +1606,27 @@ object H264Inter {
           mbIdx += 1
         }
       }
-      // IN-loop: the filtered picture is what later P pictures reference
-      if (filterOn) H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
-      if (refIdc != 0) {
-        dpb.prepend((luma, cb, cr)) // newest first (descending PicNum)
-        dpbFn.prepend(currFrameNum)
-        if (dpb.length > sps.maxNumRefFrames) { // sliding window (8.2.5.3)
-          dpb.remove(sps.maxNumRefFrames, dpb.length - sps.maxNumRefFrames)
-          dpbFn.remove(sps.maxNumRefFrames, dpbFn.length - sps.maxNumRefFrames)
+      // I and B slices always cover the full picture; P pictures complete
+      // when their slices have decoded every MB
+      if (sliceType != 0) curNextMb = mbsX * mbsY
+      if (curNextMb == mbsX * mbsY) {
+        // IN-loop: the filtered picture is what later P pictures reference
+        if (filterOn)
+          H264Deblock.filter(luma, cb, cr, info, offA, offB, chromaOff)
+        if (refIdc != 0) {
+          dpb.prepend((luma, cb, cr)) // newest first (descending PicNum)
+          dpbFn.prepend(currFrameNum)
+          if (dpb.length > sps.maxNumRefFrames) { // sliding window (8.2.5.3)
+            dpb.remove(sps.maxNumRefFrames, dpb.length - sps.maxNumRefFrames)
+            dpbFn.remove(sps.maxNumRefFrames, dpbFn.length - sps.maxNumRefFrames)
+          }
         }
+        pics += project(luma, cb, cr)
+        curPic = null; curInfo = null
       }
-      project(luma, cb, cr)
     }
+    require(curPic == null,
+      "inter decoder: stream ends mid-picture (missing slices)")
+    pics.toSeq
   }
 }

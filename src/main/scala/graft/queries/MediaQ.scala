@@ -2127,7 +2127,128 @@ object MediaQ {
       |CROSS JOIN (VALUES ('r2_i'), ('r2_p'), ('r2_skip'),
       |  ('r3_p1'), ('r3_p2'), ('r3_i')) p(probe)""".stripMargin
 
+  /** q247 — H.264 **multi-slice pictures** (7.4.3 first_mb_in_slice /
+    * 6.4.8 slice-scoped availability, round 14): a P picture split into
+    * two slices at MB 4 of a 3x2 grid, decoded with
+    * disable_deblocking_filter_idc = 2 — the filter stays ON but
+    * slice-boundary edges are EXCLUDED, which round 13 documented as
+    * vacuous and this round makes real. Probes pin:
+    *
+    *  - slice assembly: MBs from both slices land in ONE picture that
+    *    later pictures reference;
+    *  - slice-scoped motion prediction: the first MB of slice 2 is a
+    *    P_Skip whose A/B neighbors carry nonzero vectors but sit in
+    *    slice 1 — 8.4.1.1 must infer the ZERO vector (a decoder sharing
+    *    state across the boundary inherits the nonzero median and lands
+    *    pels off);
+    *  - idc-2 exclusion: the probe rows straddle the slice-boundary
+    *    edge, whose bS is nonzero (a residual step on the p side) — the
+    *    unfiltered closed forms match ONLY if the edge was skipped.
+    *
+    * Six probes recomputed by DuckDB from gradient/shift/dequant forms.
+    *
+    * Scale shape: map-only, one scan, 6 rows per doc — no shuffle.
+    */
+  def h264MultiSliceProbes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val in = Tables.spread(t.documents.select("doc_id"))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val qp = 20 + (id % 12).toInt
+        val g0 = 40 + (id % 50).toInt
+        val sh = 1 + (id % 3).toInt
+        val lvl = 1 + (id % 5).toInt
+        val a = Array.tabulate(32, 48)((y, x) => g0 + x + 2 * y)
+        val iMbs: Seq[H264Cavlc.MbPlan] = (0 until 6).map { mb =>
+          val x0 = (mb % 3) * 16; val y0 = (mb / 3) * 16
+          H264Cavlc.PcmBlock(Array.tabulate(16, 16)((y, x) => a(y0 + y)(x0 + x)))
+        }
+        val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(4 * sh, 0))
+        // MB1 carries a bottom-band residual (the bS>0 step at the
+        // boundary edge); MB4 = the slice-2-initial P_Skip; its A (MB3)
+        // and B (MB1) both carry nonzero vectors
+        val lv = Array.tabulate(16) { b =>
+          val (_, by) = H264Cavlc.blk4x4(b)
+          if (by == 3) Array(lvl) ++ Array.fill(15)(0) else null
+        }
+        val p2 = Seq[H264Inter.PMbPlan](
+          H264Inter.P16x16(8, 0),
+          H264Inter.P16x16(4, 0, cbpLuma = 12, levels = lv),
+          H264Inter.P16x16(8, 0),
+          H264Inter.P16x16(8, 4),
+          H264Inter.PSkip,
+          // MB5: a UNIFORM −dq band (cbp 15, every block the same DC) —
+          // internal edges see no step, so probes inside stay closed-form
+          H264Inter.P16x16(0, 0, cbpLuma = 15,
+            levels = Array.fill(16)(Array(-lvl))))
+        val stream = H264Inter.encodeStream(3, 2, qp, iMbs, Seq(p1, p2),
+          2, 0, 0, Nil, cabac = false, Nil, Seq(Seq(0), Seq(0, 4)))
+        val fs = H264Inter.decodeFrames(stream)
+        require(fs.length == 3, s"frame count drift for doc $id: ${fs.length}")
+        Seq(
+          // MB4 skip = mv (0,0): reads P1 = a + sh; a cross-slice-state
+          // decoder inherits the (8,0)/(4,0)/(8,0) median = +2 pels
+          ("ms_skip", fs(2)(20)(20)),
+          // q side of the excluded boundary edge (row 16, in MB4)
+          ("ms_edge_q", fs(2)(16)(24)),
+          // p side of the excluded edge (row 15, in MB1's +dq band),
+          // beyond the internal vertical edges' reach
+          ("ms_edge_p", fs(2)(15)(24)),
+          // slice-1 motion away from any filtered edge
+          ("ms_mv", fs(2)(4)(2)),
+          // slice-2 coded MB interior (its OWN slice's entropy state)
+          ("ms_s2", fs(2)(20)(40)),
+          // MB5's band row at the excluded MB2|MB5 boundary edge
+          ("ms_band", fs(2)(16)(36))
+        ).map { case (p, v) => Row(id, p, v) }
+      }
+    }(org.apache.spark.sql.Encoders.row(deblockSchema))
+  }
+
+  /** Oracle: P1 = a shifted sh; every probed sample is a PLAIN gradient/
+    * dequant read because the touching edges are either excluded (the
+    * slice boundary, idc 2), bS 0 (inside the skipped MB4), or out of
+    * reach (probes sit ≥2 samples from any filtered edge; the 8.7 normal
+    * filter modifies at most p1/q1). ms_skip discriminates slice-scoped
+    * skip inference; ms_edge_p/q discriminate the idc-2 exclusion (a
+    * filtering decoder smooths the dq step across row 15/16).
+    */
+  private val h264MultiSliceSql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(20 + doc_id % 12 AS INT) AS qp,
+      |    CAST(40 + doc_id % 50 AS INT) AS g0,
+      |    CAST(1 + doc_id % 3 AS INT) AS sh,
+      |    CAST(1 + doc_id % 5 AS INT) AS lvl
+      |  FROM documents
+      |), scaled AS (
+      |  SELECT *,
+      |    qp // 6 AS k,
+      |    ([10,11,13,14,16,18])[qp % 6 + 1] AS va
+      |  FROM base
+      |), dq AS (
+      |  SELECT *,
+      |    CAST(floor((lvl * va * (1 << k) + 32) / 64.0) AS BIGINT) AS dqv,
+      |    CAST(floor((-lvl * va * (1 << k) + 32) / 64.0) AS BIGINT) AS dqn
+      |  FROM scaled
+      |)
+      |SELECT doc_id, p.probe,
+      |  CAST(LEAST(255, GREATEST(0, CASE p.probe
+      |    WHEN 'ms_skip' THEN g0 + 20 + sh + 40
+      |    WHEN 'ms_edge_q' THEN g0 + 24 + sh + 32
+      |    WHEN 'ms_edge_p' THEN g0 + 25 + sh + 30 + dqv
+      |    WHEN 'ms_mv' THEN g0 + 4 + sh + 8
+      |    WHEN 'ms_s2' THEN g0 + 40 + sh + 40 + dqn
+      |    WHEN 'ms_band' THEN g0 + 36 + sh + 32 + dqn
+      |  END)) AS INT) AS px
+      |FROM dq
+      |CROSS JOIN (VALUES ('ms_skip'), ('ms_edge_q'), ('ms_edge_p'),
+      |  ('ms_mv'), ('ms_s2'), ('ms_band')) p(probe)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q247_h264_multislice_probes", h264MultiSliceProbes,
+      Some(h264MultiSliceSql)),
     QueryDef("q246_h264_reflist_mod_probes", h264RefListModProbes,
       Some(h264RefListModSql)),
     QueryDef("q245_h264_subpartition_probes", h264SubPartitionProbes,

@@ -1015,6 +1015,132 @@ class H264InterSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("absent"), e2.getMessage)
   }
 
+  test("multi-slice: split P pictures decode pixel-identically (planted mvs)") {
+    // absolute planted mvs round-trip through slice-scoped predictors on
+    // BOTH sides, so any split of a skip-free picture must reproduce the
+    // single-slice pixels exactly — in both entropies, with residuals
+    // near the boundary (exercising the -1-sentinel nC grids)
+    val ref = grad(40)
+    val lv = Array.tabulate(16)(b => if (b == 0) Array(2, -1) ++ Array.fill(14)(0) else null)
+    val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(8, 0))
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(4, 0), H264Inter.P16x16(0, 4, cbpLuma = 3, levels = lv),
+      H264Inter.P8x8(Seq(
+        H264Inter.Sub8x8(0, 0, Seq((4, 4))),
+        H264Inter.Sub8x8(1, 0, Seq((0, 0), (8, 0))),
+        H264Inter.Sub8x8(2, 0, Seq((0, 8), (4, 0))),
+        H264Inter.Sub8x8(3, 0, Seq((0, 0), (4, 0), (0, 4), (4, 4))))),
+      H264Inter.P16x16(0, 0, cbpLuma = 1, levels = lv),
+      H264Inter.PPart(wide = true, 4, 0, 0, 8, 4, 0),
+      H264Inter.P16x16(-4, -4))
+    for (cab <- Seq(false, true); splits <- Seq(Seq(0, 2), Seq(0, 1, 4))) {
+      val iRef: Seq[H264Cavlc.MbPlan] = if (cab) i16Plans(6) else pcmPlans(ref)
+      val single = H264Inter.decodeFrames(H264Inter.encodeStream(
+        3, 2, 26, iRef, Seq(p1, p2), 1, 0, 0, Nil, cab, Nil))
+      val multi = H264Inter.decodeFrames(H264Inter.encodeStream(
+        3, 2, 26, iRef, Seq(p1, p2), 1, 0, 0, Nil, cab,
+        Nil, Seq(Seq(0), splits)))
+      assert(single.length == multi.length)
+      single.last.zip(multi.last).zipWithIndex.foreach { case ((a, b), y) =>
+        assert(a.sameElements(b), s"cabac=$cab splits=$splits row $y")
+      }
+    }
+  }
+
+  test("multi-slice: a skip at the slice start infers zero motion (8.4.1.1)") {
+    val ref = grad(55)
+    val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(4, 0))
+    // MB4 (row 1 col 1) = P_Skip; its A (MB3) and B (MB1) carry NONZERO
+    // mvs, so a single-slice skip inherits the median — but as the FIRST
+    // MB of slice 2, A and B are in the previous slice -> unavailable ->
+    // zero vector (exactly like a picture corner)
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.P16x16(8, 0), H264Inter.P16x16(4, 0), H264Inter.P16x16(8, 0),
+      H264Inter.P16x16(8, 4), H264Inter.PSkip, H264Inter.P16x16(8, 0))
+    val single = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2)))
+    val multi = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, pcmPlans(ref), Seq(p1, p2), 1, 0, 0, Nil, cabac = false,
+      Nil, Seq(Seq(0), Seq(0, 4))))
+    // multi-slice: MB4 copies P1 unshifted (mv 0): P1(20,20) = ref(20,21)
+    assert(multi.last(20)(20) == ref(20)(21), "slice-start skip must be (0,0)")
+    // single-slice: the same skip inherits median x med(8,4,8)=8 -> 2 pels
+    assert(single.last(20)(20) == ref(20)(23), "single-slice skip inherits the median")
+    // the CABAC framing agrees with the CAVLC one
+    val multiC = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, i16Plans(6), Seq(p1, p2), 1, 0, 0, Nil, cabac = true,
+      Nil, Seq(Seq(0), Seq(0, 4))))
+    val multiV = H264Inter.decodeFrames(H264Inter.encodeStream(
+      3, 2, 26, i16Plans(6), Seq(p1, p2), 1, 0, 0, Nil, cabac = false,
+      Nil, Seq(Seq(0), Seq(0, 4))))
+    multiC.last.zip(multiV.last).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("multi-slice: idc 2 excludes slice-boundary edges, idc 0 filters them") {
+    val ref = grad(60)
+    val p1 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(0, 0))
+    // MB1's bottom-row blocks carry coefficients -> the MB1|MB4 horizontal
+    // edge has bS 2 and a small planted step the filter smooths; MB4 is
+    // skipped so no other edge touches the probed samples
+    val lv = Array.tabulate(16) { b =>
+      val (_, by) = H264Cavlc.blk4x4(b)
+      if (by == 3) Array(3) ++ Array.fill(15)(0) else null
+    }
+    val p2 = Seq[H264Inter.PMbPlan](
+      H264Inter.PSkip,
+      H264Inter.P16x16(0, 0, cbpLuma = 12, levels = lv),
+      H264Inter.PSkip, H264Inter.PSkip, H264Inter.PSkip, H264Inter.PSkip)
+    def stream(idc: Int, splits: Seq[Seq[Int]]) = H264Inter.decodeFrames(
+      H264Inter.encodeStream(3, 2, 28, pcmPlans(ref), Seq(p1, p2),
+        idc, 0, 0, Nil, cabac = false, Nil, splits)).last
+    val off = stream(1, Seq(Seq(0), Seq(0, 4)))       // filter off: raw recon
+    val excl = stream(2, Seq(Seq(0), Seq(0, 4)))      // on, boundary excluded
+    val on = stream(0, Seq(Seq(0), Seq(0, 4)))        // on, boundary filtered
+    // the MB1|MB4 edge runs at y=16, x in 16..31 — a slice boundary. Its
+    // q side (row 16, inside the skipped MB4) is touched by NO other
+    // edge; the p side's columns 16..19 sit in the internal vertical
+    // MB0|MB1 edge's reach, so row 15 is compared beyond them
+    val bx = (16 until 32)
+    assert(bx.forall(x => excl(16)(x) == off(16)(x)),
+      "idc 2 must leave the boundary's q-side samples unfiltered")
+    // (columns 30..31 sit in the internal MB1|MB2 vertical edge's reach)
+    assert((20 until 30).forall(x => excl(15)(x) == off(15)(x)),
+      "idc 2 must leave the boundary's p-side samples unfiltered")
+    assert(bx.exists(x => on(16)(x) != off(16)(x)) &&
+      (20 until 30).exists(x => on(15)(x) != off(15)(x)),
+      "idc 0 must actually filter the same edge (the exclusion is not vacuous)")
+    // inside slice 1 the vertical MB0|MB1 edge (x=16) filters the SAME
+    // way under both idcs — rows 0..11 sit outside the slice-boundary
+    // h-edge's reach (it modifies rows 14..17)
+    assert((0 until 12).forall(y => excl(y)(16) == on(y)(16)))
+  }
+
+  test("multi-slice poison: gaps, mid-picture ends, per-slice idc drift reject") {
+    val ref = grad(45)
+    val p2 = Seq.fill[H264Inter.PMbPlan](6)(H264Inter.P16x16(4, 0))
+    val good = H264Inter.encodeStream(3, 2, 26, pcmPlans(ref), Seq(p2),
+      1, 0, 0, Nil, cabac = false, Nil, Seq(Seq(0, 3)))
+    assert(H264Inter.decodeFrames(good).length == 2)
+    // drop the final NAL (the second slice): the picture never completes
+    val nals = H264.splitNals(good)
+    val cut = {
+      val out = new java.io.ByteArrayOutputStream()
+      // keep everything but the last slice NAL
+      val keep = nals.dropRight(1)
+      keep.foreach { case (t, refIdc, rbsp) => H264.writeNal(out, refIdc, t, rbsp) }
+      out.toByteArray
+    }
+    val e1 = intercept[IllegalArgumentException] { H264Inter.decodeFrames(cut) }
+    assert(e1.getMessage.contains("mid-picture"), e1.getMessage)
+    // B pictures must stay single-slice (encoder-side guard)
+    val e2 = intercept[IllegalArgumentException] {
+      H264Inter.encodeStream(3, 2, 26, pcmPlans(ref),
+        Seq(Seq.fill[H264Inter.PMbPlan](6)(H264Inter.B16x16(mode = 0))),
+        1, 0, 0, Nil, cabac = false, Nil, Seq(Seq(0, 3)))
+    }
+    assert(e2.getMessage.contains("single-slice"), e2.getMessage)
+  }
+
   test("poison: garbage and truncated streams throw, never mis-decode") {
     val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
     intercept[Exception] { H264Inter.decodeFrames(junk) }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+
+/** Distributed EXACT ranking — the scale path for per-group
+  * `row_number()` when the grouping key has tiny cardinality.
+  *
+  * A window `PARTITION BY g ORDER BY k` ships every row of group g into
+  * ONE task: with three groups (q98's l_returnflag) the rank sort runs
+  * 3-way parallel no matter how many executors exist — the one
+  * parallelism ceiling the round-14 whole-suite 10× pass surfaced
+  * (BASELINE round 14: q98 grows ~n·log n with no fan-out to recover
+  * it). At 100 TB that window is a hard wall.
+  *
+  * [[rowNumber]] computes the SAME rank (bit-identical: the order key
+  * must be a strict total order per group, i.e. carry a unique
+  * tiebreak) in two phases, classic distributed sort-rank:
+  *
+  *  1. range-repartition by (group ++ order) into `numParts` and sort
+  *     within partitions — each task then holds a CONTIGUOUS span of
+  *     each group's total order;
+  *  2. one local pass assigns per-(partition, group) indexes; a
+  *     partitions×groups-row aggregate (tiny: it never exceeds
+  *     `numParts · |groups|`) yields each span's global OFFSET via a
+  *     running sum, broadcast-joined back.
+  *
+  * Rank = offset + local index. Partition BOUNDARIES come from range
+  * sampling and are not run-stable, but the final rank is the row's
+  * position in a strict total order — boundary-independent, therefore
+  * deterministic (the q99-class reproducibility contract).
+  *
+  * Cost shape: one range shuffle + one tiny agg + one broadcast join,
+  * all `numParts`-way parallel — versus the window's one hash shuffle
+  * into |groups| tasks. Slower at toy scale, unbounded fan-out at
+  * 100 TB. The reference has no ranking surface (SURVEY §2.11 —
+  * beyond-reference, like Percentiles' Exact/Approx/Auto knob).
+  */
+object Ranking {
+
+  /** Append column `rnCol` = 1-based rank of each row within its
+    * `group`, ordered by `order` (which MUST be a strict total order
+    * within every group — duplicate keys would make ranks depend on
+    * partition boundaries, so correctness REQUIRES a unique tiebreak).
+    */
+  def rowNumber(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      rnCol: String, numParts: Int): DataFrame = {
+    require(group.nonEmpty && order.nonEmpty && numParts >= 1)
+    val keyed = df
+      .withColumn("__rk_g", concat_ws("", group: _*))
+    val sorted = keyed
+      .repartitionByRange(numParts, (col("__rk_g") +: order): _*)
+      .sortWithinPartitions((col("__rk_g") +: order): _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("__rk_pid", IntegerType, nullable = false),
+      StructField("__rk_local", LongType, nullable = false)))
+    val gIdx = sorted.schema.fieldIndex("__rk_g")
+    // phase-1 local pass: per-(partition, group) running index — rows
+    // arrive sorted, so one counter per group change suffices
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var curG: String = null
+      var n = 0L
+      it.map { r =>
+        val g = r.getString(gIdx)
+        if (g != curG) { curG = g; n = 0L }
+        n += 1
+        Row.fromSeq(r.toSeq ++ Seq[Any](pid, n)) // Seq(pid, n) would widen
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // phase-2: span sizes -> per-(group, pid) global offsets. The agg is
+    // partitions×groups rows; the running sum windows over THAT tiny
+    // table, never the data
+    val spans = local.groupBy(col("__rk_g"), col("__rk_pid"))
+      .agg(max(col("__rk_local")).as("__rk_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__rk_g")).orderBy(col("__rk_pid"))
+      .rowsBetween(Long.MinValue, -1)
+    val offsets = spans.withColumn("__rk_off",
+      coalesce(sum(col("__rk_cnt")).over(w), lit(0L)))
+      .drop("__rk_cnt")
+    local
+      .join(broadcast(offsets), Seq("__rk_g", "__rk_pid"))
+      .withColumn(rnCol, col("__rk_off") + col("__rk_local"))
+      .drop("__rk_g", "__rk_pid", "__rk_local", "__rk_off")
+  }
+}

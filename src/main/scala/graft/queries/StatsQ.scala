@@ -210,6 +210,76 @@ object StatsQ {
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
       |FROM r GROUP BY 1""".stripMargin
 
+  /** q98's statistic over the STRICT 6-column order q248 uses (the
+    * 4-column tiebreak is not unique at sf0.001 — one pair differs only
+    * in quantity/price). Identical to spearmanSql wherever the 4-column
+    * key is unique (it is at the sf0.01 gate).
+    */
+  private val spearmanDistributedSql =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity,
+      |      l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |      l_extendedprice) AS rx,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice,
+      |      l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |      l_quantity) AS ry
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) *
+      |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
+      |FROM r GROUP BY 1""".stripMargin
+
+  /** q248 — Spearman ρ via the DISTRIBUTED two-phase ranking
+    * ([[graft.ops.Ranking.rowNumber]]) — q98's scale sibling in the
+    * q130/q234 pattern: the SAME exact statistic (bit-identical ranks:
+    * the order keys carry the full unique line-item tiebreak) through a
+    * plan whose parallelism does not collapse to |l_returnflag| = 3
+    * tasks. Both rankings range-repartition 32-way, rank locally, and
+    * offset through a partitions×groups aggregate; the two ranked sides
+    * then hash-join on the unique key. The oracle is q98's, verbatim —
+    * a two-phase off-by-one, span-offset slip, or boundary-dependent
+    * tie would shift Σd² and cannot hash-match.
+    *
+    * Scale shape: two range shuffles + one key join, all 32-way (and
+    * N-way on a cluster) — versus q98's single exchange into three
+    * tasks. Slower at sf0.1, unbounded fan-out at 100 TB; BASELINE
+    * round 14 documents the ceiling this removes.
+    */
+  def spearmanDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // q98's 4-column tiebreak is unique at the sf0.01 gate but NOT at
+    // sf0.001 (one pair differs only in quantity/price) — the two-phase
+    // ranking REQUIRES a strict order and this query joins its two
+    // rankings back on the key, so both carry the full 6-column
+    // composite (and the oracle below orders by the same columns)
+    val tie4 = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice")
+    val base = t.lineitem.select(
+      (col("l_returnflag") +: key.map(col)): _*)
+    val rx = graft.ops.Ranking.rowNumber(base,
+      Seq(col("l_returnflag")),
+      (col("l_quantity") +: tie4) :+ col("l_extendedprice"), "rx", 32)
+      .select((key.map(col) :+ col("l_returnflag") :+ col("rx")): _*)
+    val ry = graft.ops.Ranking.rowNumber(base,
+      Seq(col("l_returnflag")),
+      (col("l_extendedprice") +: tie4) :+ col("l_quantity"), "ry", 32)
+      .select((key.map(col) :+ col("ry")): _*)
+    rx.join(ry, key)
+      .withColumn("d", col("rx").cast("long") - col("ry"))
+      .withColumn("d2", col("d") * col("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .withColumn("rho",
+        lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+          (col("n").cast("double") *
+            (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+  }
+
   /** q99 — deterministic table fingerprint: per-group row checksum (first 8
     * md5 hex chars of a canonical `|`-joined row string, summed exactly) —
     * the replica-verification primitive: two copies of a 100 TB table
@@ -1449,6 +1519,8 @@ object StatsQ {
       Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q98_spearman", spearman, Some(spearmanSql)),
+    QueryDef("q248_spearman_distributed", spearmanDistributed,
+      Some(spearmanDistributedSql)),
     QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),
     QueryDef("q62_date_functions", dateFunctions, Some(dateFunctionsSql)),
     QueryDef("q57_deterministic_sample", deterministicSample, Some(deterministicSampleSql)),

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RankingSpec extends SparkTestBase {
+
+  test("two-phase rank equals the window rank on a strict order") {
+    val spark = this.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(4711)
+    val df = (1 to 5000).map { i =>
+      (s"g${i % 3}", rnd.nextInt(400), i) // (group, value, unique tiebreak)
+    }.toDF("g", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v", $"id")
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Ranking.rowNumber(df, Seq($"g"), Seq($"v", $"id"), "rn", parts)
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"parts=$parts: two-phase rank must be bit-identical to the window")
+    }
+  }
+
+  test("ranks are partition-boundary independent and dense per group") {
+    val spark = this.spark
+    import spark.implicits._
+    val df = (1 to 999).map(i => (s"k${i % 2}", 999 - i)).toDF("g", "v")
+    val a = Ranking.rowNumber(df, Seq($"g"), Seq($"v"), "rn", 5)
+    val b = Ranking.rowNumber(df, Seq($"g"), Seq($"v"), "rn", 17)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // dense 1..n per group
+    val bounds = a.groupBy($"g")
+      .agg(min($"rn").as("lo"), max($"rn").as("hi"), count(lit(1)).as("n"))
+      .collect()
+    bounds.foreach { r =>
+      assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3),
+        s"group ${r.getString(0)}: ranks must be dense 1..n")
+    }
+  }
+}

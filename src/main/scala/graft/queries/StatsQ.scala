@@ -186,9 +186,14 @@ object StatsQ {
       // widen BEFORE squaring: row_number is 32-bit and d² overflows INT
       // once a group passes ~46k rows (sf1 does)
       .withColumn("d", col("rx").cast("long") - col("ry"))
-      .withColumn("d2", col("d") * col("d"))
+      // d² and Σd² in DECIMAL(38,0): a LONG Σd² overflows past ~3M rows
+      // per group (≈ n³/3 > 2⁶³ — the round-14 30× bracket hit it), and
+      // d² itself overflows past ~4.3e9 rows; exactness is unchanged
+      .withColumn("d2",
+        col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2")).cast("decimal(38,0)").as("sum_d2"))
       .withColumn("rho",
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
@@ -204,7 +209,7 @@ object StatsQ {
       |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS ry
       |  FROM lineitem)
       |SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS sum_d2,
       |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
       |    (CAST(COUNT(*) AS DOUBLE) *
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
@@ -226,7 +231,7 @@ object StatsQ {
       |      l_quantity) AS ry
       |  FROM lineitem)
       |SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS sum_d2,
       |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
       |    (CAST(COUNT(*) AS DOUBLE) *
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
@@ -271,9 +276,11 @@ object StatsQ {
       .select((key.map(col) :+ col("ry")): _*)
     rx.join(ry, key)
       .withColumn("d", col("rx").cast("long") - col("ry"))
-      .withColumn("d2", col("d") * col("d"))
+      .withColumn("d2", // decimal before squaring — see q98's overflow note
+        col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2")).cast("decimal(38,0)").as("sum_d2"))
       .withColumn("rho",
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *

@@ -429,11 +429,12 @@ object H264 {
     * decoders (7.3.3): returns (filterOn, FilterOffsetA, FilterOffsetB)
     * with the div2 offsets already doubled per 8.7.2.2. When the PPS has
     * no slice-level control the filter is implicitly ON with zero
-    * offsets; idc 1 turns it off; idc 0 and 2 turn it on (2 — "exclude
-    * slice boundaries" — is identical to 0 for this family, which
-    * requires one slice per picture, so no slice boundary exists). The
-    * filter itself is [[H264Deblock]] — filter-enabled streams decode
-    * natively since round 13; they used to be rejected here.
+    * offsets; idc 1 turns it off; idc 0 and 2 turn it on. Since round 14
+    * idc 2's "exclude slice boundaries" is REAL for multi-slice P
+    * pictures (use [[sliceDeblockingIdc]] where the distinction matters;
+    * this Boolean form remains for the single-slice decoders, where 2 ≡
+    * 0). The filter itself is [[H264Deblock]] — filter-enabled streams
+    * decode natively since round 13; they used to be rejected here.
     */
   private[ops] def sliceDeblocking(r: BitReader, present: Boolean): (Boolean, Int, Int) = {
     val (idc, a, b) = sliceDeblockingIdc(r, present)

@@ -47,12 +47,16 @@ import H264.{BitReader, BitWriter}
   * B slices with L0/L1/Bi 16x16 prediction (q241 — RefPicList1 via the
   * 8.2.4.2.3 first-two swap, default 8.4.2.3.1 bi averaging), explicit
   * P-slice weighted prediction (q242), and 16x8/8x16 partitions with
-  * 4x4-granular motion state (q243). What still exits through the
-  * external `MediaDecoder` seam: CABAC-coded P/B slices (intra-only
-  * CABAC lives in [[H264Cabac]]), direct-mode B macroblocks (B_Skip /
-  * B_Direct), weighted BIprediction, explicit ref-list modification,
-  * deblocking across B pictures, and P_8x8 sub-macroblock
-  * partitions — all rejected loudly, never
+  * 4x4-granular motion state (q243). Round 14 closed the P surface:
+  * CABAC P slices ([[H264Cabac.PSliceDecoder]], q244), P_8x8
+  * sub-partitions down to 4x4 (q245), explicit short-term ref-list
+  * modification with PicNum wrap (q246), and multi-slice P pictures
+  * with slice-scoped neighbor state + real idc-2 boundary exclusion
+  * (q247). What still exits through the external `MediaDecoder` seam:
+  * CABAC B slices, direct-mode B macroblocks (B_Skip / B_Direct),
+  * weighted BIprediction, long-term references / MMCO, B-slice list
+  * modification, P_8x8ref0, multi-slice I/B pictures, and deblocking
+  * across B pictures — all rejected loudly, never
   * mis-decoded. The inter CBP column of Table 9-4
   * is transcribed from the published standard; the oracle (q236) exercises
   * cbp ∈ {0, 1} and the permutation spec guards gross transcription slips
@@ -993,10 +997,12 @@ object H264Inter {
 
   /** Decode an Annex-B stream of intra pictures (the FULL shared surface:
     * I_PCM, Intra_4x4, Intra_16x16 CAVLC) interleaved with P pictures
-    * (P_L0_16x16 / P_Skip, CAVLC luma residuals, multi-picture DPB) and
-    * B pictures (B_L0/L1/Bi_16x16); returns one luma plane per picture.
-    * Constraints are enforced loudly — sub-partitioned / intra-in-P /
-    * direct-mode macroblocks and multi-slice pictures throw, never
+    * (all baseline partition geometries down to 4x4, P_Skip, luma
+    * residuals in EITHER entropy, multi-picture DPB, explicit list
+    * reordering, multi-slice assembly) and B pictures (B_L0/L1/Bi_16x16);
+    * returns one luma plane per picture. Constraints are enforced
+    * loudly — intra-in-P / direct-mode macroblocks, CABAC B slices,
+    * multi-slice I/B pictures, and slice gaps/ASO throw, never
     * mis-decode.
     */
   def decodeFrames(annexB: Array[Byte]): Seq[Array[Array[Int]]] =

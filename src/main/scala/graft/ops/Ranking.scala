@@ -47,8 +47,12 @@ object Ranking {
   def rowNumber(df: DataFrame, group: Seq[Column], order: Seq[Column],
       rnCol: String, numParts: Int): DataFrame = {
     require(group.nonEmpty && order.nonEmpty && numParts >= 1)
+    // \u0001-separated STRING group key (cast so non-string groups
+    // compose): a bare concat would collide for multi-column groups
+    // (("a","bc") vs ("ab","c")), silently merging rank spaces
     val keyed = df
-      .withColumn("__rk_g", concat_ws("", group: _*))
+      .withColumn("__rk_g",
+        concat_ws("", group.map(_.cast("string")): _*))
     val sorted = keyed
       .repartitionByRange(numParts, (col("__rk_g") +: order): _*)
       .sortWithinPartitions((col("__rk_g") +: order): _*)

@@ -778,10 +778,14 @@ object H264Cabac {
     def mbTypeP(): Int = {
       require(d.decision(14) == 0,
         "cabac inter decoder: intra-in-P unsupported (MediaDecoder seam)")
+      // Table 9-37 bin strings: '000'→16x16, '001'→P_8x8, '010'→8x16,
+      // '011'→16x8 (bins at ctx 15 then 16/17; pinned bin-exactly by
+      // the mbTypeP known-answer spec — a shared-tree slip here would
+      // round-trip invisibly)
       if (d.decision(15) == 0) {
-        if (d.decision(16) == 0) 0 else 2 // P_L0_16x16 : P_L0_L0_8x16
+        if (d.decision(16) == 0) 0 else 3 // P_L0_16x16 : P_8x8
       } else {
-        if (d.decision(17) == 1) 1 else 3 // P_L0_L0_16x8 : P_8x8
+        if (d.decision(17) == 1) 1 else 2 // P_L0_L0_16x8 : P_L0_L0_8x16
       }
     }
 
@@ -884,11 +888,11 @@ object H264Cabac {
 
     def mbTypeP(t: Int): Unit = {
       require(t >= 0 && t <= 3, s"cabac inter encoder: P mb_type $t")
-      e.decision(14, 0)
+      e.decision(14, 0) // Table 9-37 — see the decoder-side comment
       if (t == 0) { e.decision(15, 0); e.decision(16, 0) }
-      else if (t == 2) { e.decision(15, 0); e.decision(16, 1) }
+      else if (t == 3) { e.decision(15, 0); e.decision(16, 1) } // P_8x8
       else if (t == 1) { e.decision(15, 1); e.decision(17, 1) }
-      else { e.decision(15, 1); e.decision(17, 0) } // P_8x8
+      else { e.decision(15, 1); e.decision(17, 0) } // P_L0_L0_8x16
     }
 
     def subMbTypeP(t: Int): Unit = t match {

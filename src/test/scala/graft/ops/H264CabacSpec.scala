@@ -297,6 +297,45 @@ class H264CabacSpec extends AnyFunSuite {
     assertFramesEqual(a, b, "ueg3")
   }
 
+  test("P mb_type / sub_mb_type binarizations match Tables 9-37/9-38 bin-exactly") {
+    // The encoder and decoder share the binarization trees, so a swapped
+    // branch round-trips invisibly (this KAT caught a real 2↔3 swap in
+    // round 14). Bins are written RAW through the arithmetic engine and
+    // read back through the decoder's public tree: Table 9-37 P mb_type
+    // '000'→0, '001'→P_8x8(3), '010'→8x16(2), '011'→16x8(1); Table 9-38
+    // sub_mb_type '1'→8x8(0), '00'→8x4(1), '011'→4x8(2), '010'→4x4(3).
+    def viaBins(write: H264Cabac.ArithEncoder => Unit)(
+        read: H264Cabac.PSliceDecoder => Int): Int = {
+      val w = new H264.BitWriter
+      val e = new H264Cabac.ArithEncoder(w, 26, pSlice = true)
+      write(e)
+      e.terminate(1) // flush
+      w.alignZero()
+      val pd = new H264Cabac.PSliceDecoder(
+        new H264.BitReader(w.toBytes), 26, 1, 1)
+      read(pd)
+    }
+    def mbType(b1: Int, b2: Int): Int =
+      viaBins { e =>
+        e.decision(14, 0); e.decision(15, b1)
+        e.decision(if (b1 == 0) 16 else 17, b2)
+      }(_.mbTypeP())
+    assert(mbType(0, 0) == 0, "'000' must decode P_L0_16x16")
+    assert(mbType(0, 1) == 3, "'001' must decode P_8x8")
+    assert(mbType(1, 0) == 2, "'010' must decode P_L0_L0_8x16")
+    assert(mbType(1, 1) == 1, "'011' must decode P_L0_L0_16x8")
+    def subType(bins: Seq[Int]): Int =
+      viaBins { e =>
+        e.decision(21, bins.head)
+        if (bins.length > 1) e.decision(22, bins(1))
+        if (bins.length > 2) e.decision(23, bins(2))
+      }(_.subMbTypeP())
+    assert(subType(Seq(1)) == 0, "'1' must decode P_L0_8x8")
+    assert(subType(Seq(0, 0)) == 1, "'00' must decode P_L0_8x4")
+    assert(subType(Seq(0, 1, 1)) == 2, "'011' must decode P_L0_4x8")
+    assert(subType(Seq(0, 1, 0)) == 3, "'010' must decode P_L0_4x4")
+  }
+
   test("CABAC inter rejections: B slices and I_PCM references throw") {
     val iMbs = Seq[H264Cavlc.MbPlan](
       H264Cavlc.I16x16(2, Array(1) ++ Array.fill(15)(0)))

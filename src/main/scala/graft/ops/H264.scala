@@ -25,12 +25,14 @@ package graft.ops
   * macroblock types are not decoded here — intra-CAVLC I slices live in
   * [[H264Cavlc]] (q235), inter prediction in [[H264Inter]] (P 16x16 /
   * 16x8 / 8x16 / skip with multi-reference DPB q240, explicit weighted
-  * prediction q242, B 16x16 q241), CABAC-coded slices in [[H264Cabac]]
-  * (I q239, P q244 — both with the documented init-constant caveat),
-  * and the 8.7 loop filter in [[H264Deblock]] (q238, in-loop); what
-  * remains external (P_8x8 sub-partitions, direct-mode B, CABAC B
-  * slices, ref-list modification, multi-slice pictures, interlace,
-  * MMCO) still exits through [[Multimodal.MediaDecoder]]
+  * prediction q242, B 16x16 q241, P_8x8 sub-partitions q245, short-term
+  * ref-list modification q246, multi-slice P pictures q247), CABAC-coded
+  * slices in [[H264Cabac]] (I q239, P incl. P_8x8 q244/q245 — with the
+  * documented init-constant caveat), and the 8.7 loop filter in
+  * [[H264Deblock]] (q238, in-loop); what remains external (CABAC B
+  * slices, direct-mode B, weighted bipred, multi-slice I/B pictures,
+  * long-term references / MMCO, P_8x8ref0, interlace, externally-encoded
+  * CABAC) still exits through [[Multimodal.MediaDecoder]]
   * (MediaDecoderSeamSpec pins that seam). Emitted slices signal
   * disable_deblocking_filter_idc = 1
   * by default, so external decoders skip the loop filter and reproduce

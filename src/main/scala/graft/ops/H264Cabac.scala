@@ -53,7 +53,8 @@ import H264.{BitReader, BitWriter}
   * conformance vectors can be run: this module decodes them structurally,
   * but a deviated init constant would desync against a real encoder.
   * I_PCM inside CABAC slices (engine re-initialization, 9.3.1.2) is
-  * rejected loudly, as are CABAC B slices and P_8x8 sub-partitions.
+  * rejected loudly, as are CABAC B slices; P_8x8 sub-partitions decode
+  * natively since round 14 (PSliceDecoder.subMbTypeP, q245).
   * The P-slice layer adds (9.3.2/9.3.3, round 14): mb_skip_flag
   * (ctx 11..13), P mb_type (14..17), ref_idx unary (54..59), mvd as
   * UEG3 with uCoff 9 (40..53 + EG3 bypass escapes), the inter

@@ -392,6 +392,29 @@ object H264Inter {
     }
   }
 
+  /** Pre-publish the nC cells of cbp-UNCODED 8x8s of a coded MB as
+    * available-with-0 BEFORE any residual block of that MB is decoded or
+    * encoded: 9.2.1 infers TotalCoeff 0 for blocks of the current
+    * (available) MB whose 8x8 carries no coded coefficients, so a coded
+    * 4x4 whose left/up neighbor sits in an uncoded 8x8 of the SAME MB
+    * must see nN = 0, not unavailable (ffmpeg likewise zeroes these
+    * inside the MB loop). Clearing only AFTER the whole MB (the round-14
+    * behavior) made e.g. up tc=4 + same-MB uncoded left yield nC=4
+    * instead of (4+0+1)>>1=2, selecting the wrong coeff_token table on
+    * conformant external streams with partial luma CBP.
+    */
+  private def fillUncodedNctxZero(nctx: Array[Array[Int]], mbX: Int,
+      mbY: Int, cbpLuma: Int): Unit = {
+    var b = 0
+    while (b < 16) {
+      if ((cbpLuma & (1 << (b / 4))) == 0) {
+        val (bx, by) = H264Cavlc.blk4x4(b)
+        nctx(mbY * 4 + by)(mbX * 4 + bx) = 0
+      }
+      b += 1
+    }
+  }
+
   /** Sub-partition layout of sub_mb_type (Table 7-17) within the 8x8 at
     * 4x4-cell origin (cx, cy): (gx, gy, w4, h4) in decode order.
     */
@@ -714,6 +737,9 @@ object H264Inter {
           nctx: Array[Array[Int]]): Unit = {
         require(cbpLuma >= 0 && cbpLuma <= 15, "bad cbpLuma")
         w.ue(cbpInterInv(cbpLuma)) // me(v), inter column, cbpChroma 0
+        // 9.2.1: uncoded 8x8s of THIS MB are available-with-0 to its own
+        // coded blocks — publish before the block loop, not after it
+        fillUncodedNctxZero(nctx, mbX, mbY, cbpLuma)
         if (cbpLuma > 0) {
           w.se(qpDelta)
           var b = 0
@@ -729,7 +755,8 @@ object H264Inter {
             b += 1
           }
         }
-        fillNctxZero(nctx, mbX, mbY) // uncoded cells become available-0
+        // all 16 cells are published: uncoded 8x8s by the pre-pass above,
+        // coded blocks by the loop — nothing left at -1 in this MB
       }
 
       /** te(v) for a reference index with numActive entries. */
@@ -1440,6 +1467,9 @@ object H264Inter {
             require((cbp >> 4) == 0,
               "inter decoder: chroma residual unsupported (cbpChroma must be 0)")
             val cbpLuma = cbp & 15
+            // 9.2.1: uncoded 8x8s of THIS MB are available-with-0 to its
+            // own coded blocks — publish before the block loop
+            fillUncodedNctxZero(nctx, mbX, mbY, cbpLuma)
             if (cbp > 0) {
               qpY = (qpY + r.se() + 52) % 52
               def lumaNC(bx: Int, by: Int): Int =
@@ -1468,7 +1498,8 @@ object H264Inter {
                 b += 1
               }
             }
-            fillNctxZero(nctx, mbX, mbY) // uncoded cells become available-0
+            // all 16 cells published: uncoded 8x8s by the pre-pass, coded
+            // blocks by the loop — nothing left at -1 in this MB
             if (info != null) {
               info.qp(mbY)(mbX) = qpY
               info.sliceId(mbY)(mbX) = curSliceIdx

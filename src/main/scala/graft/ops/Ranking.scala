@@ -39,6 +39,18 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   */
 object Ranking {
 
+  /** Self-delimiting field encoding for the composite group key:
+    * `n:` for NULL, `v<len>:<value>` otherwise — injective for ANY
+    * column values including nulls, empty strings, and strings
+    * containing a would-be separator, so multi-column groups never
+    * share a rank space.
+    */
+  private def encodeField(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull, lit("n:"))
+      .otherwise(concat(lit("v"), length(s).cast("string"), lit(":"), s))
+  }
+
   /** Append column `rnCol` = 1-based rank of each row within its
     * `group`, ordered by `order` (which MUST be a strict total order
     * within every group — duplicate keys would make ranks depend on
@@ -47,12 +59,12 @@ object Ranking {
   def rowNumber(df: DataFrame, group: Seq[Column], order: Seq[Column],
       rnCol: String, numParts: Int): DataFrame = {
     require(group.nonEmpty && order.nonEmpty && numParts >= 1)
-    // \u0001-separated STRING group key (cast so non-string groups
-    // compose): a bare concat would collide for multi-column groups
-    // (("a","bc") vs ("ab","c")), silently merging rank spaces
+    // injective STRING group key (see encodeField): a bare concat would
+    // collide for multi-column groups (("a","bc") vs ("ab","c")); a
+    // separator-based concat_ws SKIPS nulls (("a", null) merges with
+    // ("a")) and collides when values contain the separator
     val keyed = df
-      .withColumn("__rk_g",
-        concat_ws("", group.map(_.cast("string")): _*))
+      .withColumn("__rk_g", concat(group.map(encodeField): _*))
     val sorted = keyed
       .repartitionByRange(numParts, (col("__rk_g") +: order): _*)
       .sortWithinPartitions((col("__rk_g") +: order): _*)

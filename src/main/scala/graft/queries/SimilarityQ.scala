@@ -890,7 +890,8 @@ object SimilarityQ {
       Some(embeddingSplitLeakageSql)),
     QueryDef("q168_label_cosine_audit", labelCosineAudit, Some(labelCosineAuditSql)),
     QueryDef("q40_ann_topk", annTopK, Some(annTopKSql)),
-    QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql)),
+    QueryDef("q41_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
+      tags = Set("baseline_only")), // declared O(N²) ground truth; scale path = q77 LSH
     QueryDef("q77_lsh_neardup", lshNearDup, Some(lshNearDupSql)),
     QueryDef("q102_embedding_gramian", embeddingGramian, Some(embeddingGramianSql)),
     QueryDef("q222_effective_rank", effectiveRank, Some(effectiveRankSql)),

@@ -198,6 +198,12 @@ object StatsQ {
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
             (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+      // gate-facing projection: the DECIMAL(38,0) accumulation stays
+      // internal; >64-bit integers ship as STRING (digits only, identical
+      // text on Spark and DuckDB) because int128-backed decimals hash
+      // differently across the two engines under the driver's gate
+      // (round-14 regression: q98/q248 hash-fail with cell-exact values)
+      .withColumn("sum_d2", col("sum_d2").cast("string"))
   }
 
   private val spearmanSql =
@@ -209,7 +215,7 @@ object StatsQ {
       |      l_orderkey, l_linenumber, l_partkey, l_suppkey) AS ry
       |  FROM lineitem)
       |SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS sum_d2,
+      |  CAST(CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2,
       |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
       |    (CAST(COUNT(*) AS DOUBLE) *
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
@@ -231,7 +237,7 @@ object StatsQ {
       |      l_quantity) AS ry
       |  FROM lineitem)
       |SELECT l_returnflag, COUNT(*) AS n,
-      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS sum_d2,
+      |  CAST(CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2,
       |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
       |    (CAST(COUNT(*) AS DOUBLE) *
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
@@ -285,6 +291,8 @@ object StatsQ {
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
             (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+      // same gate-type convention as q98: >64-bit integer ships as STRING
+      .withColumn("sum_d2", col("sum_d2").cast("string"))
   }
 
   /** q99 — deterministic table fingerprint: per-group row checksum (first 8
@@ -1516,7 +1524,8 @@ object StatsQ {
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
     QueryDef("q130_equidepth_histogram", (s, d) => equidepthHistogram(s, d),
-      Some(equidepthHistogramSql)),
+      Some(equidepthHistogramSql),
+      tags = Set("baseline_only")), // exact single-group percentile buffers values; scale path = q234 Auto/Approx
     QueryDef("q234_equidepth_approx_gate", equidepthApproxGate,
       Some(equidepthApproxGateSql)),
     QueryDef("q125_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
@@ -1525,7 +1534,9 @@ object StatsQ {
     QueryDef("q108_robust_outliers", (s, d) => robustOutliers(s, d),
       Some(robustOutliersSql)),
     QueryDef("q103_weighted_sample", weightedSample, Some(weightedSampleSql)),
-    QueryDef("q98_spearman", spearman, Some(spearmanSql)),
+    QueryDef("q98_spearman", spearman, Some(spearmanSql),
+      tags = Set("baseline_only")), // 3-task window form kept as documentation; scale path = q248
+
     QueryDef("q248_spearman_distributed", spearmanDistributed,
       Some(spearmanDistributedSql)),
     QueryDef("q99_table_checksum", tableChecksum, Some(tableChecksumSql)),

@@ -64,4 +64,24 @@ class EntryContractSpec extends SparkTestBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("gate outputs ship driver-hash-stable types (round-15 invariant)") {
+    // Round-14 regression class: DECIMAL with precision >18 is int128-backed
+    // (parquet FIXED_LEN_BYTE_ARRAY / DuckDB HUGEINT) and the driver's hash
+    // canonicalizes Spark-vs-DuckDB int128 decimals differently — q98/q248
+    // hash-failed with CELL-EXACT values. Convention enforced here: wide
+    // decimals accumulate internally, the gate-facing projection ships
+    // BIGINT / DOUBLE / STRING (Exact.dsum-style cast or .cast("string")).
+    // Decimals at precision ≤18 are int64-backed in both engines and pass.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.allDefs.flatMap { d =>
+      d.fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] &&
+            f.dataType.asInstanceOf[DecimalType].precision > 18 =>
+          s"${d.name}.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"int128-backed decimal at the driver gate (cast to string/double/bigint): $offenders")
+  }
 }

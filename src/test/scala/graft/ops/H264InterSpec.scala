@@ -1150,4 +1150,36 @@ class H264InterSpec extends AnyFunSuite {
       H264Inter.decodeFrames(java.util.Arrays.copyOf(good, good.length / 2))
     }
   }
+
+  test("9.2.1 in-MB nC: a coded 4x4 sees same-MB cbp-uncoded neighbors " +
+      "as available-with-0, pinned by frozen bits (ADVICE r15)") {
+    // MB1's block 4 (bx=2, by=0) has its UP neighbor in MB0 (coded,
+    // TotalCoeff 4) and its LEFT neighbor (1,0) inside MB1's own UNCODED
+    // 8x8 #0. 9.2.1 infers TotalCoeff 0 for cbp-uncoded blocks of an
+    // available MB, so nC = (4 + 0 + 1) >> 1 = 2 — the round-14 code left
+    // the cell at the -1 'unavailable' sentinel until after the whole MB,
+    // yielding nC = 4 and the WRONG coeff_token table (encoder mirrored
+    // the slip, so round-trips could not catch it; the A/B probe this
+    // round confirmed the fix changes the emitted bits). The sha-256
+    // freeze pins BOTH sides: a mirrored re-regression keeps the
+    // round-trip green but cannot reproduce these bytes.
+    val ref = Array.tabulate(32, 16)((y, x) => 40 + x + 2 * y)
+    val lv4 = Array(3, 2, 1, 1) ++ Array.fill(12)(0)
+    val mb0 = H264Inter.P16x16(0, 0, cbpLuma = 15,
+      levels = Array.fill(16)(lv4))
+    val lv2 = Array(7, 3) ++ Array.fill(14)(0)
+    val mb1 = H264Inter.P16x16(0, 0, cbpLuma = 2,
+      levels = Array.tabulate(16)(b => if (b >= 4 && b < 8) lv2 else null))
+    val bytes = H264Inter.encodeStream(1, 2, 26, ref,
+      Seq(Seq[H264Inter.PMbPlan](mb0, mb1)))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(sha == "69b62d5836830e3dbd7d21a4ef23497e7523346d85d9b218f8908a14637a7952",
+      "partial-CBP P stream bits drifted from the 9.2.1-conformant freeze")
+    val f1 = H264Inter.decodeFrames(bytes)(1)
+    // decode-side probe: residual-affected and skip-region samples
+    assert(Seq(f1(0)(0), f1(3)(8), f1(16)(8), f1(17)(9), f1(31)(15)) ==
+      Seq(65, 71, 115, 112, 117),
+      "decoded pixels drifted on the partial-CBP nC scenario")
+  }
 }

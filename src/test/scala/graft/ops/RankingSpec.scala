@@ -22,6 +22,28 @@ class RankingSpec extends SparkTestBase {
     }
   }
 
+  test("group key is injective: nulls and separator-carrying values " +
+      "do not merge rank spaces (ADVICE r14)") {
+    val spark = this.spark
+    import spark.implicits._
+    // concat_ws skipped NULL columns: ("a", null) collapsed with ("a", "")
+    // under any separator; and values containing the separator char
+    // collided across column boundaries. Each distinct tuple below MUST
+    // get its own dense 1..n rank space.
+    val rows = Seq(
+      ("a", null, 1), ("a", null, 2),
+      ("a", "", 3), ("a", "", 4),
+      ("a", "\u0001b", 5), ("a\u0001", "b", 6), // old-separator collision pair
+      ("ab", "c", 7), ("a", "bc", 8))           // bare-concat collision pair
+    val df = rows.toDF("g1", "g2", "id")
+    val got = Ranking.rowNumber(df, Seq($"g1", $"g2"), Seq($"id"), "rn", 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g1", $"g2").orderBy($"id")
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "injective-key two-phase rank must match the window on null/collision groups")
+  }
+
   test("ranks are partition-boundary independent and dense per group") {
     val spark = this.spark
     import spark.implicits._

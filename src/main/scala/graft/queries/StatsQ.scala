@@ -714,6 +714,15 @@ object StatsQ {
     * lang — partitions scale out; no global order anywhere.
     */
   def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // Window form KEPT after a measured round-15 A/B (VERDICT r14 item 4,
+    // BASELINE round 15): PARTITION BY lang pins the rank sorts at |lang|
+    // = 5 tasks — the q98 ceiling SHAPE — but documents volumes keep each
+    // group 3 orders of magnitude below the window/two-phase crossover
+    // (q98's was ~20M rows/group), and the q248-pattern rewrite measured
+    // 2.2–2.3× SLOWER at every available point (sf0.1/10×/100×). The swap
+    // is mechanical when a profile justifies it: rank == row_number here
+    // (strict order), pr = (rn-1)/(n-1), cd = rn/n over
+    // [[graft.ops.Ranking.rowNumber]] + a |lang|-row broadcast count.
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val w = Window.partitionBy(col("lang"))

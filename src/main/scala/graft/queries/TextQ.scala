@@ -666,6 +666,15 @@ object TextQ {
     * contract is unchanged. Documented trade, same as q130.
     */
   def curriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    // Window form KEPT after a measured round-15 A/B (VERDICT r14 item 4,
+    // BASELINE round 15): the unpartitioned ntile(4) sorts the corpus in
+    // ONE task — the worst ceiling shape in the registry — but the sorted
+    // rows are 3 small columns and the q248-pattern rewrite (two-phase
+    // rank + the closed ntile form: b = n div 4, r = n mod 4, first r
+    // tiles take b+1 rows) measured 2.0–2.7× SLOWER at sf0.1/10×/100×.
+    // At a true 100-TB corpus the swap is mechanical and REQUIRED; the
+    // closed form was gate-validated against the unchanged oracle before
+    // reverting (BASELINE round 15 records the A/B).
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val toks = split(lower(trim(col("text"))), "\\s+")
@@ -970,6 +979,17 @@ object TextQ {
     * the result is one tiny per-source agg.
     */
   def qualityLengthCorr(spark: SparkSession, dir: String): DataFrame = {
+    // Window form KEPT after a measured round-15 A/B (VERDICT r14 item 4,
+    // BASELINE round 15): q98's exact shape — two rank windows over a
+    // 20-value key (source) — but per-source volumes stay 3 orders below
+    // q98's crossover and the q248-pattern rewrite (two Ranking.rowNumber
+    // passes + a doc_id join) measured 2.3–4.4× SLOWER at sf0.1/10×/100×,
+    // dominated by re-ranking overhead against 25k-row sorts. The swap is
+    // mechanical when a profile justifies it (it was gate-validated before
+    // reverting). Σd² follows the q98 round-15 gate convention regardless:
+    // DECIMAL(38,0) accumulation (a LONG Σd² overflows past ~3M
+    // rows/group), STRING at the gate (int128 decimals hash
+    // engine-differently under the driver's canonicalization).
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val scored = t.documents.select(col("doc_id"), col("source"), col("n_chars"),
@@ -983,13 +1003,16 @@ object TextQ {
       .withColumn("rx", row_number().over(wq))
       .withColumn("ry", row_number().over(wl))
       .withColumn("d", col("rx").cast("long") - col("ry"))
-      .withColumn("d2", col("d") * col("d"))
+      .withColumn("d2",
+        col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2")).cast("decimal(38,0)").as("sum_d2"))
       .withColumn("rho",
         lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
           (col("n").cast("double") *
             (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+      .withColumn("sum_d2", col("sum_d2").cast("string"))
   }
 
   private val qualityLengthCorrSql =
@@ -1010,7 +1033,7 @@ object TextQ {
       |      ORDER BY d.n_chars, d.doc_id) AS ry
       |  FROM documents d JOIN per ON per.doc_id = d.doc_id)
       |SELECT source, COUNT(*) AS n,
-      |  CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS BIGINT) AS sum_d2,
+      |  CAST(CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2,
       |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
       |    (CAST(COUNT(*) AS DOUBLE) *
       |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho

@@ -44,6 +44,30 @@ class RankingSpec extends SparkTestBase {
       "injective-key two-phase rank must match the window on null/collision groups")
   }
 
+  test("span join survives AQE + coalesce(1) without exchange reuse " +
+      "(Verify's write path, round-15 regression)") {
+    // RangePartitioner seeds its boundary sample per plan instantiation;
+    // without the localCheckpoint pin, the span-offset branch and the main
+    // branch could range-partition DIFFERENTLY whenever physical planning
+    // did not reuse the exchange — observed under AQE + coalesce(1) (the
+    // exact Verify dump path), where the (group, pid) inner join dropped
+    // 430 of q143's 500 rows. This drives that path end to end.
+    val spark = this.spark
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = (1 to 4000).map(i => (s"g${i % 5}", i * 31 % 997, i)).toDF("g", "v", "id")
+      val ranked = Ranking.rowNumber(df, Seq($"g"), Seq($"v", $"id"), "rn", 32)
+        .coalesce(1)
+      assert(ranked.count() == 4000, "rows lost across the span join")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v", $"id")
+      val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      assert(ranked.except(want).isEmpty && want.except(ranked).isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("ranks are partition-boundary independent and dense per group") {
     val spark = this.spark
     import spark.implicits._

@@ -165,7 +165,7 @@ object PipelineQ {
   /** Options side-table: one option for every 4th lineitem; every 5th
     * supplier's option is a negative-price discount (feeds A13).
     */
-  private def options(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def options(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem.filter(col("l_partkey") % 4 === 0).select(
       concat((col("l_orderkey") * 10 + col("l_linenumber")).cast("string"),
@@ -182,7 +182,7 @@ object PipelineQ {
   }
 
   /** Date dimension keyed on the transform's dd-MM-yyyy date_key. */
-  private def dateDim(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dateDim(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val d = col("o_orderdate")
     t.orders.select(
@@ -198,7 +198,7 @@ object PipelineQ {
   /** A15 → U5 regeneration: per-(restaurant, category, item) percentile
     * bounds from the transform output (see object doc).
     */
-  private def thresholdsOf(transformed: DataFrame): DataFrame =
+  private[graft] def thresholdsOf(transformed: DataFrame): DataFrame =
     transformed.groupBy(col("restaurant_id"), col("item_category"), col("item_name"))
       .agg(
         expr("percentile(item_price, 0.25)").as("price_min"),

@@ -1,0 +1,143 @@
+package graft.tools
+
+import java.util.Locale
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Glue-parity END-TO-END pipeline wall clock (VERDICT r14 stretch item 8):
+  * one number for the full Ingest→Transform→Quality→Metrics chain, run the
+  * way the reference runs it — as FOUR jobs chained by the Workflow control
+  * plane (`cloudformation/06_glueworkflow.yml:24-88`), each job reading its
+  * predecessor's persisted output (the S3 handoff, parquet here), plus the
+  * S10 landing archival (copy-verify-delete) as a fifth dependent stage.
+  *
+  * This intentionally does NOT reuse q63–q72's memoized single-session
+  * artifacts: every stage pays its real read + compute + write, so the
+  * number is comparable to the reference's 4-job capacity facts
+  * (BASELINE.md:12-16 — 10 G.1X workers = 40 vCPU per job; this box is
+  * local[32]).
+  *
+  * Untimed producer setup: the synthetic order_items/options/date_dim CSVs
+  * (PipelineQ's generators — the same feed the q63 gate uses) land in
+  * `<outRoot>/landing_csv` first; the measured window starts at the
+  * Workflow submission and covers all five stages.
+  *
+  * Prints ONE JSON line {"metric":"pipeline_wall","sf_dir":...,
+  * "stages":{...},"value":<wall s>}.
+  * Usage: runMain graft.tools.PipelineWall [sfDir] [outRoot]
+  */
+object PipelineWall {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = args.lift(1).getOrElse("target/pipeline_wall")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- untimed producer setup: CSVs into the landing zone
+    val landingCsv = s"$outRoot/landing_csv"
+    def csvOut(df: DataFrame, name: String): String = {
+      val p = s"$landingCsv/$name"
+      df.write.option("header", "true").mode(SaveMode.Overwrite).csv(p)
+      p
+    }
+    val itemsCsv = csvOut(graft.queries.PipelineQ.feed(spark, sfDir), "order_items")
+    val optionsCsv = csvOut(graft.queries.PipelineQ.options(spark, sfDir), "order_item_options")
+    val dateDimCsv = csvOut(graft.queries.PipelineQ.dateDim(spark, sfDir), "date_dim")
+
+    def write(df: DataFrame, path: String, files: Int = 4,
+        partitionBy: Seq[String] = Nil): Unit = {
+      val w = df.coalesce(files).write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    }
+
+    // ---- the measured window: the 4-job chain + archival via Workflow
+    val stageWall = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String)(body: => Unit): () => Unit = () => {
+      val t0 = System.nanoTime()
+      body
+      stageWall(name) = (System.nanoTime() - t0) / 1e9
+    }
+
+    val t0 = System.nanoTime()
+    val ledger = Workflow.run(Seq(
+      Workflow.StageDef("ingest_elt")(timed("ingest_elt") {
+        // CSV → typed landing with surrogate keys (PipelineRunner's S3+loader leg)
+        val rawItems = CsvSource.withSurrogatePk(
+          CsvSource.read(spark, itemsCsv), Seq("order_id", "lineitem_id"))
+          .withColumn("item_price", col("item_price").cast("double"))
+          .withColumn("item_quantity", col("item_quantity").cast("int"))
+          .withColumn("is_loyalty", col("is_loyalty").cast("boolean"))
+        write(rawItems, s"$outRoot/landing/order_items")
+        val rawOptions = CsvSource.read(spark, optionsCsv)
+          .withColumn("option_price", col("option_price").cast("double"))
+          .withColumn("option_quantity", col("option_quantity").cast("int"))
+        write(rawOptions, s"$outRoot/landing/order_item_options")
+        val dateDim = CsvSource.read(spark, dateDimCsv)
+          .withColumn("year", col("year").cast("int"))
+          .withColumn("month", col("month").cast("int"))
+          .withColumn("is_weekend", col("is_weekend").cast("boolean"))
+          .withColumn("is_holiday", col("is_holiday").cast("boolean"))
+        write(dateDim, s"$outRoot/landing/date_dim", files = 1)
+      }),
+      Workflow.StageDef("transform_elt", Seq("ingest_elt"))(timed("transform_elt") {
+        val items = spark.read.parquet(s"$outRoot/landing/order_items")
+        write(TransformJob(items, MappingRules.default), s"$outRoot/transform/order_items")
+      }),
+      Workflow.StageDef("quality_elt", Seq("transform_elt"))(timed("quality_elt") {
+        val transformed = spark.read.parquet(s"$outRoot/transform/order_items")
+        val thresholds = graft.queries.PipelineQ.thresholdsOf(transformed)
+        val q = QualityJob(transformed,
+          spark.read.parquet(s"$outRoot/landing/order_item_options"),
+          spark.read.parquet(s"$outRoot/landing/date_dim"), thresholds)
+        write(q.finalDf, s"$outRoot/final", files = 8)
+        write(q.quarantine, s"$outRoot/quality/final")
+        write(q.priceIssues, s"$outRoot/quality/price")
+        write(q.quantityIssues, s"$outRoot/quality/quantity")
+        q.metricsInput.unpersist() // the metric JOB reads the S3 handoff instead
+      }),
+      Workflow.StageDef("metric_elt", Seq("quality_elt"))(timed("metric_elt") {
+        // the metric job's input is the published final table, projected to
+        // the consumed columns (what QualityOutput.metricsInput is in-session)
+        val fin = spark.read.parquet(s"$outRoot/final")
+          .select(MetricsJob.consumedColumns.map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        MetricsJob.all(fin).foreach { case (subject, df) =>
+          val partCols =
+            if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
+          write(df, s"$outRoot/metrics/$subject", partitionBy = partCols)
+        }
+        fin.unpersist()
+      }),
+      Workflow.StageDef("archive_landing", Seq("metric_elt"))(timed("archive_landing") {
+        Seq("order_items", "order_item_options", "date_dim").foreach { n =>
+          PipelineRunner.archiveLanding(spark, s"$landingCsv/$n",
+            s"$outRoot/archive/$n", PipelineRunner.ArchiveMode.CopyVerifyDelete)
+        }
+      })),
+      ledgerPath = Some(s"$outRoot/workflow_ledger.json"))
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    require(ledger.forall(_.state == "SUCCEEDED"),
+      s"pipeline wall: non-SUCCEEDED stages: ${ledger.filter(_.state != "SUCCEEDED")}")
+    val j = new StringBuilder
+    j ++= "{\"metric\":\"pipeline_wall\",\"sf_dir\":\"" + sfDir + "\",\"stages\":{"
+    j ++= stageWall.map { case (n, s) =>
+      "\"" + n + "\":" + String.format(Locale.ROOT, "%.2f", Double.box(s))
+    }.mkString(",")
+    j ++= "},\"value\":" + String.format(Locale.ROOT, "%.2f", Double.box(wall))
+    j ++= ",\"unit\":\"sec\"}"
+    println(j.toString)
+    spark.stop()
+  }
+}

@@ -54,7 +54,11 @@ class RankingSpec extends SparkTestBase {
     // 430 of q143's 500 rows. This drives that path end to end.
     val spark = this.spark
     import spark.implicits._
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    // getOption + unset, not get-with-default: the session is shared
+    // across suites, and restoring a never-explicitly-set key to a
+    // literal would pin it for every later suite (this exact slip turned
+    // AQE off for DedupSpec's plan-shape assert in the first r15 run)
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try {
       val df = (1 to 4000).map(i => (s"g${i % 5}", i * 31 % 997, i)).toDF("g", "v", "id")
@@ -65,7 +69,10 @@ class RankingSpec extends SparkTestBase {
         .partitionBy($"g").orderBy($"v", $"id")
       val want = df.withColumn("rn", row_number().over(w).cast("long"))
       assert(ranked.except(want).isEmpty && want.except(ranked).isEmpty)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally prevAqe match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   test("ranks are partition-boundary independent and dense per group") {

@@ -1181,5 +1181,24 @@ class H264InterSpec extends AnyFunSuite {
     assert(Seq(f1(0)(0), f1(3)(8), f1(16)(8), f1(17)(9), f1(31)(15)) ==
       Seq(65, 71, 115, 112, 117),
       "decoded pixels drifted on the partial-CBP nC scenario")
+
+    // Slice-boundary interaction: split the same picture at MB1. MB1's UP
+    // neighbor now sits in a PRIOR SLICE (unavailable, 9.2.1 — the cell
+    // stays at the -1 sentinel), while its in-MB uncoded LEFT still infers
+    // available-with-0, so block 4's nC becomes 0 (left only) instead of
+    // 2 — different entropy bits, IDENTICAL coefficients and pixels. The
+    // single-vs-split pixel identity is exactly the two rules composing.
+    val iMbs = (0 until 2).map { mb =>
+      H264Cavlc.PcmBlock(
+        Array.tabulate(16, 16)((y, x) => ref(mb * 16 + y)(x)), 128)
+    }
+    val split = H264Inter.encodeStream(1, 2, 26, iMbs,
+      Seq(Seq[H264Inter.PMbPlan](mb0, mb1)), 1, 0, 0, Nil, false, Nil,
+      Seq(Seq(0, 1)))
+    assert(!java.util.Arrays.equals(split, bytes),
+      "split stream must differ bitwise (nC context changes at the boundary)")
+    val g1 = H264Inter.decodeFrames(split)(1)
+    assert(f1.map(_.toSeq).toSeq == g1.map(_.toSeq).toSeq,
+      "multi-slice partial-CBP picture must decode pixel-identically")
   }
 }

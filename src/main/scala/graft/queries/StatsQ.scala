@@ -740,6 +740,33 @@ object StatsQ {
       |FROM documents
       |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)""".stripMargin
 
+  /** q249 — q143's SCALE sibling (the q248 pattern): the same
+    * percent_rank/cume_dist statistics through the two-phase distributed
+    * ranking instead of a |lang|=5-task window. The order (n_chars,
+    * doc_id) is STRICT, so rank == row_number and both statistics have
+    * closed forms over exact integers:
+    * pr = (rn-1)/(n-1) (0.0 when n == 1 — Spark's own branch), cd = rn/n,
+    * with n from a |lang|-row broadcast count. One IEEE divide each —
+    * bit-identical to both engines' window implementations, which is why
+    * the oracle is q143's VERBATIM. Slower at gate scale (A/B table,
+    * BASELINE round 15); unbounded fan-out at 100 TB, where the window's
+    * 5 tasks are a hard wall.
+    */
+  def quantileNormalizeDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+    val ranked = graft.ops.Ranking.rowNumber(base,
+      Seq(col("lang")), Seq(col("n_chars"), col("doc_id")), "rn", 32)
+    val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumn("pr",
+        when(col("__n") > 1,
+          (col("rn") - 1).cast("double") / (col("__n") - 1).cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("cd", col("rn").cast("double") / col("__n").cast("double"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("pr"), col("cd"))
+  }
+
   /** q144 — weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
     * key = ln(u)/w with u an md5-derived uniform in (0,1], take the
     * top-k keys — each item's inclusion probability is proportional to
@@ -1531,6 +1558,8 @@ object StatsQ {
     QueryDef("q149_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     QueryDef("q144_weighted_topk_sample", weightedTopkSample, Some(weightedTopkSampleSql)),
     QueryDef("q143_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
+    QueryDef("q249_quantile_normalize_distributed", quantileNormalizeDistributed,
+      Some(quantileNormalizeSql)), // q143's oracle VERBATIM — closed forms must hash-match the window
     QueryDef("q140_fk_audit", fkAudit, Some(fkAuditSql)),
     QueryDef("q130_equidepth_histogram", (s, d) => equidepthHistogram(s, d),
       Some(equidepthHistogramSql),

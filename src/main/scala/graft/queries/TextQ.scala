@@ -713,6 +713,46 @@ object TextQ {
       |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
       |FROM phased GROUP BY phase""".stripMargin
 
+  /** q250 — q169's SCALE sibling (the q248 pattern): the same
+    * curriculum-phase aggregates through the two-phase distributed
+    * ranking instead of the UNPARTITIONED ntile window (ONE task — the
+    * worst ceiling shape in the registry). The order (score_ppm, doc_id)
+    * is strict, so ntile(k) has an exact closed form over the global
+    * row_number: with b = n div k and r = n mod k the first r tiles take
+    * b+1 rows —
+    *   phase(rn) = (rn-1) div (b+1) + 1          if rn <= r·(b+1)
+    *             = r + (rn-1-r·(b+1)) div b + 1   otherwise
+    * (n < k degenerates to phase = rn, matching both engines; integral
+    * `div`, never `/` — Spark's / is IEEE division even on LONGs and a
+    * rounded quotient cast can land one off). Oracle is q169's VERBATIM.
+    * Slower at gate scale (A/B, BASELINE round 15); at 100 TB the
+    * single-task window is a wall and this is the production form.
+    */
+  def curriculumPhasesDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val scored = t.documents
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("score_ppm", expr("n_distinct * 1000000L div n_tokens"))
+    val ranked = graft.ops.Ranking.rowNumber(scored,
+      Seq(lit(1)), Seq(col("score_ppm"), col("doc_id")), "rn", 32)
+    val n = scored.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__b", expr("__n div 4"))
+      .withColumn("__r", col("__n") % lit(4L))
+      .withColumn("phase",
+        when(col("rn") <= col("__r") * (col("__b") + 1),
+          expr("(rn - 1) div (__b + 1) + 1").cast("int"))
+          .otherwise(
+            expr("__r + (rn - 1 - __r * (__b + 1)) div __b + 1").cast("int")))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+  }
+
   /** q180 — BOILERPLATE PREFIX families: documents sharing an identical
     * leading 4-word prefix (the q123 segment width), grouped into
     * families — the cheap template/boilerplate detector (scraped pages
@@ -1200,6 +1240,8 @@ object TextQ {
     QueryDef("q160_threshold_sweep", thresholdSweep, Some(thresholdSweepSql)),
     QueryDef("q161_token_fertility", tokenFertility, Some(tokenFertilitySql)),
     QueryDef("q169_curriculum_phases", curriculumPhases, Some(curriculumPhasesSql)),
+    QueryDef("q250_curriculum_phases_distributed", curriculumPhasesDistributed,
+      Some(curriculumPhasesSql)), // q169's oracle VERBATIM — the closed ntile form must hash-match
     QueryDef("q61_word_frequencies", wordFrequencies, Some(wordFrequenciesSql)),
     QueryDef("q81_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q82_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),

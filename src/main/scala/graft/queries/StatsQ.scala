@@ -758,7 +758,11 @@ object StatsQ {
     val ranked = graft.ops.Ranking.rowNumber(base,
       Seq(col("lang")), Seq(col("n_chars"), col("doc_id")), "rn", 32)
     val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
-    ranked.join(broadcast(counts), Seq("lang"))
+      .withColumnRenamed("lang", "__cl")
+    // null-safe join (this round's lesson class): a NULL lang forms its own
+    // window partition, but a plain inner equi-join would silently drop it
+    ranked.join(broadcast(counts), col("lang") <=> col("__cl"))
+      .drop("__cl")
       .withColumn("pr",
         when(col("__n") > 1,
           (col("rn") - 1).cast("double") / (col("__n") - 1).cast("double"))

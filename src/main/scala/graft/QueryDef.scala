@@ -24,9 +24,9 @@ final case class QueryDef(
     oracle: Option[String],
     /** Registry metadata. `baseline_only`: deliberately non-scale plan kept
       * as a ground-truth/documentation sibling of a production-path query —
-      * NOT a 100-TB path (q41 is the one O(N²) all-pairs baseline; its
-      * scale path is q77's bucketed LSH). Graders: a `baseline_only` query
-      * being slow at large SF is by design, not a finding.
+      * NOT a 100-TB path; slow growth at large SF is its declared design
+      * (q41 is the one O(N²) all-pairs baseline; its scale path is q77's
+      * bucketed LSH).
       */
     tags: Set[String] = Set.empty,
 )

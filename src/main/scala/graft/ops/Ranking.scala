@@ -85,17 +85,24 @@ object Ranking {
         Row.fromSeq(r.toSeq ++ Seq[Any](pid, n)) // Seq(pid, n) would widen
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-      // MATERIALIZE before branching (round-15 fix): `local` feeds BOTH the
-      // span aggregate and the final join, and RangePartitioner samples its
-      // boundaries with a plan-instantiation-dependent seed — if physical
-      // planning does NOT reuse the exchange (observed under AQE +
-      // coalesce(1): Verify's exact write path), the two branches range-
-      // partition DIFFERENTLY and the (group, pid) inner join silently
-      // drops every row whose span moved (q143 kept 70 of 500 rows). The
-      // checkpoint pins one partitioning for both readers — the classic
-      // distributed sort-rank materialization (TeraSort shape), one extra
-      // write of the ranked table, still numParts-way parallel.
-      .localCheckpoint()
+      // MATERIALIZE before branching (round-15 fix, ADVICE r15 form):
+      // `local` feeds BOTH the span aggregate and the final join, and
+      // RangePartitioner samples its boundaries with a plan-instantiation-
+      // dependent seed — if physical planning does NOT reuse the exchange
+      // (observed under AQE + coalesce(1): Verify's exact write path), the
+      // two branches range-partition DIFFERENTLY and the (group, pid) inner
+      // join silently drops every row whose span moved (q143 kept 70 of 500
+      // rows). persist() pins ONE cached RDD instance — hence ONE exchange
+      // execution and ONE sampled boundary set — for both readers, and
+      // unlike the round-15 localCheckpoint it stays FAULT-TOLERANT at
+      // cluster scale: a lost executor recomputes the cached partition
+      // through the same lineage (same shuffle dependency, same partitioner
+      // instance, so identical boundaries) instead of failing the query.
+      // The eager count below materializes it up front — the classic
+      // distributed sort-rank shape (TeraSort), one extra write of the
+      // ranked table, still numParts-way parallel.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    local.count()
     // phase-2: span sizes -> per-(group, pid) global offsets. The agg is
     // partitions×groups rows; the running sum windows over THAT tiny
     // table, never the data

@@ -746,7 +746,12 @@ object TextQ {
         when(col("rn") <= col("__r") * (col("__b") + 1),
           expr("(rn - 1) div (__b + 1) + 1").cast("int"))
           .otherwise(
-            expr("__r + (rn - 1 - __r * (__b + 1)) div __b + 1").cast("int")))
+            // __b = 0 only when n < 4, and then the when-branch covers every
+            // rn — but don't lean on If short-circuiting (or on non-ANSI
+            // div-by-zero → NULL): greatest(__b, 1) makes the expression
+            // total regardless of evaluation order and ANSI mode
+            expr("__r + (rn - 1 - __r * (__b + 1)) div greatest(__b, 1L) + 1")
+              .cast("int")))
       .groupBy(col("phase"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         min(col("score_ppm")).as("min_score_ppm"),

@@ -57,15 +57,38 @@ class EntryContractSpec extends SparkTestBase {
       s"query functions with no QueryDef registration: ${orphans.toSeq.sorted}")
   }
 
-  test("every query runs and returns non-negative rows at sf0.001") {
+  test("every query runs at sf0.001 and emits no NaN / -0.0 at the gate " +
+      "(round-16 invariant)") {
+    // NaN and negative zero are hash hazards at the driver gate: Python
+    // float('nan') != float('nan') and repr(-0.0) != repr(0.0), so a value
+    // the two engines agree on cell-for-cell can still hash-mismatch (the
+    // q98/q248 class, float edition). The registry convention (QueryDef
+    // scaladoc) already rounds/normalizes every unavoidable double — this
+    // sweep makes the convention a standing failure. Recurses into
+    // struct/array/map values.
+    def bad(v: Any): Boolean = v match {
+      case d: java.lang.Double =>
+        d.isNaN || (d.doubleValue == 0.0 && (1.0 / d.doubleValue) < 0)
+      case f: java.lang.Float =>
+        f.isNaN || (f.floatValue == 0.0f && (1.0f / f.floatValue) < 0)
+      case r: org.apache.spark.sql.Row => r.toSeq.exists(bad)
+      case s: scala.collection.Iterable[_] => s.exists(bad)
+      case m: java.util.Map[_, _] =>
+        import scala.jdk.CollectionConverters._
+        m.asScala.exists { case (k, x) => bad(k) || bad(x) }
+      case _ => false
+    }
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, sf).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+      try {
+        val rows = fn(spark, sf).collect()
+        if (rows.exists(bad)) Some(s"$name: NaN or -0.0 in gate output") else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("gate outputs ship driver-hash-stable types (round-15 invariant)") {
+  test("gate outputs ship driver-hash-stable types (round-15 invariant, " +
+      "recursive + map/timestamp classes since round-16)") {
     // Round-14 regression class: DECIMAL with precision >18 is int128-backed
     // (parquet FIXED_LEN_BYTE_ARRAY / DuckDB HUGEINT) and the driver's hash
     // canonicalizes Spark-vs-DuckDB int128 decimals differently — q98/q248
@@ -73,15 +96,34 @@ class EntryContractSpec extends SparkTestBase {
     // decimals accumulate internally, the gate-facing projection ships
     // BIGINT / DOUBLE / STRING (Exact.dsum-style cast or .cast("string")).
     // Decimals at precision ≤18 are int64-backed in both engines and pass.
-    import org.apache.spark.sql.types.DecimalType
+    //
+    // Round-16 extensions (same hazard family, banned while green):
+    //  - the audit RECURSES through struct fields and array/map element
+    //    types (ADVICE r15: a nested wide decimal previously slipped by);
+    //  - MAP at the gate: map iteration order is engine-defined, so a
+    //    value-identical map can hash either way — ship sorted
+    //    struct-arrays or exploded rows instead;
+    //  - TIMESTAMP at the gate: tz canonicalization differs across the
+    //    parquet/DuckDB/Python hops — the registry convention is
+    //    unix_micros BIGINT at the boundary (QueryDef scaladoc).
+    import org.apache.spark.sql.types._
+    def sweep(dt: DataType, path: String): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 =>
+        Seq(s"$path: ${d.simpleString} (int128 at the gate — cast to string/double/bigint)")
+      case _: TimestampType | _: TimestampNTZType =>
+        Seq(s"$path: ${dt.simpleString} (ship unix_micros bigint at the gate)")
+      case m: MapType =>
+        s"$path: map (unordered — ship sorted struct-array or exploded rows)" +:
+          (sweep(m.keyType, s"$path<key>") ++ sweep(m.valueType, s"$path<val>"))
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => sweep(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => sweep(a.elementType, s"$path[]")
+      case _ => Nil
+    }
     val offenders = SparkEntry.allDefs.flatMap { d =>
-      d.fn(spark, sf).schema.fields.collect {
-        case f if f.dataType.isInstanceOf[DecimalType] &&
-            f.dataType.asInstanceOf[DecimalType].precision > 18 =>
-          s"${d.name}.${f.name}: ${f.dataType.simpleString}"
-      }
+      d.fn(spark, sf).schema.fields.flatMap(f => sweep(f.dataType, s"${d.name}.${f.name}"))
     }
     assert(offenders.isEmpty,
-      s"int128-backed decimal at the driver gate (cast to string/double/bigint): $offenders")
+      s"hash-hazard type at the driver gate:\n${offenders.mkString("\n")}")
   }
 }

@@ -191,8 +191,15 @@ object MetricsJob {
         count(lit(1)).as("n_obs"))
 
   /** All nine families keyed by subject, ready for partitioned writes. */
-  def all(finalDf: DataFrame): Map[String, DataFrame] = {
-    val base = revenueBase(finalDf)
+  def all(finalDf: DataFrame): Map[String, DataFrame] =
+    allFromBase(revenueBase(finalDf))
+
+  /** The fan-out over an ALREADY-BUILT [[revenueBase]] — callers that
+    * materialize several outputs should persist that base first (the
+    * reference's own idiom, `go-transform-elt.py:338`) so the eleven
+    * writers share one cached scan instead of eleven re-reads.
+    */
+  def allFromBase(base: DataFrame): Map[String, DataFrame] =
     Map(
       "clv" -> clv(base),
       "clv_buckets" -> clvBuckets(base),
@@ -202,5 +209,4 @@ object MetricsJob {
       "top_locations" -> topLocations(base),
       "discount_effectiveness" -> discountEffectiveness(base)) ++
       trends(base).map { case (k, v) => s"sales_trends_$k" -> v }
-  }
 }

@@ -108,16 +108,35 @@ object PipelineWall {
       }),
       Workflow.StageDef("metric_elt", Seq("quality_elt"))(timed("metric_elt") {
         // the metric job's input is the published final table, projected to
-        // the consumed columns (what QualityOutput.metricsInput is in-session)
-        val fin = spark.read.parquet(s"$outRoot/final")
-          .select(MetricsJob.consumedColumns.map(col): _*)
+        // the consumed columns (what QualityOutput.metricsInput is
+        // in-session), with the shared rename+revenue prefix (A2) persisted
+        // ONCE — the reference's own idiom (`go-transform-elt.py:338`) — so
+        // the eleven writers read a cached columnar table instead of
+        // re-deriving revenue over eleven parquet re-reads
+        val base = MetricsJob.revenueBase(
+          spark.read.parquet(s"$outRoot/final")
+            .select(MetricsJob.consumedColumns.map(col): _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        MetricsJob.all(fin).foreach { case (subject, df) =>
-          val partCols =
-            if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
-          write(df, s"$outRoot/metrics/$subject", partitionBy = partCols)
+        base.count() // materialize before the fan-out races on the cache
+        // the eleven outputs are independent actions over one cached input:
+        // submit them concurrently (the standard fan-out-write idiom — on a
+        // cluster these jobs share executors under the scheduler exactly
+        // like concurrent SQL statements; serial submission would leave the
+        // cores of ten writers idle during each one's shuffle barrier)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val writes = MetricsJob.allFromBase(base).toSeq.map { case (subject, df) =>
+          Future {
+            val partCols =
+              if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
+            write(df, s"$outRoot/metrics/$subject", partitionBy = partCols)
+          }
         }
-        fin.unpersist()
+        try Await.result(Future.sequence(writes), Duration.Inf)
+        finally pool.shutdown()
+        base.unpersist()
       }),
       Workflow.StageDef("archive_landing", Seq("metric_elt"))(timed("archive_landing") {
         Seq("order_items", "order_item_options", "date_dim").foreach { n =>

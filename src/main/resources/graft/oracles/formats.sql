@@ -1,0 +1,10 @@
+-- ::orcRoundtrip
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey < 4000
+
+-- ::schemaEvolution
+SELECT doc_id, lang, n_chars,
+  CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END AS quality
+FROM documents
+

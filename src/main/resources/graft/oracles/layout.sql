@@ -1,0 +1,7 @@
+-- ::sortedLayoutRoundtrip
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+  epoch_us(l_shipdate) AS ship_us
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= 865123200000000
+  AND epoch_us(l_shipdate) < 873072000000000
+

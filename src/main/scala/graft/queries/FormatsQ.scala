@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -69,10 +69,7 @@ object FormatsQ {
         col("l_quantity"), col("l_extendedprice"))
   }
 
-  private val orcRoundtripSql =
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-      |FROM lineitem
-      |WHERE l_orderkey >= 1000 AND l_orderkey < 4000""".stripMargin
+  private val orcRoundtripSql = Oracles("formats", "orcRoundtrip")
 
   /** q135 — parquet SCHEMA EVOLUTION round trip: generation 1 of a table
     * (even doc_ids) lands without a `quality` column, generation 2 (odd
@@ -101,10 +98,7 @@ object FormatsQ {
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"))
   }
 
-  private val schemaEvolutionSql =
-    """SELECT doc_id, lang, n_chars,
-      |  CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END AS quality
-      |FROM documents""".stripMargin
+  private val schemaEvolutionSql = Oracles("formats", "schemaEvolution")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q93_jsonl_roundtrip", jsonlRoundtrip, Some(jsonlRoundtripSql)),

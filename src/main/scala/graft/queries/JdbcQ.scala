@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
 import graft.sources.Jdbc
 import org.apache.spark.sql.functions._
@@ -46,9 +46,7 @@ object JdbcQ {
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
   }
 
-  private val jdbcRoundtripSql =
-    """SELECT s_suppkey, s_name, s_acctbal
-      |FROM supplier WHERE s_acctbal > 0.0""".stripMargin
+  private val jdbcRoundtripSql = Oracles("jdbc", "jdbcRoundtrip")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q73_jdbc_roundtrip", jdbcRoundtrip, Some(jdbcRoundtripSql)),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
 import graft.ops.Layout
 import org.apache.spark.sql.functions._
@@ -36,12 +36,7 @@ object LayoutQ {
         col("l_extendedprice"), col("ship_us"))
   }
 
-  private val sortedLayoutRoundtripSql =
-    """SELECT l_orderkey, l_linenumber, l_extendedprice,
-      |  epoch_us(l_shipdate) AS ship_us
-      |FROM lineitem
-      |WHERE epoch_us(l_shipdate) >= 865123200000000
-      |  AND epoch_us(l_shipdate) < 873072000000000""".stripMargin
+  private val sortedLayoutRoundtripSql = Oracles("layout", "sortedLayoutRoundtrip")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q74_sorted_layout_roundtrip", sortedLayoutRoundtrip, Some(sortedLayoutRoundtripSql)),

@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
+import graft.ops.Exact
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -33,16 +33,7 @@ object ParityQ {
         count(lit(1)).as("n_obs"))
   }
 
-  private val thresholdStatsSql =
-    s"""SELECT p_brand,
-       |  MIN(l_extendedprice) AS price_min,
-       |  MAX(l_extendedprice) AS price_max,
-       |  ${O.davg("l_extendedprice")} AS price_mean,
-       |  MIN(l_quantity) AS qty_min,
-       |  MAX(l_quantity) AS qty_max,
-       |  COUNT(*) AS n_obs
-       |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |GROUP BY p_brand""".stripMargin
+  private val thresholdStatsSql = Oracles("parity", "thresholdStats")
 
   /** U5-as-join — severity from per-brand percentile thresholds: price/qty
     * outside [p05, p95] each count one violation; 2 ⇒ high, 1 ⇒ low. The
@@ -96,26 +87,7 @@ object ParityQ {
         col("l_extendedprice"), col("l_quantity"), col("violations"), col("severity"))
   }
 
-  private val thresholdSeveritySql =
-    """WITH joined AS (
-      |  SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice, l_quantity
-      |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |), th AS (
-      |  SELECT p_brand,
-      |    quantile_cont(l_extendedprice, 0.05) AS price_low,
-      |    quantile_cont(l_extendedprice, 0.95) AS price_high,
-      |    quantile_cont(l_quantity, 0.05) AS qty_low,
-      |    quantile_cont(l_quantity, 0.95) AS qty_high
-      |  FROM joined GROUP BY p_brand
-      |), flagged AS (
-      |  SELECT l_orderkey, l_linenumber, joined.p_brand, l_extendedprice, l_quantity,
-      |    (CASE WHEN l_extendedprice < price_low OR l_extendedprice > price_high THEN 1 ELSE 0 END
-      |     + CASE WHEN l_quantity < qty_low OR l_quantity > qty_high THEN 1 ELSE 0 END) AS violations
-      |  FROM joined JOIN th ON joined.p_brand = th.p_brand
-      |)
-      |SELECT l_orderkey, l_linenumber, p_brand, l_extendedprice, l_quantity, violations,
-      |  CASE WHEN violations = 2 THEN 'high' WHEN violations = 1 THEN 'low' END AS severity
-      |FROM flagged WHERE violations > 0""".stripMargin
+  private val thresholdSeveritySql = Oracles("parity", "thresholdSeverity")
 
   /** J4 — consumer-side RFM×CLV inner merge on the customer key
     * (`go_streamlit.py:259-264`): the reporting view both metric families
@@ -130,25 +102,7 @@ object ParityQ {
     rfm.join(clv, Seq("o_custkey"))
   }
 
-  private val rfmClvMergeSql =
-    s"""WITH rfm AS (
-       |  SELECT o_custkey,
-       |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-08-02') AS INT) AS recency_days,
-       |    COUNT(*) AS frequency,
-       |    ${O.dsum("o_totalprice")} AS monetary
-       |  FROM orders GROUP BY o_custkey
-       |), clv AS (
-       |  SELECT o_custkey, ${O.dsum("o_totalprice")} AS revenue,
-       |    ${O.davg("o_totalprice")} AS avg_order_value
-       |  FROM orders GROUP BY o_custkey
-       |)
-       |SELECT rfm.o_custkey, recency_days, frequency, monetary,
-       |  CASE WHEN recency_days <= 90 AND frequency >= 12 THEN 'VIP'
-       |       WHEN recency_days <= 180 THEN 'Active'
-       |       WHEN frequency <= 5 THEN 'Churn Risk'
-       |       ELSE 'Other' END AS segment,
-       |  revenue, avg_order_value
-       |FROM rfm JOIN clv ON rfm.o_custkey = clv.o_custkey""".stripMargin
+  private val rfmClvMergeSql = Oracles("parity", "rfmClvMerge")
 
   /** ROLLUP hierarchy totals with GROUPING markers — the declarative form of
     * the reference's manual multi-granularity union (SURVEY.md §2.4 notes
@@ -169,15 +123,7 @@ object ParityQ {
         grouping(col("o_orderpriority")).cast("int").as("g_pri"))
   }
 
-  private val rollupRevenueSql =
-    s"""SELECT yr, o_orderpriority,
-       |  ${O.dsum("o_totalprice")} AS revenue,
-       |  COUNT(*) AS n_orders,
-       |  CAST(GROUPING(yr) AS INT) AS g_yr,
-       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri
-       |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority, o_totalprice
-       |      FROM orders)
-       |GROUP BY ROLLUP(yr, o_orderpriority)""".stripMargin
+  private val rollupRevenueSql = Oracles("parity", "rollupRevenue")
 
   /** q97 — full CUBE (all 2³ grouping sets) over (status, priority, year)
     * with per-dimension GROUPING flags — the §2.7 shape q49's ROLLUP
@@ -199,17 +145,7 @@ object ParityQ {
         grouping(col("yr")).cast("int").as("g_yr"))
   }
 
-  private val cubeRevenueSql =
-    s"""SELECT o_orderstatus, o_orderpriority, yr,
-       |  ${O.dsum("o_totalprice")} AS revenue,
-       |  COUNT(*) AS n_orders,
-       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
-       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
-       |  CAST(GROUPING(yr) AS INT) AS g_yr
-       |FROM (SELECT o_orderstatus, o_orderpriority,
-       |        CAST(year(o_orderdate) AS INT) AS yr, o_totalprice
-       |      FROM orders)
-       |GROUP BY CUBE(o_orderstatus, o_orderpriority, yr)""".stripMargin
+  private val cubeRevenueSql = Oracles("parity", "cubeRevenue")
 
   private val priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")

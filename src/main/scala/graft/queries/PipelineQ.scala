@@ -1,8 +1,7 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
 import graft.pipeline._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -480,119 +479,35 @@ object PipelineQ {
        |  FROM fin WHERE severity <> 'high'
        |)""".stripMargin
 
-  private lazy val pipelineTransformSql: String =
-    s"""$transformCtes
-       |SELECT order_id, lineitem_id, restaurant_id, user_id, printed_card_number,
-       |  is_loyalty, item_price, item_quantity, creation_time_utc, item_category,
-       |  item_name, item_size, beverage_class, final_category, date, date_key, time
-       |FROM transformed""".stripMargin
+  private lazy val pipelineTransformSql = Oracles("pipeline", "pipelineTransform",
+    "transformCtes" -> String.valueOf(transformCtes))
 
-  private lazy val pipelineQualityFinalSql: String =
-    s"""$qualityCtes
-       |SELECT * FROM fin WHERE severity <> 'high'""".stripMargin
+  private lazy val pipelineQualityFinalSql = Oracles("pipeline", "pipelineQualityFinal",
+    "qualityCtes" -> String.valueOf(qualityCtes))
 
-  private lazy val pipelineQualityQuarantineSql: String =
-    s"""$qualityCtes
-       |SELECT * FROM fin WHERE severity = 'high'""".stripMargin
+  private lazy val pipelineQualityQuarantineSql = Oracles("pipeline", "pipelineQualityQuarantine",
+    "qualityCtes" -> String.valueOf(qualityCtes))
 
-  private lazy val pipelineClvSql: String =
-    s"""$metricsCtes
-       |SELECT restaurant_id, customer_id, date_key, is_loyalty,
-       |  ${O.dsum("revenue")} AS total_revenue,
-       |  COUNT(order_id) AS n_lines,
-       |  MAX(date) AS last_date,
-       |  ${O.davg("revenue")} AS avg_revenue,
-       |  MIN(revenue) AS min_revenue
-       |FROM mbase WHERE customer_id <> '_guest'
-       |GROUP BY 1, 2, 3, 4""".stripMargin
+  private lazy val pipelineClvSql = Oracles("pipeline", "pipelineClv",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineRfmSql: String =
-    s"""$metricsCtes, grp AS (
-       |  SELECT restaurant_id, customer_id,
-       |    MAX(date) AS last_date,
-       |    COUNT(*) AS frequency,
-       |    ${O.dsum("revenue")} AS monetary,
-       |    MAX(is_loyalty) AS is_loyalty
-       |  FROM mbase WHERE customer_id <> '_guest' GROUP BY 1, 2
-       |), snap AS (
-       |  SELECT MAX(date) AS snapshot_date FROM mbase WHERE customer_id <> '_guest'
-       |), r AS (
-       |  SELECT grp.*, CAST(datediff('day', CAST(last_date AS DATE), CAST(snapshot_date AS DATE)) AS INT) AS recency
-       |  FROM grp CROSS JOIN snap
-       |)
-       |SELECT restaurant_id, customer_id, last_date, frequency, monetary, is_loyalty, recency,
-       |  CASE WHEN recency <= 30 AND frequency >= 10 THEN 'VIP'
-       |       WHEN recency > 180 THEN 'Churn Risk'
-       |       WHEN frequency <= 2 THEN 'New Customer'
-       |       ELSE 'Other' END AS segment
-       |FROM r""".stripMargin
+  private lazy val pipelineRfmSql = Oracles("pipeline", "pipelineRfm",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineTopLocationsSql: String =
-    s"""$metricsCtes, agg AS (
-       |  SELECT restaurant_id,
-       |    ${O.dsum("revenue")} AS total_revenue,
-       |    ${O.davg("revenue")} AS avg_revenue,
-       |    COUNT(DISTINCT date) AS active_days,
-       |    COUNT(DISTINCT order_id) AS n_orders
-       |  FROM mbase GROUP BY 1
-       |)
-       |SELECT *, n_orders / active_days AS orders_per_day,
-       |  CAST(row_number() OVER (ORDER BY total_revenue DESC, restaurant_id) AS INT) AS rank
-       |FROM agg""".stripMargin
+  private lazy val pipelineTopLocationsSql = Oracles("pipeline", "pipelineTopLocations",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineTrendsDailySql: String =
-    s"""$metricsCtes
-       |SELECT CAST(year(CAST(date AS DATE)) AS INT) AS yr, date, restaurant_id, final_category,
-       |  ${O.dsum("revenue")} AS total_revenue, COUNT(*) AS n_lines
-       |FROM mbase GROUP BY 1, 2, 3, 4""".stripMargin
+  private lazy val pipelineTrendsDailySql = Oracles("pipeline", "pipelineTrendsDaily",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineDiscountEffectSql: String =
-    s"""$metricsCtes
-       |SELECT restaurant_id, (option_price < 0.0) AS is_discounted,
-       |  ${O.dsum("revenue")} AS total_revenue,
-       |  COUNT(DISTINCT order_id) AS n_orders,
-       |  ${O.davg("revenue")} AS avg_revenue
-       |FROM mbase GROUP BY 1, 2""".stripMargin
+  private lazy val pipelineDiscountEffectSql = Oracles("pipeline", "pipelineDiscountEffect",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineLoyaltyImpactSql: String =
-    s"""$metricsCtes, cust AS (
-       |  SELECT restaurant_id, is_loyalty, customer_id,
-       |    ${O.davg("revenue")} AS avg_rev,
-       |    COUNT(*) AS n_lines,
-       |    ${O.dsum("revenue")} AS total_rev
-       |  FROM mbase WHERE customer_id <> '_guest' GROUP BY 1, 2, 3
-       |)
-       |SELECT restaurant_id, is_loyalty,
-       |  round(AVG(avg_rev), 6) AS avg_of_customer_avgs,
-       |  ${O.dsum("total_rev")} AS total_revenue,
-       |  COUNT(*) AS n_customers
-       |FROM cust GROUP BY 1, 2""".stripMargin
+  private lazy val pipelineLoyaltyImpactSql = Oracles("pipeline", "pipelineLoyaltyImpact",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
-  private lazy val pipelineActivityProfileSql: String =
-    s"""$metricsCtes, act0 AS (
-       |  SELECT restaurant_id, customer_id, date, order_id, lineitem_id, revenue,
-       |    lag(date) OVER w AS prev_date,
-       |    lag(revenue) OVER w AS prev_rev
-       |  FROM mbase WHERE customer_id <> '_guest'
-       |  WINDOW w AS (PARTITION BY restaurant_id, customer_id ORDER BY date, order_id, lineitem_id)
-       |), act1 AS (
-       |  SELECT *,
-       |    CAST(datediff('day', CAST(prev_date AS DATE), CAST(date AS DATE)) AS INT) AS order_gap,
-       |    CASE WHEN prev_rev IS NOT NULL AND prev_rev <> 0.0
-       |         THEN (revenue - prev_rev) / prev_rev END AS rev_change_pct
-       |  FROM act0
-       |), act2 AS (
-       |  SELECT restaurant_id, customer_id, MAX(date) AS last_date,
-       |    round(AVG(order_gap), 6) AS avg_order_gap,
-       |    round(AVG(rev_change_pct), 6) AS avg_rev_change_pct
-       |  FROM act1 GROUP BY 1, 2
-       |)
-       |SELECT *,
-       |  CASE WHEN avg_order_gap IS NULL THEN 'one-off'
-       |       WHEN avg_order_gap <= 7.0 THEN 'frequent'
-       |       WHEN avg_order_gap <= 30.0 THEN 'regular'
-       |       ELSE 'dormant' END AS activity_tag
-       |FROM act2""".stripMargin
+  private lazy val pipelineActivityProfileSql = Oracles("pipeline", "pipelineActivityProfile",
+    "metricsCtes" -> String.valueOf(metricsCtes))
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q63_pipeline_transform", pipelineTransform, Some(pipelineTransformSql)),

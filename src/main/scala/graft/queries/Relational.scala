@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
+import graft.ops.Exact
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -41,17 +41,7 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  private val pricingSummarySql =
-    s"""SELECT l_returnflag, l_linestatus,
-       |  ${O.dsum("l_quantity")} AS sum_qty,
-       |  ${O.dsum("l_extendedprice")} AS sum_base_price,
-       |  ${O.dsum4("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |  ${O.davg("l_quantity")} AS avg_qty,
-       |  ${O.davg("l_extendedprice")} AS avg_price,
-       |  COUNT(*) AS count_order
-       |FROM lineitem
-       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  private val pricingSummarySql = Oracles("relational", "pricingSummary")
 
   /** J1 analog — fact⋈fact left equi-join then per-order rollup
     * (`go-quality-elt.py:262-267`). No manual repartition: Catalyst+AQE plan
@@ -68,12 +58,7 @@ object Relational {
         coalesce(Exact.dsum(col("l_extendedprice")), lit(0.0)).as("items_value"))
   }
 
-  private val orderLineitemJoinSql =
-    s"""SELECT o_orderkey,
-       |  COUNT(l_linenumber) AS n_items,
-       |  COALESCE(${O.dsum("l_extendedprice")}, 0.0) AS items_value
-       |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-       |GROUP BY o_orderkey""".stripMargin
+  private val orderLineitemJoinSql = Oracles("relational", "orderLineitemJoin")
 
   /** J2 analog — snowflake dimension enrichment via broadcast joins
     * (`go-quality-elt.py:288-291` joins a 365-row date_dim; here
@@ -92,15 +77,7 @@ object Relational {
         Exact.davg(col("c_acctbal")).as("avg_acctbal"))
   }
 
-  private val regionRollupSql =
-    s"""SELECT r_name,
-       |  COUNT(*) AS n_customers,
-       |  ${O.dsum("c_acctbal")} AS total_acctbal,
-       |  ${O.davg("c_acctbal")} AS avg_acctbal
-       |FROM customer
-       |JOIN nation ON c_nationkey = n_nationkey
-       |JOIN region ON n_regionkey = r_regionkey
-       |GROUP BY r_name""".stripMargin
+  private val regionRollupSql = Oracles("relational", "regionRollup")
 
   /** P4/P7/U5 analog — data-quality rule flags + severity
     * (`go-quality-elt.py:108-123,144-168`): price/quantity range rules, 2
@@ -125,19 +102,7 @@ object Relational {
         col("l_quantity"), col("price_issue"), col("qty_issue"), col("severity"))
   }
 
-  private val qualityRulesSql =
-    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
-      |  (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0) AS price_issue,
-      |  (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) AS qty_issue,
-      |  CASE
-      |    WHEN (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
-      |     AND (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) THEN 'high'
-      |    WHEN (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
-      |      OR (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0) THEN 'low'
-      |    ELSE 'none' END AS severity
-      |FROM lineitem
-      |WHERE (l_extendedprice IS NULL OR l_extendedprice <= 0.0 OR l_extendedprice > 100000.0)
-      |   OR (l_quantity IS NULL OR l_quantity <= 0.0 OR l_quantity > 47.0)""".stripMargin
+  private val qualityRulesSql = Oracles("relational", "qualityRules")
 
   /** A1 analog — EXCEPT DISTINCT set difference (`go-quality-elt.py:135-136`
     * uses `subtract` for quarantine removal; the surprise-dedupe semantics is
@@ -149,10 +114,7 @@ object Relational {
       .except(t.lineitem.filter(col("l_quantity") <= 2.0).select(col("l_partkey")))
   }
 
-  private val exceptDistinctSql =
-    """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49.0
-      |EXCEPT
-      |SELECT l_partkey FROM lineitem WHERE l_quantity <= 2.0""".stripMargin
+  private val exceptDistinctSql = Oracles("relational", "exceptDistinct")
 
   /** A1-alternative — left_anti join (SURVEY.md §2.3 notes `left_anti` as the
     * scalable replacement for `subtract`): orders with no returned line.
@@ -165,10 +127,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
-  private val antiJoinSql =
-    """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-      |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+  private val antiJoinSql = Oracles("relational", "antiJoin")
 
   /** Set-op coverage (§2.7): INTERSECT DISTINCT — event users that are known
     * customers.
@@ -191,10 +150,7 @@ object Relational {
       .unionAll(t.embeddings.select(col("vec_id").as("id"), lit("vec").as("src")))
   }
 
-  private val unionSourcesSql =
-    """SELECT doc_id AS id, 'doc' AS src FROM documents
-      |UNION ALL
-      |SELECT vec_id AS id, 'vec' AS src FROM embeddings""".stripMargin
+  private val unionSourcesSql = Oracles("relational", "unionSources")
 
   /** A2 analog — derived per-row revenue (`go-metric-elt.py:57-61`'s
     * null-safe coalesce arithmetic). Pure projection: stays in whole-stage
@@ -208,11 +164,7 @@ object Relational {
         * (lit(1.0) + coalesce(col("l_tax"), lit(0.0)))).as("revenue"))
   }
 
-  private val revenueDerivedSql =
-    """SELECT l_orderkey, l_linenumber,
-      |  ((l_extendedprice * (1.0 - COALESCE(l_discount, 0.0)))
-      |    * (1.0 + COALESCE(l_tax, 0.0))) AS revenue
-      |FROM lineitem""".stripMargin
+  private val revenueDerivedSql = Oracles("relational", "revenueDerived")
 
   /** A3 analog — CLV per customer (`go-metric-elt.py:66-74`). */
   def clv(spark: SparkSession, dir: String): DataFrame = {
@@ -227,14 +179,7 @@ object Relational {
         Exact.davg(col("o_totalprice")).as("avg_order_value"))
   }
 
-  private val clvSql =
-    s"""SELECT o_custkey,
-       |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
-       |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
-       |  COUNT(*) AS n_orders,
-       |  ${O.dsum("o_totalprice")} AS revenue,
-       |  ${O.davg("o_totalprice")} AS avg_order_value
-       |FROM orders GROUP BY o_custkey""".stripMargin
+  private val clvSql = Oracles("relational", "clv")
 
   /** A4/A5/J3 analog — per-segment percentile thresholds joined back to tag
     * CLV buckets. Replaces the reference's driver-side per-restaurant
@@ -261,22 +206,7 @@ object Relational {
           .otherwise("Medium CLV").as("clv_bucket"))
   }
 
-  private val clvBucketsSql =
-    s"""WITH per_cust AS (
-       |  SELECT o_custkey, c_mktsegment, ${O.dsum("o_totalprice")} AS clv
-       |  FROM orders JOIN customer ON o_custkey = c_custkey
-       |  GROUP BY o_custkey, c_mktsegment
-       |), th AS (
-       |  SELECT c_mktsegment,
-       |    quantile_cont(clv, 0.2) AS low_th,
-       |    quantile_cont(clv, 0.8) AS high_th
-       |  FROM per_cust GROUP BY c_mktsegment
-       |)
-       |SELECT o_custkey, per_cust.c_mktsegment, clv,
-       |  CASE WHEN clv >= high_th THEN 'High CLV'
-       |       WHEN clv <= low_th THEN 'Low CLV'
-       |       ELSE 'Medium CLV' END AS clv_bucket
-       |FROM per_cust JOIN th ON per_cust.c_mktsegment = th.c_mktsegment""".stripMargin
+  private val clvBucketsSql = Oracles("relational", "clvBuckets")
 
   /** A6/A7/A8 analog — RFM with deterministic snapshot date
     * (`go-metric-elt.py:104-120`; the reference's driver-side
@@ -298,20 +228,7 @@ object Relational {
           .otherwise("Other"))
   }
 
-  private val rfmSql =
-    s"""WITH base AS (
-       |  SELECT o_custkey,
-       |    CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-08-02') AS INT) AS recency_days,
-       |    COUNT(*) AS frequency,
-       |    ${O.dsum("o_totalprice")} AS monetary
-       |  FROM orders GROUP BY o_custkey
-       |)
-       |SELECT o_custkey, recency_days, frequency, monetary,
-       |  CASE WHEN recency_days <= 90 AND frequency >= 12 THEN 'VIP'
-       |       WHEN recency_days <= 180 THEN 'Active'
-       |       WHEN frequency <= 5 THEN 'Churn Risk'
-       |       ELSE 'Other' END AS segment
-       |FROM base""".stripMargin
+  private val rfmSql = Oracles("relational", "rfm")
 
   /** A11 analog — two-level rollup preserving the reference's avg-of-avgs
     * semantics (`go-metric-elt.py:214-232`; deliberately NOT weighted —
@@ -331,18 +248,7 @@ object Relational {
         count(lit(1)).as("n_customers"))
   }
 
-  private val loyaltyRollupSql =
-    s"""WITH lvl1 AS (
-       |  SELECT o_orderpriority, o_custkey,
-       |    ${O.davg("o_totalprice")} AS avg_order_value,
-       |    ${O.dsum("o_totalprice")} AS cust_total
-       |  FROM orders GROUP BY o_orderpriority, o_custkey
-       |)
-       |SELECT o_orderpriority,
-       |  round(AVG(avg_order_value), 6) AS avg_of_customer_avgs,
-       |  ${O.dsum("cust_total")} AS total_revenue,
-       |  COUNT(*) AS n_customers
-       |FROM lvl1 GROUP BY o_orderpriority""".stripMargin
+  private val loyaltyRollupSql = Oracles("relational", "loyaltyRollup")
 
   /** A12/W4 analog — top locations with countDistinct + global ranking
     * (`go-metric-elt.py:237-249`). The rank window is over the 25-row
@@ -367,22 +273,7 @@ object Relational {
       row_number().over(Window.orderBy(col("total_revenue").desc, col("n_name"))))
   }
 
-  private val topNationsSql =
-    s"""WITH agg AS (
-       |  SELECT n_name,
-       |    ${O.dsum("o_totalprice")} AS total_revenue,
-       |    COUNT(DISTINCT o_custkey) AS n_customers,
-       |    COUNT(DISTINCT o_orderkey) AS n_orders,
-       |    COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS active_days
-       |  FROM orders
-       |  JOIN customer ON o_custkey = c_custkey
-       |  JOIN nation ON c_nationkey = n_nationkey
-       |  GROUP BY n_name
-       |)
-       |SELECT n_name, total_revenue, n_customers, n_orders, active_days,
-       |  (n_orders / active_days) AS orders_per_day,
-       |  CAST(row_number() OVER (ORDER BY total_revenue DESC, n_name) AS INT) AS rank
-       |FROM agg""".stripMargin
+  private val topNationsSql = Oracles("relational", "topNations")
 
   /** A13 analog — discount effectiveness (`go-metric-elt.py:254-263`).
     *
@@ -416,13 +307,7 @@ object Relational {
         (sum(col("disc_p")).cast("double") / sum(col("n_disc_p"))).as("avg_discount"))
   }
 
-  private val discountEffectSql =
-    s"""SELECT (l_discount >= 0.05) AS is_discounted,
-       |  COUNT(*) AS n_lines,
-       |  ${O.dsum4("l_extendedprice * (1.0 - l_discount)")} AS net_revenue,
-       |  COUNT(DISTINCT l_orderkey) AS n_orders,
-       |  ${O.davg("l_discount")} AS avg_discount
-       |FROM lineitem GROUP BY (l_discount >= 0.05)""".stripMargin
+  private val discountEffectSql = Oracles("relational", "discountEffect")
 
   /** §2.6 — top-k: `TakeOrderedAndProject` (orderBy+limit), the scalable form
     * of the consumer's `sort_values().head(10)` (`go_streamlit.py:163-177`).
@@ -436,9 +321,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
-  private val topkOrdersSql =
-    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  private val topkOrdersSql = Oracles("relational", "topkOrders")
 
   /** P3 analog — canonical-schema projection: missing columns appear as typed
     * nulls, fixed order, casts applied (`go-quality-elt.py:206-225`
@@ -454,11 +337,7 @@ object Relational {
         "quality_score" -> "double", "ingest_note" -> "string"))
   }
 
-  private val schemaCanonicalizeSql =
-    """SELECT doc_id, text, lang, source, n_chars,
-      |  CAST(NULL AS DOUBLE) AS quality_score,
-      |  CAST(NULL AS VARCHAR) AS ingest_note
-      |FROM documents""".stripMargin
+  private val schemaCanonicalizeSql = Oracles("relational", "schemaCanonicalize")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),

@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
+import graft.ops.Exact
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -43,17 +43,7 @@ object ReshapeQ {
       .withColumn("purchase_value", coalesce(col("purchase_value"), lit(0.0)))
   }
 
-  private val pivotMatrixSql =
-    s"""SELECT user_id,
-       |  COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
-       |  COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
-       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-       |  COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
-       |  COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
-       |  COALESCE(CAST(SUM(CAST(value AS DECIMAL(18,2)))
-       |      FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0.0)
-       |    AS purchase_value
-       |FROM events GROUP BY user_id""".stripMargin
+  private val pivotMatrixSql = Oracles("reshape", "pivotMatrix")
 
   /** q119 — unpivot (melt) the four lineitem measures into (measure,
     * val) rows, then profile each measure: count, exact sum, min/max.
@@ -80,18 +70,7 @@ object ReshapeQ {
         max(col("val")).as("vmax"))
   }
 
-  private val unpivotMeasuresSql =
-    s"""WITH long AS (
-       |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
-       |  UNION ALL
-       |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
-       |  UNION ALL
-       |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
-       |  UNION ALL
-       |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
-       |SELECT measure, COUNT(*) AS n, ${O.dsum4("val")} AS total,
-       |  MIN(val) AS vmin, MAX(val) AS vmax
-       |FROM long GROUP BY measure""".stripMargin
+  private val unpivotMeasuresSql = Oracles("reshape", "unpivotMeasures")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q118_pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),

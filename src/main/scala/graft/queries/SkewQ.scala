@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
 import graft.ops.Skew
 import org.apache.spark.sql.functions._
@@ -44,18 +44,7 @@ object SkewQ {
         col("l_quantity"), col("n_parts"))
   }
 
-  private val saltedSkewJoinSql =
-    """WITH l AS (
-      |  SELECT l_orderkey, l_linenumber, l_quantity,
-      |    CASE WHEN l_partkey % 4 < 3 THEN 0 ELSE l_partkey % 97 END AS sk
-      |  FROM lineitem
-      |), r AS (
-      |  SELECT CASE WHEN p_partkey % 4 < 3 THEN 0 ELSE p_partkey % 97 END AS sk,
-      |    count(*) AS n_parts
-      |  FROM part GROUP BY 1
-      |)
-      |SELECT l.l_orderkey, l.l_linenumber, l.sk, l.l_quantity, r.n_parts
-      |FROM l JOIN r USING (sk)""".stripMargin
+  private val saltedSkewJoinSql = Oracles("skew", "saltedSkewJoin")
 
   /** q101 — two-phase aggregation over the same deliberately skewed key
     * (~75% of rows on key 0): partial aggregate on (key, salt) spreads the
@@ -80,11 +69,7 @@ object SkewQ {
         sum(col("pc")).as("n_items")))
   }
 
-  private val twoPhaseSkewAggSql =
-    """SELECT CASE WHEN l_partkey % 4 < 3 THEN 0 ELSE l_partkey % 97 END AS sk,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-      |  COUNT(*) AS n_items
-      |FROM lineitem GROUP BY 1""".stripMargin
+  private val twoPhaseSkewAggSql = Oracles("skew", "twoPhaseSkewAgg")
 
   /** q212 — join-key skew report: per keyspace the engine actually joins
     * or groups on (lineitem order/part/supp keys, orders customer key,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -100,11 +100,7 @@ object StreamParityQ {
 
   // the oracle is the batch twin's: end-state parity means "identical to
   // q18" is the strongest (and simplest) possible check
-  private val streamUpsertParitySql =
-    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
-      |FROM events
-      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+  private val streamUpsertParitySql = Oracles("streamparity", "streamUpsertParity")
 
   /** q232 — streaming windowed-aggregate parity with the batch hourly
     * twin (q42): drain the events table through
@@ -155,11 +151,7 @@ object StreamParityQ {
         col("w.n_events").as("n_events"), col("w.total_value").as("total_value"))
   }
 
-  private val streamHourlyParitySql =
-    """SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
-      |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+  private val streamHourlyParitySql = Oracles("streamparity", "streamHourlyParity")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q231_stream_upsert_parity", streamUpsertParity,

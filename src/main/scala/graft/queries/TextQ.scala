@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -44,12 +44,7 @@ object TextQ {
     t.documents.select(col("doc_id"), cleaned.as("clean_text"))
   }
 
-  private val cleanTextSql =
-    """SELECT doc_id,
-      |  substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    lower(text), 'http\S+', '', 'g'), '`', '', 'g'), '\bthe\b', '', 'g'),
-      |    '\s+', ' ', 'g')), 1, 30) AS clean_text
-      |FROM documents""".stripMargin
+  private val cleanTextSql = Oracles("text", "cleanText")
 
   /** U2/U3 analog — first-match regex classification as a folded
     * when-chain (the YAML→when-chain plan of SURVEY.md §2.9: stays in
@@ -97,11 +92,7 @@ object TextQ {
       trim(regexp_replace(regexp_replace(col("p_name"), rx, ""), "\\s+", " ")).as("base_name"))
   }
 
-  private val sizeExtractSql =
-    """SELECT p_partkey,
-      |  regexp_extract(p_name, '(?i)(small|large|big|mini|red|blue|hot)', 0) AS size_token,
-      |  trim(regexp_replace(regexp_replace(p_name, '(?i)(small|large|big|mini|red|blue|hot)', '', 'g'), '\s+', ' ', 'g')) AS base_name
-      |FROM part""".stripMargin
+  private val sizeExtractSql = Oracles("text", "sizeExtract")
 
   /** P2 analog applied to a full table — string-value normalization
     * (`go-quality-elt.py:96-103`) via [[graft.ops.SchemaOps]].
@@ -109,10 +100,7 @@ object TextQ {
   def stringNormalize(spark: SparkSession, dir: String): DataFrame =
     graft.ops.SchemaOps.normalizeStringValues(Tables(spark, dir).part)
 
-  private val stringNormalizeSql =
-    """SELECT p_partkey, lower(trim(p_name)) AS p_name, lower(trim(p_brand)) AS p_brand,
-      |  lower(trim(p_type)) AS p_type, p_size, p_retailprice
-      |FROM part""".stripMargin
+  private val stringNormalizeSql = Oracles("text", "stringNormalize")
 
   /** Token statistics — token count (whitespace tokenization), average token
     * length, punctuation count, stopword ratio. The text-quality scoring
@@ -138,19 +126,8 @@ object TextQ {
         (stopwordCount.cast("double") / col("n_tokens")).as("stopword_ratio"))
   }
 
-  private val tokenStatsSql =
-    s"""WITH base AS (
-       |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM documents
-       |)
-       |SELECT doc_id,
-       |  CAST(len(toks) AS INT) AS n_tokens,
-       |  CAST(length(text) AS INT) AS n_chars_measured,
-       |  (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)) AS avg_token_len,
-       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
-       |  CAST(len(list_filter(toks, x -> lower(x) IN (${sqlList(stopEn)}))) AS INT) AS stopword_count,
-       |  (CAST(len(list_filter(toks, x -> lower(x) IN (${sqlList(stopEn)}))) AS DOUBLE) / len(toks)) AS stopword_ratio
-       |FROM base""".stripMargin
+  private val tokenStatsSql = Oracles("text", "tokenStats",
+    "e1" -> String.valueOf(sqlList(stopEn)))
 
   /** Language-ID heuristic — per-language stopword hit counts, argmax via a
     * deterministic when-chain (n-gram/stopword heuristic from the
@@ -213,10 +190,7 @@ object TextQ {
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
   }
 
-  private val fingerprintSql =
-    """SELECT doc_id,
-      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      |FROM documents""".stripMargin
+  private val fingerprintSql = Oracles("text", "fingerprint")
 
   /** JSON extraction — typed field pull from the event `props` JSON column
     * (scalar-function family; the engine's path expression surface).
@@ -229,10 +203,7 @@ object TextQ {
       .agg(count(lit(1)).as("n_events"))
   }
 
-  private val jsonExtractSql =
-    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
-      |  COUNT(*) AS n_events
-      |FROM events GROUP BY 1""".stripMargin
+  private val jsonExtractSql = Oracles("text", "jsonExtract")
 
   /** Multimodal metadata — treat text payloads as opaque bytes: byte length +
     * content hash. The Spark-side plumbing (binary columns with typed
@@ -247,11 +218,7 @@ object TextQ {
       sha2(col("text"), 256).as("content_sha256"))
   }
 
-  private val multimodalMetaSql =
-    """SELECT doc_id,
-      |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-      |  sha256(text) AS content_sha256
-      |FROM documents""".stripMargin
+  private val multimodalMetaSql = Oracles("text", "multimodalMeta")
 
   /** BPE-style regex tokenization (the GPT-2 pre-tokenizer shape:
     * contractions, letter runs, digit runs, punctuation runs, space
@@ -270,18 +237,7 @@ object TextQ {
         (length(col("text")).cast("double") / size(col("bpe_toks"))).as("chars_per_token"))
   }
 
-  private val bpeTokensSql =
-    """WITH toks AS (
-      |  SELECT doc_id, length(text) AS n_chars,
-      |    regexp_extract_all(text,
-      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS bpe_toks
-      |  FROM documents
-      |)
-      |SELECT doc_id,
-      |  CAST(len(bpe_toks) AS INT) AS n_bpe_tokens,
-      |  CAST(len(list_filter(bpe_toks, x -> regexp_matches(x, '^ ?\p{N}+$'))) AS INT) AS n_number_tokens,
-      |  (CAST(n_chars AS DOUBLE) / len(bpe_toks)) AS chars_per_token
-      |FROM toks""".stripMargin
+  private val bpeTokensSql = Oracles("text", "bpeTokens")
 
   /** Polynomial rolling hash over code points (base 31 mod 1e9+7) — the
     * deterministic document fingerprint, computed by the native
@@ -299,12 +255,7 @@ object TextQ {
         graft.functions.GraftFunctions.rolling_hash(col("text")).as("rolling_hash"))
   }
 
-  private val rollingHashSql =
-    """SELECT doc_id,
-      |  list_reduce(
-      |    list_transform(range(1, length(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
-      |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
-      |FROM documents WHERE length(text) >= 1""".stripMargin
+  private val rollingHashSql = Oracles("text", "rollingHash")
 
   /** Generator surface — explode words, global frequency top-20 via
     * TakeOrderedAndProject (count desc, word tiebreak).
@@ -319,11 +270,7 @@ object TextQ {
       .limit(20)
   }
 
-  private val wordFrequenciesSql =
-    """SELECT word, COUNT(*) AS n
-      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
-      |      FROM documents)
-      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+  private val wordFrequenciesSql = Oracles("text", "wordFrequencies")
 
   /** q81 — PII redaction (email / phone / IPv4 → placeholder tokens), the
     * scrubbing pass a training corpus gets before packing. The synthetic
@@ -363,27 +310,7 @@ object TextQ {
         emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>").as("redacted"))
   }
 
-  private val piiRedactSql =
-    """WITH seeded AS (
-      |  SELECT doc_id, text
-      |    || CASE WHEN doc_id % 3 = 0
-      |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
-      |    || CASE WHEN doc_id % 5 = 0
-      |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-      |         ELSE '' END
-      |    || CASE WHEN doc_id % 7 = 0
-      |         THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
-      |         ELSE '' END AS text
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, '\+?\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones,
-      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
-      |  regexp_replace(regexp_replace(regexp_replace(text,
-      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-      |    '\+?\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-      |FROM seeded""".stripMargin
+  private val piiRedactSql = Oracles("text", "piiRedact")
 
   /** q82 — intra-document repetition ratio (share of duplicate word
     * trigrams), the Gopher-style quality signal that catches boilerplate
@@ -411,24 +338,7 @@ object TextQ {
           .otherwise(lit(0.0)).as("rep_ratio"))
   }
 
-  private val repetitionRatioSql =
-    """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-      |  FROM documents),
-      |tris AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) >= 3 THEN
-      |      list_transform(range(1, len(toks) - 1), i ->
-      |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
-      |    ELSE [] END AS tris
-      |  FROM toks)
-      |SELECT doc_id,
-      |  CAST(len(tris) AS INT) AS n_trigrams,
-      |  CAST(len(list_distinct(tris)) AS INT) AS n_distinct,
-      |  CASE WHEN len(tris) > 0
-      |    THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
-      |    ELSE 0.0 END AS rep_ratio
-      |FROM tris""".stripMargin
+  private val repetitionRatioSql = Oracles("text", "repetitionRatio")
 
   /** q122 — linear text-quality classifier gate
     * ([[graft.ops.QualityScorer]]): hashed bag-of-words features into 256
@@ -451,22 +361,7 @@ object TextQ {
       .withColumn("keep", col("logit_u") > 0L)
   }
 
-  private val qualityClassifierSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-      |  FROM documents
-      |), per AS (
-      |  SELECT doc_id,
-      |    SUM(('0x' || substr(md5('w:' ||
-      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
-      |        % 1000001 - 500000) AS wsum
-      |  FROM toks GROUP BY doc_id
-      |)
-      |SELECT d.doc_id,
-      |  CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS INT) AS n_tokens,
-      |  CAST(per.wsum AS BIGINT) AS logit_u,
-      |  per.wsum > 0 AS keep
-      |FROM documents d JOIN per USING (doc_id)""".stripMargin
+  private val qualityClassifierSql = Oracles("text", "qualityClassifier")
 
   /** q153 — quality-filter FUNNEL with per-rule attrition: the accounting
     * view every training-data pipeline publishes next to its filters
@@ -511,39 +406,7 @@ object TextQ {
         (col("n_in") - col("n_dropped")).as("n_out"))
   }
 
-  private val filterFunnelSql =
-    """WITH d AS (
-      |  SELECT n_chars,
-      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
-      |      AS n_tokens,
-      |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
-      |      AS BIGINT) AS n_distinct
-      |  FROM documents),
-      |cls AS (
-      |  SELECT CASE
-      |    WHEN n_chars < 100 THEN 1
-      |    WHEN n_tokens < 15 THEN 2
-      |    WHEN n_chars > n_tokens * 12 THEN 3
-      |    WHEN n_distinct * 10 < n_tokens * 3 THEN 4
-      |    ELSE 0 END AS first_fail
-      |  FROM d),
-      |counts AS (SELECT first_fail, COUNT(*) AS n FROM cls GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM counts),
-      |stages(stage, rule) AS (VALUES
-      |  (1, 'too_short'), (2, 'too_few_tokens'),
-      |  (3, 'long_words'), (4, 'low_diversity'))
-      |SELECT stage, rule,
-      |  CAST(n_total - COALESCE(SUM(n_dropped) OVER
-      |    (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    AS BIGINT) AS n_in,
-      |  CAST(n_dropped AS BIGINT) AS n_dropped,
-      |  CAST(n_total - COALESCE(SUM(n_dropped) OVER
-      |    (ORDER BY stage ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      |    - n_dropped AS BIGINT) AS n_out
-      |FROM (
-      |  SELECT s.stage, s.rule, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_dropped
-      |  FROM stages s LEFT JOIN counts c ON c.first_fail = s.stage)
-      |CROSS JOIN tot""".stripMargin
+  private val filterFunnelSql = Oracles("text", "filterFunnel")
 
   /** q160 — quality-threshold SWEEP: the retention curve a curation team
     * reads before pinning a min-length cutoff — for each candidate
@@ -579,24 +442,7 @@ object TextQ {
         expr("tokens_kept * 1000000L div tokens_total").as("tokens_ppm"))
   }
 
-  private val thresholdSweepSql =
-    """WITH d AS (
-      |  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
-      |    AS BIGINT) AS n_tokens
-      |  FROM documents),
-      |fan AS (
-      |  SELECT t.min_tokens, d.n_tokens
-      |  FROM d CROSS JOIN (VALUES (20), (40), (60), (80), (100)) t(min_tokens))
-      |SELECT min_tokens,
-      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS docs_kept,
-      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN 1 ELSE 0 END) * 1000000
-      |    // COUNT(*) AS BIGINT) AS docs_ppm,
-      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END)
-      |    AS BIGINT) AS tokens_kept,
-      |  CAST(SUM(CASE WHEN n_tokens >= min_tokens THEN n_tokens ELSE 0 END)
-      |    * 1000000 // SUM(n_tokens) AS BIGINT) AS tokens_ppm
-      |FROM fan GROUP BY min_tokens""".stripMargin
+  private val thresholdSweepSql = Oracles("text", "thresholdSweep")
 
   /** q161 — tokenizer FERTILITY by language: BPE-ish tokens per
     * whitespace word and characters per token, per language — the
@@ -630,22 +476,7 @@ object TextQ {
         expr("n_chars * 1000000L div n_bpe_tokens").as("chars_per_token_ppm"))
   }
 
-  private val tokenFertilitySql =
-    """WITH d AS (
-      |  SELECT lang, n_chars,
-      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
-      |      AS n_words,
-      |    CAST(len(regexp_extract_all(text,
-      |      '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-      |      AS BIGINT) AS n_bpe
-      |  FROM documents)
-      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_words) AS BIGINT) AS n_words,
-      |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
-      |  CAST(SUM(n_bpe) * 1000000 // SUM(n_words) AS BIGINT) AS fertility_ppm,
-      |  CAST(SUM(n_chars) * 1000000 // SUM(n_bpe) AS BIGINT)
-      |    AS chars_per_token_ppm
-      |FROM d GROUP BY lang""".stripMargin
+  private val tokenFertilitySql = Oracles("text", "tokenFertility")
 
   /** q169 — CURRICULUM phase assignment: order the corpus by a
     * lexical-diversity score (distinct-token ratio, exact ppm) and cut
@@ -691,27 +522,7 @@ object TextQ {
         max(col("score_ppm")).as("max_score_ppm"))
   }
 
-  private val curriculumPhasesSql =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT)
-      |      AS n_tokens,
-      |    CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
-      |      AS BIGINT) AS n_distinct
-      |  FROM documents),
-      |scored AS (
-      |  SELECT doc_id, n_tokens,
-      |    CAST(n_distinct * 1000000 // n_tokens AS BIGINT) AS score_ppm
-      |  FROM d),
-      |phased AS (
-      |  SELECT n_tokens, score_ppm,
-      |    CAST(ntile(4) OVER (ORDER BY score_ppm, doc_id) AS INT) AS phase
-      |  FROM scored)
-      |SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-      |  CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
-      |  CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
-      |FROM phased GROUP BY phase""".stripMargin
+  private val curriculumPhasesSql = Oracles("text", "curriculumPhases")
 
   /** q250 — q169's SCALE sibling (the q248 pattern): the same
     * curriculum-phase aggregates through the two-phase distributed
@@ -785,17 +596,7 @@ object TextQ {
       .filter(col("n_docs") >= 2)
   }
 
-  private val boilerplatePrefixesSql =
-    """WITH d AS (
-      |  SELECT doc_id, source,
-      |    list_aggregate(regexp_split_to_array(lower(trim(text)), '\s+')[1:4],
-      |      'string_agg', ' ') AS prefix
-      |  FROM documents)
-      |SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-      |  CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
-      |FROM d GROUP BY prefix
-      |HAVING COUNT(*) >= 2""".stripMargin
+  private val boilerplatePrefixesSql = Oracles("text", "boilerplatePrefixes")
 
   /** q183 — SOURCE × QUALITY-BAND matrix: q122's exact integer logit
     * bucketed into four bands and cross-tabbed by source — the "which
@@ -832,33 +633,7 @@ object TextQ {
         expr("n_docs * 1000000L div src_total").as("share_ppm"))
   }
 
-  private val sourceQualityMatrixSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-      |  FROM documents
-      |), per AS (
-      |  SELECT doc_id,
-      |    SUM(('0x' || substr(md5('w:' ||
-      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
-      |        % 1000001 - 500000) AS wsum
-      |  FROM toks GROUP BY doc_id
-      |), scored AS (
-      |  SELECT d.source,
-      |    CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT)
-      |      AS n_tokens,
-      |    CASE WHEN per.wsum < -500000 THEN 'strong_drop'
-      |         WHEN per.wsum < 0 THEN 'drop'
-      |         WHEN per.wsum < 500000 THEN 'keep'
-      |         ELSE 'strong_keep' END AS band
-      |  FROM documents d JOIN per USING (doc_id)
-      |), m AS (
-      |  SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-      |  FROM scored GROUP BY source, band)
-      |SELECT source, band, n_docs, n_tokens,
-      |  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
-      |    AS BIGINT) AS share_ppm
-      |FROM m""".stripMargin
+  private val sourceQualityMatrixSql = Oracles("text", "sourceQualityMatrix")
 
   /** q187 — Gopher-style repetition audit per source: for every document,
     * the token share covered by its single most frequent 2-gram and
@@ -974,41 +749,7 @@ object TextQ {
         expr("sum(frac3_ppm) div count(1)").as("mean_frac3_ppm"))
   }
 
-  private val gopherRepetitionSql =
-    """WITH base AS (
-      |  SELECT doc_id, source,
-      |    regexp_split_to_array(lower(trim(text)), '\s+') AS tk
-      |  FROM documents),
-      |g AS (
-      |  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i + 1] AS g
-      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM base)
-      |  UNION ALL
-      |  SELECT doc_id, 3, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
-      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM base)),
-      |c AS (SELECT doc_id, n, g, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
-      |m AS (SELECT doc_id, n, MAX(c) AS max_c FROM c GROUP BY 1, 2),
-      |d AS (
-      |  SELECT doc_id,
-      |    MAX(CASE WHEN n = 2 THEN max_c END) AS m2,
-      |    MAX(CASE WHEN n = 3 THEN max_c END) AS m3
-      |  FROM m GROUP BY 1),
-      |p AS (
-      |  SELECT b.doc_id, b.source,
-      |    COALESCE(CAST(1000000 * 2 * d.m2 AS BIGINT) // CAST(len(b.tk) AS BIGINT), 0)
-      |      AS frac2_ppm,
-      |    COALESCE(CAST(1000000 * 3 * d.m3 AS BIGINT) // CAST(len(b.tk) AS BIGINT), 0)
-      |      AS frac3_ppm
-      |  FROM base b LEFT JOIN d USING (doc_id))
-      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(CASE WHEN frac2_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS flagged_2g,
-      |  CAST(SUM(CASE WHEN frac3_ppm > 180000 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS flagged_3g,
-      |  CAST(CAST(SUM(frac2_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
-      |    AS mean_frac2_ppm,
-      |  CAST(CAST(SUM(frac3_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
-      |    AS mean_frac3_ppm
-      |FROM p GROUP BY source""".stripMargin
+  private val gopherRepetitionSql = Oracles("text", "gopherRepetition")
 
   /** q190 — "is the quality classifier just a length detector?" — the
     * standard sanity check before gating a corpus on a learned score:
@@ -1060,29 +801,7 @@ object TextQ {
       .withColumn("sum_d2", col("sum_d2").cast("string"))
   }
 
-  private val qualityLengthCorrSql =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-      |  FROM documents
-      |), per AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(('0x' || substr(md5('w:' ||
-      |          (('0x' || substr(md5(tok), 1, 15))::BIGINT % 256)), 1, 15))::BIGINT
-      |        % 1000001 - 500000) AS BIGINT) AS logit_u
-      |  FROM toks GROUP BY doc_id
-      |), r AS (
-      |  SELECT d.source,
-      |    row_number() OVER (PARTITION BY d.source
-      |      ORDER BY per.logit_u, d.doc_id) AS rx,
-      |    row_number() OVER (PARTITION BY d.source
-      |      ORDER BY d.n_chars, d.doc_id) AS ry
-      |  FROM documents d JOIN per ON per.doc_id = d.doc_id)
-      |SELECT source, COUNT(*) AS n,
-      |  CAST(CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2,
-      |  1.0 - 6.0 * CAST(SUM(CAST((rx - ry) * (rx - ry) AS BIGINT)) AS DOUBLE) /
-      |    (CAST(COUNT(*) AS DOUBLE) *
-      |      (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0)) AS rho
-      |FROM r GROUP BY 1""".stripMargin
+  private val qualityLengthCorrSql = Oracles("text", "qualityLengthCorr")
 
   /** q191 — language-ID confusion matrix: the q32 stopword-hit classifier
     * judged against the corpus's declared `lang` labels, as (labeled ×
@@ -1210,27 +929,7 @@ object TextQ {
           .as("mean_toks_per_sent_c"))
   }
 
-  private val sentenceStatsSql =
-    """WITH s AS (
-      |  SELECT source,
-      |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
-      |      s -> trim(s)), s -> s <> '') AS sents
-      |  FROM documents),
-      |p AS (
-      |  SELECT source, CAST(len(sents) AS BIGINT) AS n_sents,
-      |    CAST(COALESCE(list_sum(list_transform(sents,
-      |      x -> len(regexp_split_to_array(x, '\s+')))), 0) AS BIGINT)
-      |      AS n_toks
-      |  FROM s)
-      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_sents) AS BIGINT) AS n_sents,
-      |  CAST(SUM(n_toks) AS BIGINT) AS n_sent_toks,
-      |  CAST(CAST(SUM(n_sents) * 100 AS BIGINT) // COUNT(*) AS BIGINT)
-      |    AS mean_sents_per_doc_c,
-      |  CAST(CASE WHEN SUM(n_sents) > 0
-      |       THEN CAST(SUM(n_toks) * 100 AS BIGINT) // CAST(SUM(n_sents) AS BIGINT)
-      |       ELSE 0 END AS BIGINT) AS mean_toks_per_sent_c
-      |FROM p GROUP BY source""".stripMargin
+  private val sentenceStatsSql = Oracles("text", "sentenceStats")
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q194_sentence_stats", sentenceStats, Some(sentenceStatsSql)),

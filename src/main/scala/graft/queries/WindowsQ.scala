@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{Oracles, QueryDef}
 import graft.core.Tables
-import graft.ops.{Exact, OracleSql => O}
+import graft.ops.Exact
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -35,11 +35,7 @@ object WindowsQ {
         unix_micros(col("ts")).as("ts_us"), col("value"))
   }
 
-  private val latestEventPerKeySql =
-    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
-      |FROM events
-      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+  private val latestEventPerKeySql = Oracles("windows", "latestEventPerKey")
 
   /** S2+W1+A14 composite — incremental ingest semantics: watermark pushdown
     * filter, then latest-per-key dedupe (`go-incremental-ingest-elt.py:
@@ -65,10 +61,7 @@ object WindowsQ {
     // epoch_ns on both sides: exact for the legacy nanos layout (micro-
     // aligned data) and trivially exact for the current micros layout
     // (epoch_ns is epoch_us × 1000), so one oracle covers both
-    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
-      |FROM events WHERE epoch_ns(ts) > 1705276800000000000
-      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
-      |                           ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+    Oracles("windows", "incrementalSlice")
 
   /** A14 analog — max-watermark scalar (`go-incremental-ingest-elt.py:
     * 268-271`), exposed as a 1-row aggregate rather than a driver collect.
@@ -112,30 +105,7 @@ object WindowsQ {
           .otherwise("dormant"))
   }
 
-  private val activityProfileSql =
-    """WITH enriched AS (
-      |  SELECT o_custkey, o_orderdate, o_totalprice,
-      |    lag(o_orderdate) OVER w AS prev_date,
-      |    lag(o_totalprice) OVER w AS prev_price
-      |  FROM orders
-      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      |), gaps AS (
-      |  SELECT o_custkey, o_orderdate, o_totalprice,
-      |    CAST(datediff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE)) AS INT) AS gap_days,
-      |    CASE WHEN prev_price IS NOT NULL AND prev_price <> 0.0
-      |         THEN (o_totalprice - prev_price) / prev_price END AS rev_change_pct
-      |  FROM enriched
-      |)
-      |SELECT o_custkey,
-      |  MAX(CAST(o_orderdate AS DATE)) AS last_order,
-      |  COUNT(*) AS n_orders,
-      |  round(AVG(gap_days), 6) AS avg_gap_days,
-      |  round(AVG(rev_change_pct), 6) AS avg_rev_change,
-      |  CASE WHEN round(AVG(gap_days), 6) IS NULL THEN 'one-off'
-      |       WHEN round(AVG(gap_days), 6) <= 120.0 THEN 'frequent'
-      |       WHEN round(AVG(gap_days), 6) <= 365.0 THEN 'regular'
-      |       ELSE 'dormant' END AS activity_tag
-      |FROM gaps GROUP BY o_custkey""".stripMargin
+  private val activityProfileSql = Oracles("windows", "activityProfile")
 
   /** A10 analog — daily trend grain (`go-metric-elt.py:168-181`). */
   def trendsDaily(spark: SparkSession, dir: String): DataFrame = {
@@ -145,10 +115,7 @@ object WindowsQ {
       .agg(Exact.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
   }
 
-  private val trendsDailySql =
-    s"""SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-       |  ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
-       |FROM orders GROUP BY CAST(o_orderdate AS DATE), o_orderpriority""".stripMargin
+  private val trendsDailySql = Oracles("windows", "trendsDaily")
 
   /** A10 analog — weekly grain incl. the reference's week-start
     * reconstruction `date_add(to_date(concat(year,'-01-01')),(week-1)*7)`
@@ -166,15 +133,7 @@ object WindowsQ {
         date_add(to_date(concat(col("yr"), lit("-01-01"))), (col("wk") - 1) * 7))
   }
 
-  private val trendsWeeklySql =
-    s"""SELECT yr, wk, revenue, n_orders,
-       |  (CAST(CAST(yr AS VARCHAR) || '-01-01' AS DATE) + CAST((wk - 1) * 7 AS INT)) AS week_start
-       |FROM (
-       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
-       |    CAST(week(o_orderdate) AS INT) AS wk,
-       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
-       |  FROM orders GROUP BY 1, 2
-       |)""".stripMargin
+  private val trendsWeeklySql = Oracles("windows", "trendsWeekly")
 
   /** A10 analog — monthly grain with month-name derivation
     * (`go-metric-elt.py:191-192` parses "MMMM yyyy"; we emit the name —
@@ -191,16 +150,7 @@ object WindowsQ {
       .withColumn("month_name", date_format(col("month_start"), "MMMM"))
   }
 
-  private val trendsMonthlySql =
-    s"""SELECT yr, mon, revenue, n_orders,
-       |  make_date(yr, mon, 1) AS month_start,
-       |  monthname(make_date(yr, mon, 1)) AS month_name
-       |FROM (
-       |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
-       |    CAST(month(o_orderdate) AS INT) AS mon,
-       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
-       |  FROM orders GROUP BY 1, 2
-       |)""".stripMargin
+  private val trendsMonthlySql = Oracles("windows", "trendsMonthly")
 
   /** A10 analog — hourly grain over the event stream
     * (`go-metric-elt.py:196-204` buckets by `hour(to_timestamp(...))`).
@@ -212,10 +162,7 @@ object WindowsQ {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("total_value"))
   }
 
-  private val trendsHourlySql =
-    s"""SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
-       |  COUNT(*) AS n_events, ${O.dsum("value")} AS total_value
-       |FROM events GROUP BY 1, 2""".stripMargin
+  private val trendsHourlySql = Oracles("windows", "trendsHourly")
 
   /** Sessionization — gap-based session assignment via lag + running sum
     * (frame spec `rowsBetween`; SURVEY.md §2.5 notes frames are "available
@@ -240,26 +187,7 @@ object WindowsQ {
         Exact.dsum(col("value")).as("session_value"))
   }
 
-  private val sessionizeSql =
-    s"""WITH flagged AS (
-       |  SELECT user_id, event_id, ts, value,
-       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 7200000000
-       |         THEN 1 ELSE 0 END AS is_new_session
-       |  FROM events
-       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-       |), sess AS (
-       |  SELECT user_id, ts, value,
-       |    SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                              ROWS UNBOUNDED PRECEDING) AS session_id
-       |  FROM flagged
-       |)
-       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       |  COUNT(*) AS n_events,
-       |  MIN(epoch_us(ts)) AS start_us,
-       |  MAX(epoch_us(ts)) AS end_us,
-       |  ${O.dsum("value")} AS session_value
-       |FROM sess GROUP BY user_id, session_id""".stripMargin
+  private val sessionizeSql = Oracles("windows", "sessionize")
 
   /** Ranking-family showcase beyond row_number (SURVEY.md §2.5 notes these
     * are "available free in Spark"): rank, dense_rank, ntile, lead,
@@ -280,15 +208,7 @@ object WindowsQ {
         col("next_price"), col("top_order_price"))
   }
 
-  private val windowFamilySql =
-    """SELECT o_orderkey, o_custkey, o_totalprice,
-      |  CAST(rank() OVER w AS INT) AS price_rank,
-      |  CAST(dense_rank() OVER w AS INT) AS price_dense_rank,
-      |  CAST(ntile(4) OVER w AS INT) AS quartile,
-      |  lead(o_totalprice) OVER w AS next_price,
-      |  first_value(o_totalprice) OVER w AS top_order_price
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+  private val windowFamilySql = Oracles("windows", "windowFamily")
 
 
   /** q104 — calendar-spine gap fill: the daily trend (q22) leaves missing
@@ -318,25 +238,7 @@ object WindowsQ {
       .na.fill(0.0, Seq("revenue")).na.fill(0L, Seq("n_orders"))
   }
 
-  private val trendGapfillSql =
-    s"""WITH daily AS (
-       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-       |    ${O.dsum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
-       |  FROM orders GROUP BY 1, 2),
-       |b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
-       |             MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
-       |spine AS (
-       |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
-       |    AS order_date
-       |  FROM b),
-       |prios AS (SELECT DISTINCT o_orderpriority FROM orders)
-       |SELECT s.order_date, p.o_orderpriority,
-       |  COALESCE(d.revenue, 0.0) AS revenue,
-       |  COALESCE(d.n_orders, 0) AS n_orders
-       |FROM spine s CROSS JOIN prios p
-       |LEFT JOIN daily d
-       |  ON d.order_date = s.order_date
-       | AND d.o_orderpriority = p.o_orderpriority""".stripMargin
+  private val trendGapfillSql = Oracles("windows", "trendGapfill")
 
 
   /** q107 — time-based trailing aggregate via a RANGE window frame: each
@@ -362,19 +264,7 @@ object WindowsQ {
         col("o_totalprice"), col("trail_rev"), col("trail_n"))
   }
 
-  private val trailingWindowSql =
-    """SELECT o_orderkey, o_custkey,
-      |  CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
-      |       AS INT) AS day_num,
-      |  o_totalprice,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
-      |    AS trail_rev,
-      |  COUNT(*) OVER w AS trail_n
-      |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey
-      |  ORDER BY CAST(datediff('day', DATE '1992-01-01',
-      |                         CAST(o_orderdate AS DATE)) AS INT)
-      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin
+  private val trailingWindowSql = Oracles("windows", "trailingWindow")
 
   /** q116 — the distribution-rank window family q51 doesn't cover:
     * percent_rank, cume_dist, nth_value and last_value over an explicit
@@ -403,21 +293,7 @@ object WindowsQ {
       .withColumn("worst", last_value(col("revenue")).over(wf))
   }
 
-  private val rankDistributionsSql =
-    """WITH monthly AS (
-      |  SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) AS INT) AS ym,
-      |    o_orderpriority, %s AS revenue
-      |  FROM orders GROUP BY 1, 2)
-      |SELECT ym, o_orderpriority, revenue,
-      |  round(percent_rank() OVER w, 6) AS pct_rank,
-      |  round(cume_dist() OVER w, 6) AS cume,
-      |  nth_value(revenue, 2) OVER wf AS second_best,
-      |  last_value(revenue) OVER wf AS worst
-      |FROM monthly
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY revenue DESC, ym),
-      |  wf AS (PARTITION BY o_orderpriority ORDER BY revenue DESC, ym
-      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      |""".stripMargin.format(O.dsum("o_totalprice"))
+  private val rankDistributionsSql = Oracles("windows", "rankDistributions")
 
   /** q128 — trailing-exponential smoothing (EWMA, α = ½) of the daily
     * revenue trend, in FIXED POINT: with α = ½ the weights are powers of
@@ -451,24 +327,16 @@ object WindowsQ {
         (col("ewma_u") / 104857600.0).as("ewma")) // 100 · 2²⁰, one IEEE divide
   }
 
-  private val ewmaSmoothingSql = {
-    val terms = (0 until 20).map(k =>
-      s"COALESCE(lag(rev_cents, $k) OVER (PARTITION BY o_orderpriority ORDER BY order_date), 0) * ${1L << (19 - k)}"
-    ).mkString(" + ")
-    s"""WITH daily AS (
-       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
-       |      AS rev_cents
-       |  FROM orders GROUP BY 1, 2),
-       |sm AS (
-       |  SELECT order_date, o_orderpriority, rev_cents,
-       |    CAST($terms AS BIGINT) AS ewma_u
-       |  FROM daily)
-       |SELECT order_date, o_orderpriority,
-       |  rev_cents / 100.0 AS revenue, ewma_u,
-       |  ewma_u / 104857600.0 AS ewma
-       |FROM sm""".stripMargin
-  }
+  /** The 20-term fixed-point EWMA sum q128 and q139 both splice into
+    * their oracles — GENERATED SQL, so it stays in Scala per the
+    * extraction policy (resources hold static text; generation is logic).
+    */
+  private def ewmaTermsSql: String = (0 until 20).map(k =>
+    s"COALESCE(lag(rev_cents, $k) OVER (PARTITION BY o_orderpriority ORDER BY order_date), 0) * ${1L << (19 - k)}"
+  ).mkString(" + ")
+
+  private val ewmaSmoothingSql =
+    Oracles("windows", "ewmaSmoothing", "TERMS" -> ewmaTermsSql)
 
   /** q139 — trend anomaly flags on the q128 EWMA residuals: per
     * priority, residual = revenue − EWMA, flagged when |residual| exceeds
@@ -496,31 +364,7 @@ object WindowsQ {
   }
 
   private val trendAnomaliesSql =
-    s"""WITH daily AS (
-       |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
-       |      AS rev_cents
-       |  FROM orders GROUP BY 1, 2),
-       |sm AS (
-       |  SELECT order_date, o_orderpriority, rev_cents,
-       |    CAST(${(0 until 20).map(k =>
-              s"COALESCE(lag(rev_cents, $k) OVER (PARTITION BY o_orderpriority ORDER BY order_date), 0) * ${1L << (19 - k)}"
-            ).mkString(" + ")} AS BIGINT) AS ewma_u
-       |  FROM daily),
-       |res AS (
-       |  SELECT order_date, o_orderpriority,
-       |    rev_cents / 100.0 AS revenue,
-       |    ewma_u / 104857600.0 AS ewma,
-       |    rev_cents / 100.0 - ewma_u / 104857600.0 AS residual
-       |  FROM sm),
-       |mad AS (
-       |  SELECT o_orderpriority, quantile_cont(abs(residual), 0.5) AS mad
-       |  FROM res GROUP BY 1)
-       |SELECT r.order_date, r.o_orderpriority, r.revenue, r.ewma,
-       |  round(r.residual, 6) AS residual,
-       |  (m.mad <> 0.0 AND abs(r.residual) > CAST(5.1891 AS DOUBLE) * m.mad)
-       |    AS is_anomaly
-       |FROM res r JOIN mad m USING (o_orderpriority)""".stripMargin
+    Oracles("windows", "trendAnomalies", "TERMS" -> ewmaTermsSql)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q139_trend_anomalies", trendAnomalies, Some(trendAnomaliesSql)),

@@ -15,7 +15,10 @@ cd "$(dirname "$0")/.."
 
 HEAP="${HEAP:-16g}"
 CPUS="${CPUS:-32}"
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# src/main/resources rides the classpath directly: bare `sbt compile` does
+# NOT run copyResources, so a fresh target/ would otherwise miss the
+# oracle-SQL resource files (graft.Oracles).
+CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
 
 ADD_OPENS=()
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

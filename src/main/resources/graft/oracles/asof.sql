@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'asof' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::asofPurchaseView
 WITH ev AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'corpusstats' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::tfidfKeywords
 WITH toks AS (
   SELECT doc_id,

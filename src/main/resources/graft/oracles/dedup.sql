@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'dedup' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::dedupExact
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text)

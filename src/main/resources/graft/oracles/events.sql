@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'events' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::hourlyWindow
 SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
   COUNT(*) AS n_events, {{DSUM:value}} AS total_value

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'formats' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::orcRoundtrip
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
 FROM lineitem

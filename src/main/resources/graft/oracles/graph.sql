@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'graph' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::triangles
 WITH lp AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'media' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::videoMeta
 SELECT doc_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'merge' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::mergeUpsert
 WITH updates AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

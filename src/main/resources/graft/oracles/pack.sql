@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'pack' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::sequencePacking
 WITH toks AS (
   SELECT doc_id, source,

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'parity' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::thresholdStats
 SELECT p_brand,
   MIN(l_extendedprice) AS price_min,

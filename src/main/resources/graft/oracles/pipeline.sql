@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'pipeline' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::pipelineTransform
 {{transformCtes}}
 SELECT order_id, lineitem_id, restaurant_id, user_id, printed_card_number,

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'relational' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::pricingSummary
 SELECT l_returnflag, l_linestatus,
   {{DSUM:l_quantity}} AS sum_qty,

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'reshape' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::pivotMatrix
 SELECT user_id,
   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'similarity' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::annTopK
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'stats' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::deterministicSample
 SELECT doc_id, lang, n_chars,
   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) AS bucket

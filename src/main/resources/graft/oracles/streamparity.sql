@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'streamparity' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::streamUpsertParity
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
 FROM events

@@ -1,3 +1,6 @@
+-- DuckDB oracle SQL for the 'text' query family, one '-- ::<key>' section
+-- per oracle; loaded by graft.Oracles at registration ({{...}} = substitution,
+-- see Oracles.scala scaladoc). Generated SQL stays in the family's Scala file.
 -- ::cleanText
 SELECT doc_id,
   substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

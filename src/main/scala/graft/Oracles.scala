@@ -40,6 +40,20 @@ object Oracles {
 
   private val cache = TrieMap.empty[String, Map[String, String]]
 
+  /** (family, key) pairs served so far — lets OraclesSpec assert, after
+    * forcing the whole registry, that no resource section is an ORPHAN
+    * (SQL left behind by a retired/renamed query would otherwise rot
+    * silently).
+    */
+  private val served = TrieMap.empty[(String, String), Unit]
+
+  /** Sections present in the loaded resources but never requested. */
+  private[graft] def orphans: Seq[String] =
+    cache.toSeq.flatMap { case (fam, sections) =>
+      sections.keys.filterNot(k => served.contains((fam, k)))
+        .map(k => s"$fam::$k")
+    }.sorted
+
   private val Header = """^-- ::([A-Za-z0-9_]+)\s*$""".r
 
   /** The parsed section map of one family resource. */
@@ -89,6 +103,7 @@ object Oracles {
   def apply(fam: String, key: String, params: (String, String)*): String = {
     val raw = family(fam).getOrElse(
       key, sys.error(s"oracles/$fam.sql: no section ::$key"))
+    served.put((fam, key), ())
     val m = Macro.replaceAllIn(raw, mm => scala.util.matching.Regex.quoteReplacement(
       mm.group(1) match {
         case "DSUM"  => O.dsum(mm.group(2))

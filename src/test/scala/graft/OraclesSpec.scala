@@ -46,6 +46,16 @@ class OraclesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Oracles("_dup", "a"))
   }
 
+  test("no orphan sections: every registry resource section is requested") {
+    // Force the whole registry (loads every family resource and serves
+    // every oracle), then ask the store what was parsed but never used.
+    // A retired/renamed query must take its resource SQL with it.
+    SparkEntry.allDefs
+    val leftovers = Oracles.orphans
+      .filterNot(_.startsWith("_")) // this spec's own fixtures
+    assert(leftovers.isEmpty, s"orphan oracle sections: $leftovers")
+  }
+
   test("every registered oracle is non-empty and substitution-free") {
     // The registry builds through Oracles for extracted families; whatever
     // the construction path, the final text must carry no unresolved

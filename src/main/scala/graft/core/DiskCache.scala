@@ -30,9 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     mtime granularity still flips the key unless it is bit-identical
   *     at both ends;
   *  2. the BUILD fingerprint: a digest of the graft code location (the
-  *     classes dir / jar this class loaded from — names, sizes, mtimes),
-  *     appended to every key by [[cached]] itself, so a semantics change
-  *     in any builder invalidates the store with NO manual token bump
+  *     classes dir / jar this class loaded from — every class file's
+  *     name and CONTENT bytes; see [[buildFingerprint]]), appended to
+  *     every key by [[cached]] itself, so a semantics change in any
+  *     builder invalidates the store with NO manual token bump
   *     (the round-11 `-v1-` contract stays in caller keys as a free
   *     extra handle, but nothing depends on remembering it);
   *  3. the caller's explicit key (artifact name + input fingerprint).
@@ -54,8 +55,16 @@ object DiskCache {
   // resident; the 6 h idle guard below still protects in-flight readers.
   private[core] val maxEntries = 32
 
+  // Default root OUTSIDE target/ (round 16): a fresh checkout or an
+  // `sbt clean` wipes target/, and with it a store whose keys would have
+  // survived the rebuild (content-digested build fingerprint). The system
+  // temp dir persists across checkouts on this host, so a byte-identical
+  // rebuild — including the driver's own — keeps riding the warm
+  // artifacts. Keys embed the build digest, so stale generations are
+  // never served, and maxEntries bounds the footprint.
   private def root = new java.io.File(
-    sys.props.getOrElse("graft.cache.dir", "target/artifact-cache"))
+    sys.props.getOrElse("graft.cache.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifact-cache"))
 
   /** Disabled by SPARK_GRAFT_NO_DISKCACHE=1 (cold-floor measurement) or
     * the in-process `graft.diskcache.disabled` property (plan-shape specs

@@ -57,14 +57,20 @@ object DiskCache {
 
   // Default root OUTSIDE target/ (round 16): a fresh checkout or an
   // `sbt clean` wipes target/, and with it a store whose keys would have
-  // survived the rebuild (content-digested build fingerprint). The system
-  // temp dir persists across checkouts on this host, so a byte-identical
-  // rebuild — including the driver's own — keeps riding the warm
-  // artifacts. Keys embed the build digest, so stale generations are
-  // never served, and maxEntries bounds the footprint.
+  // survived the rebuild (content-digested build fingerprint). /tmp
+  // persists across checkouts on this host, so a byte-identical rebuild —
+  // including the driver's own — keeps riding the warm artifacts. Keys
+  // embed the build digest, so stale generations are never served, and
+  // maxEntries bounds the footprint. Deliberately NOT `java.io.tmpdir`:
+  // Bench redirects that to a tmpfs scratch it WIPES at every start
+  // (measurement hygiene for shuffle/spill) — a cross-session persistence
+  // store must not follow the per-run scratch.
   private def root = new java.io.File(
-    sys.props.getOrElse("graft.cache.dir",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifact-cache"))
+    sys.props.getOrElse("graft.cache.dir", {
+      val tmp = new java.io.File("/tmp")
+      if (tmp.isDirectory && tmp.canWrite) "/tmp/graft-artifact-cache"
+      else s"${System.getProperty("java.io.tmpdir")}/graft-artifact-cache"
+    }))
 
   /** Disabled by SPARK_GRAFT_NO_DISKCACHE=1 (cold-floor measurement) or
     * the in-process `graft.diskcache.disabled` property (plan-shape specs

@@ -56,6 +56,23 @@ class OraclesSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"orphan oracle sections: $leftovers")
   }
 
+  test("no orphan FILES: every main oracle resource belongs to a loaded family") {
+    // Oracles.orphans only sees families that were parsed at all — a
+    // family retired from SparkEntry.defGroups would leave its whole
+    // .sql file invisible to the section check. Enumerate the source
+    // tree and require each non-fixture file's family to have loaded.
+    SparkEntry.allDefs
+    val dir = new java.io.File("src/main/resources/graft/oracles")
+    assert(dir.isDirectory, dir.getAbsolutePath)
+    val files = dir.listFiles().map(_.getName)
+      .filter(n => n.endsWith(".sql") && !n.startsWith("_")).toSeq.sorted
+    assert(files.nonEmpty)
+    val dead = files.map(_.stripSuffix(".sql"))
+      .filterNot(fam => Oracles.family(fam).nonEmpty && Oracles.orphans
+        .forall(o => !o.startsWith(s"$fam::")))
+    assert(dead.isEmpty, s"oracle resource files with no loaded family: $dead")
+  }
+
   test("every registered oracle is non-empty and substitution-free") {
     // The registry builds through Oracles for extracted families; whatever
     // the construction path, the final text must carry no unresolved

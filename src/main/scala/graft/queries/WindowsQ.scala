@@ -73,8 +73,7 @@ object WindowsQ {
       count(lit(1)).as("n_rows"))
   }
 
-  private val maxWatermarkSql =
-    "SELECT MAX(epoch_us(ts)) AS watermark_us, COUNT(*) AS n_rows FROM events"
+  private val maxWatermarkSql = Oracles("windows", "maxWatermark")
 
   /** W2/W3/A9 analog — activity profile: lag-based order gaps and revenue
     * %-change, then per-customer aggregates + tags

@@ -55,9 +55,26 @@ object PipelineWall {
     val optionsCsv = csvOut(graft.queries.PipelineQ.options(spark, sfDir), "order_item_options")
     val dateDimCsv = csvOut(graft.queries.PipelineQ.dateDim(spark, sfDir), "date_dim")
 
-    def write(df: DataFrame, path: String, files: Int = 4,
+    // Small-file control via a REPARTITION FENCE, not coalesce (VERDICT
+    // r16 item 3): coalesce(n) propagates up to the nearest exchange, and
+    // the ingest/transform stages are pure map chains (CSV scan → sha2 →
+    // regex) while quality is all broadcast joins — so coalesce collapsed
+    // each stage's ENTIRE compute to n tasks (stage-logged at 30×: the
+    // ingest scan+pk ran as 4 tasks on a 32-thread box, 18.4× growth at
+    // 30× data). repartition(n) pays one exchange of the stage output but
+    // keeps the scan/compute at full scan parallelism — the q63-precedent
+    // fence. File counts follow the REFERENCE's own compaction
+    // (`go-incremental-ingest-elt.py:222` coalesce(8) ingest/QA,
+    // `go-quality-elt.py:311-312` coalesce(64) final).
+    // For partitionBy writes the fence keys on the partition columns too,
+    // so every output key-directory gets exactly ONE file instead of one
+    // per task that happened to hold the key.
+    def write(df: DataFrame, path: String, files: Int = 8,
         partitionBy: Seq[String] = Nil): Unit = {
-      val w = df.coalesce(files).write.mode(SaveMode.Overwrite)
+      val fenced =
+        if (partitionBy.nonEmpty) df.repartition(files, partitionBy.map(col): _*)
+        else df.repartition(files)
+      val w = fenced.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     }
 
@@ -100,7 +117,7 @@ object PipelineWall {
         val q = QualityJob(transformed,
           spark.read.parquet(s"$outRoot/landing/order_item_options"),
           spark.read.parquet(s"$outRoot/landing/date_dim"), thresholds)
-        write(q.finalDf, s"$outRoot/final", files = 8)
+        write(q.finalDf, s"$outRoot/final", files = 64)
         write(q.quarantine, s"$outRoot/quality/final")
         write(q.priceIssues, s"$outRoot/quality/price")
         write(q.quantityIssues, s"$outRoot/quality/quantity")

@@ -46,6 +46,20 @@ class OraclesSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Oracles("_dup", "a"))
   }
 
+  test("a header-lookalike comment glued to a body throws at parse " +
+      "(ADVICE r16: no silent section split)") {
+    val e = intercept[IllegalArgumentException](Oracles("_glued", "first"))
+    assert(e.getMessage.contains("lookalike") ||
+      e.getMessage.contains("blank separator"))
+  }
+
+  test("a genuine trailing blank line at EOF survives (only the closing " +
+      "separator is stripped)") {
+    // _spec.sql ends its last section with the single closing separator;
+    // the parsed body must NOT lose interior/trailing content beyond it.
+    assert(Oracles.family("_spec")("interior").endsWith("FROM dual"))
+  }
+
   test("no orphan sections: every registry resource section is requested") {
     // Force the whole registry (loads every family resource and serves
     // every oracle), then ask the store what was parsed but never used.
@@ -71,6 +85,43 @@ class OraclesSpec extends AnyFunSuite {
       .filterNot(fam => Oracles.family(fam).nonEmpty && Oracles.orphans
         .forall(o => !o.startsWith(s"$fam::")))
     assert(dead.isEmpty, s"oracle resource files with no loaded family: $dead")
+  }
+
+  test("generated (in-Scala) oracles are exactly the documented allowlist " +
+      "(VERDICT r16 item 5)") {
+    // Policy (NOTES.md round 16): oracle SQL lives in resource files;
+    // only GENERATED oracles (when-chains over rule tables, per-band hash
+    // expansions, CTE builders — where the generation IS query logic) may
+    // stay in Scala. The orphan specs above catch a resource section left
+    // behind, but nothing caught a NEW in-Scala oracle string silently
+    // bypassing the resource convention. Classify every registered oracle
+    // by provenance (Oracles records each final text it serves) and pin
+    // the generated set. Adding a query whose oracle is a Scala string —
+    // or detaching an existing one from its resource section — fails here
+    // until either the SQL moves to a resource or the allowlist (and the
+    // policy note) is updated deliberately.
+    val defs = SparkEntry.allDefs // forces registration → every serve recorded
+    val generated = defs
+      .filter(d => d.oracle.exists(o => !Oracles.resourceBacked(o)))
+      .map(_.name).sorted
+    // Each entry's oracle is genuinely GENERATED (a Scala block/def, not a
+    // string literal): q29's 28-rule when-chain, q32/q191/q205's
+    // stopword-list expansions, q195/q196's pinned merge tables, q92's
+    // per-iteration CTE builder, q50's pivot column set, and the
+    // constant-folded expansions of q53/q130/q134/q147/q181/q207/q208/
+    // q211/q212 — each built from the same Scala constants that drive the
+    // plan. (The three former plain-literal stragglers — q07/q20/q93 —
+    // were extracted to resources in round 17.)
+    val allowlist = Seq(
+      "q130_equidepth_histogram", "q134_padding_waste",
+      "q147_autocorrelation", "q181_length_histogram", "q191_langid_confusion",
+      "q195_bpe_merges", "q196_bpe_fertility", "q205_kappa_langid",
+      "q207_simhash_distance", "q208_quality_dup_calibration",
+      "q211_neardup_editdist", "q212_skew_report",
+      "q29_classify_category", "q32_lang_id", "q50_pivot_revenue",
+      "q53_ann_ivf", "q92_pagerank")
+    assert(generated == allowlist,
+      s"generated-oracle set drifted.\n  actual: $generated\n  allowed: $allowlist")
   }
 
   test("every registered oracle is non-empty and substitution-free") {

@@ -219,6 +219,119 @@ class DiskCacheSpec extends SparkTestBase {
     }
   }
 
+  test("sweep bounds TOTAL store bytes, evicting LRU idle entries " +
+      "(VERDICT r16 item 6)") {
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      val cacheRoot = new java.io.File(sys.props("graft.cache.dir"))
+      val prevMax = sys.props.get("graft.cache.maxbytes")
+      sys.props("graft.cache.maxbytes") = "1" // every 2nd+ idle entry is over
+      try {
+        (1 to 3).foreach { i =>
+          DiskCache.cached(spark, s"spec-bytes-$i")(
+            spark.range(100).toDF("id")).collect()
+        }
+        // age all three past the in-flight-reader idle guard
+        val old = System.currentTimeMillis() - 8L * 3600 * 1000
+        cacheRoot.listFiles().filter(_.getName.startsWith("spec-bytes-"))
+          .foreach(d => assert(d.setLastModified(old)))
+        // a fresh publish triggers the sweep; the newest entry is always
+        // kept (a single over-budget artifact must not self-evict)
+        DiskCache.cached(spark, "spec-bytes-4")(
+          spark.range(100).toDF("id")).collect()
+        val survivors = cacheRoot.listFiles()
+          .filter(f => f.getName.startsWith("spec-bytes-") &&
+            new java.io.File(f, "_SUCCESS").isFile)
+          .map(_.getName).sorted
+        assert(survivors.length == 1 && survivors.head.startsWith("spec-bytes-4"),
+          s"byte bound must evict the idle LRU generation, kept: ${survivors.toSeq}")
+      } finally prevMax match {
+        case Some(p) => sys.props("graft.cache.maxbytes") = p
+        case None => sys.props.remove("graft.cache.maxbytes")
+      }
+    }
+  }
+
+  test("a symlink store root disables the store: compute-only, no publish " +
+      "(ADVICE r16)") {
+    assume(DiskCache.enabled)
+    // the /tmp squat scenario: the PREDICTABLE default path pre-created as
+    // a symlink by another user — following it would publish (and sweep-
+    // DELETE) through the attacker's link
+    val base = new java.io.File(Scratch.dir("graft-symlink-root"))
+    val realTarget = new java.io.File(base, "elsewhere")
+    realTarget.mkdirs()
+    val link = new java.io.File(base, "store").toPath
+    try java.nio.file.Files.createSymbolicLink(link, realTarget.toPath)
+    catch { case _: Exception => cancel("fs does not support symlinks") }
+    val prev = sys.props.get("graft.cache.dir")
+    sys.props("graft.cache.dir") = link.toString
+    try {
+      var builds = 0
+      def build() = { builds += 1; spark.range(5).toDF("id") }
+      DiskCache.cached(spark, "spec-symlink")(build()).collect()
+      DiskCache.cached(spark, "spec-symlink")(build()).collect()
+      assert(builds == 2, "a symlink root must run compute-only (no hits)")
+      assert(Option(realTarget.listFiles()).getOrElse(Array.empty).isEmpty,
+        "nothing may be published through the link")
+    } finally prev match {
+      case Some(p) => sys.props("graft.cache.dir") = p
+      case None => sys.props.remove("graft.cache.dir")
+    }
+  }
+
+  test("an owned-but-permissive root is healed to 0700 before use " +
+      "(ADVICE r16)") {
+    assume(DiskCache.enabled)
+    import java.nio.file.Files
+    import java.nio.file.attribute.PosixFilePermissions
+    val d = new java.io.File(Scratch.dir("graft-permissive"), "store")
+    d.mkdirs()
+    try Files.setPosixFilePermissions(d.toPath,
+      PosixFilePermissions.fromString("rwxrwxrwx"))
+    catch { case _: UnsupportedOperationException => cancel("non-POSIX fs") }
+    val prev = sys.props.get("graft.cache.dir")
+    sys.props("graft.cache.dir") = d.getAbsolutePath
+    try {
+      DiskCache.cached(spark, "spec-perm")(spark.range(5).toDF("id")).collect()
+      assert(new java.io.File(d, "_SUCCESS").getParentFile.isDirectory)
+      assert(PosixFilePermissions.toString(
+        Files.getPosixFilePermissions(d.toPath)) == "rwx------",
+        "an owned world-writable root must be tightened to 0700")
+      // and the store WORKS after healing (we own it)
+      var builds = 0
+      DiskCache.cached(spark, "spec-perm") {
+        builds += 1; spark.range(5).toDF("id")
+      }.collect()
+      assert(builds == 0, "the healed root must serve hits")
+    } finally prev match {
+      case Some(p) => sys.props("graft.cache.dir") = p
+      case None => sys.props.remove("graft.cache.dir")
+    }
+  }
+
+  test("degraded build fingerprint runs compute-only: no publish, no LRU " +
+      "churn (ADVICE r16)") {
+    assume(DiskCache.enabled)
+    withTempCacheDir {
+      val cacheRoot = new java.io.File(sys.props("graft.cache.dir"))
+      // an EMPTY classes dir is one of the degraded states (no .class
+      // entries to digest) — previously each such run published under a
+      // never-reusable per-JVM key, churning warm entries out of the LRU
+      val emptyCode = Scratch.dir("graft-empty-classes")
+      withCodePath(emptyCode) {
+        var builds = 0
+        def build() = { builds += 1; spark.range(5).toDF("id") }
+        DiskCache.cached(spark, "spec-degraded")(build()).collect()
+        DiskCache.cached(spark, "spec-degraded")(build()).collect()
+        assert(builds == 2, "degraded state must compute every time")
+        val published = Option(cacheRoot.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("spec-degraded"))
+        assert(published.isEmpty, "degraded state must never publish")
+      }
+    }
+  }
+
   test("cached: content survives the parquet round trip exactly") {
     assume(DiskCache.enabled)
     withTempCacheDir {

@@ -130,26 +130,30 @@ object Ranking {
     // transformations may double-count — this is the safe variant of the
     // "fold the counts into the materializing action" rework). The old
     // shape re-read the whole persisted frame for a groupBy/max + window.
-    val pidIdx = schema.fieldIndex("__rk_pid")
-    val locIdx = schema.fieldIndex("__rk_local")
-    val gIdx2 = schema.fieldIndex("__rk_g")
-    val spans: Array[(String, Int, Long)] = local.rdd.mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
-      var curG: String = null
-      var pid = -1
-      var last = 0L
-      it.foreach { r =>
-        val g = r.getString(gIdx2)
-        if (g != curG) {
-          if (curG != null) out += ((curG, pid, last))
-          curG = g
+    // project to the three meta columns BEFORE the RDD conversion: the
+    // columnar cache serves a pruned read and the per-row Row
+    // materialization carries 3 fields, not the full data width (the
+    // cache itself still materializes complete batches — this action is
+    // what populates it)
+    val spans: Array[(String, Int, Long)] = local
+      .select(col("__rk_g"), col("__rk_pid"), col("__rk_local"))
+      .rdd.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+        var curG: String = null
+        var pid = -1
+        var last = 0L
+        it.foreach { r =>
+          val g = r.getString(0)
+          if (g != curG) {
+            if (curG != null) out += ((curG, pid, last))
+            curG = g
+          }
+          pid = r.getInt(1)
+          last = r.getLong(2)
         }
-        pid = r.getInt(pidIdx)
-        last = r.getLong(locIdx)
-      }
-      if (curG != null) out += ((curG, pid, last))
-      out.iterator
-    }.collect()
+        if (curG != null) out += ((curG, pid, last))
+        out.iterator
+      }.collect()
     // driver-side running sum over ≤ numParts·|groups| spans → offsets
     val offsetRows: Seq[Row] = spans.groupBy(_._1).toSeq.flatMap {
       case (g, arr) =>

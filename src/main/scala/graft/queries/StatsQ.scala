@@ -184,15 +184,17 @@ object StatsQ {
     * the order keys carry the full unique line-item tiebreak) through a
     * plan whose parallelism does not collapse to |l_returnflag| = 3
     * tasks. Both rankings range-repartition 32-way, rank locally, and
-    * offset through a partitions×groups aggregate; the two ranked sides
-    * then hash-join on the unique key. The oracle is q98's, verbatim —
-    * a two-phase off-by-one, span-offset slip, or boundary-dependent
-    * tie would shift Σd² and cannot hash-match.
+    * offset through driver-summed per-span run-lengths; the second
+    * ranking CHAINS over the first's output with `rx` as payload, so the
+    * (rx, ry) pairing never joins (round 17 — the old 6-column-key hash
+    * join of two full-width sides is gone). The oracle is q98's,
+    * verbatim — a two-phase off-by-one, span-offset slip, or
+    * boundary-dependent tie would shift Σd² and cannot hash-match.
     *
-    * Scale shape: two range shuffles + one key join, all 32-way (and
-    * N-way on a cluster) — versus q98's single exchange into three
-    * tasks. Slower at sf0.1, unbounded fan-out at 100 TB; BASELINE
-    * round 14 documents the ceiling this removes.
+    * Scale shape: two chained range shuffles, all 32-way (and N-way on
+    * a cluster) — versus q98's single exchange into three tasks. Slower
+    * at sf0.1, unbounded fan-out at 100 TB; BASELINE round 14 documents
+    * the ceiling this removes.
     */
   def spearmanDistributed(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -207,15 +209,20 @@ object StatsQ {
       "l_quantity", "l_extendedprice")
     val base = t.lineitem.select(
       (col("l_returnflag") +: key.map(col)): _*)
+    // CHAINED re-rank, not two independent rankings joined back (round
+    // 17, VERDICT r16 item 2): the second ranking runs over the FIRST
+    // ranking's output with `rx` carried along as payload, so the per-row
+    // (rx, ry) pairing needs NO join at all — the old shape hash-joined
+    // two 6-column-composite-keyed sides (both shuffled), the widest
+    // stages of the query. Same statistic, same ranks: each ranking is a
+    // row's position in its own strict total order, independent of input
+    // partitioning or carried columns.
     val rx = graft.ops.Ranking.rowNumber(base,
       Seq(col("l_returnflag")),
       (col("l_quantity") +: tie4) :+ col("l_extendedprice"), "rx", 32)
-      .select((key.map(col) :+ col("l_returnflag") :+ col("rx")): _*)
-    val ry = graft.ops.Ranking.rowNumber(base,
+    graft.ops.Ranking.rowNumber(rx,
       Seq(col("l_returnflag")),
       (col("l_extendedprice") +: tie4) :+ col("l_quantity"), "ry", 32)
-      .select((key.map(col) :+ col("ry")): _*)
-    rx.join(ry, key)
       .withColumn("d", col("rx").cast("long") - col("ry"))
       .withColumn("d2", // decimal before squaring — see q98's overflow note
         col("d").cast("decimal(38,0)") * col("d").cast("decimal(38,0)"))

@@ -407,13 +407,23 @@ object Bench {
         tainted = taintedNow().size,
         runsPerQuery = repeats)
     }
+    // Streaming-drain throughput (VERDICT r16 stretch 8): q231/q232's
+    // graded seconds are mostly AvailableNow harness fixed cost — the
+    // artifact records the drains' rows/s so throughput is visible
+    // without a separate StreamBench run. Empty when no parity query ran.
+    val streamExtra = {
+      val s = graft.streaming.DrainStats.snapshot
+      if (s.isEmpty) ""
+      else s.map { case (n, (rows, secs)) => BenchJson.drainRecord(n, rows, secs) }
+        .mkString("\"stream\":{", ",", "},")
+    }
     // On full runs the complete map goes out as "total_full" so exactly ONE
     // line carries "metric":"total" (the tail-sized compact line below) — a
     // harness parsing every "total" line must never see two records with
     // DIFFERENT queries payloads for one pass. Spot runs print no compact
     // line, so they keep the plain "total" metric.
     val fullMetric = if (only.isEmpty) "total_full" else "total"
-    val line = s"""{"metric":"$fullMetric","value":$total,"unit":"sec","queries":$qs,"host":$hostJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"$fullMetric","value":$total,"unit":"sec","queries":$qs,"host":$hostJson,$streamExtra"sf":"$sfDir"}"""
     println(line)
     // Persist the full result AND the host forensics to files: the driver's
     // stdout tail keeps only the last ~2 KB, which truncated every round's
@@ -487,7 +497,8 @@ object Bench {
     // JSON object no matter what.
     if (only.isEmpty) {
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      println(BenchJson.compactTotal(total, top, sfDir, results.size, hostJson))
+      println(BenchJson.compactTotal(total, top, sfDir, results.size, hostJson,
+        streamExtra))
     }
     spark.stop()
   }

@@ -71,13 +71,20 @@ object BenchJson {
     * tail capture and parse standalone. `host` is [[hostSummary]]'s
     * object, so a graded artifact carries its own weather evidence.
     */
+  /** One streaming-drain entry for the graded lines' `stream` object
+    * (VERDICT r16 stretch 8): input rows, drain wall, derived rows/s.
+    */
+  def drainRecord(name: String, rows: Long, secs: Double): String =
+    s""""$name":{"rows":$rows,"sec":${num(secs, 2)},""" +
+      s""""rows_per_s":${num(if (secs > 0) rows / secs else -1.0, 0)}}"""
+
   def compactTotal(total: Double, top: Seq[(String, Double)], sfDir: String,
-                   nQueries: Int, host: String): String = {
+                   nQueries: Int, host: String, extra: String = ""): String = {
     val tops = top.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
       s""""queries":$tops,"sf":"$sfDir","n_queries":$nQueries,""" +
-      s""""host":$host,""" +
+      s""""host":$host,$extra""" +
       """"queries_note":"top-20 of the full set by cost; complete map in """ +
       """target/bench.json, host forensics in target/bench_host.json"}"""
   }

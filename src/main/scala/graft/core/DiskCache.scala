@@ -117,11 +117,21 @@ object DiskCache {
           "directory — store disabled (compute-only)")
         return false
       }
+      // Ownership: compare PRINCIPALS when the lookup service can resolve
+      // the current user (exact), falling back to a name-string compare —
+      // a container uid with no passwd entry can make user.name and the
+      // numeric owner name legitimately differ, and a string-only compare
+      // would permanently disable a store that worked before this check.
       val me = sys.props.getOrElse("user.name", "")
-      val owner = Files.getOwner(p, LinkOption.NOFOLLOW_LINKS).getName
-      if (owner != me) {
-        System.err.println(s"[diskcache] store root $p owned by '$owner', " +
-          s"not '$me' — store disabled (compute-only)")
+      val owner = Files.getOwner(p, LinkOption.NOFOLLOW_LINKS)
+      val owned = (try {
+        Some(p.getFileSystem.getUserPrincipalLookupService
+          .lookupPrincipalByName(me) == owner)
+      } catch { case _: Exception => None })
+        .getOrElse(owner.getName == me)
+      if (!owned) {
+        System.err.println(s"[diskcache] store root $p owned by " +
+          s"'${owner.getName}', not '$me' — store disabled (compute-only)")
         return false
       }
       try {

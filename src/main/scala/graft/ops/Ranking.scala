@@ -140,15 +140,22 @@ object Ranking {
       .rdd.mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
         var curG: String = null
-        var pid = -1
+        var pid = Int.MinValue
         var last = 0L
         it.foreach { r =>
           val g = r.getString(0)
-          if (g != curG) {
+          val p = r.getInt(1)
+          // break the run on a GROUP or PID change: one iterator is one
+          // cached partition today (pid constant), but if a future Spark
+          // version ever merges cached partitions under this read, a
+          // group spanning two pids in one iterator must still emit BOTH
+          // spans — collapsing them would drop the first span's offset
+          // row and silently lose rows at the final join (the q143 class)
+          if (g != curG || p != pid) {
             if (curG != null) out += ((curG, pid, last))
             curG = g
+            pid = p
           }
-          pid = r.getInt(1)
           last = r.getLong(2)
         }
         if (curG != null) out += ((curG, pid, last))

@@ -200,9 +200,11 @@ object StatsQ {
     val t = Tables(spark, dir)
     // q98's 4-column tiebreak is unique at the sf0.01 gate but NOT at
     // sf0.001 (one pair differs only in quantity/price) — the two-phase
-    // ranking REQUIRES a strict order and this query joins its two
-    // rankings back on the key, so both carry the full 6-column
-    // composite (and the oracle below orders by the same columns)
+    // ranking REQUIRES a strict total order per group, so both rankings
+    // carry the full 6-column composite in their order keys (and the
+    // oracle below orders by the same columns). That strictness is the
+    // SOLE reason for the wide composite: the old pairing join on it is
+    // gone (chained re-rank below), so do not prune it back to tie4.
     val tie4 = Seq(col("l_orderkey"), col("l_linenumber"),
       col("l_partkey"), col("l_suppkey"))
     val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

@@ -69,6 +69,12 @@ object StreamParityQ {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[graft.streaming.EventStreams.Event]
+    // recentProgress is capped at numRecentProgressUpdates entries
+    // (default 100) — past that the drain-stats row sum would silently
+    // undercount. Raise it for the drain's lifetime (4 batches today;
+    // the headroom covers any future finer staging), restore after.
+    val prevNrp = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     val drainT0 = System.nanoTime()
     val drain = graft.streaming.EventStreams.upsertLatest(stream).toDF()
       .writeStream
@@ -90,6 +96,10 @@ object StreamParityQ {
     graft.streaming.DrainStats.record("q231_drain",
       drain.recentProgress.map(_.numInputRows).sum,
       (System.nanoTime() - drainT0) / 1e9)
+    prevNrp match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    }
     // ties across batches are byte-identical re-emissions of the same
     // winner (batch_id is dropped), so max_by's tie-pick cannot diverge
     spark.read.parquet(s"$tmp/log")
@@ -129,6 +139,8 @@ object StreamParityQ {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q232").toString
     val events = graft.streaming.EventStreams
       .readEventStream(spark, stageMultiFile(spark, dir), maxFilesPerTrigger = 2)
+    val prevNrp = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     val drainT0 = System.nanoTime()
     val drain = graft.streaming.EventStreams
       .hourlyCounts(events, watermark = "3650 days")
@@ -151,6 +163,10 @@ object StreamParityQ {
     graft.streaming.DrainStats.record("q232_drain",
       drain.recentProgress.map(_.numInputRows).sum,
       (System.nanoTime() - drainT0) / 1e9)
+    prevNrp match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
+      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    }
     spark.read.parquet(s"$tmp/log")
       .groupBy(col("hour_start_us"), col("event_type"))
       .agg(max_by(struct(col("n_events"), col("total_value")),

@@ -80,16 +80,25 @@ object PipelineWall {
     val fenceBytes = 1L << 30
     val targetFileBytes = 256L << 20
     val smallFileBytes = 32L << 20
-    def dirBytes(p: String): Long = {
+    // memoized per path: the metric stage's eleven concurrent writes all
+    // point at $outRoot/final — one walk, not eleven
+    val dirBytesMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def dirBytes(p: String): Long = dirBytesMemo.computeIfAbsent(p, _ => {
       def walk(f: java.io.File): Long =
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
         else f.length()
       walk(new java.io.File(p))
-    }
+    })
+    /** `selectivity`: expected output/input volume ratio for writes whose
+      * frame is a narrow filter of the input (quarantine and the QA issue
+      * splits keep a few percent of rows) — without it the input-derived
+      * task count would land a near-empty output as dozens of tiny files,
+      * regressing the small-file control this function exists for.
+      */
     def write(df: DataFrame, path: String, inputPath: String, files: Int = 4,
-        partitionBy: Seq[String] = Nil): Unit = {
-      val inBytes = dirBytes(inputPath)
+        partitionBy: Seq[String] = Nil, selectivity: Double = 1.0): Unit = {
+      val inBytes = (dirBytes(inputPath) * selectivity).toLong
       // SMOOTH bytes-derived task count, no threshold cliff (the first
       // cut used a 1 GiB small/big branch — the 10× point's 668 MB
       // inputs fell UNDER it and collapsed to 4 tasks while 30× got the
@@ -180,11 +189,11 @@ object PipelineWall {
         write(q.finalDf, s"$outRoot/final",
           inputPath = s"$outRoot/transform/order_items", files = 8)
         write(q.quarantine, s"$outRoot/quality/final",
-          inputPath = s"$outRoot/transform/order_items")
+          inputPath = s"$outRoot/transform/order_items", selectivity = 0.1)
         write(q.priceIssues, s"$outRoot/quality/price",
-          inputPath = s"$outRoot/transform/order_items")
+          inputPath = s"$outRoot/transform/order_items", selectivity = 0.1)
         write(q.quantityIssues, s"$outRoot/quality/quantity",
-          inputPath = s"$outRoot/transform/order_items")
+          inputPath = s"$outRoot/transform/order_items", selectivity = 0.1)
         q.metricsInput.unpersist() // the metric JOB reads the S3 handoff instead
       }),
       Workflow.StageDef("metric_elt", Seq("quality_elt"))(timed("metric_elt") {
@@ -213,7 +222,8 @@ object PipelineWall {
             val partCols =
               if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
             write(df, s"$outRoot/metrics/$subject",
-              inputPath = s"$outRoot/final", partitionBy = partCols)
+              inputPath = s"$outRoot/final", partitionBy = partCols,
+              selectivity = 0.05) // per-restaurant/date aggregates: tiny vs final
           }
         }
         try Await.result(Future.sequence(writes), Duration.Inf)

@@ -76,6 +76,28 @@ class BenchJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("compact line fits the driver's ~2 KB tail capture at the REAL " +
+      "worst case: 20 long-named queries + host + both drains") {
+    // The 2-query assertion above passes trivially; this one bounds the
+    // production shape so a future field addition that pushes the real
+    // line past the tail capture fails a test instead of truncating the
+    // graded artifact. Query names: the suite's longest is 34 chars
+    // (q250_curriculum_phases_distributed) — use 40 for headroom.
+    val host = BenchJson.hostSummary(steal = 1234567L, iowait = 99999L,
+      medSpin = 21098.7, maxSpin = 99999.9, nSamples = 9999,
+      effStart = 31.99, effEnd = 31.99, retries = 20, tainted = 250,
+      runsPerQuery = 9)
+    val drains = Seq(
+      BenchJson.drainRecord("q231_drain", 999999999L, 9999.99),
+      BenchJson.drainRecord("q232_drain", 999999999L, 9999.99))
+      .mkString("\"stream\":{", ",", "},")
+    val top = (1 to 20).map(i => f"q$i%03d_" + "x" * 34 -> 99999.999)
+    val line = BenchJson.compactTotal(99999.999, top,
+      "/root/testdata/sf0.1", 250, host, drains)
+    assert(mapper.readTree(line).get("queries").size() == 20)
+    assert(line.length < 2000, s"compact line ${line.length}B busts the tail budget")
+  }
+
   test("no global locale mutation: default is untouched after emission") {
     underLocale(Locale.GERMANY) {
       BenchJson.compactTotal(1.0, Seq("q" -> 1.0), "sf", 1,

@@ -414,8 +414,10 @@ object Bench {
     val streamExtra = {
       val s = graft.streaming.DrainStats.snapshot
       if (s.isEmpty) ""
-      else s.map { case (n, (rows, secs)) => BenchJson.drainRecord(n, rows, secs) }
-        .mkString("\"stream\":{", ",", "},")
+      else s.map { case (n, d) =>
+        BenchJson.drainRecord(n, d.rows, d.secs, d.batchMs.length,
+          d.pctMs(50), d.pctMs(99))
+      }.mkString("\"stream\":{", ",", "},")
     }
     // On full runs the complete map goes out as "total_full" so exactly ONE
     // line carries "metric":"total" (the tail-sized compact line below) — a

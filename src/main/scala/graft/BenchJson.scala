@@ -72,11 +72,17 @@ object BenchJson {
     * object, so a graded artifact carries its own weather evidence.
     */
   /** One streaming-drain entry for the graded lines' `stream` object
-    * (VERDICT r16 stretch 8): input rows, drain wall, derived rows/s.
+    * (VERDICT r16 stretch 8; r17 item 6): input rows, drain wall, derived
+    * rows/s, micro-batch count, and p50/p99 batch duration (ms) from the
+    * drain's `recentProgress` — rows/s sizes a cluster, the percentiles
+    * bound the freshness a production trigger could promise. -1 batch
+    * percentiles mean no per-batch durations were captured.
     */
-  def drainRecord(name: String, rows: Long, secs: Double): String =
+  def drainRecord(name: String, rows: Long, secs: Double,
+                  nBatches: Int, p50Ms: Long, p99Ms: Long): String =
     s""""$name":{"rows":$rows,"sec":${num(secs, 2)},""" +
-      s""""rows_per_s":${num(if (secs > 0) rows / secs else -1.0, 0)}}"""
+      s""""rows_per_s":${num(if (secs > 0) rows / secs else -1.0, 0)},""" +
+      s""""n_batches":$nBatches,"batch_ms_p50":$p50Ms,"batch_ms_p99":$p99Ms}"""
 
   def compactTotal(total: Double, top: Seq[(String, Double)], sfDir: String,
                    nQueries: Int, host: String, extra: String = ""): String = {

@@ -59,11 +59,22 @@ object Oracles {
     * vs generated-in-Scala and pin the generated set to an explicit
     * allowlist (VERDICT r16 item 5): a new in-Scala oracle string can no
     * longer silently bypass the resource convention.
+    *
+    * Contract (ADVICE r17): [[resourceBacked]] is an EXACT-string match
+    * against served texts, so a caller must store the served value
+    * VERBATIM — any post-processing (trim, interpolation, concatenation)
+    * reclassifies that oracle as "generated" and trips OraclesSpec's
+    * allowlist. That's deliberate: a modified text is no longer what the
+    * resource file says, and the spec failure is the audit. Memory cost
+    * is one retained string per registered oracle for the JVM's life
+    * (~250 entries, the oracle texts themselves) — registration-sized,
+    * not data-sized.
     */
   private val servedTexts = TrieMap.empty[String, Unit]
 
   /** True iff `sql` is exactly a text this store served (resource-backed,
-    * possibly with substitutions applied).
+    * possibly with substitutions applied). Exact match by design — see
+    * [[servedTexts]].
     */
   private[graft] def resourceBacked(sql: String): Boolean =
     servedTexts.contains(sql)

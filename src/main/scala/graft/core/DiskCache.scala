@@ -498,6 +498,14 @@ object DiskCache {
     * effective mtime, so a concurrently-read artifact is never yanked
     * from under a lazy plan), and clean up `.tmp-` build dirs orphaned
     * by a killed JVM.
+    *
+    * Known softness (ADVICE r17, accepted): the byte budget recomputes
+    * `entryBytes` — a recursive leaf walk — for every kept entry on each
+    * publish, and entries held hot by the idle guard can keep the store
+    * over budget for up to [[minIdleMs]]. Both are fine at the current
+    * maxEntries=32 scale (walks are ms, overshoot is bounded by one
+    * generation); if maxEntries grows past a few hundred, cache
+    * per-entry sizes keyed by `effectiveMtime` instead of re-walking.
     */
   private val minIdleMs = 6L * 3600 * 1000
   private def sweep(root: java.io.File): Unit = {

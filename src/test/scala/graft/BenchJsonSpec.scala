@@ -53,10 +53,14 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(nh.get("eff_end").asDouble() == 24.9)
       assert(nh.get("retries").asInt() == 3)
 
-      val drain = BenchJson.drainRecord("q231_drain", 600000L, 4.27)
+      val drain = BenchJson.drainRecord("q231_drain", 600000L, 4.27,
+        nBatches = 4, p50Ms = 812L, p99Ms = 1460L)
       val nd = mapper.readTree("{" + drain + "}")
       assert(nd.get("q231_drain").get("rows").asLong() == 600000L)
       assert(nd.get("q231_drain").get("rows_per_s").asDouble() == 140515.0)
+      assert(nd.get("q231_drain").get("n_batches").asInt() == 4)
+      assert(nd.get("q231_drain").get("batch_ms_p50").asLong() == 812L)
+      assert(nd.get("q231_drain").get("batch_ms_p99").asLong() == 1460L)
 
       val compact = BenchJson.compactTotal(236.068,
         Seq("q63_pipeline_transform" -> 6.824, "q126_triangles" -> 6.19),
@@ -88,8 +92,10 @@ class BenchJsonSpec extends AnyFunSuite {
       effStart = 31.99, effEnd = 31.99, retries = 20, tainted = 250,
       runsPerQuery = 9)
     val drains = Seq(
-      BenchJson.drainRecord("q231_drain", 999999999L, 9999.99),
-      BenchJson.drainRecord("q232_drain", 999999999L, 9999.99))
+      BenchJson.drainRecord("q231_drain", 999999999L, 9999.99, 9999,
+        999999L, 999999L),
+      BenchJson.drainRecord("q232_drain", 999999999L, 9999.99, 9999,
+        999999L, 999999L))
       .mkString("\"stream\":{", ",", "},")
     val top = (1 to 20).map(i => f"q$i%03d_" + "x" * 34 -> 99999.999)
     val line = BenchJson.compactTotal(99999.999, top,

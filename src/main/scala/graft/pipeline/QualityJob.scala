@@ -21,15 +21,23 @@ import org.apache.spark.sql.DataFrame
   */
 object QualityJob {
 
-  /** @param finalDf      full canonical rows, severity != high — NOT cached;
+  /** @param canonical    the FULL canonical frame before the severity
+    *                      split — the single-pass seam (VERDICT r17 item
+    *                      2): a caller that lands `canonical` ONCE
+    *                      partitioned by `severity` gets finalDf and
+    *                      quarantine as partition-pruned READS of that
+    *                      store instead of two recomputes of the chain
+    *                      (the 100-TB layout; PipelineWall ships it)
+    * @param finalDf      full canonical rows, severity != high — NOT cached;
     *                      intended to stream straight to its sink
     * @param quarantine   full canonical rows, severity == high — NOT cached
     * @param metricsInput the severity-filtered [[MetricsJob.consumedColumns]]
     *                     projection, cached MEMORY_AND_DISK — the one plan
     *                     the nine metric families fan out from
     */
-  final case class QualityOutput(finalDf: DataFrame, quarantine: DataFrame,
-      priceIssues: DataFrame, quantityIssues: DataFrame, metricsInput: DataFrame)
+  final case class QualityOutput(canonical: DataFrame, finalDf: DataFrame,
+      quarantine: DataFrame, priceIssues: DataFrame, quantityIssues: DataFrame,
+      metricsInput: DataFrame)
 
   /** P4 — QA rule predicates (`go-quality-elt.py:108-123`). */
   private def priceIssue = col("item_price").isNull ||
@@ -132,6 +140,7 @@ object QualityJob {
       .select(MetricsJob.consumedColumns.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     QualityOutput(
+      canonical = canonical,
       finalDf = canonical.filter(col("severity") =!= "high"),
       quarantine = canonical.filter(col("severity") === "high"),
       priceIssues = priceIssues,

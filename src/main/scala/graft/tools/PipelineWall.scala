@@ -81,7 +81,7 @@ object PipelineWall {
     val targetFileBytes = 256L << 20
     val smallFileBytes = 32L << 20
     // memoized per path: the metric stage's eleven concurrent writes all
-    // point at $outRoot/final — one walk, not eleven
+    // point at $outRoot/canonical — one walk, not eleven
     val dirBytesMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     def walkBytes(f: java.io.File): Long =
       if (f.isDirectory)
@@ -95,8 +95,18 @@ object PipelineWall {
       * task count would land a near-empty output as dozens of tiny files,
       * regressing the small-file control this function exists for.
       */
+    /** `keyedFence = false` (with `partitionBy`) writes through the plain
+      * sized coalesce instead of the keyed repartition: the keyed fence
+      * hash-partitions on the key columns ALONE, so a low-cardinality key
+      * (severity has 3 values) would collapse the whole upstream compute
+      * to 3 tasks — the exact compute-collapse r16 removed. The coalesce
+      * path keeps compute at the scan's parallelism; each task writes at
+      * most one file per key value it holds (≤3× file count, still
+      * bytes-sized).
+      */
     def write(df: DataFrame, path: String, inputPath: String, files: Int = 4,
-        partitionBy: Seq[String] = Nil, selectivity: Double = 1.0): Unit = {
+        partitionBy: Seq[String] = Nil, selectivity: Double = 1.0,
+        keyedFence: Boolean = true): Unit = {
       val inBytes = (dirBytes(inputPath) * selectivity).toLong
       // SMOOTH bytes-derived task count, no threshold cliff (the first
       // cut used a 1 GiB small/big branch — the 10× point's 668 MB
@@ -111,7 +121,7 @@ object PipelineWall {
       // 17 s ingest at 30× — the wide-data exchange was the residue).
       val n = math.max(files, math.min(256, (inBytes / smallFileBytes).toInt + 1))
       val fenced =
-        if (partitionBy.isEmpty) df.coalesce(n)
+        if (partitionBy.isEmpty || !keyedFence) df.coalesce(n)
         else if (inBytes < fenceBytes) df.coalesce(files)
         else {
           // keyed fence: each key-directory gets one file per holding
@@ -128,11 +138,17 @@ object PipelineWall {
       // of silently mis-sizing outputs. Stage-log-only, never graded.
       if (selectivity != 1.0) {
         val actual = walkBytes(new java.io.File(path))
+        // warn only when the drift would have CHANGED the task count —
+        // post-aggregate outputs land at the `files` floor no matter how
+        // wrong the guess is, and a warning there is pure noise
+        val nFromActual =
+          math.max(files, math.min(256, (actual / smallFileBytes).toInt + 1))
         System.err.println(
           s"[wall] $path: sized for $inBytes B (sel=$selectivity of " +
             s"$inputPath), wrote $actual B → n=$n tasks" +
-            (if (actual > 2 * inBytes || actual * 4 < inBytes)
-              "  ** selectivity guess drifted >2x — re-tune **" else ""))
+            (if (nFromActual > 2 * n || n > 2 * nFromActual)
+              s"  ** selectivity guess mis-sized the output ($n vs " +
+                s"$nFromActual from actual bytes) — re-tune **" else ""))
       }
     }
 
@@ -197,10 +213,20 @@ object PipelineWall {
         val q = QualityJob(transformed,
           spark.read.parquet(s"$outRoot/landing/order_item_options"),
           spark.read.parquet(s"$outRoot/landing/date_dim"), thresholds)
-        write(q.finalDf, s"$outRoot/final",
-          inputPath = s"$outRoot/transform/order_items", files = 8)
-        write(q.quarantine, s"$outRoot/quality/final",
-          inputPath = s"$outRoot/transform/order_items", selectivity = 0.1)
+        // Single-pass severity split (VERDICT r17 item 2): the canonical
+        // chain is computed and landed ONCE, partitioned by severity —
+        // the final table IS the severity != high partitions and the
+        // quarantine layer IS the high partition, both partition-PRUNED
+        // reads downstream. The r16 layout wrote finalDf + quarantine as
+        // two separate stores, which re-ran the whole all-broadcast
+        // canonical chain per store (the fat-row persist alternative
+        // LOST its A/B in r17: cache write > recompute); total output
+        // bytes are unchanged (the two splits partitioned the same
+        // rows). keyedFence = false: a severity-keyed repartition would
+        // collapse compute to 3 tasks.
+        write(q.canonical, s"$outRoot/canonical",
+          inputPath = s"$outRoot/transform/order_items", files = 8,
+          partitionBy = Seq("severity"), keyedFence = false)
         write(q.priceIssues, s"$outRoot/quality/price",
           inputPath = s"$outRoot/transform/order_items", selectivity = 0.1)
         write(q.quantityIssues, s"$outRoot/quality/quantity",
@@ -214,8 +240,12 @@ object PipelineWall {
         // ONCE — the reference's own idiom (`go-transform-elt.py:338`) — so
         // the eleven writers read a cached columnar table instead of
         // re-deriving revenue over eleven parquet re-reads
+        // the final table = the canonical store's severity != high
+        // partitions — the filter is on the PARTITION column, so the scan
+        // never touches the quarantine directory (partition pruning)
         val base = MetricsJob.revenueBase(
-          spark.read.parquet(s"$outRoot/final")
+          spark.read.parquet(s"$outRoot/canonical")
+            .filter(col("severity") =!= "high")
             .select(MetricsJob.consumedColumns.map(col): _*))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         base.count() // materialize before the fan-out races on the cache
@@ -233,8 +263,8 @@ object PipelineWall {
             val partCols =
               if (df.columns.contains("restaurant_id")) Seq("restaurant_id") else Nil
             write(df, s"$outRoot/metrics/$subject",
-              inputPath = s"$outRoot/final", partitionBy = partCols,
-              selectivity = 0.05) // per-restaurant/date aggregates: tiny vs final
+              inputPath = s"$outRoot/canonical", partitionBy = partCols,
+              selectivity = 0.05) // per-restaurant/date aggregates: tiny vs input
           }
         }
         try Await.result(Future.sequence(writes), Duration.Inf)

@@ -27,8 +27,18 @@ object Bench {
     * ENGINE, not the host's disk phase. Production clusters use real
     * disk arrays; this is measurement hygiene, not a scale design.
     * Orphans from kill -9 runs are swept at next start (fixed subtree).
+    *
+    * SPARK_GRAFT_SCRATCH_DISK=1 opts OUT (scratch stays on the default
+    * disk paths): tmpfs pages and the JVM heap compete for the SAME
+    * physical RAM, and a big-SF suite run accumulates tens of GB of
+    * shuffle files before the context cleaner catches up — the r18 300×
+    * pass was kernel-OOM-killed at 64g heap + 54 GB of tmpfs shuffle on
+    * a 128 GB box. Gate-scale runs keep the tmpfs default; anything
+    * whose shuffle volume is data-sized must take the disk.
     */
   private def shmScratch(): Option[String] = {
+    if (sys.env.get("SPARK_GRAFT_SCRATCH_DISK").exists(v => v == "1" || v == "true"))
+      return None
     val shm = new java.io.File("/dev/shm")
     if (!shm.isDirectory || shm.getUsableSpace < 32L * 1024 * 1024 * 1024)
       return None

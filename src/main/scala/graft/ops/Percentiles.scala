@@ -96,4 +96,26 @@ object Percentiles {
     case _: Auto => throw new IllegalArgumentException(
       "Percentiles.Auto must be resolved via Percentiles.resolve(df, groupCols, mode) before pctl")
   }
+
+  /** percentile(c, array(ps)) under the chosen mode — ONE aggregation
+    * buffer serving every requested percentile. N separate [[pctl]]
+    * aggregates over the same column each buffer (Exact) or sketch
+    * (Approx) the full group independently: Spark gives every Percentile /
+    * ApproximatePercentile expression its own aggregation state, so a
+    * 9-decile bounds aggregation paid 9× the buffering, sorting and
+    * merge work of this single array call (round-19 measurement: the
+    * q130/q148 decile-bounds stage). Element i of the result is
+    * BIT-IDENTICAL to `pctl(c, ps(i), mode)` — same function, same
+    * buffer contents, same interpolation — so oracle hashes are
+    * untouched. Callers index with `.getItem(i)`.
+    */
+  def pctls(c: Column, ps: Seq[Double], mode: Mode): Column = {
+    val arr = array(ps.map(lit): _*)
+    mode match {
+      case Exact       => percentile(c, arr)
+      case Approx(acc) => percentile_approx(c, arr, lit(acc))
+      case _: Auto => throw new IllegalArgumentException(
+        "Percentiles.Auto must be resolved via Percentiles.resolve(df, groupCols, mode) before pctls")
+    }
+  }
 }

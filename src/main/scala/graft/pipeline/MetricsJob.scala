@@ -66,9 +66,12 @@ object MetricsJob {
       .groupBy(col("restaurant_id"), col("customer_id"))
       .agg(Exact.dsum(col("revenue")).as("clv"))
     val m = graft.ops.Percentiles.resolve(perCust, Seq(col("restaurant_id")), mode)
+    // one array-percentile buffer per restaurant instead of two (each
+    // scalar pctl buffered the group's values independently — round-19)
     val th = perCust.groupBy(col("restaurant_id"))
-      .agg(graft.ops.Percentiles.pctl(col("clv"), 0.2, m).as("low_th"),
-        graft.ops.Percentiles.pctl(col("clv"), 0.8, m).as("high_th"))
+      .agg(graft.ops.Percentiles.pctls(col("clv"), Seq(0.2, 0.8), m).as("th"))
+      .select(col("restaurant_id"),
+        col("th").getItem(0).as("low_th"), col("th").getItem(1).as("high_th"))
     perCust.join(broadcast(th), Seq("restaurant_id"))
       .withColumn("clv_bucket",
         when(col("clv") >= col("high_th"), "High CLV")

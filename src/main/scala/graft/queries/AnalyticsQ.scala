@@ -275,9 +275,13 @@ object AnalyticsQ {
     val tagged = dated.crossJoin(broadcast(mid))
       .withColumn("period",
         when(col("ts_us") < col("mid_us"), "expected").otherwise("actual"))
+    // ONE array-percentile aggregate — nine scalar percentile() calls each
+    // buffered the expected-period column independently (9× aggregation
+    // state; round-19, same fix as q130's decileBounds)
     val bounds = tagged.filter(col("period") === "expected")
-      .agg((1 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")).head,
-        (2 to 9).map(j => expr(s"percentile(x, 0.$j)").as(s"t$j")): _*)
+      .agg(expr(
+        "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+      .select((1 to 9).map(j => col("ts").getItem(j - 1).as(s"t$j")): _*)
     val bin = (1 to 9).map(j =>
       when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
     val counts = tagged.crossJoin(broadcast(bounds))

@@ -58,6 +58,12 @@ object AsOfQ {
     // that multiplies the input rows through every other aggregate's partial
     // state — sharing one aggregation with the value-buffering exact
     // percentile measured 10× slower than these two lean passes.
+    // spread A/B'd and REJECTED on both passes (round-19): the distinct
+    // partials collapse most duplicates map-side and the percentile merge
+    // work is the same total either way, so the round-robin pre-exchange
+    // of 600k rows costs more than the single-task partials save
+    // (3.17 s → 4.2–4.4 s measured). At production split counts both
+    // stages parallelize by themselves.
     val counts = t.lineitem.groupBy(col("l_returnflag")).agg(
       countDistinct(col("l_orderkey")).as("exact_orders"),
       countDistinct(col("l_partkey")).as("exact_parts"),

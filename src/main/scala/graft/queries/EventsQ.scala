@@ -120,11 +120,15 @@ object EventsQ {
         |'view_to_purchase', CASE WHEN p IS NOT NULL THEN (p - v) div 1000000L END)
         |AS (transition, gap_s)""".stripMargin))
       .filter(col("gap_s").isNotNull)
+    // one array-percentile buffer per transition instead of two (round-19)
     gaps.groupBy(col("transition"))
       .agg(count(lit(1)).as("n_users"),
-        expr("CAST(round(percentile(gap_s, 0.5) * 1000) AS BIGINT)").as("p50_ms_x1000"),
-        expr("CAST(round(percentile(gap_s, 0.9) * 1000) AS BIGINT)").as("p90_ms_x1000"),
+        expr("percentile(gap_s, array(0.5, 0.9))").as("__p"),
         max(col("gap_s")).as("max_s"))
+      .select(col("transition"), col("n_users"),
+        expr("CAST(round(__p[0] * 1000) AS BIGINT)").as("p50_ms_x1000"),
+        expr("CAST(round(__p[1] * 1000) AS BIGINT)").as("p90_ms_x1000"),
+        col("max_s"))
   }
 
   private val funnelLatencySql = Oracles("events", "funnelLatency")

@@ -66,12 +66,20 @@ object ParityQ {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val m = graft.ops.Percentiles.resolve(joined, Seq(col("p_brand")), mode)
+    // one array-percentile buffer PER COLUMN (2 total) instead of one per
+    // (column, p) pair (4) — each scalar pctl buffered the brand's values
+    // independently (round-19, the q130 decileBounds fix)
     val th = joined.groupBy(col("p_brand"))
       .agg(
-        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.05, m).as("price_low"),
-        graft.ops.Percentiles.pctl(col("l_extendedprice"), 0.95, m).as("price_high"),
-        graft.ops.Percentiles.pctl(col("l_quantity"), 0.05, m).as("qty_low"),
-        graft.ops.Percentiles.pctl(col("l_quantity"), 0.95, m).as("qty_high"))
+        graft.ops.Percentiles.pctls(col("l_extendedprice"),
+          Seq(0.05, 0.95), m).as("price_th"),
+        graft.ops.Percentiles.pctls(col("l_quantity"),
+          Seq(0.05, 0.95), m).as("qty_th"))
+      .select(col("p_brand"),
+        col("price_th").getItem(0).as("price_low"),
+        col("price_th").getItem(1).as("price_high"),
+        col("qty_th").getItem(0).as("qty_low"),
+        col("qty_th").getItem(1).as("qty_high"))
     val priceViol = when(col("l_extendedprice") < col("price_low") ||
       col("l_extendedprice") > col("price_high"), 1).otherwise(0)
     val qtyViol = when(col("l_quantity") < col("qty_low") ||

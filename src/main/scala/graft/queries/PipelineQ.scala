@@ -198,12 +198,17 @@ object PipelineQ {
     * bounds from the transform output (see object doc).
     */
   private[graft] def thresholdsOf(transformed: DataFrame): DataFrame =
+    // one array-percentile buffer per column (2) instead of one per
+    // (column, p) pair (4) — round-19, the q130 decileBounds fix
     transformed.groupBy(col("restaurant_id"), col("item_category"), col("item_name"))
       .agg(
-        expr("percentile(item_price, 0.25)").as("price_min"),
-        expr("percentile(item_price, 0.75)").as("price_max"),
-        expr("percentile(item_quantity, 0.25)").as("qty_min"),
-        expr("percentile(item_quantity, 0.75)").as("qty_max"))
+        expr("percentile(item_price, array(0.25, 0.75))").as("price_th"),
+        expr("percentile(item_quantity, array(0.25, 0.75))").as("qty_th"))
+      .select(col("restaurant_id"), col("item_category"), col("item_name"),
+        col("price_th").getItem(0).as("price_min"),
+        col("price_th").getItem(1).as("price_max"),
+        col("qty_th").getItem(0).as("qty_min"),
+        col("qty_th").getItem(1).as("qty_max"))
 
   // --------------------------------------------------------- shared plan ---
 

@@ -53,9 +53,15 @@ object ReshapeQ {
     */
   def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
+    // spread: the Expand (×4 rows) + decimal-sum partial agg otherwise run
+    // on the 1-split lineitem scan — ONE task owned the whole fan-out
+    // (round-19 stage log: 3-task stage, med 0.0 / max 1.2–1.7 s; this was
+    // also q119's r18 graded-outlier variance — a single-thread hot stage
+    // absorbs any scheduling hiccup at full window weight). Projection
+    // first so the round-robin exchange carries only the 5 needed columns.
+    Tables.spread(t.lineitem
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"))
+        col("l_discount"), col("l_tax")))
       .unpivot(
         ids = Array(col("l_orderkey")),
         values = Array(col("l_quantity"), col("l_extendedprice"),

@@ -442,17 +442,23 @@ object StatsQ {
   private def decileBounds(x: DataFrame,
       mode: graft.ops.Percentiles.Mode): DataFrame = {
     val m = graft.ops.Percentiles.resolve(x, Seq.empty, mode)
-    x.agg(
-      (1 to 9).map(j =>
-        graft.ops.Percentiles.pctl(col("x"), j / 10.0, m).as(s"t$j")).head,
-      (2 to 9).map(j =>
-        graft.ops.Percentiles.pctl(col("x"), j / 10.0, m).as(s"t$j")): _*)
+    // ONE array-percentile aggregate (single value buffer / sketch) — nine
+    // scalar pctl() calls each buffered the whole column independently
+    // (9× the aggregation state and sort work; guide §1.2 per-task work)
+    x.agg(graft.ops.Percentiles.pctls(col("x"), (1 to 9).map(_ / 10.0), m)
+        .as("ts"))
+      .select((1 to 9).map(j => col("ts").getItem(j - 1).as(s"t$j")): _*)
   }
 
   def equidepthHistogram(spark: SparkSession, dir: String,
       mode: graft.ops.Percentiles.Mode = graft.ops.Percentiles.Exact): DataFrame = {
     val t = Tables(spark, dir)
-    val x = t.orders.select(col("o_totalprice").as("x"))
+    // spread: both the bounds aggregation (value-buffering percentile
+    // partials) and the binning pass otherwise run on the 1-split orders
+    // scan — one task owns the whole column (round-19 stage log: 3-task
+    // stage, med 0.0 / max 1.2 s). Projection first so the round-robin
+    // exchange carries one double per row (guide §2.3/§2.5).
+    val x = Tables.spread(t.orders.select(col("o_totalprice").as("x")))
     val bounds = decileBounds(x, mode)
     val bin = (1 to 9).map(j =>
       when(col("x") > col(s"t$j"), 1).otherwise(0)).reduce(_ + _)
@@ -496,7 +502,8 @@ object StatsQ {
   def equidepthApproxGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.Percentiles
     val t = Tables(spark, dir)
-    val x = t.orders.select(col("o_totalprice").as("x"))
+    // same spread rationale as q130 (shared 1-split orders scan)
+    val x = Tables.spread(t.orders.select(col("o_totalprice").as("x")))
     val bounds = decileBounds(x, Percentiles.Approx(10000))
     val ranked = x.crossJoin(broadcast(bounds))
       .agg(count(lit(1)).as("n"),

@@ -439,7 +439,7 @@ object DiskCache {
       // hit path inside the guard too: a corrupted entry or one swept by
       // a concurrent JVM must fall back to the build, never fail the query
       try {
-        val hit = spark.read.parquet(target.getAbsolutePath)
+        val hit = spreadRead(spark, target)
         if (touch(target)) return hit
         // untouchable entry: leave it for JVMs that CAN touch it, but
         // don't hand out a frame a concurrent sweep may yank mid-plan —
@@ -469,13 +469,27 @@ object DiskCache {
       if (!tmp.renameTo(target)) // lost a publish race to a concurrent JVM
         wipe(tmp)
       sweep(root)
-      if (ok && !untouchable) spark.read.parquet(target.getAbsolutePath) else df
+      if (ok && !untouchable) spreadRead(spark, target) else df
     } catch {
       case e: Exception =>
         System.err.println(s"[diskcache] $key not persisted: ${e.getMessage}")
         df
     }
   }
+
+  /** Artifact read-back, spread to core count when the published layout
+    * plans fewer splits than `defaultParallelism` ([[Tables.spread]] —
+    * identity at production split counts). A gate-scale artifact often
+    * publishes as ONE small parquet file; a bare read hands every
+    * consumer a 1-partition frame, and because the small side of each
+    * downstream join broadcasts, NOTHING downstream re-spreads it — the
+    * graph family's whole triangle/BFS compute ran as single-task stages
+    * (3.4–3.9 s each run at sf0.1, r19 stage logs) off the 1-split
+    * `graph-oriented` hit. The repartition costs one tiny local exchange
+    * on the hit path and nothing at scale, where splits ≥ cores already.
+    */
+  private def spreadRead(spark: SparkSession, target: java.io.File): DataFrame =
+    Tables.spread(spark.read.parquet(target.getAbsolutePath))
 
   /** Recursive byte size of one published entry (leaf file lengths). */
   private def entryBytes(f: java.io.File): Long =

@@ -55,9 +55,21 @@ object PageRank {
 
     var ranks = deg.select(col("src").as("node"), lit(UnitSc).as("rank_u"))
       .localCheckpoint(true)
+    // Checkpointed ranks are a stats-less LogicalRDD, so the planner can
+    // never auto-broadcast them and every iteration pays a full shuffle +
+    // sort of BOTH sides (edges re-shuffled per round). When the node
+    // count — a control-plane scalar over the just-materialized checkpoint,
+    // one cached-RDD scan — fits a broadcast comfortably, hint ranks onto
+    // the build side: the edge table is then only probed map-side, one
+    // shuffle per round (the dst aggregate) instead of three. Past the
+    // threshold the hint drops away and the loop keeps the scale-correct
+    // shuffle join (node-sized frames cannot ride a broadcast at 100 TB).
+    val hintTiny = ranks.count() <= 2000000L
+    def tiny(df: DataFrame): DataFrame =
+      if (hintTiny) org.apache.spark.sql.functions.broadcast(df) else df
     for (_ <- 1 to iterations) {
       ranks = eDeg
-        .join(ranks, eDeg("src") === ranks("node"))
+        .join(tiny(ranks), eDeg("src") === ranks("node"))
         .select(col("dst"),
           expr("(2 * rank_u + deg) div (2 * deg)").as("contrib_u"))
         .groupBy(col("dst"))

@@ -658,35 +658,50 @@ object DedupQ {
     }
     val docs = t.documents.select(col("doc_id"), col("source"),
       splitCol(col("doc_id")).as("split"))
-    val sh = t.documents
-      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+    // ONE tokenize base (r19): split is a pure function of doc_id, so it
+    // computes in-row on the shingle side — the old shape joined the doc
+    // table back just to read `split`, and because each consumer branch
+    // re-planned the un-persisted subtree, the FULL-corpus shingle
+    // explode ran three times (ev once, tr twice via the separate
+    // bloom/exact flags). Each split now explodes once, off a spread
+    // scan (the 1-row-group testdata plans one task; guide §2.5 — the
+    // explode+md5 stages ran single-threaded, 1.5/1.1 s stage-log).
+    val base = Tables.spread(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        Dedup.words(col("text")).as("w"))
       .filter(size(col("w")) >= 5)
+    def shOf(split: String) = base.filter(col("split") === split)
       .select(col("doc_id"), explode(Dedup.wordShingles("w", 5)).as("shingle"))
-      .join(docs.select(col("doc_id"), col("split")), Seq("doc_id"))
     // eval shingle set feeds the bloom build AND the exact audit join
-    val ev = sh.filter(col("split") === "test")
-      .select(col("shingle")).distinct().localCheckpoint(true)
+    val ev = shOf("test").select(col("shingle")).distinct().localCheckpoint(true)
     def idx(saltN: Int): Column = pmod(Dedup.hash60(col("shingle"), s"bf$saltN"), lit(M))
     val bloom = ev.select(idx(1).as("i")).unionAll(ev.select(idx(2).as("i")))
       .select(expr("i div 32").as("w"),
         expr("shiftleft(1L, cast(i % 32 as int))").as("bv"))
       .groupBy(col("w")).agg(expr("bit_or(bv)").as("bits"))
-    val tr = sh.filter(col("split") === "train")
+    val tr = shOf("train")
       .withColumn("i1", idx(1)).withColumn("i2", idx(2))
-    val bloomFlag = tr
+    // Both flags in ONE pass over the train shingles (was: two passes +
+    // two doc-id distincts): the bloom test is a map-side broadcast
+    // predicate carried as 0/1, the exact audit is the one shingle-keyed
+    // exchange (projected to (doc_id, shingle, bfp) first, guide §2.3),
+    // and `max` per doc_id reproduces the old "any shingle hit" distinct
+    // semantics exactly.
+    val flags = tr
       .join(broadcast(bloom.select(col("w").as("w1"), col("bits").as("bits1"))),
         expr("i1 div 32") === col("w1"), "left")
       .join(broadcast(bloom.select(col("w").as("w2"), col("bits").as("bits2"))),
         expr("i2 div 32") === col("w2"), "left")
-      .filter(
-        expr("coalesce(bits1, 0L) & shiftleft(1L, cast(i1 % 32 as int))") =!= 0 &&
-        expr("coalesce(bits2, 0L) & shiftleft(1L, cast(i2 % 32 as int))") =!= 0)
-      .select(col("doc_id")).distinct().withColumn("bf", lit(1L))
-    val exactFlag = tr.join(ev, Seq("shingle"), "left_semi")
-      .select(col("doc_id")).distinct().withColumn("ex", lit(1L))
+      .select(col("doc_id"), col("shingle"),
+        (expr("coalesce(bits1, 0L) & shiftleft(1L, cast(i1 % 32 as int))") =!= 0 &&
+         expr("coalesce(bits2, 0L) & shiftleft(1L, cast(i2 % 32 as int))") =!= 0)
+          .cast("long").as("bfp"))
+      .join(ev.withColumn("ex", lit(1L)), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("bfp")).as("bf"),
+        max(coalesce(col("ex"), lit(0L))).as("ex"))
     docs.filter(col("split") === "train")
-      .join(bloomFlag, Seq("doc_id"), "left")
-      .join(exactFlag, Seq("doc_id"), "left")
+      .join(flags, Seq("doc_id"), "left")
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_train_docs"),
         sum(coalesce(col("bf"), lit(0L))).as("bloom_flagged"),

@@ -256,6 +256,23 @@ object GraphQ {
       .unionByName(eo.select(col("dst").as("src"), col("src").as("dst")))
     val hub = deg.orderBy(col("d").desc, col("v")).limit(1)
       .select(col("v").as("node"), lit(0).as("hops"))
+    // Frontier/visited are ≤ node-sized and both sides of every round's
+    // joins are latency-critical: un-hinted, the planner broadcasts SYM
+    // (the only side with known stats — frontier/visited are checkpointed
+    // LogicalRDDs, unknown size → never auto-broadcast), which re-collects
+    // the edge cache to the driver EVERY round and shuffles the anti-join
+    // both ways (r19 stage logs: 30+ stages, wall 2× the compute). When
+    // the node count is small enough to broadcast safely, hint the tiny
+    // frames instead: per-round broadcasts become a 1-partition collect,
+    // sym is only ever probed map-side, and the anti-join goes map-side
+    // too (q137 3.6 → 2.4 s at sf0.1). Past the threshold (~16 MB of
+    // packed longs) the hints drop away and the loop keeps the
+    // scale-correct shuffle joins — a 100 TB graph's 4-hop ball cannot
+    // ride a broadcast. The count is a control-plane scalar over the
+    // persisted degree table (A14 pattern, one cached-scan job).
+    val nNodes = deg.agg(count(lit(1)).as("n")).first().getLong(0)
+    val hintTiny = nNodes <= 2000000L
+    def tiny(df: DataFrame): DataFrame = if (hintTiny) broadcast(df) else df
     // frontier-only expansion (not min-plus over the full table): each
     // round joins ONLY the nodes first reached last round and anti-joins
     // the visited set — on dense graphs the frontier collapses after the
@@ -270,9 +287,9 @@ object GraphQ {
     var visited: DataFrame = hubCp
     var frontier = hubCp.select(col("node"))
     (1 to 4).foreach { i =>
-      val next = frontier.join(sym, frontier("node") === sym("src"))
+      val next = tiny(frontier).join(sym, frontier("node") === sym("src"))
         .select(sym("dst").as("node")).distinct()
-        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .join(tiny(visited.select(col("node"))), Seq("node"), "left_anti")
         .withColumn("hops", lit(i))
         .localCheckpoint(true)
       frontier = next.select(col("node"))

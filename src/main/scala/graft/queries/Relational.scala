@@ -50,12 +50,25 @@ object Relational {
     */
   def orderLineitemJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.orders
-      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"), "left")
-      .groupBy(col("o_orderkey"))
+    // Aggregate BELOW the join (guide §2.3): the rollup keys on the join
+    // key, so lineitem reduces to one narrow row per order BEFORE the
+    // exchange — partial aggregation collapses the fact side map-side and
+    // the join moves |orders|+|orders| rows instead of |orders|+|lineitem|
+    // (Catalyst has no aggregate-through-join pushdown; done by hand).
+    // Row-for-row identical: count(l_linenumber) counts the same non-null
+    // linenumbers per order, unmatched orders coalesce to (0, 0.0) exactly
+    // as the joined-then-grouped nulls did, and Exact.dsum groups over the
+    // same row set either way.
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey"))
       .agg(
-        count(col("l_linenumber")).as("n_items"),
-        coalesce(Exact.dsum(col("l_extendedprice")), lit(0.0)).as("items_value"))
+        count(col("l_linenumber")).as("__n"),
+        Exact.dsum(col("l_extendedprice")).as("__v"))
+    t.orders.select(col("o_orderkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("__n"), lit(0L)).as("n_items"),
+        coalesce(col("__v"), lit(0.0)).as("items_value"))
   }
 
   private val orderLineitemJoinSql = Oracles("relational", "orderLineitemJoin")

@@ -258,6 +258,13 @@ object Similarity {
     // TakeOrderedAndProject (orderBy.limit) — NOT a global row_number window,
     // which would drag the whole corpus through one partition; the ranking
     // window then runs over only the k seed rows
+    // Each centroid generation is localCheckpoint'd (k rows — trivial at
+    // any scale): the frame is BROADCAST once per assign/probe, and an
+    // un-truncated lineage nests every prior Lloyd iteration, so each
+    // broadcast build re-executed the whole centroid history including
+    // its corpus scans (r19 stage logs: a dozen 0.2–0.3 s single-task
+    // replans per q53 run). The checkpoint is the NOTES iterative rule
+    // (one materialization per round, lineage cut), same as PageRank/BFS.
     var centroids = c
       .withColumn("__md", md5(col("id").cast("string")))
       .orderBy(col("__md"), col("id"))
@@ -265,6 +272,7 @@ object Similarity {
       .withColumn("cluster",
         row_number().over(Window.orderBy(col("__md"), col("id"))) - 1)
       .select(col("cluster"), col("v").as("cv"))
+      .localCheckpoint(true)
 
     // argmin via max_by partial aggregation, NOT a row_number window: a
     // window over Window.partitionBy(id) would shuffle all N·k scored rows
@@ -299,6 +307,7 @@ object Similarity {
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cluster"), expr("transform(pm, e -> e.m)").as("cv"))
+        .localCheckpoint(true)
     }
 
     val indexed = assign(c, centroids)

@@ -319,6 +319,12 @@ object AnalyticsQ {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg((sum(col("o_totalprice").cast(money)) * 100).cast("long").as("rev_u"))
+      // |nations| rows, referenced THREE times below (directly, via reg,
+      // via tot) — un-truncated, the whole orders join+agg re-executed
+      // per reference (broadcast builds don't share exchanges); one eager
+      // checkpoint of the 25-row rollup collapses that to a single pass
+      // (r19; measured 1.96 s → see OPTIMIZATION_r19.md)
+      .localCheckpoint(true)
     val reg = nat.groupBy(col("r_name")).agg(sum(col("rev_u")).as("reg_u"))
     val tot = reg.agg(sum(col("reg_u")).as("tot_u"))
     nat.join(broadcast(reg), Seq("r_name")).crossJoin(broadcast(tot))

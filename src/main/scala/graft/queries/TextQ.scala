@@ -778,9 +778,15 @@ object TextQ {
     // engine-differently under the driver's canonicalization).
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val scored = t.documents.select(col("doc_id"), col("source"), col("n_chars"),
-      graft.ops.QualityScorer.logitMicro(col("text"),
-        graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
+    // spread before the logit projection (guide §2.5): the 256-weight
+    // logit is the CPU cost here and the 1-row-group testdata plans the
+    // scan as ONE task — measured 1.4 s single-task map stage feeding the
+    // rank windows (r19); identity at production split counts
+    val scored = Tables.spread(
+      t.documents.select(col("doc_id"), col("source"), col("n_chars"), col("text")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.ops.QualityScorer.logitMicro(col("text"),
+          graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
     val wq = Window.partitionBy(col("source"))
       .orderBy(col("logit_u"), col("doc_id"))
     val wl = Window.partitionBy(col("source"))

@@ -35,10 +35,43 @@ object Bench {
     * pass was kernel-OOM-killed at 64g heap + 54 GB of tmpfs shuffle on
     * a 128 GB box. Gate-scale runs keep the tmpfs default; anything
     * whose shuffle volume is data-sized must take the disk.
+    *
+    * AUTO opt-out (r19, VERDICT r18 item 6): the r18 fix required a
+    * human to remember the env var. The bench now estimates the suite's
+    * scratch appetite from the INPUT directory size — the r18 brackets
+    * measured tmpfs shuffle accumulating at ~10–30× the input bytes
+    * (300×: ~5 GB of input → 54 GB of shuffle before the OOM), so any
+    * input over [[scratchDiskThresholdBytes]] (1 GiB) takes the disk
+    * automatically; a 100×-sized directory (~1.6 GB) picks disk with no
+    * env var. SPARK_GRAFT_SCRATCH_DISK still overrides BOTH WAYS:
+    * `1`/`true` forces disk at any size, `0`/`false` forces tmpfs (the
+    * knob the A/B adjudications use).
     */
-  private def shmScratch(): Option[String] = {
-    if (sys.env.get("SPARK_GRAFT_SCRATCH_DISK").exists(v => v == "1" || v == "true"))
-      return None
+  private[graft] val scratchDiskThresholdBytes: Long = 1L << 30
+
+  /** Pure decision core, spec-gated (BenchScratchSpec): does an input
+    * directory of `sfBytes` bytes force scratch onto provisioned disk?
+    */
+  private[graft] def scratchWantsDisk(sfBytes: Long): Boolean =
+    sfBytes >= scratchDiskThresholdBytes
+
+  private[graft] def dirBytes(d: java.io.File): Long =
+    if (d.isFile) d.length()
+    else Option(d.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  private def shmScratch(sfDir: String): Option[String] = {
+    sys.env.get("SPARK_GRAFT_SCRATCH_DISK") match {
+      case Some("1") | Some("true") => return None
+      case Some("0") | Some("false") => () // forced tmpfs, skip the heuristic
+      case _ =>
+        val bytes = dirBytes(new java.io.File(sfDir))
+        if (scratchWantsDisk(bytes)) {
+          System.err.println(f"[cal] scratch: input $sfDir is " +
+            f"${bytes / 1048576.0}%.0f MiB (>= 1 GiB) — shuffle would be " +
+            "data-sized, taking disk scratch (SPARK_GRAFT_SCRATCH_DISK=0 forces tmpfs)")
+          return None
+        }
+    }
     val shm = new java.io.File("/dev/shm")
     if (!shm.isDirectory || shm.getUsableSpace < 32L * 1024 * 1024 * 1024)
       return None
@@ -63,7 +96,7 @@ object Bench {
     // human-facing, not part of any parse contract.
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val scratch = shmScratch()
+    val scratch = shmScratch(sfDir)
     scratch.foreach { r =>
       new java.io.File(r, "tmp").mkdirs()
       System.setProperty("java.io.tmpdir", s"$r/tmp")
@@ -294,8 +327,15 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
+        // "__"-prefixed keys are floors.json metadata (provenance block,
+        // r19 — VERDICT r18 item 2), not query floors; non-numeric
+        // matches (e.g. a date inside the meta block) are skipped rather
+        // than failing the whole table load
         val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.Ee+-]+)""".r
-        pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        pair.findAllMatchIn(txt).flatMap { m =>
+          if (m.group(1).startsWith("__")) None
+          else m.group(2).toDoubleOption.map(m.group(1) -> _)
+        }.toMap
       } catch {
         case e: Exception =>
           System.err.println(s"[cal] no floor table ($path): ${e.getMessage}")
@@ -314,17 +354,21 @@ object Bench {
         .map(_.name)
         .filter(n => results.exists { case (k, v) => k == n && v >= 2.0 })
         .toSet
-      // Untainted queries >3× their recorded floor whose EXCESS is
+      // Untainted queries >2× their recorded floor whose EXCESS is
       // material (≥1 s over floor — the q47 class, and round-13's
       // sub-2 s q06/q175 class, which the old `v >= 2.0` bar named in
       // the audit but never retried: the audit below uses the SAME
       // eligibility so it can no longer list entries the net refuses
       // to touch). Ordered worst-ratio-first so the cap spends its
-      // budget on the most inflated measurements.
+      // budget on the most inflated measurements. Bar widened 3× → 2×
+      // in r19 (VERDICT r18 item 3): q119's 2.40×-floor graded outlier
+      // slipped the 3× net; the A/B cost of the wider bar on a calm
+      // r19 pass is archived in OPTIMIZATION_r19.md (a handful of extra
+      // retries, bounded by the same ≤20-query / 180 s caps).
       val floorOutliers = results
         .filter { case (k, v) =>
           !stallFlagged.contains(k) &&
-            floors.get(k).exists(f => f > 0 && v > 3.0 * f && v - f >= 1.0)
+            floors.get(k).exists(f => f > 0 && v > 2.0 * f && v - f >= 1.0)
         }
         .sortBy { case (k, v) => -(v / floors(k)) }
         .map(_._1)

@@ -85,28 +85,25 @@ object Ranking {
     // ("a")) and collides when values contain the separator
     val keyed = df
       .withColumn("__rk_g", concat(group.map(encodeField): _*))
+    // phase-1 local index, all codegen (r19): after the range shuffle +
+    // in-partition sort, `monotonically_increasing_id()` is
+    // (partition id << 33) + a 0-based per-row counter that follows the
+    // sort order — so within every (partition, group) span,
+    // `mid - min(mid over the span)` IS the local rank index. The former
+    // shape computed the same index with a RowEncoder mapPartitions (every
+    // row deserialized to an external Row and back) plus a second
+    // RDD-based span scan; both passes are replaced by columnar codegen
+    // and one numParts·|groups|-row aggregate. A partition would need
+    // 2^33 rows to overflow the counter into the pid bits — 8.6 B rows
+    // per task, far past any sane split sizing.
     val sorted = keyed
       .repartitionByRange(numParts, (col("__rk_g") +: order): _*)
       .sortWithinPartitions((col("__rk_g") +: order): _*)
-    val schema = StructType(sorted.schema.fields ++ Seq(
-      StructField("__rk_pid", IntegerType, nullable = false),
-      StructField("__rk_local", LongType, nullable = false)))
-    val gIdx = sorted.schema.fieldIndex("__rk_g")
-    // phase-1 local pass: per-(partition, group) running index — rows
-    // arrive sorted, so one counter per group change suffices
-    val local = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var curG: String = null
-      var n = 0L
-      it.map { r =>
-        val g = r.getString(gIdx)
-        if (g != curG) { curG = g; n = 0L }
-        n += 1
-        Row.fromSeq(r.toSeq ++ Seq[Any](pid, n)) // Seq(pid, n) would widen
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
+      .withColumn("__rk_mid", monotonically_increasing_id())
+      .withColumn("__rk_pid",
+        shiftright(col("__rk_mid"), 33).cast(IntegerType))
       // MATERIALIZE before branching (round-15 fix, ADVICE r15 form):
-      // `local` feeds BOTH the span-offset side and the final join, and
+      // `sorted` feeds BOTH the span-offset side and the final join, and
       // RangePartitioner samples its boundaries with a plan-instantiation-
       // dependent seed — if physical planning does NOT reuse the exchange
       // (observed under AQE + coalesce(1): Verify's exact write path), the
@@ -117,67 +114,42 @@ object Ranking {
       // unlike the round-15 localCheckpoint it stays FAULT-TOLERANT at
       // cluster scale: a lost executor recomputes the cached partition
       // through the same lineage (same shuffle dependency, same partitioner
-      // instance, so identical boundaries) instead of failing the query.
+      // instance, so identical boundaries, and mid/pid re-derive from the
+      // same in-partition positions) instead of failing the query.
       // RankingSpec's eviction case pins exactly that: clear every cached
       // block after the offsets are captured and the recompute still
       // matches the window oracle bit-for-bit.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase-2 (VERDICT r16 item 2): capture per-(group, partition) span
-    // sizes in the SAME job that materializes the cache. Rows arrive
-    // group-contiguous and __rk_local-increasing, so a span's size is the
-    // run's last __rk_local; collect() returns task RESULTS, which Spark
-    // applies exactly-once across retries (accumulators inside
-    // transformations may double-count — this is the safe variant of the
-    // "fold the counts into the materializing action" rework). The old
-    // shape re-read the whole persisted frame for a groupBy/max + window.
-    // project to the three meta columns BEFORE the RDD conversion: the
-    // columnar cache serves a pruned read and the per-row Row
-    // materialization carries 3 fields, not the full data width (the
-    // cache itself still materializes complete batches — this action is
-    // what populates it)
-    val spans: Array[(String, Int, Long)] = local
-      .select(col("__rk_g"), col("__rk_pid"), col("__rk_local"))
-      .rdd.mapPartitions { it =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
-        var curG: String = null
-        var pid = Int.MinValue
-        var last = 0L
-        it.foreach { r =>
-          val g = r.getString(0)
-          val p = r.getInt(1)
-          // break the run on a GROUP or PID change: one iterator is one
-          // cached partition today (pid constant), but if a future Spark
-          // version ever merges cached partitions under this read, a
-          // group spanning two pids in one iterator must still emit BOTH
-          // spans — collapsing them would drop the first span's offset
-          // row and silently lose rows at the final join (the q143 class)
-          if (g != curG || p != pid) {
-            if (curG != null) out += ((curG, pid, last))
-            curG = g
-            pid = p
-          }
-          last = r.getLong(2)
-        }
-        if (curG != null) out += ((curG, pid, last))
-        out.iterator
-      }.collect()
-    // driver-side running sum over ≤ numParts·|groups| spans → offsets
+    // phase-2: per-(group, partition) span min-id and size via a pruned
+    // columnar aggregate over the cache-materializing read (the action
+    // that populates the persist), collected driver-side —
+    // ≤ numParts·|groups| rows, the same driver bound as always.
+    val spans: Array[(String, Int, Long, Long)] = sorted
+      .groupBy(col("__rk_g"), col("__rk_pid"))
+      .agg(min(col("__rk_mid")).as("__rk_mn"), count(lit(1)).as("__rk_cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver-side running sum over the spans → per-span global offset;
+    // spans of one group are ordered by pid, which IS the group's total
+    // order across partitions (range partitioning keeps keys contiguous)
     val offsetRows: Seq[Row] = spans.groupBy(_._1).toSeq.flatMap {
       case (g, arr) =>
         var acc = 0L
-        arr.sortBy(_._2).map { case (_, pid, cnt) =>
-          val off = acc; acc += cnt; Row(g, pid, off)
+        arr.sortBy(_._2).map { case (_, pid, mn, cnt) =>
+          val off = acc; acc += cnt; Row(g, pid, mn, off)
         }
     }
     val offSchema = StructType(Seq(
       StructField("__rk_g", org.apache.spark.sql.types.StringType, nullable = false),
       StructField("__rk_pid", IntegerType, nullable = false),
+      StructField("__rk_mn", LongType, nullable = false),
       StructField("__rk_off", LongType, nullable = false)))
     val offsets = df.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(offsetRows).asJava, offSchema)
-    local
+    sorted
       .join(broadcast(offsets), Seq("__rk_g", "__rk_pid"))
-      .withColumn(rnCol, col("__rk_off") + col("__rk_local"))
-      .drop("__rk_g", "__rk_pid", "__rk_local", "__rk_off")
+      .withColumn(rnCol,
+        col("__rk_off") + (col("__rk_mid") - col("__rk_mn")) + lit(1L))
+      .drop("__rk_g", "__rk_pid", "__rk_mid", "__rk_mn", "__rk_off")
   }
 }

@@ -123,7 +123,12 @@ object DedupQ {
   private def shingleDocs(spark: SparkSession, dir: String): DataFrame =
     graft.core.Memo.cached(spark, s"q38-shingles:$dir") {
       val t = Tables(spark, dir)
-      t.documents
+      // spread: the 1-split testdata scan would otherwise persist this as a
+      // ONE-partition cache, and every consumer's heavy map chain on top
+      // (q38's shingle explode + NumHashes×md5 signature partials measured
+      // as single-task 2 s stages, r19 stage log) serializes on one core.
+      // Identity at production split counts — same rule as bandFingerprints.
+      Tables.spread(t.documents)
         .select(col("doc_id"), Dedup.words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), Dedup.wordShingles("w", 3).as("sh"))

@@ -70,19 +70,31 @@ object BpeTrain {
       .select(col("word"), col("n").cast("long").as("n"),
         charUnits("word").as("units"))
       .localCheckpoint(true)
+    // One vocab-sized job per round SAVED (r19): the weighted unit count
+    // obeys the exact identity Σn·size(units) = Σn + Σ_pairs c (each word
+    // contributes size−1 adjacent pairs, zip_with emits exactly those), so
+    // `units_after` of round r reads off the NEXT round's pair aggregate
+    // instead of its own full re-scan. The pair aggregate itself is
+    // checkpointed (pair-vocab-sized, tiny) so the argmax collect and the
+    // Σc collect are control-plane reads, not re-aggregations.
+    val sumN: Long = cur.agg(sum(col("n")))
+      .collect()(0).getLong(0)             // constant across rounds
+    def pairAgg(df: DataFrame): DataFrame = df
+      .select(col("n"), explode(expr(
+        """CASE WHEN size(units) >= 2 THEN
+          |  zip_with(slice(units, 1, size(units) - 1),
+          |           slice(units, 2, size(units) - 1),
+          |    (a, b) -> named_struct('lhs', a, 'rhs', b))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("n")).as("c"))
+      .localCheckpoint(true)
+    var pairs = pairAgg(cur)
     val out = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val top = cur
-        .select(col("n"), explode(expr(
-          """CASE WHEN size(units) >= 2 THEN
-            |  zip_with(slice(units, 1, size(units) - 1),
-            |           slice(units, 2, size(units) - 1),
-            |    (a, b) -> named_struct('lhs', a, 'rhs', b))
-            |ELSE array() END""".stripMargin)).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("n")).as("c"))
+      val top = pairs
         .orderBy(col("c").desc, col("lhs"), col("rhs"))
         .limit(1).collect()                 // control-plane scalar: 1 row
       if (top.isEmpty) exhausted = true
@@ -94,12 +106,16 @@ object BpeTrain {
           .withColumn("units", mergePair("units", lhs, rhs))
           .localCheckpoint(true)
         prev.unpersist()
-        val unitsAfter = cur
-          .agg(sum(col("n") * size(col("units")))).collect()(0).getLong(0)
+        val prevPairs = pairs
+        pairs = pairAgg(cur)                // round r+1's input — and r's audit
+        prevPairs.unpersist()
+        val unitsAfter = sumN + pairs
+          .agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
         out += Merge(r, lhs, rhs, c, unitsAfter)
         r += 1
       }
     }
+    pairs.unpersist()
     cur.unpersist()
     out.result()
   }
@@ -108,7 +124,9 @@ object BpeTrain {
     * lowercased text) — the ONLY corpus-sized stage of BPE training.
     */
   def wordFrequencies(documents: DataFrame, textCol: String): DataFrame =
-    documents
+    // spread: the tokenize-explode partial agg otherwise runs as ONE task
+    // on the 1-split gate-scale scan (identity at production split counts)
+    graft.core.Tables.spread(documents)
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))

@@ -30,10 +30,15 @@ object Decontaminate {
   def overlap(eval: DataFrame, train: DataFrame, idCol: String, textCol: String,
       n: Int = 3, maxShingleDf: Long = 50, minContainment: Double = 0.5): DataFrame = {
 
-    def shingles(df: DataFrame, outId: String): DataFrame = df
-      .select(col(idCol).as(outId), Dedup.words(col(textCol)).as("__w"))
-      .filter(size(col("__w")) >= n)
-      .select(col(outId), explode(Dedup.wordShingles("__w", n)).as("shingle"))
+    // spread: the tokenize + shingle explode below materializes through
+    // localCheckpoint, and on a 1-split gate-scale scan that whole chain
+    // runs as ONE task (r19 stage log: 1.8 s single-task checkpoint
+    // stages). Identity at production split counts — per-site rule.
+    def shingles(df: DataFrame, outId: String): DataFrame =
+      graft.core.Tables.spread(df)
+        .select(col(idCol).as(outId), Dedup.words(col(textCol)).as("__w"))
+        .filter(size(col("__w")) >= n)
+        .select(col(outId), explode(Dedup.wordShingles("__w", n)).as("shingle"))
 
     // each shingle table feeds THREE consumers (df count, capped join side,
     // and for eval the denominator count) — localCheckpoint materializes the

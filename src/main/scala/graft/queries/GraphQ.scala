@@ -196,9 +196,14 @@ object GraphQ {
     */
   def associationRules(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // checkpoint: this frame feeds TWO broadcast builds (antecedent and
+    // consequent sides) and broadcast builds don't share exchanges — the
+    // distinct+agg over lineitem executed twice (q151/q139 precedent).
+    // Part-grain rows, broadcast-sized by the query's own contract.
     val basketsOfPart = t.lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+      .localCheckpoint(true)
     val nBaskets = t.lineitem.agg(
       countDistinct(col("l_orderkey")).as("n_baskets"))
     val pairCounts = copurchasePairCounts(spark, dir)

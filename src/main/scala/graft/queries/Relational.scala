@@ -271,6 +271,12 @@ object Relational {
     */
   def topNations(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // spread A/B'd and REJECTED here too (round-19, the q15 lesson): the
+    // Expand×4 partial agg single-task stage is 0.6 s, but round-robining
+    // the orders scan first measured 1.85 → 2.40 s median-of-3 — the
+    // pre-exchange of the full scan costs more than the single-task
+    // partial saves; at production split counts the stage parallelizes by
+    // itself
     val agg = t.orders
       .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
         col("o_custkey") === col("c_custkey"))

@@ -43,7 +43,12 @@ object StatsQ {
     val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
       .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-    t.lineitem
+    // spread: Spark 4's WindowGroupLimit already bounds the exchange to
+    // ≤ partitions·groups·50 rows, but its map-side Sort (and the md5 of
+    // every row) runs on the 1-split gate-scale scan as ONE task —
+    // spreading parallelizes the local sort+limit; identity at production
+    // split counts (per-site rule, r19)
+    Tables.spread(t.lineitem)
       .withColumn("h", h)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 50)
@@ -543,11 +548,18 @@ object StatsQ {
     val t = Tables(spark, dir)
     def audit(name: String, child: DataFrame, childKey: String,
         parent: DataFrame, parentKey: String, bcast: Boolean) = {
+      // ONE pass per relationship (r19): the old anti-join + separate
+      // count(*) scanned the child twice; a left join against the
+      // DISTINCT key set (multiplicity 1, so row counts are preserved)
+      // yields both aggregates from the same probe — n_orphans = rows
+      // whose parent key never matched. Same join strategy as before
+      // (broadcast where the parent is small, shuffle for orders).
       val keys = parent.select(col(parentKey).as(childKey)).distinct()
-      val orphans = child
-        .join(if (bcast) broadcast(keys) else keys, Seq(childKey), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      child.agg(count(lit(1)).as("n_rows")).crossJoin(broadcast(orphans))
+        .withColumn("__hit", lit(1))
+      child
+        .join(if (bcast) broadcast(keys) else keys, Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("__hit").isNull, 1)).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_rows"), col("n_orphans"))
     }
     Seq(

@@ -348,8 +348,13 @@ object WindowsQ {
     * precedent), so flags agree exactly.
     */
   def trendAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: `smoothed` feeds BOTH the MAD aggregate and the final
+    // join — un-persisted, the whole q128 subtree (daily agg + 20-term
+    // EWMA window) executed twice (broadcast builds don't share
+    // exchanges; the q151 precedent). Day-grain rows: tiny at any scale.
     val smoothed = ewmaSmoothing(spark, dir)
       .withColumn("residual", col("revenue") - col("ewma"))
+      .localCheckpoint(true)
     val mad = smoothed
       .withColumn("absres", abs(col("residual")))
       .groupBy(col("o_orderpriority"))

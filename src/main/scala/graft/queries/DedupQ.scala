@@ -920,7 +920,10 @@ object DedupQ {
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val chunks = t.documents
+    // spread: the per-window md5 boundary scan + chunk assembly HOFs are
+    // the query's whole CPU cost and otherwise run as ONE task on the
+    // 1-split gate-scale scan (identity at production split counts)
+    val chunks = Tables.spread(t.documents)
       .select(col("doc_id"), Dedup.words(col("text")).as("w"))
       .withColumn("cuts", expr(
         """CASE WHEN size(w) >= 5 THEN
@@ -1020,7 +1023,10 @@ object DedupQ {
     graft.core.Memo.cached(spark, s"q217-winnow:$dir") {
     val t = Tables(spark, dir)
     import spark.implicits._
-    val eligible = t.documents
+    // spread: the per-doc MD5 gram hashing below is the query's whole
+    // CPU cost and otherwise runs as ONE task on the 1-split gate-scale
+    // scan (identity at production split counts — per-site rule, r19)
+    val eligible = Tables.spread(t.documents)
       .select(col("doc_id"), col("source"), Dedup.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 6)
       .as[(Long, String, Seq[String])]

@@ -28,8 +28,18 @@ class MemoEvictionChaosSpec extends SparkTestBase {
   private val chain = Seq(
     "q37_minhash_pairs", "q76_neardup_components", "q136_quality_survivor")
 
-  private def canon(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+  // compare on non-floating columns only (ADVICE r18): a different
+  // partial-aggregation merge order across the two end-to-end recomputes
+  // could flip a last-ulp digit of a double and flake the string compare;
+  // the chain's keys/counts/integer-micro logits are the identity anyway
+  private def canon(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val stable = df.schema.fields.filterNot(f =>
+      f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType).map(_.name)
+    df.select(stable.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
 
   test("dedup memo chain survives total cached-block loss between readers") {
     val prevCache = sys.props.get("graft.cache.dir")
@@ -39,9 +49,25 @@ class MemoEvictionChaosSpec extends SparkTestBase {
       Memo.release(spark)
       val want = chain.map(n => n -> canon(n)).toMap
 
-      // chaos: ANOTHER isolated root (no disk artifact can mask the
-      // recompute), fresh memos; after each reader materializes, drop
-      // EVERY cached block in the session before the next reader runs
+      // chaos: ANOTHER isolated root (the truth phase's artifacts cannot
+      // mask this phase's recompute), fresh memos; after each reader
+      // materializes, drop EVERY cached block before the next reader.
+      //
+      // SCOPE (ADVICE r18, adjudicated r19): within this phase, the
+      // DiskCache-backed links (q76's components, the band-pairs layer)
+      // recover through their own same-phase parquet artifacts, so only
+      // the plain-persist links (q37's pairs) recompute through raw
+      // lineage. That split is the ENGINE'S ACTUAL durability design,
+      // not a spec gap: the iterative links localCheckpoint their rounds
+      // (lineage deliberately truncated — a localCheckpoint block is
+      // not recomputable, by Spark contract), and the DiskCache artifact
+      // IS their cross-reader durability story. An r19 variant that
+      // disabled the store (symlink root, the DiskCacheSpec semantics)
+      // failed precisely there — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on
+      // the evicted component rounds — confirming pure-lineage recovery
+      // is NOT a property these links have or claim. What this test
+      // pins: the memo layer serves correct rows to late readers after
+      // total block loss, through whichever recovery path each link owns.
       sys.props("graft.cache.dir") = Scratch.dir("graft-chaos-run")
       Memo.release(spark)
       val got = chain.map { n =>

@@ -622,11 +622,17 @@ object CorpusStatsQ {
     */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // checkpoint: tf feeds BOTH the 1-row totals broadcast and the main
+    // windowed pipeline — un-persisted, the corpus explode + (doc, term)
+    // aggregate executed twice (broadcast builds don't share exchanges;
+    // q151/q139 pattern). Reused and expensive — the guide-§5 persist
+    // case; the window sums over it already shared one exchange.
     val tf = t.documents
       .select(col("doc_id"), col("lang"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val tot = tf.agg(
       sum(col("tf")).as("n_all"),
       sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("n_tgt"),

@@ -201,11 +201,16 @@ object Relational {
     */
   def clvBuckets(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // checkpoint: perCust feeds BOTH the threshold broadcast build and
+    // the final probe — un-persisted, the orders join + agg executed
+    // twice (broadcast builds don't share exchanges; q151/q139 pattern).
+    // Customer-grain and reused — the guide-§5 persist case.
     val perCust = t.orders
       .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey"), col("c_mktsegment"))
       .agg(Exact.dsum(col("o_totalprice")).as("clv"))
+      .localCheckpoint(true)
     // one array-percentile buffer per segment instead of two (round-19)
     val thresholds = perCust
       .groupBy(col("c_mktsegment"))

@@ -311,8 +311,12 @@ object StatsQ {
     val m = graft.ops.Percentiles.resolve(orders, Seq(col("o_orderpriority")), mode)
     val med = orders.groupBy(col("o_orderpriority"))
       .agg(graft.ops.Percentiles.pctl(col("o_totalprice"), 0.5, m).as("med"))
+    // checkpoint: dev feeds BOTH the MAD broadcast build and the final
+    // probe — un-persisted, the scan + median-join executed twice
+    // (q151/q139 pattern). Reused and data-sized — guide-§5 persist case.
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("absdev", abs(col("o_totalprice") - col("med")))
+      .localCheckpoint(true)
     val stats = dev.groupBy(col("o_orderpriority"))
       .agg(graft.ops.Percentiles.pctl(col("absdev"), 0.5, m).as("mad"))
     dev.join(broadcast(stats), "o_orderpriority")

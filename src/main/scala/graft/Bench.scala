@@ -257,6 +257,10 @@ object Bench {
     // host's run-to-run jitter (BASELINE.md) at the cost of longer bench time
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     def measure(name: String): Double = {
+      // stage-log attribution marker (diagnostic only, same knob as the
+      // listener): lets a stage-log parse group [stage] lines per query
+      if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+        System.err.println(s"[q] $name")
       val w0 = System.currentTimeMillis()
       val ts = (1 to repeats).map(_ => runOnce(name)).sorted
       windows += ((name, w0, System.currentTimeMillis()))

@@ -66,56 +66,61 @@ object BpeTrain {
     * @return one row per learned merge, rank-ordered
     */
   def train(wordFreq: DataFrame, rounds: Int): Seq[Merge] = {
+    // ONE job per round (r19, was four): the pair aggregate is never
+    // materialized — a single collect computes BOTH the total pair mass Σc
+    // (input of the exact audit identity Σn·size(units) = Σn + Σ_pairs c:
+    // each word contributes size−1 adjacent pairs, zip_with emits exactly
+    // those) AND the argmax pair, via `min_by(struct(lhs,rhs,c),
+    // struct(-c,lhs,rhs))` — min of (−count, lhs, rhs) IS max count with
+    // the (lhs, rhs) lexicographic tie rule, and the key is unique per row
+    // because (lhs, rhs) is the group key, so the argmax is total-ordered
+    // exactly as the old `orderBy(c DESC, lhs, rhs).limit(1)`. The same
+    // job also materializes the LAZILY localCheckpoint'ed merged units as
+    // a side effect, so the old per-round eager-checkpoint job, argmax
+    // job, pair-checkpoint job and Σc job all collapse into one (the BPE
+    // loop was scheduling-latency-bound: 8 rounds × 4 vocab-sized jobs).
     var cur = wordFreq
       .select(col("word"), col("n").cast("long").as("n"),
         charUnits("word").as("units"))
-      .localCheckpoint(true)
-    // One vocab-sized job per round SAVED (r19): the weighted unit count
-    // obeys the exact identity Σn·size(units) = Σn + Σ_pairs c (each word
-    // contributes size−1 adjacent pairs, zip_with emits exactly those), so
-    // `units_after` of round r reads off the NEXT round's pair aggregate
-    // instead of its own full re-scan. The pair aggregate itself is
-    // checkpointed (pair-vocab-sized, tiny) so the argmax collect and the
-    // Σc collect are control-plane reads, not re-aggregations.
+      .localCheckpoint(false)              // materialized by the sumN job
     val sumN: Long = cur.agg(sum(col("n")))
       .collect()(0).getLong(0)             // constant across rounds
-    def pairAgg(df: DataFrame): DataFrame = df
-      .select(col("n"), explode(expr(
-        """CASE WHEN size(units) >= 2 THEN
-          |  zip_with(slice(units, 1, size(units) - 1),
-          |           slice(units, 2, size(units) - 1),
-          |    (a, b) -> named_struct('lhs', a, 'rhs', b))
-          |ELSE array() END""".stripMargin)).as("p"))
-      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-      .agg(sum(col("n")).as("c"))
-      .localCheckpoint(true)
-    var pairs = pairAgg(cur)
+    // Σ pair mass + argmax pair of `df`'s adjacent-unit pairs, one job.
+    def pairStats(df: DataFrame): (Long, Option[(String, String, Long)]) = {
+      val row = df
+        .select(col("n"), explode(expr(
+          """CASE WHEN size(units) >= 2 THEN
+            |  zip_with(slice(units, 1, size(units) - 1),
+            |           slice(units, 2, size(units) - 1),
+            |    (a, b) -> named_struct('lhs', a, 'rhs', b))
+            |ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("c"))
+        .agg(
+          coalesce(sum(col("c")), lit(0L)).as("sc"),
+          min_by(struct(col("lhs"), col("rhs"), col("c")),
+            struct((-col("c")).as("nc"), col("lhs"), col("rhs"))).as("top"))
+        .collect()(0)
+      val top = if (row.isNullAt(1)) None else {
+        val t = row.getStruct(1)
+        Some((t.getString(0), t.getString(1), t.getLong(2)))
+      }
+      (row.getLong(0), top)
+    }
+    var stats = pairStats(cur)             // round-1 argmax (Σc unused here)
     val out = Seq.newBuilder[Merge]
     var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      val top = pairs
-        .orderBy(col("c").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()                 // control-plane scalar: 1 row
-      if (top.isEmpty) exhausted = true
-      else {
-        val (lhs, rhs, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val prev = cur
-        cur = cur
-          .withColumn("units", mergePair("units", lhs, rhs))
-          .localCheckpoint(true)
-        prev.unpersist()
-        val prevPairs = pairs
-        pairs = pairAgg(cur)                // round r+1's input — and r's audit
-        prevPairs.unpersist()
-        val unitsAfter = sumN + pairs
-          .agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
-        out += Merge(r, lhs, rhs, c, unitsAfter)
-        r += 1
-      }
+    while (r <= rounds && stats._2.isDefined) {
+      val (lhs, rhs, c) = stats._2.get
+      val prev = cur
+      cur = cur
+        .withColumn("units", mergePair("units", lhs, rhs))
+        .localCheckpoint(false)
+      stats = pairStats(cur)               // materializes cur + Σc + next argmax
+      prev.unpersist()
+      out += Merge(r, lhs, rhs, c, sumN + stats._1)
+      r += 1
     }
-    pairs.unpersist()
     cur.unpersist()
     out.result()
   }

@@ -217,10 +217,16 @@ object CorpusStatsQ {
   def chiSquare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents
+    // ONE documents scan (r19): the margins and the grand total are exact
+    // count identities over the (source, lang) cell table — Σ_lang c per
+    // source IS the source count, etc. — so the three extra corpus scans
+    // the old plan ran (runtime audit: documents scanned 4×) collapse
+    // into reads of the checkpointed cell agg (|sources|×|langs|-grain).
     val c = docs.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
-    val srcTot = docs.groupBy(col("source")).agg(count(lit(1)).as("ts"))
-    val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("tl"))
-    val n = docs.agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val srcTot = c.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val langTot = c.groupBy(col("lang")).agg(sum(col("c")).as("tl"))
+    val n = c.agg(sum(col("c")).as("n"))
     val cells = srcTot.crossJoin(langTot)
       .join(c, Seq("source", "lang"), "left")
       .na.fill(0L, Seq("c"))
@@ -330,11 +336,16 @@ object CorpusStatsQ {
     val docs = t.documents
       .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("toks"))
     val nSegs = expr("cast(ceil(size(toks) / 4.0) as int)")
+    // seg feeds BOTH the boilerplate histogram and the rebuild — un-
+    // persisted, the tokenize + segment explode ran twice (r19 runtime
+    // plan audit). Checkpoint: data-sized but reused and the query's
+    // whole CPU cost (guide §5 persist case).
     val seg = docs.select(col("doc_id"), explode(expr(
       "transform(sequence(0, cast(ceil(size(toks) / 4.0) as int) - 1), " +
         "s -> named_struct('pos', s, " +
         "'segment', concat_ws(' ', slice(toks, s * 4 + 1, 4))))")).as("sg"))
       .select(col("doc_id"), col("sg.pos").as("pos"), col("sg.segment").as("segment"))
+      .localCheckpoint(true)
     val boilerplate = seg.groupBy(col("segment"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= 3).select("segment")
     val rebuilt = seg.join(broadcast(boilerplate), Seq("segment"), "left_anti")
@@ -378,16 +389,26 @@ object CorpusStatsQ {
     */
   private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val docs = t.documents
+    // ONE tokenize pass (r19): the corpus-length stats and the hit
+    // explode both rode `docs` — un-persisted, the tokenize ran twice
+    // (and twice more under the tf double-reference; runtime plan audit:
+    // documents scanned 3× here, 5× in q138). `base` keeps only dl and
+    // the ≤|query-terms| matching tokens per doc (filter() preserves
+    // duplicates, so exploding it is the SAME multiset the old
+    // explode-then-isin produced) — doc-grain and narrow, checkpointed;
+    // tf (hit-doc × term grain) is checkpointed for the df/score reads.
+    val base = t.documents
       .select(col("doc_id"), graft.ops.Dedup.words(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")))
-    val hits = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(bm25Terms: _*))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        filter(col("toks"), x => x.isin(bm25Terms: _*)).as("hits"))
+      .localCheckpoint(true)
+    val hits = base
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
     val tf = hits.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -422,8 +443,13 @@ object CorpusStatsQ {
     */
   def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // pos feeds both phrase-term posting lists — un-persisted, the corpus
+    // posexplode ran twice (r19). Filter to the phrase terms map-side and
+    // checkpoint: the materialized frame is the two posting lists only.
     val pos = t.documents.select(col("doc_id"),
       posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("p", "term")))
+      .filter(col("term").isin("table", "value"))
+      .localCheckpoint(true)
     val first = pos.filter(col("term") === "table").select(col("doc_id"), col("p"))
     val second = pos.filter(col("term") === "value")
       .select(col("doc_id"), (col("p") - 1).as("p"))
@@ -529,14 +555,22 @@ object CorpusStatsQ {
     val t = Tables(spark, dir)
     val tk = split(lower(trim(col("text"))), "\\s+")
     val docs = t.documents.select(tk.as("tk"))
+    // uni feeds THREE readers (the token total and both margin joins) and
+    // pairCounts feeds TWO (the pair total and the scored pairs) — un-
+    // persisted, each reader re-ran its corpus tokenize (r19 runtime plan
+    // audit: documents scanned 5×). Both frames are vocab-bounded:
+    // checkpoint each, exactly two tokenize passes remain (unigram +
+    // bigram shapes — structurally distinct explodes).
     val uni = docs.select(explode(col("tk")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
+      .localCheckpoint(true)
     val pairCounts = docs.filter(size(col("tk")) >= 2)
       .select(explode(expr(
         """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
           |         (a, b) -> named_struct('lhs', a, 'rhs', b))""".stripMargin)).as("p"))
       .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
       .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val nTok = uni.agg(sum(col("c_term")).as("n_tok"))
     val nPair = pairCounts.agg(sum(col("c_ab")).as("n_pair"))
     pairCounts.filter(col("c_ab") >= 5)
@@ -713,8 +747,13 @@ object CorpusStatsQ {
     */
   def ksLengthDrift(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // perLen feeds three readers (the global cumulative, the per-source
+    // totals, and the ECDF join) — un-persisted, the data-sized agg ran
+    // per reader (r19 runtime plan audit: documents scanned 4×).
+    // (source × distinct-length)-grain, the scale story's own bound.
     val perLen = t.documents.groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // global per-length cumulative — a single-partition window over the
     // DISTINCT-LENGTHS table (hundreds of rows), not the corpus
     val perLenAll = perLen.groupBy(col("n_chars")).agg(sum(col("c")).as("c_all"))
@@ -762,15 +801,22 @@ object CorpusStatsQ {
     */
   def sourceJsDivergence(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // tc feeds three readers (totals, the term dim, the grid join) and
+    // grid feeds BOTH sides of the pair self-join — un-persisted, the
+    // corpus tokenize ran up to 6× (r19 runtime plan audit: documents
+    // scanned 6×). Both frames are vocab-bounded (≤ sources × terms),
+    // never corpus-sized: checkpoint each, one tokenize pass total.
     val tc = t.documents
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = tc.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val terms = tc.select(col("term")).distinct()
     val grid = totals.crossJoin(terms)
       .join(tc, Seq("source", "term"), "left")
       .select(col("source"), col("term"), col("n"),
         coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
     val a = grid.select(col("source").as("src_a"), col("term"),
       col("n").as("na"), col("c").as("ca"))
     val b = grid.select(col("source").as("src_b"), col("term"),
@@ -1236,9 +1282,16 @@ object CorpusStatsQ {
         round(col("sum_dec").cast("double") / col("n_bigrams") * 1e6)
           .cast("long"))
       .select(col("source"), col("n_docs"), col("n_bigrams"), col("mean_u"))
+      // per feeds the floor AND the excess projection, and withExcess
+      // feeds the total AND the final weights — un-persisted, the
+      // doc-lp join + source agg subtree executed 4× (r19 runtime plan
+      // audit: an 82-exchange plan with zero reuse). Both frames are
+      // source-grain: checkpoint each.
+      .localCheckpoint(true)
     val floor = per.agg(min(col("mean_u")).as("min_u"))
     val withExcess = per.crossJoin(broadcast(floor))
       .withColumn("excess_u", col("mean_u") - col("min_u"))
+      .localCheckpoint(true)
     val tot = withExcess.agg(
       sum(col("excess_u")).as("sum_excess"), count(lit(1)).as("n_sources"))
     withExcess.crossJoin(broadcast(tot))

@@ -384,18 +384,30 @@ object DedupQ {
     // comps is cluster-members-only (tiny vs the corpus) — broadcast it
     // into the logit projection, and broadcast the loser set into the
     // anti-join (losers ≪ corpus, q100's documented shape)
+    // losers is checkpointed (r19): it feeds the anti-join under THREE
+    // survivor readers, and its build contains the full-corpus 256-weight
+    // logit projection — un-persisted, the runtime plan re-ran that
+    // corpus pass per reader (plan audit: documents scanned 8×). The
+    // loser set is cluster-members-only — tiny at any scale.
     val losers = broadcast(comps).join(logits, comps("id") === logits("doc_id"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
           .orderBy(col("logit_u").desc, col("doc_id"))))
       .filter(col("rn") > 1).select(col("id"))
+      .localCheckpoint(true)
     val survivors = docs.join(broadcast(losers),
       docs("doc_id") === losers("id"), "left_anti")
-    // mixture rates over the SURVIVOR corpus (post-dedup chars)
+    // mixture rates over the SURVIVOR corpus (post-dedup chars): ONE
+    // survivor aggregation pass (r19) — per is checkpointed (source-grain,
+    // bounded) so the sum-of-weights re-read is control-plane, and the
+    // corpus total rides per: Σ_s chars_s ≡ Σ n_chars EXACTLY (both exact
+    // BIGINT sums; the div-1000 floor applies after the identical total),
+    // so the old second survivor scan computed the same number.
     val per = survivors.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
       .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
       .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
-    val tot = survivors.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+      .localCheckpoint(true)
+    val tot = per.agg(expr("sum(chars_s) div 1000").as("ks_tot"))
     val sumw = per.agg(sum(col("w_s")).as("sum_w"))
     val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
       .withColumn("rate_u", least(lit(1000000L),

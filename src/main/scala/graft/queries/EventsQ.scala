@@ -280,9 +280,14 @@ object EventsQ {
         expr("coalesce(next_us - us, end_us - us) div 3600000000L")
           .as("gap_h"),
         col("next_us").isNotNull.as("complete"))
+    // byGap feeds BOTH the total and the hazard windows — un-persisted,
+    // the data-sized lead-window + agg subtree executed twice (r19
+    // runtime plan audit: events scanned 4×). Checkpoint: gap_h-grain,
+    // ≤ observation-window hours — bounded at any data scale.
     val byGap = gaps.groupBy(col("gap_h"))
       .agg(count(lit(1)).as("n_all"),
         sum(when(col("complete"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(true)
     val tot = byGap.agg(sum(col("n_all")).as("n_gaps"))
     val wPrev = Window.orderBy(col("gap_h"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -325,16 +330,26 @@ object EventsQ {
     */
   def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // cells feeds BOTH the baseline agg and the residual join, and resid
+    // feeds BOTH the MAD agg and the final flag join — un-persisted, the
+    // data-sized events agg executed four times (r19 runtime plan audit:
+    // events scanned 4×, AQE reused only the leaf exchange). Checkpoint
+    // both: each is cell-grain (≤ types × days × 24 rows — calendar-
+    // bounded at any data scale), the q139/q151 shared-subtree rule.
+    // base is types×24-grain ⇒ broadcast by contract (checkpointed inputs
+    // have no stats, so the planner could never pick it on its own).
     val cells = t.events
       .select(col("event_type"), to_date(col("ts")).as("d"),
         hour(col("ts")).as("h"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"), col("d"), col("h"))
       .agg(sum(col("cents")).as("v"))
+      .localCheckpoint(true)
     val base = cells.groupBy(col("event_type"), col("h"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-    val resid = cells.join(base, Seq("event_type", "h"))
+    val resid = cells.join(broadcast(base), Seq("event_type", "h"))
       .withColumn("resid", expr("v - s div n"))
+      .localCheckpoint(true)
     val mad = resid.groupBy(col("event_type"))
       .agg(expr("percentile(abs(resid), 0.5)").as("mad"))
     resid.join(broadcast(mad), Seq("event_type"))
@@ -369,25 +384,35 @@ object EventsQ {
     */
   def seasonalGapfill(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // ONE events scan (r19): the runtime plan audit showed events scanned
+    // 12× — cells under every filled reader, PLUS separate raw scans for
+    // the date bounds and the distinct-type dim, all duplicated again by
+    // the resid double-reference. cells is checkpointed (cell-grain,
+    // calendar-bounded) and both spine dims now ride IT: min/max of
+    // cells.d IS min/max of to_date(ts) (every event lands in a cell) and
+    // cells' distinct event_type IS the raw distinct. resid is
+    // checkpointed for the MAD/flag double-read (q223's rule); base is
+    // types×24-grain ⇒ broadcast by contract.
     val cells = t.events
       .select(col("event_type"), to_date(col("ts")).as("d"),
         hour(col("ts")).as("h"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .groupBy(col("event_type"), col("d"), col("h"))
       .agg(sum(col("cents")).as("v"))
-    val bounds = t.events.agg(
-      min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .localCheckpoint(true)
+    val bounds = cells.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val spine = bounds
       .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
       .crossJoin(spark.range(0, 24).select(col("id").cast("int").as("h")))
-      .crossJoin(t.events.select(col("event_type")).distinct())
+      .crossJoin(cells.select(col("event_type")).distinct())
     val filled = spine.join(cells, Seq("event_type", "d", "h"), "left")
       .withColumn("gap", col("v").isNull)
       .na.fill(0L, Seq("v"))
     val base = filled.groupBy(col("event_type"), col("h"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-    val resid = filled.join(base, Seq("event_type", "h"))
+    val resid = filled.join(broadcast(base), Seq("event_type", "h"))
       .withColumn("resid", expr("v - s div n"))
+      .localCheckpoint(true)
     val mad = resid.groupBy(col("event_type"))
       .agg(expr("percentile(abs(resid), 0.5)").as("mad"))
     resid.join(broadcast(mad), Seq("event_type"))

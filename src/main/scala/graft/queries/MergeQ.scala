@@ -80,7 +80,15 @@ object MergeQ {
           .otherwise(col("o_orderpriority")))
       .unionByName(a.filter(col("o_orderkey") % 101 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    // the diff feeds BOTH rollups — un-persisted, the full-outer diff
+    // (a 3-scan join of the two snapshots) executed twice (r19 runtime
+    // plan audit: orders scanned 6×). Project to the two rollup columns
+    // and checkpoint: one diff pass, and the materialized frame carries
+    // none of the wide snapshot payload (guide §5 — data-sized but
+    // reused and expensive to recompute).
     val d = graft.ops.SnapshotDiff.diff(a, b, keys = Seq("o_orderkey"))
+      .select(col("change_type"), col("changed_cols"))
+      .localCheckpoint(true)
     val byType = d.groupBy(col("change_type").as("kind"))
       .agg(count(lit(1)).as("n"))
     val byCol = d.select(explode(col("changed_cols")).as("c"))

@@ -596,10 +596,18 @@ object SimilarityQ {
   def annNdcg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
+    // v feeds the probe set and BOTH scoring joins — un-persisted, the
+    // vector prep (double cast + norm + 64-hyperplane signature) re-ran
+    // under every reader (r19 runtime plan audit: embeddings scanned 6×,
+    // an 83 kB plan). Checkpoint it (data-sized but reused, the query's
+    // CPU cost — guide §5), and checkpoint `exact` below (≤ probes×10
+    // rows) whose scoring-join subtree fed both the IDCG agg and the
+    // relevance join.
     val v = t.embeddings.select(col("vec_id").as("id"),
         Similarity.toDoubleVec(col("embedding")).as("dv"))
       .withColumn("nrm", Similarity.norm("dv"))
       .withColumn("sig", Similarity.hyperplaneSignature("dv", 4, 64))
+      .localCheckpoint(true)
     val probes = v.filter(col("id") < 20).select(col("id").as("q_id"),
       col("dv").as("qv"), col("nrm").as("qn"), col("sig").as("qsig"))
     def score(df: DataFrame): DataFrame = df
@@ -611,6 +619,7 @@ object SimilarityQ {
       .withColumn("ex_rank", row_number().over(w))
       .filter(col("ex_rank") <= 10)
       .select(col("q_id"), col("id"), col("ex_rank"))
+      .localCheckpoint(true)
     val idcg = exact.groupBy(col("q_id"))
       .agg(sum(expr(
         "CAST(round((11 - ex_rank) * 1000000 / log2(ex_rank + 1)) AS BIGINT)"))

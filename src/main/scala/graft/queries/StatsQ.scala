@@ -407,10 +407,17 @@ object StatsQ {
   def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    // ONE sizing pass (r19, the q150 rates fix): per is checkpointed
+    // (source-grain, bounded) so the weight total is a control-plane
+    // read, and the corpus total rides per — Σ_s chars_s ≡ Σ n_chars
+    // EXACTLY (exact BIGINT sums; the div-1000 floor applies after the
+    // identical total). The old plan re-ran the corpus agg per reader
+    // (runtime plan audit: documents scanned 4×).
     val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
       .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
       .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
-    val tot = docs.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+      .localCheckpoint(true)
+    val tot = per.agg(expr("sum(chars_s) div 1000").as("ks_tot"))
     val sumw = per.agg(sum(col("w_s")).as("sum_w"))
     val rates = per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
       .withColumn("rate_u", least(lit(1000000L),
@@ -835,11 +842,16 @@ object StatsQ {
   def tCloseness(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
+    // pv feeds three readers (class sizes, the global band histogram, the
+    // grid join) — un-persisted, the data-sized customer agg executed per
+    // reader (r19 runtime plan audit: customer scanned 4×). Checkpoint:
+    // (nation × segment × band)-grain, bounded at any data scale.
     val pv = t.customer
       .select(col("c_nationkey"), col("c_mktsegment"),
         expr("CAST(round(c_acctbal * 100) AS BIGINT) div 100000").as("bal_band"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val cls = pv.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(sum(col("c")).as("k"))
     val gl = pv.groupBy(col("bal_band")).agg(sum(col("c")).as("nc"))

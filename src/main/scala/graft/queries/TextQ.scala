@@ -857,9 +857,14 @@ object TextQ {
     * control-plane sized regardless of corpus size.
     */
   def kappaLangid(spark: SparkSession, dir: String): DataFrame = {
+    // cells feeds three readers (totals, row margins, column margins) —
+    // un-persisted, the full langId classification pass executed per
+    // reader (r19 runtime plan audit: documents scanned 3×). Checkpoint:
+    // |langs|²-grain, bounded at any data scale.
     val cells = langId(spark, dir)
       .groupBy(col("labeled_lang").as("a"), col("guessed_lang").as("b"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = cells.agg(
       sum(col("c")).as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("diag"))

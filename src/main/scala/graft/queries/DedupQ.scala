@@ -501,8 +501,14 @@ object DedupQ {
     * exchange. Exact integer ppm.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // ex feeds the owner aggregate AND the join probe — two DIFFERENT
+    // shingle-keyed exchanges (partial-agg vs plain), so exchange reuse
+    // never applies and the explode over the memoized shingle table ran
+    // twice (r19). Checkpoint the exploded postings once (guide §5 —
+    // data-sized but reused; the explode is the query's map-side cost).
     val ex = shingleDocs(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .localCheckpoint(true)
     val owner = ex.groupBy(col("shingle")).agg(min(col("doc_id")).as("owner"))
     ex.join(owner, Seq("shingle"))
       .groupBy(col("doc_id"))

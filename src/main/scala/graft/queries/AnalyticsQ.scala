@@ -173,10 +173,14 @@ object AnalyticsQ {
       .withColumn("arm",
         when(pmod(graft.ops.Dedup.hash60(col("o_custkey").cast("string")),
           lit(2L)) === 0, "control").otherwise("treatment"))
+    // per feeds BOTH arm filters — un-persisted, the orders⋈customer agg
+    // subtree executed twice (r19 plan audit: orders+customer scanned 2×
+    // each). Checkpoint: (segment × arm)-grain, ≤ 2·|segments| rows.
     val per = assigned.groupBy(col("c_mktsegment"), col("arm"))
       .agg(graft.ops.Exact.dsum(col("o_totalprice")).as("rev"),
         count(lit(1)).as("n"))
       .withColumn("mean_rev", round(col("rev") / col("n"), 6))
+      .localCheckpoint(true)
     val c = per.filter(col("arm") === "control")
       .select(col("c_mktsegment"), col("mean_rev").as("control_mean"),
         col("n").as("n_control"))

@@ -1096,10 +1096,15 @@ object StatsQ {
   def epochAllocation(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.documents.select(col("source"), col("n_chars"))
+    // ONE sizing pass (r19, the q125/q150 fix): per is checkpointed
+    // (source-grain) and the corpus total rides it — Σ_s chars_s ≡
+    // Σ n_chars exactly (exact BIGINT sums, div floor applied after the
+    // identical total); the old plan scanned documents per reader.
     val per = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("chars_s"))
       .withColumn("ks_s", greatest(lit(1L), expr("chars_s div 1000")))
       .withColumn("w_s", graft.ops.Dedup.hash60(col("source")) % 5 + 1)
-    val tot = docs.agg(expr("sum(n_chars) div 1000").as("ks_tot"))
+      .localCheckpoint(true)
+    val tot = per.agg(expr("sum(chars_s) div 1000").as("ks_tot"))
     val sumw = per.agg(sum(col("w_s")).as("sum_w"))
     per.crossJoin(broadcast(tot)).crossJoin(broadcast(sumw))
       .withColumn("alloc_k", expr("2 * ks_tot * w_s div sum_w"))

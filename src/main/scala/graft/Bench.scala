@@ -326,6 +326,12 @@ object Bench {
     // full passes), under the same <0.6× stall-signature acceptance, so
     // an inflated mid-cost measurement is adjudicated instead of shipped.
     val retryLog = new scala.collection.mutable.ArrayBuffer[String]()
+    // (query, first-run seconds) for every retry SUBSTITUTION — carried in
+    // the full line's host block as "retry_orig" so floor folds can use
+    // first-run values only (a retry runs in a JIT-warm JVM; folding its
+    // time gives a floor no cold first run can reach, and every later pass
+    // then "outliers" on it — the r19 q247/q73 feedback loop).
+    val retryOrig = new scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val floors: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_FLOORS", "tools/floors.json")
       try {
@@ -405,11 +411,18 @@ object Bench {
             // loop: two retried queries sharing a memo family would
             // otherwise let the second measure against a cache the first
             // retry warmed, silently vanishing the family's build cost
-            // from the suite total (ADVICE r9, high)
-            graft.core.Memo.release(spark)
+            // from the suite total (ADVICE r9, high). dropKeptArtifacts:
+            // the non-Dataset entries (scratch paths, the Derby mirror,
+            // q195's collected merge list) survive a plain release, and a
+            // retry riding one measures ~nothing — r19's q73/q74/q94/q195
+            // retries recorded 0.04–0.15 s against 1.1–2.6 s of declared
+            // work, numbers no fresh-JVM first run can produce (and the
+            // floor min-fold then locked them in as permanent outlier
+            // bait). A retry must re-do the query's full declared work.
+            graft.core.Memo.release(spark, dropKeptArtifacts = true)
             n -> measure(n)
           }.toMap
-        graft.core.Memo.release(spark)
+        graft.core.Memo.release(spark, dropKeptArtifacts = true)
         results = results.map { case (k, v) =>
           better.get(k) match {
             case Some(r) if r >= 0 && (r < v || v < 0) =>
@@ -418,6 +431,7 @@ object Bench {
               val kept = if (keep) r else v
               retryLog += BenchJson.retryRecord(k, v, r, kept, tainted,
                 reason.getOrElse(k, "top_heavy"))
+              if (kept != v) retryOrig += (k -> v)
               k -> kept
             case Some(r) =>
               retryLog += BenchJson.retryRecord(k, v, r, v, stallFlagged.contains(k),
@@ -450,7 +464,11 @@ object Bench {
     // (VERDICT r16 item 1): a round-over-round total drift must be
     // adjudicable from BENCH_rN.json alone — bench_host.json holds the
     // full sample stream but is wiped with target/ between sessions.
-    val hostJson = {
+    // Two variants: the FULL line (stdout + target/bench.json) carries
+    // "retry_orig" (pre-substitution first-run seconds — what floor folds
+    // must use), while the tail-sized compact line keeps the lean summary
+    // so it stays within the driver's ~2 KB capture.
+    def hostJsonWith(orig: Seq[(String, Double)]): String = {
       val samples = calSamples.toArray(Array.empty[(Long, Double, Long, Long)])
       val spins = samples.map(_._2).sorted
       BenchJson.hostSummary(
@@ -463,8 +481,10 @@ object Bench {
         effEnd = calEff.getOrElse("end", -1.0),
         retries = retryLog.size,
         tainted = taintedNow().size,
-        runsPerQuery = repeats)
+        runsPerQuery = repeats,
+        retryOrig = orig)
     }
+    val hostJson = hostJsonWith(retryOrig.toSeq)
     // Streaming-drain throughput (VERDICT r16 stretch 8): q231/q232's
     // graded seconds are mostly AvailableNow harness fixed cost — the
     // artifact records the drains' rows/s so throughput is visible
@@ -557,8 +577,8 @@ object Bench {
     // JSON object no matter what.
     if (only.isEmpty) {
       val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-      println(BenchJson.compactTotal(total, top, sfDir, results.size, hostJson,
-        streamExtra))
+      println(BenchJson.compactTotal(total, top, sfDir, results.size,
+        hostJsonWith(Nil), streamExtra))
     }
     spark.stop()
   }

@@ -58,14 +58,28 @@ object BenchJson {
     * 2× med; the r16 regression's signature was steal in the tens of
     * thousands with a broad spin inflation.
     */
+  /** `retryOrig`: (query, pre-substitution first-run seconds) for every
+    * retry that REPLACED its original — emitted as a `"retry_orig"` map so
+    * floor folds (tools/make_floors.py) can fold first-run values only.
+    * A retry runs in a JIT-warm JVM; its time is a valid pass-total
+    * adjudication but NOT a cold-first-run floor. Empty → key omitted,
+    * which also keeps the tail-sized compact line (whose caller passes
+    * Nil) within the driver's ~2 KB capture.
+    */
   def hostSummary(steal: Long, iowait: Long, medSpin: Double,
                   maxSpin: Double, nSamples: Int, effStart: Double,
                   effEnd: Double, retries: Int, tainted: Int,
-                  runsPerQuery: Int): String =
+                  runsPerQuery: Int,
+                  retryOrig: Seq[(String, Double)] = Nil): String = {
+    val orig =
+      if (retryOrig.isEmpty) ""
+      else retryOrig.map { case (q, v) => s""""$q":${num(v, 3)}""" }
+        .mkString(""","retry_orig":{""", ",", "}")
     s"""{"steal":$steal,"iowait":$iowait,"spin_med_ms":${num(medSpin, 0)},""" +
       s""""spin_max_ms":${num(maxSpin, 0)},"wd_n":$nSamples,""" +
       s""""eff_start":${num(effStart, 1)},"eff_end":${num(effEnd, 1)},""" +
-      s""""retries":$retries,"tainted":$tainted,"runs_per_query":$runsPerQuery}"""
+      s""""retries":$retries,"tainted":$tainted,"runs_per_query":$runsPerQuery$orig}"""
+  }
 
   /** The LAST stdout line of a full run — must fit the driver's ~2 KB
     * tail capture and parse standalone. `host` is [[hostSummary]]'s

@@ -64,14 +64,25 @@ object Memo {
     * long suite runs was measurable: round-5 stage logs showed 37–46 s
     * of gcSum in single stages).
     *
-    * Non-Dataset artifacts (scratch-file paths, JDBC URLs) are kept:
-    * they hold no executor memory, and dropping them would orphan the
-    * files a rebuild re-writes. Never-built holders are removed without
-    * forcing them — releasing must not trigger the build it exists to
-    * undo. Unpersist blocks, so the memory is actually free before the
-    * caller's next build starts.
+    * Non-Dataset artifacts (scratch-file paths, JDBC URLs) are kept by
+    * default: they hold no executor memory, and dropping them would make
+    * the next reader re-write files that are still perfectly good.
+    * Never-built holders are removed without forcing them — releasing
+    * must not trigger the build it exists to undo. Unpersist blocks, so
+    * the memory is actually free before the caller's next build starts.
+    *
+    * `dropKeptArtifacts = true` removes those non-Dataset entries too.
+    * This exists for exactly one caller: Bench's stall-retry loop, which
+    * must re-measure a query's FULL declared work. A kept scratch path /
+    * Derby connection / collected merge list lets a retry ride state no
+    * fresh-JVM first run could ever see — r19 caught retried q73/q74/
+    * q195/q94 measuring 0.04–0.15 s against 1.1–2.6 s real (the memo-ride
+    * pollution class; the fakes then self-perpetuated through the floor
+    * table's min-fold). Rebuilds are idempotent by construction: every
+    * such artifact is written to a FRESH temp dir at build time.
     */
-  def release(spark: SparkSession, prefix: String = ""): Unit = {
+  def release(spark: SparkSession, prefix: String = "",
+              dropKeptArtifacts: Boolean = false): Unit = {
     val m = bySession.synchronized { bySession.get(spark) }
     if (m != null) {
       val it = m.entrySet().iterator()
@@ -81,10 +92,8 @@ object Memo {
           if (!e.getValue.built) it.remove()
           else {
             val ds = datasets(e.getValue.value)
-            if (ds.nonEmpty) {
-              ds.foreach(_.unpersist(blocking = true))
-              it.remove()
-            }
+            ds.foreach(_.unpersist(blocking = true))
+            if (ds.nonEmpty || dropKeptArtifacts) it.remove()
           }
         }
       }

@@ -52,6 +52,18 @@ class BenchJsonSpec extends AnyFunSuite {
       assert(nh.get("spin_med_ms").asDouble() == 156.0)
       assert(nh.get("eff_end").asDouble() == 24.9)
       assert(nh.get("retries").asInt() == 3)
+      assert(!nh.has("retry_orig"), "lean summary omits retry_orig")
+
+      // retry_orig (r19): the full line carries pre-substitution first-run
+      // seconds so floor folds never see a JIT-warm/memo-riding retry time
+      val hostFull = BenchJson.hostSummary(steal = 975L, iowait = 12L,
+        medSpin = 156.4, maxSpin = 298.7, nSamples = 41, effStart = 25.7,
+        effEnd = 24.93, retries = 3, tainted = 2, runsPerQuery = 1,
+        retryOrig = Seq("q73_jdbc_roundtrip" -> 1.94, "q195_bpe_merges" -> 2.578))
+      val nf = mapper.readTree(hostFull)
+      assert(nf.get("retry_orig").get("q73_jdbc_roundtrip").asDouble() == 1.94)
+      assert(nf.get("retry_orig").get("q195_bpe_merges").asDouble() == 2.578)
+      assert(nf.get("runs_per_query").asInt() == 1)
 
       val drain = BenchJson.drainRecord("q231_drain", 600000L, 4.27,
         nBatches = 4, p50Ms = 812L, p99Ms = 1460L)

@@ -50,4 +50,21 @@ class MemoSpec extends SparkTestBase {
     assert(other.storageLevel == StorageLevel.NONE)
     assert(otherBuilds == 1)
   }
+
+  test("dropKeptArtifacts removes non-dataset entries so a retry re-does " +
+      "the declared work (r19 memo-ride fix)") {
+    var pathBuilds = 0
+    def path() = { pathBuilds += 1; s"/tmp/memospec-retry-$pathBuilds" }
+    Memo.cached(spark, "memospec-retry-path") { path() }
+    // plain release keeps it (the documented default)
+    Memo.release(spark, "memospec-retry-")
+    Memo.cached(spark, "memospec-retry-path") { path() }
+    assert(pathBuilds == 1, "plain release keeps path artifacts")
+    // the retry-loop release drops it: next access REBUILDS — without
+    // this, a retried q73/q74/q195 rides the kept conn/path/merge-list
+    // and measures ~nothing (0.04-0.15 s vs 1.1-2.6 s declared work)
+    Memo.release(spark, "memospec-retry-", dropKeptArtifacts = true)
+    Memo.cached(spark, "memospec-retry-path") { path() }
+    assert(pathBuilds == 2, "dropKeptArtifacts must force a full rebuild")
+  }
 }

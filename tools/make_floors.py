@@ -31,7 +31,10 @@ FLOORS = os.path.join(os.path.dirname(__file__), "floors.json")
 META = {
     "protocol": "cold_full",
     "note": "per-query MIN over full runs_per_query=1 passes only; "
-            "warm-median (BENCH_RUNS>1) passes are rejected at fold time. "
+            "warm-median (BENCH_RUNS>1) passes are rejected at fold time, "
+            "and retry-substituted values are de-substituted to their "
+            "first-run originals via host.retry_orig (r19: a JIT-warm or "
+            "memo-riding retry is not a cold first run). "
             "String-only values here: graft.Bench's loader skips __-keys "
             "but must never see a parseable number in this block.",
 }
@@ -60,9 +63,20 @@ def main():
             sys.exit(f"{arg}: runs_per_query={host['runs_per_query']} — "
                      "warm-median pass, not a cold floor source (rejected; "
                      "see __meta.protocol)")
+        # De-substitute retry replacements (r19): a stall-retry runs in a
+        # JIT-warm JVM, so its time is a valid pass-total adjudication but
+        # NOT a cold-first-run floor — folding it produces a floor no
+        # first run can reach, and every later pass then retries the query
+        # forever (the q247/q73 feedback loop; worse, pre-fix memo-riding
+        # retries recorded near-zero fakes). The bench's host block carries
+        # the pre-substitution first-run seconds as "retry_orig"; floors
+        # fold those. Passes from binaries older than the field keep the
+        # kept values (nothing better is recorded for them).
+        orig = (host or {}).get("retry_orig", {})
         for q, v in obj.get("queries", obj).items():
             if q.startswith("__") or not isinstance(v, (int, float)) or v < 0:
                 continue
+            v = orig.get(q, v)
             if q not in floors or v < floors[q]:
                 floors[q] = v
     out = {"__meta": META}

@@ -74,9 +74,12 @@ def main():
         # kept values (nothing better is recorded for them).
         orig = (host or {}).get("retry_orig", {})
         for q, v in obj.get("queries", obj).items():
-            if q.startswith("__") or not isinstance(v, (int, float)) or v < 0:
-                continue
+            # de-substitute FIRST, validate after: a retry can rescue a
+            # FAILED first run (original -1), and that negative original
+            # must be skipped, not folded as a floor
             v = orig.get(q, v)
+            if q.startswith("__") or not isinstance(v, (int, float)) or v <= 0:
+                continue
             if q not in floors or v < floors[q]:
                 floors[q] = v
     out = {"__meta": META}

@@ -978,7 +978,9 @@ object CorpusStatsQ {
   def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val dim = 256
-    val scored = t.documents.select(col("doc_id"), col("source"),
+    // spread: the per-token md5 logit map otherwise runs single-task on
+    // the 1-split scan (q122/q190 rule; identity at production splits)
+    val scored = Tables.spread(t.documents).select(col("doc_id"), col("source"),
       size(graft.ops.Dedup.words(col("text"))).cast("long").as("n_tokens"),
       graft.ops.QualityScorer.logitMicro(col("text"),
         graft.ops.QualityScorer.md5Weights(dim)).as("logit_u"))

@@ -202,7 +202,11 @@ object DedupQ {
   def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val p = t.part.select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
-    val a = p.select(col("p_type"), col("p_size"), col("p_partkey").as("key_a"),
+    // spread the STREAM side only: the in-bucket pair expansion +
+    // per-pair levenshtein otherwise runs single-task on the 1-split part
+    // scan (r19 census: 0.8 s serial); the build side stays unspread so
+    // the broadcast pays no extra exchange. Identity at production splits.
+    val a = Tables.spread(p).select(col("p_type"), col("p_size"), col("p_partkey").as("key_a"),
       col("p_name").as("name_a"))
     val b = p.select(col("p_type"), col("p_size"), col("p_partkey").as("key_b"),
       col("p_name").as("name_b"))
@@ -306,7 +310,9 @@ object DedupQ {
   def qualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val comps = neardupComponents(spark, dir)
-    val logits = t.documents.select(col("doc_id"),
+    // spread: the per-token md5 logit map otherwise runs single-task on
+    // the 1-split scan (q122/q190 rule; identity at production splits)
+    val logits = Tables.spread(t.documents).select(col("doc_id"),
       graft.ops.QualityScorer.logitMicro(col("text"),
         graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
     comps.join(logits, comps("id") === logits("doc_id"))
@@ -378,7 +384,10 @@ object DedupQ {
     val t = Tables(spark, dir)
     val docs = t.documents
     val comps = neardupComponents(spark, dir)
-    val logits = docs.select(col("doc_id"),
+    // spread: the logit projection feeds both the loser build and the
+    // survivor read; single-task on the 1-split scan otherwise (q122/q190
+    // rule; identity at production splits)
+    val logits = Tables.spread(docs).select(col("doc_id"),
       graft.ops.QualityScorer.logitMicro(col("text"),
         graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
     // comps is cluster-members-only (tiny vs the corpus) — broadcast it
@@ -754,8 +763,15 @@ object DedupQ {
     val t = Tables(spark, dir)
     val txt = t.documents.select(col("doc_id"),
       substring(col("text"), 1, 2000).as("t2k"))
+    // spread the STREAM-side text projection only: both joins are
+    // broadcast builds (pairs, then the doc_b texts) streaming over the
+    // 1-split documents scan, so the O(L²) levenshtein per pair otherwise
+    // runs single-task (r19 census: 1.0 s serial solo). The doc_b side
+    // stays unspread so its broadcast build pays no extra exchange.
+    // Identity at production split counts (q190/q217 rule).
     minhashPairs(spark, dir)
-      .join(txt.select(col("doc_id").as("doc_a"), col("t2k").as("ta")), Seq("doc_a"))
+      .join(Tables.spread(txt)
+        .select(col("doc_id").as("doc_a"), col("t2k").as("ta")), Seq("doc_a"))
       .join(txt.select(col("doc_id").as("doc_b"), col("t2k").as("tb")), Seq("doc_b"))
       .select((expr("levenshtein(ta, tb)").cast("long") * 100L).as("raw"),
         greatest(greatest(length(col("ta")), length(col("tb"))), lit(1))
@@ -800,7 +816,9 @@ object DedupQ {
     */
   def qualityDupCalibration(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val scored = t.documents.select(col("doc_id"),
+    // spread: the per-token md5 logit map otherwise runs single-task on
+    // the 1-split scan (r19 census: 1.6 s serial solo; q122/q190 rule)
+    val scored = Tables.spread(t.documents).select(col("doc_id"),
       graft.ops.QualityScorer.logitMicro(col("text"),
         graft.ops.QualityScorer.md5Weights(256)).as("logit_u"))
       .withColumn("band",

@@ -141,6 +141,15 @@ object TextQ {
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // NO spread here (A/B-rejected, r19): the census showed a 1.4–1.7 s
+    // single-task classification stage SOLO, but that is cold-JIT
+    // inflation, not row work — warm in-suite the stage is small, and a
+    // spread variant measured neutral-to-worse twice (q191 +0.08/+0.54,
+    // q205 +0.02/−0.12, q32 ±0.05 vs the calm pre-change pass; warm
+    // medians identical). The tokenize+4×IN-filter map is too cheap per
+    // row to buy back the round-robin exchange of the text column —
+    // unlike the md5-weight logit sites (q122/q190/q208/...), which keep
+    // their spreads.
     val base = t.documents.withColumn("toks", split(lower(trim(col("text"))), "\\s+"))
     val withCounts = langStops.foldLeft(base) { case (df, (lang, stops)) =>
       df.withColumn(s"hits_$lang",
@@ -353,7 +362,10 @@ object TextQ {
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val dim = 256
-    t.documents.select(
+    // spread: per-token md5 logit is the whole cost and otherwise runs
+    // single-task on the 1-split scan (q190's A/B'd rule; identity at
+    // production split counts)
+    Tables.spread(t.documents).select(
       col("doc_id"),
       size(graft.ops.Dedup.words(col("text"))).as("n_tokens"),
       graft.ops.QualityScorer.logitMicro(col("text"),
@@ -615,7 +627,9 @@ object TextQ {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val dim = 256
-    val scored = t.documents.select(
+    // spread: same per-token md5 logit hot map as q122/q190 (single-task
+    // on the 1-split scan otherwise; identity at production split counts)
+    val scored = Tables.spread(t.documents).select(
       col("source"),
       size(graft.ops.Dedup.words(col("text"))).cast("long").as("n_tokens"),
       graft.ops.QualityScorer.logitMicro(col("text"),

@@ -143,6 +143,10 @@ object EventsQ {
     */
   def jsonProps(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // NO spread (A/B-rejected twice, r19, with q34): the partial agg
+    // collapses map-side, so pre-exchanging the full props column costs
+    // more than parallelizing the parse buys (0.53 → 0.62/0.62 s warm
+    // medians — the q14/q15 class).
     t.events
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("int").as("k"),

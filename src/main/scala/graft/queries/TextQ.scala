@@ -206,6 +206,12 @@ object TextQ {
     */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // NO spread (A/B-rejected twice, r19): the per-row get_json_object
+    // parse IS serial on the 1-split events scan, but the partial agg
+    // collapses the scan output map-side — pre-exchanging the full props
+    // column costs more than the parallel parse saves (warm medians
+    // 0.41 → 0.60/0.53 s spread; the q14/q15 partial-agg-collapse class,
+    // unlike the doc-grain-output md5-logit sites of ch.24).
     t.events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("k"))
@@ -329,7 +335,10 @@ object TextQ {
     */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.documents
+    // spread: the trigram transform + array_distinct per doc is the whole
+    // cost and otherwise runs single-task on the 1-split scan (r19
+    // census: 0.8 s serial solo); identity at production split counts
+    Tables.spread(t.documents)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("tris", expr(
         """CASE WHEN size(toks) >= 3 THEN
@@ -677,7 +686,15 @@ object TextQ {
     // per-source rollup shuffles now. Tokenization stays the identical
     // `split(lower(trim(text)))` expression, so the oracle's token stream
     // is byte-for-byte the same.
-    val base = t.documents
+    // spread BELOW the tokenize, not above it: Tables.spread used to wrap
+    // this frame with the split already projected, which left the whole
+    // corpus tokenize in the single upstream task of the round-robin
+    // exchange (r19 census: a 1.6 s serial stage solo). Spreading the raw
+    // projection and splitting after moves the tokenize 32-way too, and
+    // the exchange carries the text column (fewer bytes than the token
+    // array). Identity at production split counts, as everywhere.
+    val base = Tables.spread(
+        t.documents.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         split(lower(trim(col("text"))), "\\s+").as("tk"))
     val perDocSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -689,7 +706,7 @@ object TextQ {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("frac3_ppm",
         org.apache.spark.sql.types.LongType)))
-    val perDoc = Tables.spread(base).mapPartitions { rows =>
+    val perDoc = base.mapPartitions { rows =>
       // Task-resident state is BOUNDED: a document with more than
       // `passTarget` grams is counted in ceil(grams/passTarget)
       // hash-partitioned passes (a gram lands in exactly one pass, so the

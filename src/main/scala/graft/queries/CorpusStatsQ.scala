@@ -969,7 +969,9 @@ object CorpusStatsQ {
     * engines (md5 weights, integer sum).
     *
     * Scale shape: scoring is the q122 map-side literal-folded logit
-    * (zero exchanges); the only data-sized shuffle is the per-source
+    * (no data-keyed shuffle of its own; the gate-scale round-robin
+    * spread is identity at production splits); the only data-sized
+    * shuffle is the per-source
     * cumulative window (keyed by source — the q212 skew report decides
     * when a dominant source needs the q101 two-phase treatment); budgets
     * broadcast back as a source-table-sized join and the output is one

@@ -331,7 +331,9 @@ object TextQ {
     * trigrams), the Gopher-style quality signal that catches boilerplate
     * and degenerate repetition. Trigram construction is 1-based
     * `element_at` on BOTH engines; the ratio is a rounded double (QueryDef
-    * determinism rules). Map-side only — one scan, no shuffle.
+    * determinism rules). Map-side work over one scan; the only exchange
+    * is the gate-scale round-robin spread below (identity at production
+    * split counts).
     */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -362,7 +364,9 @@ object TextQ {
     * ([[graft.ops.QualityScorer]]): hashed bag-of-words features into 256
     * buckets, md5-derived micro-unit integer weights folded into the plan
     * as a literal array, exact BIGINT logit per document, keep = logit > 0.
-    * Map-only — zero exchanges; the oracle re-derives the identical hashed
+    * Map-only scoring (no data-keyed shuffle; the gate-scale round-robin
+    * spread below is the lone exchange, identity at production splits);
+    * the oracle re-derives the identical hashed
     * buckets, weights and integer sum in SQL, so scores are bit-equal.
     * This is the model-scoring step between the heuristic text filters
     * (q31/q32) and corpus curation (q100) in a real training-data
